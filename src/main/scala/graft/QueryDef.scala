@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query: the Spark implementation plus (when SQL-expressible)
+  * the ANSI SQL a DuckDB oracle runs over the same parquet tables.
+  * Column names/ordering semantics must line up between the two — the
+  * driver sorts columns by name and hash-compares values.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def sqlChecked(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle))
+  def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None)
+}

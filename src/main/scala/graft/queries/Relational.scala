@@ -1,0 +1,568 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.{rowsOnly, sqlChecked}
+import graft.sources.Tables
+import graft.util.Num._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator surface (SURVEY.md §2.3-§2.9): scan, project,
+  * filter (pushdown), equi/broadcast/semi/anti join, hash aggregate,
+  * rollup/cube, windows, sorts/top-K, set ops, string/date/JSON functions.
+  *
+  * Scale notes baked into each query:
+  *   - filters and column selection are declared first so Catalyst pushes
+  *     them into the parquet scan (check `PushedFilters`/`ReadSchema`);
+  *   - dimension joins (region/nation/customer/part) use `broadcast()` —
+  *     at 100 TB the fact side never shuffles for these;
+  *   - aggregates use decimal-exact partial aggregation (see graft.util.Num)
+  *     which is both oracle-portable and shuffle-count-independent;
+  *   - top-K is orderBy+limit → Spark plans TakeOrderedAndProject (no
+  *     full sort, no single-node shuffle of the whole table).
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: scan → filter → hash agg → sort.
+    * Exercises A2 (multi-agg with aliases), P5 (range filter), O1. */
+  val q01PricingSummary: QueryDef = sqlChecked(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST((l_extendedprice) AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST((l_quantity) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      |  CAST(SUM(CAST((l_extendedprice) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      |  CAST(SUM(CAST((l_discount) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("2000-12-01 00:00:00").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")).as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q6-shaped forecast revenue: pure scan-side filter (all four
+    * predicates push to parquet), single global agg — no shuffle beyond
+    * one partial/final exchange. Exercises P5, A2. */
+  val q02FilterRevenue: QueryDef = sqlChecked(
+    "q02_filter_revenue",
+    """SELECT
+      |  CAST(SUM(CAST((l_extendedprice * l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter(
+        $"l_shipdate" >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01 00:00:00").cast("timestamp") &&
+        $"l_discount".between(0.02, 0.07) && $"l_quantity" < 24)
+      .agg(
+        dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Star join: fact lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with
+    * broadcast dims, revenue per (region, nation). Exercises the equi-join
+    * surface of §2.4 the scalable way: only the two fact tables shuffle
+    * (on orderkey); every dimension is broadcast. */
+  val q03StarJoinRevenue: QueryDef = sqlChecked(
+    "q03_star_join_revenue",
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE o_orderstatus <> 'P'
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).filter($"o_orderstatus" =!= "P"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+        countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Broadcast dim join: lineitem ⋈ part on partkey, stats per brand.
+    * part is small at any SF ratio vs lineitem → explicit broadcast
+    * keeps the fact table un-shuffled. */
+  val q04BroadcastPartJoin: QueryDef = sqlChecked(
+    "q04_broadcast_part_join",
+    """SELECT p_brand,
+      |  SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST((l_extendedprice) AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 30
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter($"p_size" <= 30)),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"p_brand")
+  }
+
+  /** Left-semi join (EXISTS): customers having ≥1 open order, counted per
+    * market segment. Semi joins ship only the key column of the probe side. */
+  val q05SemiJoin: QueryDef = sqlChecked(
+    "q05_semi_join",
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter($"o_orderstatus" === "O"),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no URGENT order at all,
+    * per nation. */
+  val q06AntiJoin: QueryDef = sqlChecked(
+    "q06_anti_join",
+    """SELECT n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST((c_acctbal) AS DECIMAL(30,6))) AS DOUBLE) AS sum_acctbal
+      |FROM customer c JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter($"o_orderpriority" === "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("sum_acctbal"))
+      .orderBy($"n_name")
+  }
+
+  /** Ranking window: top-3 orders per customer by totalprice
+    * (row_number over partitioned window, deterministic tiebreak).
+    * This is the proper distributed form of the reference's per-group
+    * `filter(cluster==i).show(5)` loop (SURVEY §2.6). */
+  val q07WindowTopkPerGroup: QueryDef = sqlChecked(
+    "q07_window_topk_per_group",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3 AND o_custkey < 200
+      |ORDER BY o_custkey, rk""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3 && $"o_custkey" < 200)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  /** Frame-spec window: running quantity per supplier in shipdate order
+    * (integer-valued measure → exact under any aggregation tree). */
+  val q08WindowRunningSum: QueryDef = sqlChecked(
+    "q08_window_running_sum",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      |FROM lineitem
+      |WHERE l_suppkey < 5
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter($"l_suppkey" < 5)
+      .withColumn("running_qty", sum($"l_quantity").over(w))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty",
+        $"l_shipdate")
+      .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .drop("l_shipdate")
+  }
+
+  /** Distinct aggregation: exact distinct counts per group (expands to a
+    * two-phase aggregate; keys shuffle once). */
+  val q09DistinctCounts: QueryDef = sqlChecked(
+    "q09_distinct_counts",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** ROLLUP grouping sets: (region, nation) hierarchy totals over customers.
+    * Reference's 5-flag groupBy (SURVEY §2.5 A3) generalized to true
+    * grouping sets. */
+  val q10Rollup: QueryDef = sqlChecked(
+    "q10_rollup",
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST((c_acctbal) AS DECIMAL(30,6))) AS DOUBLE) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("sum_acctbal"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** CUBE grouping sets over (mktsegment, orderstatus). */
+  val q11Cube: QueryDef = sqlChecked(
+    "q11_cube",
+    """SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+      |ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .cube($"c_mktsegment", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"c_mktsegment".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  /** Set operations (UNION/INTERSECT/EXCEPT, distinct semantics) over two
+    * customer-key sets, reduced to one row of counts. */
+  val q12SetOps: QueryDef = sqlChecked(
+    "q12_set_ops",
+    """SELECT
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |    UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') u) AS n_union,
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |    INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') i) AS n_intersect,
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |    EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') e) AS n_except""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val urgent = Tables.orders(spark, dir).filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    val fin    = Tables.orders(spark, dir).filter($"o_orderstatus" === "F").select($"o_custkey")
+    val u = urgent.union(fin).distinct().agg(count(lit(1)).as("n_union"))
+    val i = urgent.intersect(fin).agg(count(lit(1)).as("n_intersect"))
+    val e = urgent.except(fin).agg(count(lit(1)).as("n_except"))
+    u.crossJoin(i).crossJoin(e)
+  }
+
+  /** HAVING-style post-aggregation filter (A9): busy customers. */
+  val q13Having: QueryDef = sqlChecked(
+    "q13_having",
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING COUNT(*) >= 16
+      |ORDER BY o_custkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .filter($"n_orders" >= 16)
+      .orderBy($"o_custkey")
+  }
+
+  /** CASE WHEN cascade (F6): price-band bucketing, the reference's
+    * when/otherwise idiom over a numeric measure. */
+  val q14CaseWhenBuckets: QueryDef = sqlChecked(
+    "q14_case_when_buckets",
+    """SELECT
+      |  CASE WHEN o_totalprice < 50000 THEN 'low'
+      |       WHEN o_totalprice < 150000 THEN 'mid'
+      |       ELSE 'high' END AS price_band,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY price_band""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("price_band",
+        when($"o_totalprice" < 50000, "low")
+          .when($"o_totalprice" < 150000, "mid")
+          .otherwise("high"))
+      .groupBy($"price_band")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"price_band")
+  }
+
+  /** String function battery (F3-F5, F11, F13, F14): lower, substring,
+    * length, regexp_extract, replace, trim, concat. */
+  val q15StringFuncs: QueryDef = sqlChecked(
+    "q15_string_funcs",
+    """SELECT p_partkey,
+      |  lower(p_name) AS name_lc,
+      |  substring(p_name, 1, 8) AS name_prefix,
+      |  length(p_name) AS name_len,
+      |  CAST(regexp_extract(p_brand, '#(\d+)', 1) AS BIGINT) AS brand_num,
+      |  replace(p_type, 'ECONOMY', 'ECO') AS type_short,
+      |  concat(p_brand, ':', p_type) AS brand_type
+      |FROM part
+      |WHERE p_partkey < 300
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .filter($"p_partkey" < 300)
+      .select(
+        $"p_partkey",
+        lower($"p_name").as("name_lc"),
+        substring($"p_name", 1, 8).as("name_prefix"),
+        length($"p_name").as("name_len"),
+        regexp_extract($"p_brand", "#(\\d+)", 1).cast("long").as("brand_num"),
+        regexp_replace($"p_type", "ECONOMY", "ECO").as("type_short"),
+        concat($"p_brand", lit(":"), $"p_type").as("brand_type"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Date/time functions (F2-family): year/month extraction + month
+    * truncation rollup of order volume. */
+  val q16DateFuncs: QueryDef = sqlChecked(
+    "q16_date_funcs",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY 1, 2, 3
+      |ORDER BY order_year, order_month""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy(
+        year($"o_orderdate").cast("long").as("order_year"),
+        month($"o_orderdate").cast("long").as("order_month"),
+        date_trunc("month", $"o_orderdate").as("month_start"))
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"order_year", $"order_month")
+  }
+
+  /** JSON extraction (F1 surface on the events stream table): pull props.k
+    * out of the JSON payload, aggregate per event_type. */
+  val q17JsonExtract: QueryDef = sqlChecked(
+    "q17_json_extract",
+    """SELECT event_type,
+      |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(
+        sum($"k").as("sum_k"),
+        count(lit(1)).as("n"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  /** IN-list / set membership (P9) + null-handling surface (P10):
+    * coalesce/nullif over segment values. */
+  val q18IsinNullHandling: QueryDef = sqlChecked(
+    "q18_isin_null_handling",
+    """SELECT coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST((c_acctbal) AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+      |GROUP BY 1
+      |ORDER BY segment""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .filter($"c_nationkey".isin(0 to 11: _*))
+      .withColumn("segment",
+        coalesce(nullif($"c_mktsegment", lit("BUILDING")), lit("OTHER")))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"segment")
+  }
+
+  /** Global top-K (O2): TakeOrderedAndProject, deterministic tiebreak. */
+  val q19TopkGlobal: QueryDef = sqlChecked(
+    "q19_topk_global",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 15""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(15)
+  }
+
+  /** Statistical aggregates: stddev/correlation (rounded — engines use
+    * different but equivalent streaming-moment algorithms). */
+  val q20Stats: QueryDef = sqlChecked(
+    "q20_stats",
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(min(l_extendedprice), 4) AS min_price,
+      |  round(max(l_extendedprice), 4) AS max_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
+        round(min($"l_extendedprice"), 4).as("min_price"),
+        round(max($"l_extendedprice"), 4).as("max_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Pivot (reference's per-city/per-cluster breakdown generalized):
+    * daily event counts pivoted by event_type. Oracle uses conditional
+    * aggregation — same result, same column names. */
+  val q21Pivot: QueryDef = sqlChecked(
+    "q21_pivot",
+    """SELECT date_trunc('day', ts) AS day,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+      .orderBy($"day")
+  }
+
+  /** Correlated-style aggregation via join on derived aggregate (A6/A8):
+    * customers whose account balance exceeds their nation's average. */
+  val q22JoinOnAggregate: QueryDef = sqlChecked(
+    "q22_join_on_aggregate",
+    """WITH nat_avg AS (
+      |  SELECT c_nationkey,
+      |    CAST(SUM(CAST((c_acctbal) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+      |  FROM customer GROUP BY c_nationkey)
+      |SELECT n_name, COUNT(*) AS n_above
+      |FROM customer
+      |JOIN nat_avg USING (c_nationkey)
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > avg_bal
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val natAvg = cust.groupBy($"c_nationkey").agg(davg($"c_acctbal").as("avg_bal"))
+    cust
+      .join(broadcast(natAvg), Seq("c_nationkey"))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_above"))
+      .orderBy($"n_name")
+  }
+
+  /** Approximate distinct (HLL++) — scale substitute for exact distinct at
+    * 100 TB. Engines' sketches differ → rows-only check, with the exact
+    * value alongside for sanity. */
+  val q23ApproxDistinct: QueryDef = rowsOnly("q23_approx_distinct") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Sampling + approx quantiles (A5 surface): per-flag p01/p50/p99 via the
+    * exact percentile aggregate (Greenwald-Khanna approx is not
+    * engine-portable; exact interpolated percentile is). */
+  val q24Percentiles: QueryDef = sqlChecked(
+    "q24_percentiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.01), 4) AS p01,
+      |  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.01)"), 4).as("p01"),
+        round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy($"l_returnflag")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q01PricingSummary, q02FilterRevenue, q03StarJoinRevenue,
+    q04BroadcastPartJoin, q05SemiJoin, q06AntiJoin,
+    q07WindowTopkPerGroup, q08WindowRunningSum, q09DistinctCounts,
+    q10Rollup, q11Cube, q12SetOps, q13Having, q14CaseWhenBuckets,
+    q15StringFuncs, q16DateFuncs, q17JsonExtract, q18IsinNullHandling,
+    q19TopkGlobal, q20Stats, q21Pivot, q22JoinOnAggregate,
+    q23ApproxDistinct, q24Percentiles)
+}
