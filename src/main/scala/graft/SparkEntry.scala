@@ -1,13 +1,33 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every registered query catalog in the engine;
+  * each catalog is a Seq[QueryDef] in graft.queries.*. `oracleSql` carries
+  * the DuckDB-runnable ANSI SQL for the SQL-expressible subset.
+  */
 object SparkEntry {
+
+  /** Every query catalog the engine ships. Add new modules here. */
+  def catalogs: Seq[QueryDef] =
+    graft.queries.Relational.all ++
+    graft.queries.JobEtlQueries.all ++
+    graft.queries.TextQueries.all ++
+    graft.queries.DedupQueries.all ++
+    graft.queries.SimilarityQueries.all ++
+    graft.queries.MlQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    graft.queries.Relational.q03StarJoinRevenue.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalogs.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    catalogs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

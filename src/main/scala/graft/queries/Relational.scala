@@ -193,8 +193,9 @@ object Relational {
     import spark.implicits._
     val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
     Tables.orders(spark, dir)
+      .filter($"o_custkey" < 200) // partition-key predicate below the window → parquet pushdown
       .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 3 && $"o_custkey" < 200)
+      .filter($"rk" <= 3)
       .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
       .orderBy($"o_custkey", $"rk")
   }
@@ -281,24 +282,48 @@ object Relational {
       .orderBy($"c_mktsegment".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
   }
 
-  /** Set operations (UNION/INTERSECT/EXCEPT, distinct semantics) over two
-    * customer-key sets, reduced to one row of counts. */
+  /** Set-operation semantics (UNION/INTERSECT/EXCEPT distinct counts over
+    * two customer-key sets) computed in ONE scan of orders: per-custkey
+    * boolean flags via max(), then conditional counts. At 100 TB this is a
+    * single fact-table scan + one shuffle on custkey, vs six scans for the
+    * literal union/intersect/except formulation. */
   val q12SetOps: QueryDef = sqlChecked(
     "q12_set_ops",
     """SELECT
-      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-      |    UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') u) AS n_union,
-      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-      |    INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') i) AS n_intersect,
-      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-      |    EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') e) AS n_except""".stripMargin) { (spark, dir) =>
+      |  COUNT(*) FILTER (WHERE has_urgent OR has_fin) AS n_union,
+      |  COUNT(*) FILTER (WHERE has_urgent AND has_fin) AS n_intersect,
+      |  COUNT(*) FILTER (WHERE has_urgent AND NOT has_fin) AS n_except
+      |FROM (
+      |  SELECT o_custkey,
+      |    bool_or(o_orderpriority = '1-URGENT') AS has_urgent,
+      |    bool_or(o_orderstatus = 'F') AS has_fin
+      |  FROM orders GROUP BY o_custkey)""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val urgent = Tables.orders(spark, dir).filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
-    val fin    = Tables.orders(spark, dir).filter($"o_orderstatus" === "F").select($"o_custkey")
-    val u = urgent.union(fin).distinct().agg(count(lit(1)).as("n_union"))
-    val i = urgent.intersect(fin).agg(count(lit(1)).as("n_intersect"))
-    val e = urgent.except(fin).agg(count(lit(1)).as("n_except"))
-    u.crossJoin(i).crossJoin(e)
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        max($"o_orderpriority" === "1-URGENT").as("has_urgent"),
+        max($"o_orderstatus" === "F").as("has_fin"))
+      .agg(
+        count(when($"has_urgent" || $"has_fin", true)).as("n_union"),
+        count(when($"has_urgent" && $"has_fin", true)).as("n_intersect"),
+        count(when($"has_urgent" && !$"has_fin", true)).as("n_except"))
+  }
+
+  /** The literal set-operator surface (union/intersect/except nodes in the
+    * plan — q12 computes the same answer scan-efficiently; this one proves
+    * the operators themselves work). Small keyspace → cheap at any SF. */
+  val q12bSetOperators: QueryDef = sqlChecked(
+    "q12b_set_operators",
+    """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+      |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    c.filter($"c_mktsegment" === "BUILDING").select($"c_nationkey")
+      .intersect(c.filter($"c_acctbal" > 0).select($"c_nationkey"))
+      .orderBy($"c_nationkey")
   }
 
   /** HAVING-style post-aggregation filter (A9): busy customers. */
@@ -376,7 +401,7 @@ object Relational {
     "q16_date_funcs",
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
       |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
-      |  date_trunc('month', o_orderdate) AS month_start,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
       |  COUNT(*) AS n_orders,
       |  CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
       |FROM orders
@@ -397,7 +422,7 @@ object Relational {
   val q17JsonExtract: QueryDef = sqlChecked(
     "q17_json_extract",
     """SELECT event_type,
-      |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
       |FROM events
@@ -449,18 +474,11 @@ object Relational {
       .limit(15)
   }
 
-  /** Statistical aggregates: stddev/correlation (rounded — engines use
-    * different but equivalent streaming-moment algorithms). */
-  val q20Stats: QueryDef = sqlChecked(
-    "q20_stats",
-    """SELECT l_returnflag,
-      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
-      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-      |  round(min(l_extendedprice), 4) AS min_price,
-      |  round(max(l_extendedprice), 4) AS max_price
-      |FROM lineitem
-      |GROUP BY l_returnflag
-      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+  /** Statistical aggregates: stddev/correlation. rowsOnly: engines use
+    * different streaming-moment algorithms, so values adjacent to a
+    * rounding boundary can round differently and flake an exact hash
+    * compare (ADVICE r1). min/max stay exact and are sanity-visible. */
+  val q20Stats: QueryDef = rowsOnly("q20_stats") { (spark, dir) =>
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
@@ -477,7 +495,7 @@ object Relational {
     * aggregation — same result, same column names. */
   val q21Pivot: QueryDef = sqlChecked(
     "q21_pivot",
-    """SELECT date_trunc('day', ts) AS day,
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
       |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
       |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
       |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
@@ -535,9 +553,12 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
-  /** Sampling + approx quantiles (A5 surface): per-flag p01/p50/p99 via the
-    * exact percentile aggregate (Greenwald-Khanna approx is not
-    * engine-portable; exact interpolated percentile is). */
+  /** Exact per-group percentiles for ORACLE comparison only. The exact
+    * `percentile` aggregate buffers every value of a group in one task —
+    * fine at sf0.1, a scale-killer at 100 TB. q25 below is the scale path
+    * (approx_percentile = Greenwald-Khanna sketch, bounded memory, merges
+    * across any partition count); q24 exists because the sketch is not
+    * engine-portable and can't be hash-checked against DuckDB. */
   val q24Percentiles: QueryDef = sqlChecked(
     "q24_percentiles",
     """SELECT l_returnflag,
@@ -557,12 +578,26 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Approximate percentiles — the 100 TB path for A5: bounded-memory
+    * sketch, mergeable partials, no per-group value buffering. rowsOnly
+    * because the sketch isn't engine-portable. */
+  val q25ApproxPercentiles: QueryDef = rowsOnly("q25_approx_percentiles") { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.01, 0.5, 0.99), 10000)").as("pcts"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterRevenue, q03StarJoinRevenue,
     q04BroadcastPartJoin, q05SemiJoin, q06AntiJoin,
     q07WindowTopkPerGroup, q08WindowRunningSum, q09DistinctCounts,
-    q10Rollup, q11Cube, q12SetOps, q13Having, q14CaseWhenBuckets,
-    q15StringFuncs, q16DateFuncs, q17JsonExtract, q18IsinNullHandling,
-    q19TopkGlobal, q20Stats, q21Pivot, q22JoinOnAggregate,
-    q23ApproxDistinct, q24Percentiles)
+    q10Rollup, q11Cube, q12SetOps, q12bSetOperators, q13Having,
+    q14CaseWhenBuckets, q15StringFuncs, q16DateFuncs, q17JsonExtract,
+    q18IsinNullHandling, q19TopkGlobal, q20Stats, q21Pivot,
+    q22JoinOnAggregate, q23ApproxDistinct, q24Percentiles,
+    q25ApproxPercentiles)
 }

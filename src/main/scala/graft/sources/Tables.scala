@@ -24,7 +24,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long via the
+    * legacy conf, then rebuild a microsecond timestamp column — semantics
+    * identical at any granularity the queries use (>= microsecond). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
