@@ -20,6 +20,9 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Reference-compatible cast semantics (Spark 3.5 pre-ANSI): failed
+      // string→number casts yield null, which the regex-ETL cascades rely on.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

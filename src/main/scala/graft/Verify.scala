@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Reference-compatible cast semantics (Spark 3.5 pre-ANSI): failed
+      // string→number casts yield null, which the regex-ETL cascades rely on.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
