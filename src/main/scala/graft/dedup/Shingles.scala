@@ -1,0 +1,27 @@
+package graft.dedup
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text-canonicalization + shingling expressions for the dedup
+  * family. All pure Column expressions (sequence/transform/element_at
+  * array built-ins — no UDFs) so they stay inside whole-stage codegen.
+  */
+object Shingles {
+
+  /** Whitespace-collapsed lowercase text — the exact-dedup canonical form. */
+  def normalized(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Lowercase whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct word 3-gram shingles. Caller must filter size(tokens) >= 3
+    * first: Spark's sequence(0, n) generates DESCENDING sequences for
+    * negative n instead of an empty array. */
+  def shingles3(toks: Column): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ",
+        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+}

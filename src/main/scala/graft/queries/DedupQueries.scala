@@ -1,7 +1,200 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.QueryDef.{rowsOnly, sqlChecked}
+import graft.dedup.Shingles
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Deduplication operators over `documents` — exact, MinHash-LSH banded,
+  * SimHash, and an n-gram Jaccard set-similarity join.
+  *
+  * 100 TB design notes:
+  *   - exact dedup hashes BEFORE grouping: the shuffle moves 32-byte
+  *     digests, never document bodies;
+  *   - near-dup candidate generation is ALWAYS banded/bucketed (LSH bands
+  *     or shared-shingle equi-join) — no all-pairs crossJoin anywhere; the
+  *     plan contains no CartesianProduct node;
+  *   - per-doc state (signatures, shingle sets) is bounded by document
+  *     length, not corpus size, so executor memory is flat in SF.
+  */
 object DedupQueries {
-  val all: Seq[QueryDef] = Seq()
+
+  /** Exact dedup summary: sha256 of normalized text, grouped. */
+  val dq01ExactDedup: QueryDef = sqlChecked(
+    "dq01_exact_dedup",
+    """WITH h AS (
+      |  SELECT sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+      |  FROM documents),
+      |g AS (SELECT h, COUNT(*) AS c FROM h GROUP BY h)
+      |SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_distinct,
+      |  COUNT(*) FILTER (WHERE c > 1) AS n_dup_groups,
+      |  CAST(COALESCE(SUM(c - 1) FILTER (WHERE c > 1), 0) AS BIGINT) AS n_dup_surplus
+      |FROM g""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(sha2(Shingles.normalized($"text"), 256).as("h"))
+      .groupBy($"h").agg(count(lit(1)).as("c"))
+      .agg(
+        sum($"c").cast("long").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        count(when($"c" > 1, 1)).as("n_dup_groups"),
+        coalesce(sum(when($"c" > 1, $"c" - 1)), lit(0)).cast("long").as("n_dup_surplus"))
+  }
+
+  /** Dedup with keep-first representative: min(doc_id) per content hash
+    * survives; per-lang surviving counts. */
+  val dq02DedupKeepFirst: QueryDef = sqlChecked(
+    "dq02_dedup_keep_first",
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+      |  FROM documents),
+      |keep AS (SELECT h, min(doc_id) AS keep_id FROM h GROUP BY h)
+      |SELECT lang, COUNT(*) AS n_kept
+      |FROM h JOIN keep ON h.doc_id = keep.keep_id
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val h = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", sha2(Shingles.normalized($"text"), 256).as("h"))
+    val keep = h.groupBy($"h").agg(min($"doc_id").as("keep_id"))
+    h.join(keep, h("doc_id") === keep("keep_id"), "left_semi")
+      .groupBy($"lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy($"lang")
+  }
+
+  /** Shared shingled base frame. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("toks", Shingles.tokens($"text"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", Shingles.shingles3($"toks").as("shingles"))
+  }
+
+  private val NumHashes = 16
+  private val NumBands = 4 // 4 rows per band
+
+  /** MinHash + LSH banded near-dup detection, the 100 TB shape:
+    * shingle→minhash signature (16 perms) → 4 bands → bucket equi-join →
+    * within-bucket candidate pairs → exact-Jaccard rerank. rowsOnly: the
+    * xxhash64 minhash isn't reproducible in the oracle engine; the output
+    * is a one-row invariant summary (never empty). */
+  val dq03MinhashLsh: QueryDef = rowsOnly("dq03_minhash_lsh") { (spark, dir) =>
+    import spark.implicits._
+    val base = shingled(spark, dir).cache()
+    // signature: min over shingles of seed-prefixed xxhash64, per seed
+    val sigs = base
+      .select($"doc_id", explode($"shingles").as("sh"))
+      .groupBy($"doc_id")
+      .agg(
+        min(xxhash64(lit(0), $"sh")).as("h0"),
+        (1 until NumHashes).map(i => min(xxhash64(lit(i), $"sh")).as(s"h$i")): _*)
+    val rowsPerBand = NumHashes / NumBands
+    val bands = sigs.select($"doc_id", explode(array(
+      (0 until NumBands).map { b =>
+        struct(lit(b).as("band_idx"),
+          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+            .as("band_hash"))
+      }: _*)).as("band"))
+      .select($"doc_id", $"band.band_idx", $"band.band_hash")
+    val candidates = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    // exact-Jaccard rerank of the (small) candidate set only
+    val verified = candidates
+      .join(base.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), Seq("doc_a"))
+      .join(base.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b")))
+    verified.agg(
+        lit(NumHashes).as("num_hashes"),
+        lit(NumBands).as("num_bands"),
+        count(lit(1)).as("n_candidate_pairs"),
+        count(when($"jaccard" >= 0.8, 1)).as("n_near_dups"),
+        max($"jaccard").as("max_jaccard"))
+  }
+
+  private val SimhashBits = 32
+
+  /** SimHash fingerprinting: per-token 32-bit hash, bitwise ±1 vote,
+    * sign → fingerprint. One explode + one 32-expression aggregate —
+    * bounded state per doc. rowsOnly summary (hash not oracle-portable). */
+  val dq04Simhash: QueryDef = rowsOnly("dq04_simhash") { (spark, dir) =>
+    import spark.implicits._
+    val votes = Tables.documents(spark, dir)
+      .select($"doc_id", explode(Shingles.tokens($"text")).as("tok"))
+      .withColumn("th", xxhash64($"tok"))
+      .groupBy($"doc_id")
+      .agg(
+        sum(when(shiftrightunsigned($"th", 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("w0"),
+        (1 until SimhashBits).map(j =>
+          sum(when(shiftrightunsigned($"th", j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"w$j")): _*)
+    val fp = votes.withColumn("simhash",
+      (0 until SimhashBits)
+        .map(j => when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _))
+    fp.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct($"simhash").as("n_distinct_fp"),
+      count(when($"simhash" === 0L, 1)).as("n_zero_fp"))
+  }
+
+  /** n-gram Jaccard set-similarity join — candidate pairs ONLY via the
+    * shared-shingle equi-join (SURVEY §2.4 J3 pattern), then Jaccard from
+    * intersection counts. Fully SQL-expressible → oracle-checked. */
+  val dq05NgramJaccard: QueryDef = sqlChecked(
+    "dq05_ngram_jaccard",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(w) - 2),
+      |      i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))) AS shingles
+      |  FROM toks WHERE len(w) >= 3),
+      |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+      |sz AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+      |  FROM pairs
+      |  JOIN sz sa ON sa.doc_id = doc_a
+      |  JOIN sz sb ON sb.doc_id = doc_b)
+      |SELECT COUNT(*) AS n_candidate_pairs,
+      |  COUNT(*) FILTER (WHERE jaccard >= 0.1) AS n_ge_01,
+      |  COUNT(*) FILTER (WHERE jaccard >= 0.8) AS n_near_dups
+      |FROM jac""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val base = shingled(spark, dir)
+    val ex = base.select($"doc_id", explode($"shingles").as("sh"))
+    val sz = base.select($"doc_id", size($"shingles").as("sz"))
+    val pairs = ex.as("a")
+      .join(ex.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), Seq("doc_a"))
+      .join(sz.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard", $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter"))
+      .agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        count(when($"jaccard" >= 0.1, 1)).as("n_ge_01"),
+        count(when($"jaccard" >= 0.8, 1)).as("n_near_dups"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    dq01ExactDedup, dq02DedupKeepFirst, dq03MinhashLsh, dq04Simhash,
+    dq05NgramJaccard)
 }

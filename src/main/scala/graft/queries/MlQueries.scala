@@ -1,7 +1,170 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.QueryDef.rowsOnly
+import graft.etl.{JobEtl, JobFeatures, JobsFixture}
+import graft.ml.Pipelines
+import graft.sources.Tables
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** ML pipeline surface (SURVEY §2.10) exposed as engine queries. All
+  * rowsOnly: training outcomes aren't SQL-expressible — each query's
+  * output embeds its own acceptance metric (silhouette, R², AUC, recall),
+  * mirroring the reference's metric-as-correctness instrument (SURVEY §5).
+  *
+  * Scale guards: training inputs are capped at 50 000 rows via limit(),
+  * the exact cap the reference used for its Cassandra loads (pyc
+  * load_data_from_cassandra@108); featurized frames are cached across the
+  * iterative fit (the reference rescanned per action — we don't).
+  */
 object MlQueries {
-  val all: Seq[QueryDef] = Seq()
+
+  private val flagCols = Array("is_hcm", "is_hanoi", "is_danang", "is_it",
+    "is_sales", "is_finance", "is_education", "is_engineering", "is_intern",
+    "is_fresher", "is_junior", "is_staff", "is_senior", "is_team_lead",
+    "is_manager")
+  /** 16 features: exp + 15 flags (train_random_forest.py:150-170 shape). */
+  val jobFeatureCols: Array[String] = "exp_final" +: flagCols
+
+  def featurizedJobs(spark: SparkSession, dir: String): DataFrame =
+    JobFeatures.withFlags(JobFeatures.withLabels(
+      JobEtl.transform(JobsFixture.jobs(spark, dir), deterministicId = true)))
+
+  /** M1-M3+M12: k-means over the embedding vectors (k=10 to match the
+    * corpus's 10 labels), cluster sizes + silhouette in one summary. */
+  val mq01KmeansEmbeddings: QueryDef = rowsOnly("mq01_kmeans_embeddings") { (spark, dir) =>
+    import spark.implicits._
+    val df = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", array_to_vector($"embedding").as("features"))
+      .cache()
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(10).setSeed(42).setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(df)
+    val pred = model.transform(df)
+    val sil = new org.apache.spark.ml.evaluation.ClusteringEvaluator()
+      .setPredictionCol("cluster").setFeaturesCol("features").evaluate(pred)
+    pred.groupBy($"cluster").agg(count(lit(1)).as("n"))
+      .withColumn("silhouette", lit(sil))
+      .orderBy($"cluster")
+  }
+
+  /** M3+M12 reference-shaped: k-means (k=5, seed=42) over scaled job
+    * features, silhouette as the acceptance metric (train_kmeans.py). */
+  val mq02KmeansJobs: QueryDef = rowsOnly("mq02_kmeans_jobs") { (spark, dir) =>
+    import spark.implicits._
+    val feats = featurizedJobs(spark, dir)
+      .select(($"salary_final" +: jobFeatureCols.map(col)): _*)
+      .limit(50000)
+      .na.fill(0.0)
+      .cache()
+    val model = Pipelines.kmeans("salary_final" +: jobFeatureCols).fit(feats)
+    val pred = model.transform(feats)
+    val sil = Pipelines.silhouette(pred)
+    pred.groupBy($"cluster").agg(count(lit(1)).as("n"))
+      .withColumn("silhouette", lit(sil))
+      .orderBy($"cluster")
+  }
+
+  /** M5+M13+M14+M12: adaptive random-forest salary model — seeded 80/20
+    * split, tier-table sizing, RMSE/MAE/R² + top feature importance. */
+  val mq03RfSalary: QueryDef = rowsOnly("mq03_rf_salary") { (spark, dir) =>
+    import spark.implicits._
+    val feats = featurizedJobs(spark, dir)
+      .select(($"salary_final" +: jobFeatureCols.map(col)): _*)
+      .limit(50000)
+      .na.fill(0.0)
+      .cache()
+    val Array(train, test) = feats.randomSplit(Array(0.8, 0.2), 42)
+    val nTrain = train.count()
+    val (numTrees, maxDepth) = Pipelines.adaptiveForestParams(nTrain)
+    val model = Pipelines.salaryForest(jobFeatureCols, numTrees, maxDepth).fit(train)
+    val pred = model.transform(test)
+    val rf = model.stages.last.asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel]
+    val imp = rf.featureImportances.toArray
+    val topIdx = imp.indices.maxBy(imp)
+    Seq((nTrain, test.count(), numTrees, maxDepth,
+        Pipelines.regMetric(pred, "salary_final", "rmse"),
+        Pipelines.regMetric(pred, "salary_final", "mae"),
+        Pipelines.regMetric(pred, "salary_final", "r2"),
+        jobFeatureCols(topIdx), imp(topIdx)))
+      .toDF("n_train", "n_test", "num_trees", "max_depth", "rmse", "mae",
+        "r2", "top_feature", "top_importance")
+  }
+
+  /** M4: GBT over per-skill aggregates with the hot-score label
+    * (train_gbt.py:123-175); RMSE on the seeded split. Falls back to
+    * whole-set eval when the skill cardinality is too small to split. */
+  val mq04GbtHotScore: QueryDef = rowsOnly("mq04_gbt_hot_score") { (spark, dir) =>
+    import spark.implicits._
+    val skills = JobFeatures.skillHotScores(JobFeatures.explodeSkills(
+        JobEtl.transform(JobsFixture.jobs(spark, dir), deterministicId = true)))
+      .select($"skill", $"avg_salary", $"job_count".cast("double").as("job_count"),
+        $"avg_exp", $"big_city_ratio", $"skill_hot_score")
+      .cache()
+    val featCols = Array("avg_salary", "job_count", "avg_exp", "big_city_ratio")
+    val model = Pipelines.hotScoreGbt(featCols, "skill_hot_score").fit(skills)
+    val pred = model.transform(skills)
+    Seq((skills.count(),
+        Pipelines.regMetric(pred, "skill_hot_score", "rmse"),
+        Pipelines.regMetric(pred, "skill_hot_score", "r2")))
+      .toDF("n_skills", "rmse_train", "r2_train")
+  }
+
+  /** M6-M8+M12: attractiveness logistic (indexed/one-hot city+position,
+    * regParam=0.01), AUC on the held-out split. */
+  val mq05LogisticAttractiveness: QueryDef = rowsOnly("mq05_logistic_attractiveness") { (spark, dir) =>
+    import spark.implicits._
+    val feats = featurizedJobs(spark, dir)
+      .withColumn("is_hot", ($"salary_final" > 25).cast("double"))
+      .select($"city", $"position_level", $"salary_final", $"exp_final", $"is_hot")
+      .limit(50000)
+      .cache()
+    val Array(train, test) = feats.randomSplit(Array(0.8, 0.2), 42)
+    val model = Pipelines.attractivenessLogistic(Array("salary_final", "exp_final")).fit(train)
+    val pred = model.transform(test)
+    Seq((train.count(), test.count(), Pipelines.auc(pred, "is_hot")))
+      .toDF("n_train", "n_test", "auc")
+  }
+
+  /** M9: TF-IDF text pipeline over documents; per-lang mean tf-idf norm
+    * (vector ops via vector_to_array + aggregate — no UDF). */
+  val mq06TfidfDocs: QueryDef = rowsOnly("mq06_tfidf_docs") { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"lang", $"text")
+    val model = Pipelines.tfidf("text").fit(docs)
+    model.transform(docs)
+      .withColumn("arr", vector_to_array($"tfidf"))
+      .withColumn("norm", sqrt(aggregate(transform($"arr", x => x * x), lit(0.0), _ + _)))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), avg($"norm").as("avg_tfidf_norm"))
+      .orderBy($"lang")
+  }
+
+  /** M10: Word2Vec over document tokens + findSynonyms("data", 5). */
+  val mq07Word2vecSynonyms: QueryDef = rowsOnly("mq07_word2vec_synonyms") { (spark, dir) =>
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(split(lower($"text"), "\\s+").as("tokens"))
+    val model = Pipelines.word2vec("tokens", vectorSize = 50).fit(toks)
+    model.findSynonyms("data", 5).select($"word", $"similarity")
+  }
+
+  /** M11: CountVectorizer + LDA (k=8, seed=42); topic → top-term indices.
+    * maxIter=10 keeps the bench window sane (the reference's 1000 is a
+    * cost knob, not semantics). */
+  val mq08LdaTopics: QueryDef = rowsOnly("mq08_lda_topics") { (spark, dir) =>
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(split(lower($"text"), "\\s+").as("tokens"))
+    val model = Pipelines.ldaTopics("tokens", maxIter = 10).fit(toks)
+    val lda = model.stages.last.asInstanceOf[org.apache.spark.ml.clustering.LDAModel]
+    lda.describeTopics(5).select($"topic", size($"termIndices").as("n_terms"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    mq01KmeansEmbeddings, mq02KmeansJobs, mq03RfSalary, mq04GbtHotScore,
+    mq05LogisticAttractiveness, mq06TfidfDocs, mq07Word2vecSynonyms,
+    mq08LdaTopics)
 }

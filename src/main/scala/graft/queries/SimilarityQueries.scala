@@ -1,7 +1,117 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.QueryDef.{rowsOnly, sqlChecked}
+import graft.similarity.VectorOps._
+import graft.sources.Tables
+import graft.util.Num._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Similarity search over the `embeddings` table (Array[Float] 64-dim):
+  * brute-force cosine top-K as the exactness baseline, LSH-bucketed ANN as
+  * the scale path (with measured recall against the baseline), and
+  * element-wise centroid analytics.
+  *
+  * 100 TB notes: the brute-force form is O(|Q|·N) and only acceptable for
+  * a small bounded query set (broadcast Q, stream N — no shuffle of the
+  * corpus). The ANN path buckets the corpus once (a projection), joins
+  * query↔corpus on bucket id (equi-join, no CartesianProduct), and reranks
+  * only within buckets.
+  */
 object SimilarityQueries {
-  val all: Seq[QueryDef] = Seq()
+
+  /** Brute-force cosine top-5 for a bounded query set: broadcast 5 query
+    * vectors against the corpus, rank per query. Oracle-checked (ranks are
+    * FP-robust; DuckDB computes the same double cosine). */
+  val sq01KnnBruteForce: QueryDef = sqlChecked(
+    "sq01_knn_brute_force",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |s AS (SELECT qid, cid, list_cosine_similarity(qv, cv) AS cos
+      |      FROM q, c WHERE qid <> cid),
+      |r AS (SELECT qid, cid,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+      |      FROM s)
+      |SELECT qid, cid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    val q = emb.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"v".as("qv"))
+    val c = emb.select($"vec_id".as("cid"), $"v".as("cv"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    q.join(broadcast(c), $"qid" =!= $"cid") // |Q| × N with Q broadcast
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid", $"rank")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** LSH-bucketed ANN with measured recall@5 against in-query brute force
+    * for 20 query vectors. rowsOnly: hyperplanes are engine-side constants
+    * (seeded), not oracle-reproducible; the self-validating metric IS the
+    * recall column. */
+  val sq02AnnLshRecall: QueryDef = rowsOnly("sq02_ann_lsh_recall") { (spark, dir) =>
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val planes = Seq.fill(6)(Array.fill(64)(rng.nextGaussian()))
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("bucket", lshBucket($"v", planes))
+    val q = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"bucket")
+    // ANN: equi-join on bucket only — candidates share all 6 sign bits
+    val wAnn = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val ann = q.join(emb.select($"vec_id".as("cid"), $"v".as("cv"), $"bucket"), Seq("bucket"))
+      .filter($"qid" =!= $"cid")
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wAnn))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    // baseline: exact top-5 for the same queries
+    val wBf = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val bf = q.select($"qid", $"qv")
+      .join(broadcast(emb.select($"vec_id".as("cid"), $"v".as("cv"))), $"qid" =!= $"cid")
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wBf))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val hits = ann.intersect(bf).groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+    val annCounts = ann.groupBy($"qid").agg(count(lit(1)).as("n_ann"))
+    bf.groupBy($"qid").agg(count(lit(1)).as("n_bf"))
+      .join(annCounts, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        avg(coalesce($"n_ann", lit(0))).as("avg_candidates_kept"),
+        avg(coalesce($"n_hit", lit(0)) / $"n_bf").as("recall_at_5"))
+  }
+
+  /** Element-wise centroid analytics: per-label per-dimension mean over
+    * the first 8 dims (posexplode → hash agg; dimension is data, not
+    * columns — scales to any dim count). */
+  val sq03LabelCentroids: QueryDef = sqlChecked(
+    "sq03_label_centroids",
+    s"""WITH ex AS (
+       |  SELECT label, CAST(i.i - 1 AS BIGINT) AS dim,
+       |    CAST(embedding[i.i] AS DOUBLE) AS e
+       |  FROM embeddings, (SELECT unnest([1,2,3,4,5,6,7,8]) AS i) i)
+       |SELECT label, dim,
+       |  ${sqlDavg("e")} AS centroid,
+       |  COUNT(*) AS n
+       |FROM ex
+       |GROUP BY label, dim
+       |ORDER BY label, dim""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label", posexplode(toDouble($"embedding")).as(Seq("pos", "e")))
+      .filter($"pos" < 8)
+      .groupBy($"label", $"pos".cast("long").as("dim"))
+      .agg(davg($"e").as("centroid"), count(lit(1)).as("n"))
+      .orderBy($"label", $"dim")
+  }
+
+  val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall, sq03LabelCentroids)
 }

@@ -1,7 +1,198 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.QueryDef.{rowsOnly, sqlChecked}
+import graft.sources.Tables
+import graft.util.Num._
+import org.apache.spark.sql.functions._
 
+/** Text-analysis operators over the `documents` corpus — the pieces a
+  * large-scale training-data pipeline needs: corpus stats, token counting,
+  * n-gram-heuristic language ID, quality scoring, fingerprinting, and the
+  * multimodal binary-column plumbing.
+  *
+  * Scale shape: every query is scan → codegen'd projection (string
+  * functions, no UDFs) → one hash aggregate. Token explosion only happens
+  * inside size()/split() (never a row explosion), so the row count stays
+  * the corpus row count end-to-end.
+  */
 object TextQueries {
-  val all: Seq[QueryDef] = Seq()
+
+  /** Corpus distribution stats per (lang, source-prefix): A2 over text
+    * metadata. */
+  val tq01CorpusStats: QueryDef = sqlChecked(
+    "tq01_corpus_stats",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST((n_chars) AS DECIMAL(30,6))) AS DOUBLE) AS sum_chars,
+      |  CAST(SUM(CAST((n_chars) AS DECIMAL(30,6))) AS DOUBLE) / COUNT((n_chars)) AS avg_chars,
+      |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        dsum($"n_chars").as("sum_chars"),
+        davg($"n_chars").as("avg_chars"),
+        min($"n_chars").cast("long").as("min_chars"),
+        max($"n_chars").cast("long").as("max_chars"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"lang")
+  }
+
+  /** Token counting (whitespace tokenizer) — F11 split + F18 size, no row
+    * explosion: size(split()) stays inside the projection. */
+  val tq02TokenCounts: QueryDef = sqlChecked(
+    "tq02_token_counts",
+    """SELECT lang,
+      |  CAST(SUM(CAST((len(string_split_regex(text, '\s+'))) AS DECIMAL(30,6))) AS DOUBLE) AS total_tokens,
+      |  CAST(SUM(CAST((len(string_split_regex(text, '\s+'))) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      |  CAST(MAX(len(string_split_regex(text, '\s+'))) AS BIGINT) AS max_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split($"text", "\\s+")))
+      .groupBy($"lang")
+      .agg(
+        dsum($"n_tokens").as("total_tokens"),
+        (dsum($"n_tokens") / count(lit(1))).as("avg_tokens"),
+        max($"n_tokens").cast("long").as("max_tokens"))
+      .orderBy($"lang")
+  }
+
+  /** Language-ID by marker-token heuristic (n-gram-frequency family):
+    * score each language by counting its marker tokens, pick argmax with a
+    * deterministic preference order. Pure string built-ins → the whole
+    * classifier is one codegen'd projection. */
+  val tq03LanguageId: QueryDef = sqlChecked(
+    "tq03_language_id", {
+      def hits(marker: String): String =
+        s"len(string_split(concat(' ', text, ' '), ' $marker ')) - 1"
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    ${hits("the")} + ${hits("a")} + ${hits("is")} AS score_en,
+         |    ${hits("der")} + ${hits("und")} + ${hits("ist")} AS score_de,
+         |    ${hits("el")} + ${hits("la")} + ${hits("es")} AS score_es
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en > 0 THEN 'en'
+         |       WHEN score_de >= score_es AND score_de > 0 THEN 'de'
+         |       WHEN score_es > 0 THEN 'es'
+         |       ELSE 'unknown' END AS lang_pred,
+         |  COUNT(*) AS n
+         |FROM scored
+         |GROUP BY 1, 2
+         |ORDER BY lang, lang_pred""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    // marker-hit count = occurrences of " marker " in padded text, computed
+    // as split-cardinality minus one (replace-all portable across engines)
+    def hits(marker: String) =
+      size(split(concat(lit(" "), $"text", lit(" ")), s" $marker ", -1)) - 1
+    Tables.documents(spark, dir)
+      .withColumn("score_en", hits("the") + hits("a") + hits("is"))
+      .withColumn("score_de", hits("der") + hits("und") + hits("ist"))
+      .withColumn("score_es", hits("el") + hits("la") + hits("es"))
+      .withColumn("lang_pred",
+        when($"score_en" >= $"score_de" && $"score_en" >= $"score_es" && $"score_en" > 0, "en")
+          .when($"score_de" >= $"score_es" && $"score_de" > 0, "de")
+          .when($"score_es" > 0, "es")
+          .otherwise("unknown"))
+      .groupBy($"lang", $"lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"lang_pred")
+  }
+
+  /** Quality scoring: length / mean-token-length / stopword-ratio features
+    * + a composite score, bucketed for the oracle. The per-doc features
+    * stay in one projection; only the small bucket aggregate shuffles. */
+  val tq04QualityScore: QueryDef = sqlChecked(
+    "tq04_quality_score",
+    """WITH feats AS (
+      |  SELECT doc_id,
+      |    CAST(n_chars AS DOUBLE) AS len_chars,
+      |    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS n_tokens,
+      |    CAST(len(string_split(concat(' ', text, ' '), ' the ')) - 1
+      |      + len(string_split(concat(' ', text, ' '), ' a ')) - 1 AS DOUBLE) AS stop_hits
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id,
+      |    len_chars / n_tokens AS mean_tok_len,
+      |    stop_hits / n_tokens AS stop_ratio,
+      |    CASE WHEN n_tokens >= 20 THEN 1.0 ELSE n_tokens / 20.0 END * 0.5
+      |      + CASE WHEN stop_hits / n_tokens > 0.02 THEN 0.5 ELSE 0.0 END AS quality
+      |  FROM feats)
+      |SELECT round(quality, 2) AS quality_bucket, COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST((mean_tok_len) AS DECIMAL(30,6))) AS DOUBLE) / COUNT((mean_tok_len)) AS avg_tok_len
+      |FROM scored
+      |GROUP BY 1
+      |ORDER BY quality_bucket""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    def hits(marker: String) =
+      (size(split(concat(lit(" "), $"text", lit(" ")), s" $marker ", -1)) - 1)
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        $"n_chars".cast("double").as("len_chars"),
+        size(split($"text", "\\s+")).cast("double").as("n_tokens"),
+        (hits("the") + hits("a")).cast("double").as("stop_hits"))
+      .select($"doc_id",
+        ($"len_chars" / $"n_tokens").as("mean_tok_len"),
+        ($"stop_hits" / $"n_tokens").as("stop_ratio"),
+        (when($"n_tokens" >= 20, 1.0).otherwise($"n_tokens" / 20.0) * 0.5 +
+          when($"stop_hits" / $"n_tokens" > 0.02, 0.5).otherwise(0.0)).as("quality"))
+      .groupBy(round($"quality", 2).as("quality_bucket"))
+      .agg(count(lit(1)).as("n_docs"), davg($"mean_tok_len").as("avg_tok_len"))
+      .orderBy($"quality_bucket")
+  }
+
+  /** Document fingerprinting: md5 of whitespace-normalized lowercase text
+    * (the exact-dedup key); verifies hex-digest portability + uniqueness. */
+  val tq05Fingerprints: QueryDef = sqlChecked(
+    "tq05_fingerprints",
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents
+      |WHERE doc_id < 100
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 100)
+      .select($"doc_id",
+        md5(lower(regexp_replace(trim($"text"), "\\s+", " "))).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Multimodal plumbing: text → opaque binary payload + typed metadata
+    * struct, "decoded" by a deterministic fake (first-bytes hash → fake
+    * width/height/frames). The real pipeline swaps the fake for an image
+    * decoder over mapInPandas/mapPartitions — schema, partitioning and
+    * batch shape are what this query locks in. rowsOnly: binary columns
+    * aren't DuckDB-hash portable. */
+  val tq06MultimodalDecode: QueryDef = rowsOnly("tq06_multimodal_decode") { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"),
+        struct($"lang".as("modality_hint"), $"n_chars".as("payload_chars")).as("meta"))
+      .withColumn("payload_bytes", length($"payload"))
+      // deterministic fake decode: stable pseudo-dimensions from the content
+      .withColumn("fake_width", (abs(xxhash64($"payload")) % 1920 + 1).cast("int"))
+      .withColumn("fake_height", (abs(xxhash64($"payload", lit(1))) % 1080 + 1).cast("int"))
+      .groupBy($"meta.modality_hint".as("modality"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum($"payload_bytes").as("total_bytes"),
+        avg($"fake_width").as("avg_w"),
+        avg($"fake_height").as("avg_h"))
+      .orderBy($"modality")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
+    tq05Fingerprints, tq06MultimodalDecode)
 }

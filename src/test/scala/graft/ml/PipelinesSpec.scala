@@ -1,0 +1,89 @@
+package graft.ml
+
+import graft.TestSpark
+import graft.queries.MlQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ML acceptance thresholds (SURVEY §5: metric-threshold checks, not exact
+  * equality — silhouette > 0.25, R² ≥ 0.2 per BASELINE.md) plus the
+  * persistence/registry round-trips. Runs on sf0.001 fixtures.
+  */
+class PipelinesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val feats = {
+    import spark.implicits._
+    MlQueries.featurizedJobs(spark, dir)
+      .select(($"salary_final" +: MlQueries.jobFeatureCols.map(col)): _*)
+      .na.fill(0.0)
+      .cache()
+  }
+
+  test("k-means on job features reaches silhouette > 0.25") {
+    val model = Pipelines.kmeans("salary_final" +: MlQueries.jobFeatureCols).fit(feats)
+    val sil = Pipelines.silhouette(model.transform(feats))
+    assert(sil > 0.25, s"silhouette $sil")
+  }
+
+  test("random forest salary model reaches R² >= 0.2 on held-out split") {
+    val Array(train, test) = feats.randomSplit(Array(0.8, 0.2), 42)
+    val model = Pipelines.salaryForest(MlQueries.jobFeatureCols, 50, 10).fit(train)
+    val pred = model.transform(test)
+    val r2 = Pipelines.regMetric(pred, "salary_final", "r2")
+    val rmse = Pipelines.regMetric(pred, "salary_final", "rmse")
+    assert(r2 >= 0.2, s"r2 $r2")
+    assert(rmse > 0 && !rmse.isNaN, s"rmse $rmse")
+  }
+
+  test("randomSplit with seed 42 is reproducible") {
+    val a = feats.randomSplit(Array(0.8, 0.2), 42)(0).count()
+    val b = feats.randomSplit(Array(0.8, 0.2), 42)(0).count()
+    assert(a == b)
+  }
+
+  test("feature importances are a distribution over the 16 features") {
+    val Array(train, _) = feats.randomSplit(Array(0.8, 0.2), 42)
+    val model = Pipelines.salaryForest(MlQueries.jobFeatureCols, 30, 8).fit(train)
+    val rf = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel]
+    val imp = rf.featureImportances.toArray
+    assert(imp.length == MlQueries.jobFeatureCols.length)
+    assert(math.abs(imp.sum - 1.0) < 1e-6)
+  }
+
+  test("pipeline save/load round-trip preserves predictions") {
+    val model = Pipelines.kmeans("salary_final" +: MlQueries.jobFeatureCols).fit(feats)
+    val path = java.nio.file.Files.createTempDirectory("graft-model").toString + "/kmeans"
+    Pipelines.save(model, path)
+    val loaded = Pipelines.load(path)
+    val before = model.transform(feats).groupBy("cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val after = loaded.transform(feats).groupBy("cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(before == after)
+  }
+
+  test("adaptive forest tier table matches the reference thresholds") {
+    assert(Pipelines.adaptiveForestParams(499) == (30, 8))
+    assert(Pipelines.adaptiveForestParams(500) == (40, 10))
+    assert(Pipelines.adaptiveForestParams(1999) == (50, 12))
+    assert(Pipelines.adaptiveForestParams(4999) == (60, 15))
+    assert(Pipelines.adaptiveForestParams(50000) == (75, 18))
+  }
+
+  test("model registry append + latest lookup") {
+    val path = java.nio.file.Files.createTempDirectory("graft-reg").toString + "/registry"
+    val now = System.currentTimeMillis()
+    ModelRegistry.append(spark, path, ModelRegistry.Entry(
+      "id-1", "salary_rf", "regression", new java.sql.Timestamp(now - 1000),
+      Some(7.9), Some(0.26), MlQueries.jobFeatureCols, "/tmp/m1", 1))
+    ModelRegistry.append(spark, path, ModelRegistry.Entry(
+      "id-2", "salary_rf", "regression", new java.sql.Timestamp(now),
+      Some(7.1), Some(0.31), MlQueries.jobFeatureCols, "/tmp/m2", 2))
+    val latest = ModelRegistry.latest(spark, path, "regression")
+    assert(latest.exists(_.model_id == "id-2"))
+    assert(ModelRegistry.all(spark, path).count() == 2)
+  }
+}
