@@ -12,6 +12,7 @@ object SparkEntry {
   /** Every query catalog the engine ships. Add new modules here. */
   def catalogs: Seq[QueryDef] =
     graft.queries.Relational.all ++
+    graft.queries.ArrayFnQueries.all ++
     graft.queries.JobEtlQueries.all ++
     graft.queries.TextQueries.all ++
     graft.queries.DedupQueries.all ++

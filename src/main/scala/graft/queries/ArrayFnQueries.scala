@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.sqlChecked
+import graft.etl.{JobEtl, JobsFixture}
+import graft.sources.Tables
+import graft.util.Num._
+import org.apache.spark.sql.functions._
+
+/** Remaining operator-surface coverage: startsWith/contains predicates
+  * (P7/P8), collect_set/collect_list (A4), the array built-in family
+  * (array_intersect/array_except/size — §2.8/U2/U3 replacing the
+  * reference's python set UDFs), the skill-match score, and the
+  * spark.sql/table entry surface (S4).
+  */
+object ArrayFnQueries {
+
+  /** P8 startsWith + P7 contains: skills autocomplete
+    * (pyc autocomplete_skills@382: prefix filter + top-K). */
+  val aq01Autocomplete: QueryDef = sqlChecked(
+    "aq01_autocomplete", {
+      s"""WITH ${JobsFixture.duckSql},
+         |sk0 AS (SELECT unnest(string_split(lower(skills), ',')) AS skill0 FROM jobs),
+         |sk AS (SELECT trim(skill0) AS skill FROM sk0)
+         |SELECT skill, COUNT(*) AS n
+         |FROM sk
+         |WHERE skill LIKE 'p%' OR contains(skill, 'sql')
+         |GROUP BY skill
+         |ORDER BY n DESC, skill LIMIT 10""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    JobsFixture.jobs(spark, dir)
+      .select(explode(split(lower($"skills"), ",")).as("skill0"))
+      .select(trim($"skill0").as("skill"))
+      .filter($"skill".startsWith("p") || $"skill".contains("sql"))
+      .groupBy($"skill")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"skill")
+      .limit(10)
+  }
+
+  /** A4 collect_set/collect_list: per-lang distinct source sets, sorted
+    * for determinism (pyc extract_skills@145 collect_set idiom). */
+  val aq02CollectSet: QueryDef = sqlChecked(
+    "aq02_collect_set",
+    """SELECT lang,
+      |  list_sort(list(DISTINCT source)) AS sources,
+      |  len(list(DISTINCT source)) AS n_sources,
+      |  len(list(source)) AS n_rows
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(
+        sort_array(collect_set($"source")).as("sources"),
+        size(collect_set($"source")).as("n_sources"),
+        size(collect_list($"source")).as("n_rows"))
+      .orderBy($"lang")
+  }
+
+  /** U3 skill-match score via array built-ins (replaces pyc
+    * calculate_skill_match@526's python-set UDF): |user ∩ job| / |job|,
+    * match threshold 0.3; plus array_except for the gap list (U2/§2.8). */
+  val aq03SkillMatch: QueryDef = sqlChecked(
+    "aq03_skill_match", {
+      s"""WITH ${JobsFixture.duckSql},
+         |arr AS (
+         |  SELECT job_id,
+         |    list_filter(list_transform(string_split(lower(skills), ','), x -> trim(x)),
+         |      x -> len(x) > 1) AS job_skills
+         |  FROM jobs WHERE job_id < 3000),
+         |scored AS (
+         |  SELECT job_id,
+         |    len(list_intersect(job_skills, ['python', 'sql'])) / CAST(len(job_skills) AS DOUBLE) AS match_score,
+         |    len(list_filter(job_skills, x -> NOT list_contains(['python', 'sql'], x))) AS n_missing
+         |  FROM arr)
+         |SELECT job_id, match_score, n_missing
+         |FROM scored
+         |WHERE match_score > 0.3
+         |ORDER BY job_id""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val userSkills = array(lit("python"), lit("sql"))
+    JobsFixture.jobs(spark, dir)
+      .filter($"job_id" < 3000)
+      .select($"job_id",
+        filter(transform(split(lower($"skills"), ","), x => trim(x)),
+          x => length(x) > 1).as("job_skills"))
+      .select($"job_id",
+        (size(array_intersect($"job_skills", userSkills)) /
+          size($"job_skills").cast("double")).as("match_score"),
+        size(array_except($"job_skills", userSkills)).as("n_missing"))
+      .filter($"match_score" > 0.3)
+      .orderBy($"job_id")
+  }
+
+  /** S4: the spark.sql/table entry surface — the engine's queries are also
+    * reachable through registered views + SQL text. */
+  val aq04SqlSurface: QueryDef = sqlChecked(
+    "aq04_sql_surface",
+    s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+       |  ${sqlDavg("c_acctbal")} AS avg_bal
+       |FROM customer
+       |WHERE c_nationkey < 10
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      s"""SELECT c_mktsegment, COUNT(1) AS n_customers,
+         |  ${sqlDavg("c_acctbal")} AS avg_bal
+         |FROM customer
+         |WHERE c_nationkey < 10
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** F19 concat_ws/array/struct + U4 label mapping: cluster-name style
+    * string assembly (streamlit_app.py:237's f-string as concat). */
+  val aq05LabelAssembly: QueryDef = sqlChecked(
+    "aq05_label_assembly",
+    """SELECT concat('Nhóm ', CAST(c_nationkey AS VARCHAR)) AS cluster_name,
+      |  concat_ws('|', CAST(c_nationkey AS VARCHAR), c_mktsegment) AS compound_key,
+      |  COUNT(*) AS n
+      |FROM customer
+      |WHERE c_nationkey < 5
+      |GROUP BY 1, 2
+      |ORDER BY cluster_name, compound_key""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .filter($"c_nationkey" < 5)
+      .groupBy(
+        concat(lit("Nhóm "), $"c_nationkey".cast("string")).as("cluster_name"),
+        concat_ws("|", $"c_nationkey".cast("string"), $"c_mktsegment").as("compound_key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"cluster_name", $"compound_key")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    aq01Autocomplete, aq02CollectSet, aq03SkillMatch, aq04SqlSurface,
+    aq05LabelAssembly)
+}

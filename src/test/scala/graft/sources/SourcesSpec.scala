@@ -1,0 +1,50 @@
+package graft.sources
+
+import graft.TestSpark
+import graft.ml.Pipelines
+import graft.queries.MlQueries
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-surface coverage: CSV round-trip with explicit schema (S3),
+  * single-row in-memory inference frame + loaded model (S5+S6 — the
+  * dashboard's on-demand prediction path, streamlit_app.py:572-615).
+  */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("csv round-trip with explicit schema preserves rows and types") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"lang", $"n_chars")
+    val path = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/docs"
+    Csv.write(docs, path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val back = Csv.read(spark, path, schema)
+    assert(back.count() == docs.count())
+    assert(back.schema == schema)
+    val a = docs.agg(sum($"n_chars")).head.getLong(0)
+    val b = back.agg(sum($"n_chars")).head.getLong(0)
+    assert(a == b)
+  }
+
+  test("single-row in-memory frame through a persisted model (inference path)") {
+    import spark.implicits._
+    val feats = MlQueries.featurizedJobs(spark, dir)
+      .select(($"salary_final" +: MlQueries.jobFeatureCols.map(col)): _*)
+      .na.fill(0.0)
+    val model = Pipelines.salaryForest(MlQueries.jobFeatureCols, 20, 6).fit(feats)
+    val path = java.nio.file.Files.createTempDirectory("graft-rf").toString + "/rf"
+    Pipelines.save(model, path)
+    val loaded = Pipelines.load(path)
+    // 16-feature single-row frame, the dashboard's on-demand shape
+    val row = Seq((5.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+        0.0, 0.0, 1.0, 0.0, 0.0))
+      .toDF(MlQueries.jobFeatureCols: _*)
+    val pred = loaded.transform(row).select($"prediction").head.getDouble(0)
+    assert(!pred.isNaN && pred > 0, s"prediction $pred")
+  }
+}
