@@ -24,7 +24,9 @@ object JobsFixture {
     val n2 = k % 30 + 15
     val e1 = k % 10
     val e2 = k % 10 + 3
-    Tables.orders(spark, dir).select(
+    // fan out BEFORE the regex-heavy ETL consumers: the orders fixture is a
+    // single row group → a one-task scan would serialize the whole cascade
+    Tables.fanOut(spark, Tables.orders(spark, dir)).select(
       k.as("job_id"),
       concat(lit("Job "), s(k)).as("job_title"),
       lit("Full-time").as("job_type"),
@@ -75,6 +77,12 @@ object JobsFixture {
       s(col("o_orderdate")).as("event_time"),
       lit("created").as("event_type"))
   }
+
+  /** Fixture behind an optimizer barrier: downstream regex cascades
+    * reference plain string columns instead of inlining the generator
+    * CASEs into every leaf (see graft.util.Barrier). */
+  def jobsStaged(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Barrier.stage(jobs(spark, dir))
 
   /** DuckDB CTE producing the identical frame (same column names/values).
     * Keep branch-for-branch in sync with [[jobs]]. */

@@ -66,10 +66,11 @@ object DedupQueries {
       .orderBy($"lang")
   }
 
-  /** Shared shingled base frame. */
+  /** Shared shingled base frame (fanned out: tokenize+shingle is the
+    * CPU-heavy projection and the fixture scan is one row group). */
   private def shingled(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.fanOut(spark, Tables.documents(spark, dir))
       .withColumn("toks", Shingles.tokens($"text"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", Shingles.shingles3($"toks").as("shingles"))
@@ -129,7 +130,7 @@ object DedupQueries {
     * bounded state per doc. rowsOnly summary (hash not oracle-portable). */
   val dq04Simhash: QueryDef = rowsOnly("dq04_simhash") { (spark, dir) =>
     import spark.implicits._
-    val votes = Tables.documents(spark, dir)
+    val votes = Tables.fanOut(spark, Tables.documents(spark, dir))
       .select($"doc_id", explode(Shingles.tokens($"text")).as("tok"))
       .withColumn("th", xxhash64($"tok"))
       .groupBy($"doc_id")

@@ -20,6 +20,14 @@ object JobEtlQueries {
 
   private val W = JobsFixture.duckParsedSql
 
+  /** ETL output behind an optimizer barrier — the "table boundary" a real
+    * pipeline has between ETL and analytics. Without it, filter pushdown +
+    * project collapse inline the regex cascades multiplicatively (371 KB
+    * plans, interpreted eval — see graft.util.Barrier). */
+  private[queries] def cleanJobs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.util.Barrier.stage(
+      JobEtl.transform(JobsFixture.jobsStaged(spark, dir), deterministicId = true))
+
   /** P6 rlike + F4 group extraction + F6 cascades + F10 casts: the salary
     * normalizer, row-level so every branch is visible to the oracle. */
   val jq01SalaryParse: QueryDef = sqlChecked(
@@ -65,7 +73,7 @@ object JobEtlQueries {
        |GROUP BY city_clean
        |ORDER BY n_jobs DESC, city LIMIT 10""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    JobEtl.transform(JobsFixture.jobs(spark, dir), deterministicId = true)
+    cleanJobs(spark, dir)
       .groupBy($"city")
       .agg(count(lit(1)).as("n_jobs"), davg($"salary_avg").as("avg_salary"))
       .orderBy($"n_jobs".desc, $"city")
@@ -110,8 +118,7 @@ object JobEtlQueries {
          |  AND exp_final >= 0 AND exp_final <= 30""".stripMargin
     }) { (spark, dir) =>
     import spark.implicits._
-    val df = JobFeatures.withFlags(JobFeatures.withLabels(
-      JobEtl.transform(JobsFixture.jobs(spark, dir), deterministicId = true)))
+    val df = JobFeatures.withFlags(JobFeatures.withLabels(cleanJobs(spark, dir)))
     val flagCols = Seq("is_hcm", "is_hanoi", "is_danang", "is_it", "is_sales",
       "is_finance", "is_education", "is_engineering", "is_intern", "is_fresher",
       "is_junior", "is_staff", "is_senior", "is_team_lead", "is_manager")
@@ -133,8 +140,7 @@ object JobEtlQueries {
        |HAVING COUNT(*) >= 10
        |ORDER BY skill""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    JobFeatures.explodeSkills(
-        JobEtl.transform(JobsFixture.jobs(spark, dir), deterministicId = true))
+    JobFeatures.explodeSkills(cleanJobs(spark, dir))
       .groupBy($"skill")
       .agg(count(lit(1)).as("job_count"), davg($"salary_avg").as("avg_salary"))
       .filter($"job_count" >= 10)
@@ -163,8 +169,7 @@ object JobEtlQueries {
        |FROM agg
        |ORDER BY skill_hot_score DESC, skill LIMIT 20""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    JobFeatures.skillHotScores(JobFeatures.explodeSkills(
-        JobEtl.transform(JobsFixture.jobs(spark, dir), deterministicId = true)))
+    JobFeatures.skillHotScores(JobFeatures.explodeSkills(cleanJobs(spark, dir)))
       .select($"skill", $"job_count", $"avg_salary", $"avg_exp",
         $"big_city_ratio", $"skill_hot_score")
       .orderBy($"skill_hot_score".desc, $"skill")
@@ -176,7 +181,7 @@ object JobEtlQueries {
     * design; the check is the cardinality invariant itself. */
   val jq07SurrogateKeys: QueryDef = rowsOnly("jq07_surrogate_keys") { (spark, dir) =>
     import spark.implicits._
-    JobEtl.transform(JobsFixture.jobs(spark, dir))
+    graft.util.Barrier.stage(JobEtl.transform(JobsFixture.jobsStaged(spark, dir)))
       .withColumn("ingested_at", current_timestamp())
       .agg(
         count(lit(1)).as("n_rows"),

@@ -30,7 +30,7 @@ object MlQueries {
 
   def featurizedJobs(spark: SparkSession, dir: String): DataFrame =
     JobFeatures.withFlags(JobFeatures.withLabels(
-      JobEtl.transform(JobsFixture.jobs(spark, dir), deterministicId = true)))
+      JobEtlQueries.cleanJobs(spark, dir)))
 
   /** M1-M3+M12: k-means over the embedding vectors (k=10 to match the
     * corpus's 10 labels), cluster sizes + silhouette in one summary. */
@@ -99,7 +99,7 @@ object MlQueries {
   val mq04GbtHotScore: QueryDef = rowsOnly("mq04_gbt_hot_score") { (spark, dir) =>
     import spark.implicits._
     val skills = JobFeatures.skillHotScores(JobFeatures.explodeSkills(
-        JobEtl.transform(JobsFixture.jobs(spark, dir), deterministicId = true)))
+        JobEtlQueries.cleanJobs(spark, dir)))
       .select($"skill", $"avg_salary", $"job_count".cast("double").as("job_count"),
         $"avg_exp", $"big_city_ratio", $"skill_hot_score")
       .cache()

@@ -40,4 +40,16 @@ object Tables {
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Fan a narrow scan out to all cores before CPU-heavy per-row work.
+    *
+    * The test fixtures are single-row-group parquet files, so Spark plans
+    * ONE scan task regardless of maxPartitionBytes — and a regex-cascade
+    * ETL or shingling pass then runs on one core. One cheap round-robin
+    * shuffle of the narrow input (MBs) buys full-cluster parallelism for
+    * the expensive projection. On a real 100 TB layout scans are already
+    * split; this guards the small-file / few-row-group edge, which exists
+    * at every scale (the "last small dimension file" problem). */
+  def fanOut(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
 }

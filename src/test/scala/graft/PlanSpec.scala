@@ -1,0 +1,78 @@
+package graft
+
+import graft.queries._
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the scale-critical properties: predicate
+  * pushdown into parquet scans, column pruning, broadcast joins for dims,
+  * and the no-all-pairs guarantee for dedup/similarity. These are the
+  * checks a 100 TB deployment lives or dies by; asserting them in CI stops
+  * a refactor from silently regressing a plan.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: QueryDef): String =
+    q.fn(spark, dir).queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: shipdate range predicate reaches the parquet scan (PushedFilters)") {
+    val p = plan(Relational.q01PricingSummary)
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "filter not pushed:\n" + p)
+  }
+
+  test("q01: column pruning — scan reads only the 7 needed lineitem columns") {
+    val p = plan(Relational.q01PricingSummary)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q03: all four dimension joins broadcast; no sort-merge of dims") {
+    val p = plan(Relational.q03StarJoinRevenue)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q07: partition-key predicate sits below the window (pushed to scan)") {
+    val p = plan(Relational.q07WindowTopkPerGroup)
+    assert(p.contains("LessThan(o_custkey,200)"), "o_custkey filter not pushed:\n" + p)
+  }
+
+  test("q19: global top-K plans TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.q19TopkGlobal)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("dedup and similarity candidate generation never plans CartesianProduct") {
+    for (q <- Seq(DedupQueries.dq03MinhashLsh, DedupQueries.dq05NgramJaccard,
+        SimilarityQueries.sq02AnnLshRecall)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian product")
+    }
+  }
+
+  test("sq01: bounded brute-force KNN broadcasts the corpus side") {
+    val p = plan(SimilarityQueries.sq01KnnBruteForce)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("jq04: the regex-ETL plan stays small (optimizer barrier holds)") {
+    val p = plan(JobEtlQueries.jq04FlagFeatures)
+    assert(p.length < 100000,
+      s"ETL plan blew up to ${p.length} chars — barrier regressed (see graft.util.Barrier)")
+  }
+
+  test("q12: set-op counts are computed in a single scan of orders") {
+    val p = plan(Relational.q12SetOps)
+    // formatted mode prints each node twice (tree + detail); count the
+    // "(n) Scan parquet" detail headers only
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 orders scan, got $scans")
+  }
+}
