@@ -49,31 +49,40 @@ object SimilarityQueries {
       .orderBy($"qid", $"rank")
   }
 
-  /** LSH-bucketed ANN with measured recall@5 against in-query brute force
-    * for 20 query vectors. rowsOnly: hyperplanes are engine-side constants
-    * (seeded), not oracle-reproducible; the self-validating metric IS the
-    * recall column. */
+  /** Multi-table LSH ANN with measured recall@5 against in-query brute
+    * force for 20 query vectors: 8 independent tables × 4 sign bits (the
+    * OR-construction — a neighbor is a candidate if it collides in ANY
+    * table, which is what makes signed-projection LSH recall usable).
+    * Candidates = union of per-table bucket joins; rerank by exact cosine.
+    * rowsOnly: hyperplanes are engine-side seeded constants, not
+    * oracle-reproducible; the self-validating metric IS the recall column. */
   val sq02AnnLshRecall: QueryDef = rowsOnly("sq02_ann_lsh_recall") { (spark, dir) =>
     import spark.implicits._
     val rng = new scala.util.Random(42)
-    val planes = Seq.fill(6)(Array.fill(64)(rng.nextGaussian()))
-    val emb = Tables.embeddings(spark, dir)
+    val tables = Seq.fill(8)(Seq.fill(4)(Array.fill(64)(rng.nextGaussian())))
+    val emb0 = Tables.embeddings(spark, dir)
       .select($"vec_id", toDouble($"embedding").as("v"))
-      .withColumn("bucket", lshBucket($"v", planes))
+    // one row per (vector, table): bucket = (table id, 4 sign bits)
+    val emb = emb0.select($"vec_id", $"v", explode(array(
+        tables.zipWithIndex.map { case (planes, t) =>
+          struct(lit(t).as("tbl"), lshBucket($"v", planes).as("bits"))
+        }: _*)).as("bk"))
+      .select($"vec_id", $"v", $"bk.tbl", $"bk.bits")
     val q = emb.filter($"vec_id" < 20)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"bucket")
-    // ANN: equi-join on bucket only — candidates share all 6 sign bits
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"tbl", $"bits")
     val wAnn = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    val ann = q.join(emb.select($"vec_id".as("cid"), $"v".as("cv"), $"bucket"), Seq("bucket"))
+    val ann = q.join(emb.select($"vec_id".as("cid"), $"v".as("cv"), $"tbl", $"bits"),
+        Seq("tbl", "bits"))
       .filter($"qid" =!= $"cid")
+      .select($"qid", $"qv", $"cid", $"cv").distinct() // union across tables
       .withColumn("cos", cosine($"qv", $"cv"))
       .withColumn("rank", row_number().over(wAnn))
       .filter($"rank" <= 5)
       .select($"qid", $"cid")
-    // baseline: exact top-5 for the same queries
+    // baseline: exact top-5 for the same queries (unexploded frames)
     val wBf = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    val bf = q.select($"qid", $"qv")
-      .join(broadcast(emb.select($"vec_id".as("cid"), $"v".as("cv"))), $"qid" =!= $"cid")
+    val bf = emb0.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv"))
+      .join(broadcast(emb0.select($"vec_id".as("cid"), $"v".as("cv"))), $"qid" =!= $"cid")
       .withColumn("cos", cosine($"qv", $"cv"))
       .withColumn("rank", row_number().over(wBf))
       .filter($"rank" <= 5)
@@ -113,5 +122,82 @@ object SimilarityQueries {
       .orderBy($"label", $"dim")
   }
 
-  val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall, sq03LabelCentroids)
+  /** IVF-style ANN: a k-means coarse quantizer partitions the corpus into
+    * inverted lists; queries probe the 2 nearest centroids and rerank only
+    * those lists. The 100 TB shape: centroids are a tiny broadcast table,
+    * list assignment is a map, the probe is an equi-join on list id.
+    * rowsOnly with self-measured recall@5 vs brute force. */
+  val sq04AnnIvfRecall: QueryDef = rowsOnly("sq04_ann_ivf_recall") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .cache()
+    // coarse quantizer: k-means on the corpus (k = 16 lists, seed 42)
+    val asVec = emb.withColumn("features", array_to_vector($"v"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(16).setSeed(42).setFeaturesCol("features").setPredictionCol("list_id")
+      .fit(asVec)
+    val assigned = km.transform(asVec).select($"vec_id", $"v", $"list_id")
+    val centroids = km.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("list_id", "centroid")
+    // probe: 2 nearest centroid lists per query (16 centroids → broadcast)
+    val wProbe = Window.partitionBy($"qid").orderBy($"cdist".asc, $"list_id")
+    val probes = emb.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist",
+        aggregate(zip_with($"qv", $"centroid", (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter($"prank" <= 2)
+      .select($"qid", $"qv", $"list_id")
+    val wAnn = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val ann = probes
+      .join(assigned.select($"vec_id".as("cid"), $"v".as("cv"), $"list_id"), Seq("list_id"))
+      .filter($"qid" =!= $"cid")
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wAnn))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val wBf = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val bf = emb.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv"))
+      .join(broadcast(emb.select($"vec_id".as("cid"), $"v".as("cv"))), $"qid" =!= $"cid")
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wBf))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val hits = ann.intersect(bf).groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+    bf.groupBy($"qid").agg(count(lit(1)).as("n_bf"))
+      .join(hits, Seq("qid"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        lit(16).as("n_lists"),
+        lit(2).as("n_probes"),
+        avg(coalesce($"n_hit", lit(0)) / $"n_bf").as("recall_at_5"))
+  }
+
+  /** Embedding-cosine near-duplicate detection: LSH-bucketed candidate
+    * pairs (same sign-projection bucket) + cosine ≥ τ verification —
+    * the embedding-space analogue of MinHash near-dup. rowsOnly summary. */
+  val sq05EmbeddingNearDup: QueryDef = rowsOnly("sq05_embedding_near_dup") { (spark, dir) =>
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val planes = Seq.fill(8)(Array.fill(64)(rng.nextGaussian()))
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .withColumn("bucket", lshBucket($"v", planes))
+    val pairs = emb.as("a")
+      .join(emb.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        cosine($"a.v", $"b.v").as("cos"))
+    pairs.agg(
+      count(lit(1)).as("n_candidate_pairs"),
+      count(when($"cos" >= 0.95, 1)).as("n_near_dups"),
+      count(when($"cos" >= 0.8, 1)).as("n_ge_08"),
+      max($"cos").as("max_cos"))
+  }
+
+  val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
+    sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup)
 }
