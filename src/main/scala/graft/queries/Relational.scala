@@ -578,6 +578,29 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** F21 isnan/isnull surface: 0/0 double division produces NaN (non-ANSI),
+    * nullif produces nulls — count both per flag. */
+  val q26NanNullChecks: QueryDef = sqlChecked(
+    "q26_nan_null_checks",
+    """SELECT l_returnflag,
+      |  COUNT(*) FILTER (WHERE isnan(CASE WHEN l_discount = 0
+      |    THEN CAST('NaN' AS DOUBLE) ELSE l_discount END)) AS n_nan,
+      |  COUNT(*) FILTER (WHERE nullif(l_linestatus, 'O') IS NULL) AS n_null,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(when(isnan(when($"l_discount" === 0, lit("NaN").cast("double"))
+          .otherwise($"l_discount")), 1)).as("n_nan"),
+        count(when(nullif($"l_linestatus", lit("O")).isNull, 1)).as("n_null"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Approximate percentiles — the 100 TB path for A5: bounded-memory
     * sketch, mergeable partials, no per-group value buffering. rowsOnly
     * because the sketch isn't engine-portable. */
@@ -599,5 +622,5 @@ object Relational {
     q14CaseWhenBuckets, q15StringFuncs, q16DateFuncs, q17JsonExtract,
     q18IsinNullHandling, q19TopkGlobal, q20Stats, q21Pivot,
     q22JoinOnAggregate, q23ApproxDistinct, q24Percentiles,
-    q25ApproxPercentiles)
+    q25ApproxPercentiles, q26NanNullChecks)
 }

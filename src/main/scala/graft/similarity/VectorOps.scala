@@ -20,7 +20,16 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — the fused native expression (codegen'd single
+    * loop, zero allocation; see graft.functions.CosineSimilarity). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** Built-in composition of the same math (allocates a product array per
+    * row; ~equal within 1 ulp). Kept as the pure-built-ins fallback and
+    * the differential-test partner for the native expression. */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Signed-random-projection LSH bucket id: one bit per hyperplane
     * (sign of v·h), packed into an int. Hyperplanes are literal arrays —
