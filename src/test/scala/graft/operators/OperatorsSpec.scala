@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.sources.Tables
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-pattern operators: bucketed co-located joins plan no Exchange;
+  * salted joins return row-identical results to plain joins while
+  * spreading hot keys. */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without any Exchange (co-located SortMergeJoin)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // clear any stale table locations from interrupted prior runs
+      for (t <- Seq("orders_b", "lineitem_b")) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(s"spark-warehouse/$t")
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles.foreach(rm)
+            f.delete()
+          }
+          rm(loc)
+        }
+      }
+      Bucketing.writeBucketed(Tables.orders(spark, dir), "orders_b", "o_orderkey")
+      Bucketing.writeBucketed(
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "lineitem_b", "l_orderkey")
+      val joined = Bucketing.colocatedJoin(spark, "lineitem_b", "orders_b",
+        "l_orderkey", "o_orderkey")
+      val plan = joined.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        "bucketed join should not shuffle either side:\n" + plan)
+      // and it computes the right thing
+      val n = joined.count()
+      val expected = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey").count()
+      assert(n == expected)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("salted join equals the plain join row-for-row on a skewed key") {
+    // synthesize skew: 80% of lineitem rows mapped to one hot part key
+    val skewed = Tables.lineitem(spark, dir)
+      .withColumn("pk", when($"l_partkey" % 5 =!= 0, lit(1L)).otherwise($"l_partkey"))
+      .select($"pk", $"l_quantity")
+    val dim = Tables.part(spark, dir)
+      .select($"p_partkey".as("pk"), $"p_brand")
+    val plain = skewed.join(dim, Seq("pk"))
+      .groupBy($"p_brand").agg(count(lit(1)).as("n"), sum($"l_quantity").as("q"))
+    val salted = SaltedJoin.join(skewed, dim, "pk", saltFactor = 8)
+      .groupBy($"p_brand").agg(count(lit(1)).as("n"), sum($"l_quantity").as("q"))
+    val a = plain.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val b = salted.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+}
