@@ -58,6 +58,7 @@ object MlQueries {
       .select(($"salary_final" +: jobFeatureCols.map(col)): _*)
       .limit(50000)
       .na.fill(0.0)
+      .coalesce(8) // iterative fit: fewer, fuller partitions ≫ 32 slivers
       .cache()
     val model = Pipelines.kmeans("salary_final" +: jobFeatureCols).fit(feats)
     val pred = model.transform(feats)
@@ -75,6 +76,7 @@ object MlQueries {
       .select(($"salary_final" +: jobFeatureCols.map(col)): _*)
       .limit(50000)
       .na.fill(0.0)
+      .coalesce(8) // iterative fit: fewer, fuller partitions ≫ 32 slivers
       .cache()
     val Array(train, test) = feats.randomSplit(Array(0.8, 0.2), 42)
     val nTrain = train.count()
@@ -102,6 +104,7 @@ object MlQueries {
         JobEtlQueries.cleanJobs(spark, dir)))
       .select($"skill", $"avg_salary", $"job_count".cast("double").as("job_count"),
         $"avg_exp", $"big_city_ratio", $"skill_hot_score")
+      .coalesce(1) // ~10 skill rows: 50 GBT iterations × 32 near-empty tasks is pure overhead
       .cache()
     val featCols = Array("avg_salary", "job_count", "avg_exp", "big_city_ratio")
     val model = Pipelines.hotScoreGbt(featCols, "skill_hot_score").fit(skills)
@@ -120,6 +123,7 @@ object MlQueries {
       .withColumn("is_hot", ($"salary_final" > 25).cast("double"))
       .select($"city", $"position_level", $"salary_final", $"exp_final", $"is_hot")
       .limit(50000)
+      .coalesce(8) // LR runs ~100 iterations; per-task overhead dominates slivers
       .cache()
     val Array(train, test) = feats.randomSplit(Array(0.8, 0.2), 42)
     val model = Pipelines.attractivenessLogistic(Array("salary_final", "exp_final")).fit(train)

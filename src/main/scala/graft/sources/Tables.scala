@@ -37,9 +37,14 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** Register every table as a temp view (for spark.sql entry points). */
+  /** Register every table as a temp view (for spark.sql entry points).
+    * Routes through the per-table loaders so schema quirks (events' nanos
+    * timestamps) are handled regardless of which query runs first. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 
   /** Fan a narrow scan out to all cores before CPU-heavy per-row work.
     *
