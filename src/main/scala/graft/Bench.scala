@@ -23,6 +23,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warm-up outside the timed region: without this the first
+    // query absorbs ~5-8 s of JIT + classloading and the per-query numbers
+    // misattribute engine cost
+    try {
+      import org.apache.spark.sql.functions._
+      spark.range(1000000).agg(sum(col("id"))).write.mode("overwrite").format("noop").save()
+      graft.sources.Tables.lineitem(spark, sfDir).limit(1000)
+        .write.mode("overwrite").format("noop").save()
+    } catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // SPARK_GRAFT_ONLY=q01,jq04 limits the run (dev iteration knob)
@@ -38,6 +47,10 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      } finally {
+        // per-query isolation: drop caches a query may have built so later
+        // timings aren't cross-subsidized and memory doesn't creep
+        spark.catalog.clearCache()
       }
     }
     def jnum(m: collection.Map[String, Double]) =

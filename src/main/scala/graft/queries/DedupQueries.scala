@@ -178,7 +178,7 @@ object DedupQueries {
       |  COUNT(*) FILTER (WHERE jaccard >= 0.8) AS n_near_dups
       |FROM jac""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val base = shingled(spark, dir)
+    val base = shingled(spark, dir).cache() // consumed twice: explode + sizes
     val ex = base.select($"doc_id", explode($"shingles").as("sh"))
     val sz = base.select($"doc_id", size($"shingles").as("sz"))
     val pairs = ex.as("a")
