@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Top-K-per-group via a typed Aggregator — the engine's UDAF surface
+  * (SURVEY §2.11 notes the reference has none) and a scale optimization
+  * over the row_number window form:
+  *
+  *   window:     shuffle ALL rows of each group, sort them, keep K.
+  *   aggregator: each map task keeps a K-bounded buffer per group, the
+  *               shuffle moves at most K rows per (task, group), the
+  *               reduce side merges K-bounded buffers. For K ≪ group size
+  *               (top-3 of thousands) the shuffled volume drops by orders
+  *               of magnitude — the difference between a 100 TB shuffle
+  *               and a broadcast-sized one.
+  *
+  * Exposed over DataFrames as [[TopKPerGroup.topOrders]]; result is
+  * row-identical to the window form (same deterministic tiebreak), which
+  * the q07b oracle checks end-to-end.
+  */
+object TopKPerGroup {
+
+  /** (score desc, tiebreak id asc) ordering, K-bounded buffer. */
+  final class TopK(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (score, id) => (-score, id) }.take(k)
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      if (b.size < k || a._1 > b.last._1 || (a._1 == b.last._1 && a._2 < b.last._2))
+        trim(b :+ a)
+      else b
+    override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(x ++ y)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+  }
+
+  /** Top-K orders per customer: returns (o_custkey, o_orderkey,
+    * o_totalprice, rk) — same schema/semantics as the q07 window form. */
+  def topOrders(spark: SparkSession, orders: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val agg = new TopK(k)
+    orders
+      .select($"o_custkey".as[Long], struct($"o_totalprice", $"o_orderkey")
+        .as[(Double, Long)])
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (cust, top) =>
+        top.iterator.zipWithIndex.map { case ((price, okey), i) =>
+          (cust, okey, price, i + 1)
+        }
+      }
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "rk")
+  }
+}

@@ -200,6 +200,26 @@ object Relational {
       .orderBy($"o_custkey", $"rk")
   }
 
+  /** q07's semantics via the typed TopK Aggregator instead of a window:
+    * map-side K-bounded partial aggregation means the shuffle carries at
+    * most K rows per (task, group) instead of every row — the scale path
+    * for top-K-per-group (see graft.operators.TopKPerGroup). Same oracle
+    * as q07 proves row-identical results. */
+  val q07bTopkAggregator: QueryDef = sqlChecked(
+    "q07b_topk_aggregator",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3 AND o_custkey < 200
+      |ORDER BY o_custkey, rk""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    graft.operators.TopKPerGroup
+      .topOrders(spark, Tables.orders(spark, dir).filter($"o_custkey" < 200), 3)
+      .orderBy($"o_custkey", $"rk")
+  }
+
   /** Frame-spec window: running quantity per supplier in shipdate order
     * (integer-valued measure → exact under any aggregation tree). */
   val q08WindowRunningSum: QueryDef = sqlChecked(
@@ -617,7 +637,8 @@ object Relational {
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterRevenue, q03StarJoinRevenue,
     q04BroadcastPartJoin, q05SemiJoin, q06AntiJoin,
-    q07WindowTopkPerGroup, q08WindowRunningSum, q09DistinctCounts,
+    q07WindowTopkPerGroup, q07bTopkAggregator, q08WindowRunningSum,
+    q09DistinctCounts,
     q10Rollup, q11Cube, q12SetOps, q12bSetOperators, q13Having,
     q14CaseWhenBuckets, q15StringFuncs, q16DateFuncs, q17JsonExtract,
     q18IsinNullHandling, q19TopkGlobal, q20Stats, q21Pivot,
