@@ -13,6 +13,7 @@ object SparkEntry {
   def catalogs: Seq[QueryDef] =
     graft.queries.Relational.all ++
     graft.queries.ArrayFnQueries.all ++
+    graft.queries.TemporalQueries.all ++
     graft.queries.JobEtlQueries.all ++
     graft.queries.TextQueries.all ++
     graft.queries.DedupQueries.all ++

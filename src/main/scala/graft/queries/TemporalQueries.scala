@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.sqlChecked
+import graft.operators.AsOfJoin
+import graft.sources.Tables
+import graft.util.Num._
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators over the events stream table: as-of join
+  * (checked against DuckDB's native ASOF JOIN) and a keyed range join.
+  */
+object TemporalQueries {
+
+  /** Each purchase picks up the user's most recent click at or before the
+    * purchase time. The engine side is the union+window composition
+    * (graft.operators.AsOfJoin); the oracle is DuckDB's native
+    * ASOF LEFT JOIN — two independent implementations of the semantics. */
+  val eq01AsofJoin: QueryDef = sqlChecked(
+    "eq01_asof_join",
+    """WITH clicks AS (
+      |  SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |purchases AS (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+      |  c.click_id AS asof_click_id, CAST(c.ts AS TIMESTAMP) AS asof_ts
+      |FROM purchases p
+      |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    // right side unique per (key, time): AsOfJoin caller contract
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    AsOfJoin.joinAsOf(purchases, clicks, "user_id", "ts", "ts",
+        rightPayload = Seq("click_id", "ts"))
+      .select($"event_id", $"user_id", $"ts", $"value",
+        $"asof_click_id", $"asof_ts")
+      .orderBy($"event_id")
+  }
+
+  /** Keyed range join: per purchase, activity in the preceding 10 minutes
+    * by the same user — equi-join on the key with a time-range predicate
+    * (the key equi-condition keeps it a hash join; the range is a
+    * post-join filter, never a CartesianProduct). */
+  val eq02RangeJoin: QueryDef = sqlChecked(
+    "eq02_range_join",
+    s"""WITH purchases AS (
+       |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+       |activity AS (
+       |  SELECT user_id, ts, value FROM events WHERE event_type <> 'purchase')
+       |SELECT p.event_id, COUNT(a.user_id) AS n_recent,
+       |  CAST(COALESCE(SUM(CAST((a.value) AS DECIMAL(30,6))), 0) AS DOUBLE) AS sum_recent_value
+       |FROM purchases p
+       |LEFT JOIN activity a
+       |  ON p.user_id = a.user_id
+       |  AND a.ts >= p.ts - INTERVAL 10 MINUTE AND a.ts < p.ts
+       |GROUP BY p.event_id
+       |ORDER BY p.event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id")
+    val activity = ev.filter($"event_type" =!= "purchase")
+      .select($"user_id".as("a_user"), $"ts".as("a_ts"), $"value")
+    purchases
+      .join(activity,
+        $"p_user" === $"a_user" &&
+          $"a_ts" >= $"p_ts" - expr("INTERVAL 10 MINUTES") && $"a_ts" < $"p_ts",
+        "left")
+      .groupBy($"event_id")
+      .agg(
+        count($"a_user").as("n_recent"),
+        coalesce(dsum($"value"), lit(0.0)).as("sum_recent_value"))
+      .orderBy($"event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq02RangeJoin)
+}

@@ -31,8 +31,10 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
+    // `div` (integral) — a double division of epoch-nanos (~1.7e18) loses
+    // the low bits (2^53 mantissa) and lands a microsecond off
     load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
