@@ -68,6 +68,19 @@ class PlanSpec extends AnyFunSuite {
       s"ETL plan blew up to ${p.length} chars — barrier regressed (see graft.util.Barrier)")
   }
 
+  test("eq01: as-of join shuffles exactly once (union+window, no join node)") {
+    val p = plan(TemporalQueries.eq01AsofJoin)
+    // the final orderBy adds a range-partitioning exchange; the operator
+    // itself must contribute exactly ONE hash-partitioning exchange (plus
+    // the click-dedup aggregate's — both hash on user_id and Spark reuses
+    // the partitioning, so hashpartitioning exchanges stay <= 2)
+    val hashEx = "\\(\\d+\\) Exchange".r.findAllIn(p)
+      .size
+    assert(hashEx <= 3, s"as-of join plans $hashEx exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "as-of should be window-composed, not a join node")
+  }
+
   test("q12: set-op counts are computed in a single scan of orders") {
     val p = plan(Relational.q12SetOps)
     // formatted mode prints each node twice (tree + detail); count the
