@@ -79,5 +79,50 @@ object TemporalQueries {
       .orderBy($"event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq02RangeJoin)
+  /** Gap-based sessionization: a new session starts after >30 min of
+    * user inactivity. The lag+cumsum window idiom — two window passes
+    * over ONE shuffle on user_id (both windows share the partitioning),
+    * no state, no iteration; the 100 TB shape for batch sessionization. */
+  val eq03Sessionize: QueryDef = sqlChecked(
+    "eq03_sessionize",
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 30 MINUTE
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS is_start,
+      |    event_id
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id,
+      |    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM marked)
+      |SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+      |FROM sessions
+      |WHERE user_id < 100
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter($"user_id" < 100) // partition-key predicate pushes to the scan
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      // gap math in microseconds: a seconds cast truncates and can flip
+      // comparisons within 1s of the boundary vs the oracle's exact interval
+      .withColumn("is_start",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum($"is_start").over(wRun).cast("long"))
+      .groupBy($"user_id")
+      .agg(
+        countDistinct($"session_id").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq02RangeJoin, eq03Sessionize)
 }

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming exact-dedup: dropDuplicates over a content fingerprint with
+  * a watermark bounding the dedup state — the streaming half of the
+  * LLM-pipeline dedup story (batch half: dq01/dq02). State holds one
+  * fingerprint per document inside the watermark window; without the
+  * watermark, state grows with the whole stream's history.
+  */
+case class StreamDoc(doc_id: Long, text: String, event_ts: java.sql.Timestamp)
+
+class StreamingDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("duplicate payloads are dropped across micro-batches within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamDoc]
+    val deduped = stream.toDS()
+      .withColumn("fp", sha2(lower(regexp_replace(trim($"text"), "\\s+", " ")), 256))
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicates("fp")
+    val query = deduped.writeStream
+      .format("memory")
+      .queryName("dedup_sink")
+      .outputMode("append")
+      .start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+      def ts(mins: Int) = new java.sql.Timestamp(t0.getTime + mins * 60000L)
+      stream.addData(
+        StreamDoc(1, "the quick brown fox", ts(0)),
+        StreamDoc(2, "  THE  QUICK   BROWN FOX ", ts(1)), // same canonical form as 1
+        StreamDoc(3, "a different document", ts(2)))
+      query.processAllAvailable()
+      stream.addData(
+        StreamDoc(4, "the quick brown fox", ts(3)), // dup of 1 across batches
+        StreamDoc(5, "yet another document", ts(4)))
+      query.processAllAvailable()
+      val kept = spark.table("dedup_sink").select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 5L), s"kept $kept")
+    } finally query.stop()
+  }
+}
