@@ -75,6 +75,25 @@ class StreamingEtlSpec extends AnyFunSuite {
       .head().getAs[Double]("salary_min") == 37.5)
   }
 
+  test("corrupt and null-title records are dropped, not fatal") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val query = StreamingEtl.transform(stream.toDF())
+      .writeStream.format("memory").queryName("robust_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        "this is not json at all {{{",
+        """{"city": "Hà Nội"}""", // valid json, null job_title → filtered
+        jsonLine("Survivor", "Huế", "10 triệu", "2 năm"))
+      query.processAllAvailable()
+      val rows = spark.table("robust_sink").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("job_title") == "Survivor")
+    } finally query.stop()
+  }
+
   test("watermarked tumbling-window aggregation (extension point)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
