@@ -11,6 +11,40 @@ import org.apache.spark.sql.SparkSession
   *   - UTC session timezone so results hash-match the DuckDB oracle
   */
 object Sessions {
+
+  /** Cluster-mode session builder — the knobs that matter at 1000
+    * executors / 100 TB, applied on top of whatever master/deploy
+    * configuration spark-submit provides:
+    *
+    *   - shuffle.partitions ≈ 2-3× total cores so AQE coalesces DOWN
+    *     (oversized then merged beats undersized then spilled);
+    *   - AQE on with skew-join splitting: runtime re-planning is the
+    *     first line of defense against skew (operators/SaltedJoin is the
+    *     deterministic fallback);
+    *   - files.maxPartitionBytes 256 MB: fewer, fuller scan tasks on a
+    *     100 TB table (400k tasks instead of 800k at 128 MB);
+    *   - broadcast threshold 64 MB: dimensions up to ~100M rows stay on
+    *     the broadcast path instead of shuffling the fact side;
+    *   - UTC + ANSI-off match the engine's verified semantics;
+    *   - graft extensions (native functions + optimizer rules) injected.
+    */
+  def cluster(appName: String = "graft", totalCores: Int = 1000 * 4): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", (totalCores * 2).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    spark
+  }
+
   def local(appName: String = "graft", cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = SparkSession
       .builder()
@@ -26,6 +60,8 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // native functions available in SQL text locally, as in cluster mode
+    graft.functions.GraftExtensions.registerAll(spark)
     spark
   }
 }
