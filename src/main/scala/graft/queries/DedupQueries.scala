@@ -76,48 +76,18 @@ object DedupQueries {
       .select($"doc_id", Shingles.shingles3($"toks").as("shingles"))
   }
 
-  private val NumHashes = 16
-  private val NumBands = 4 // 4 rows per band
-
-  /** MinHash + LSH banded near-dup detection, the 100 TB shape:
-    * shingle→minhash signature (16 perms) → 4 bands → bucket equi-join →
-    * within-bucket candidate pairs → exact-Jaccard rerank. rowsOnly: the
-    * xxhash64 minhash isn't reproducible in the oracle engine; the output
-    * is a one-row invariant summary (never empty). */
+  /** MinHash + LSH banded near-dup detection, the 100 TB shape (see
+    * graft.dedup.MinHashLsh; MinHashSpec proves planted near-dups are
+    * found). rowsOnly: the xxhash64 minhash isn't reproducible in the
+    * oracle engine; the output is a one-row invariant summary. */
   val dq03MinhashLsh: QueryDef = rowsOnly("dq03_minhash_lsh") { (spark, dir) =>
     import spark.implicits._
-    val base = shingled(spark, dir).cache()
-    // signature: min over shingles of seed-prefixed xxhash64, per seed
-    val sigs = base
-      .select($"doc_id", explode($"shingles").as("sh"))
-      .groupBy($"doc_id")
+    val docs = Tables.fanOut(spark, Tables.documents(spark, dir))
+      .select($"doc_id", $"text")
+    graft.dedup.MinHashLsh.candidatePairs(docs, numHashes = 16, numBands = 4)
       .agg(
-        min(xxhash64(lit(0), $"sh")).as("h0"),
-        (1 until NumHashes).map(i => min(xxhash64(lit(i), $"sh")).as(s"h$i")): _*)
-    val rowsPerBand = NumHashes / NumBands
-    val bands = sigs.select($"doc_id", explode(array(
-      (0 until NumBands).map { b =>
-        struct(lit(b).as("band_idx"),
-          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
-            .as("band_hash"))
-      }: _*)).as("band"))
-      .select($"doc_id", $"band.band_idx", $"band.band_hash")
-    val candidates = bands.as("a")
-      .join(bands.as("b"),
-        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
-    // exact-Jaccard rerank of the (small) candidate set only
-    val verified = candidates
-      .join(base.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), Seq("doc_a"))
-      .join(base.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b")))
-    verified.agg(
-        lit(NumHashes).as("num_hashes"),
-        lit(NumBands).as("num_bands"),
+        lit(16).as("num_hashes"),
+        lit(4).as("num_bands"),
         count(lit(1)).as("n_candidate_pairs"),
         count(when($"jaccard" >= 0.8, 1)).as("n_near_dups"),
         max($"jaccard").as("max_jaccard"))
