@@ -93,29 +93,17 @@ object DedupQueries {
         max($"jaccard").as("max_jaccard"))
   }
 
-  private val SimhashBits = 32
-
-  /** SimHash fingerprinting: per-token 32-bit hash, bitwise ±1 vote,
-    * sign → fingerprint. One explode + one 32-expression aggregate —
-    * bounded state per doc. rowsOnly summary (hash not oracle-portable). */
+  /** SimHash fingerprinting (see graft.dedup.SimHash; SimHashSpec proves
+    * near-dups land at small Hamming distance). rowsOnly summary — the
+    * hash isn't oracle-portable. */
   val dq04Simhash: QueryDef = rowsOnly("dq04_simhash") { (spark, dir) =>
     import spark.implicits._
-    val votes = Tables.fanOut(spark, Tables.documents(spark, dir))
-      .select($"doc_id", explode(Shingles.tokens($"text")).as("tok"))
-      .withColumn("th", xxhash64($"tok"))
-      .groupBy($"doc_id")
+    graft.dedup.SimHash.fingerprints(
+        Tables.fanOut(spark, Tables.documents(spark, dir)).select($"doc_id", $"text"))
       .agg(
-        sum(when(shiftrightunsigned($"th", 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("w0"),
-        (1 until SimhashBits).map(j =>
-          sum(when(shiftrightunsigned($"th", j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"w$j")): _*)
-    val fp = votes.withColumn("simhash",
-      (0 until SimhashBits)
-        .map(j => when(col(s"w$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _))
-    fp.agg(
-      count(lit(1)).as("n_docs"),
-      countDistinct($"simhash").as("n_distinct_fp"),
-      count(when($"simhash" === 0L, 1)).as("n_zero_fp"))
+        count(lit(1)).as("n_docs"),
+        countDistinct($"simhash").as("n_distinct_fp"),
+        count(when($"simhash" === 0L, 1)).as("n_zero_fp"))
   }
 
   /** n-gram Jaccard set-similarity join — candidate pairs ONLY via the
