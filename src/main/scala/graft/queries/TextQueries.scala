@@ -192,7 +192,49 @@ object TextQueries {
       .orderBy($"modality")
   }
 
+  /** The deterministic half of the multimodal plumbing, oracle-checked:
+    * payload byte counts survive the text→binary cast identically in both
+    * engines (tq06 keeps the fake-decode part rows-only). */
+  val tq07MultimodalStats: QueryDef = sqlChecked(
+    "tq07_multimodal_stats",
+    """SELECT lang AS modality, COUNT(*) AS n_assets,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY modality""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"lang".as("modality"), length($"text".cast("binary")).as("nb"))
+      .groupBy($"modality")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum($"nb").cast("long").as("total_bytes"),
+        max($"nb").cast("long").as("max_bytes"))
+      .orderBy($"modality")
+  }
+
+  /** Stratified sampling (sampleBy): per-stratum Bernoulli fractions with
+    * a fixed seed — how a training-data pipeline rebalances a skewed
+    * corpus (e.g. downsample the dominant language). rowsOnly: sampling
+    * is partitioning-dependent; the invariant columns carry the check
+    * (sampled count within binomial bounds of the target fraction). */
+  val tq08StratifiedSample: QueryDef = rowsOnly("tq08_stratified_sample") { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val fractions = Map("en" -> 0.25, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)
+    val sampled = docs.stat.sampleBy("lang", fractions, 42L)
+    val totals = docs.groupBy($"lang").agg(count(lit(1)).as("n_total"))
+    sampled.groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+      .join(totals, Seq("lang"))
+      .withColumn("target_fraction",
+        when($"lang" === "en", 0.25).otherwise(1.0))
+      .withColumn("actual_fraction", $"n_sampled" / $"n_total")
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
-    tq05Fingerprints, tq06MultimodalDecode)
+    tq05Fingerprints, tq06MultimodalDecode, tq07MultimodalStats,
+    tq08StratifiedSample)
 }

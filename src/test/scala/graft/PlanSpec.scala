@@ -81,6 +81,12 @@ class PlanSpec extends AnyFunSuite {
       "as-of should be window-composed, not a join node")
   }
 
+  test("q22: the derived nation-average aggregate broadcasts back onto customer") {
+    val p = plan(Relational.q22JoinOnAggregate)
+    assert(p.contains("BroadcastHashJoin"),
+      "aggregated dim should broadcast, not shuffle the fact side:\n" + p)
+  }
+
   test("q12: set-op counts are computed in a single scan of orders") {
     val p = plan(Relational.q12SetOps)
     // formatted mode prints each node twice (tree + detail); count the
