@@ -41,6 +41,11 @@ object Sessions {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // TIMESTAMP(NANOS) parquet (the events table) reads as long; set at
+      // construction — not per-read — because the parquet reader consults
+      // this at physical planning, so a read-scoped set/restore would break
+      // lazily-executed queries (see Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark
   }
@@ -57,6 +62,9 @@ object Sessions {
       // Reference-compatible cast semantics (Spark 3.5 pre-ANSI): failed
       // string→number casts yield null, which the regex-ETL cascades rely on.
       .config("spark.sql.ansi.enabled", "false")
+      // see cluster(): nanos parquet must be session-wide, not a read-time
+      // side effect
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

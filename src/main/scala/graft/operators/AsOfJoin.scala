@@ -27,29 +27,35 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param rightPayload right-side columns to carry onto left rows
-    *                     (each emitted as `asof_<name>`, null if no match) */
+    *                     (each emitted as `asof_<name>`, null if no match).
+    *
+    * All payload columns travel as ONE struct carried by a single
+    * last(ignoreNulls) — the struct is non-null for every right row, so the
+    * match is row-atomic: a matching right row with a null in one payload
+    * column yields that null, never a value backfilled from an older right
+    * row. (Per-column last() would mix columns across right rows.) */
   def joinAsOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       rightPayload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val sideTag = "__asof_side"
     val timeCol = "__asof_ts"
+    val payload = "__asof_payload"
     val rTagged = right.select(
       (col(key) +: (col(rightTime).as(timeCol) +: lit(0).as(sideTag) +:
-        (rightPayload.map(c => col(c).as(s"asof_$c")) ++
+        (struct(rightPayload.map(c => col(c).as(s"asof_$c")): _*).as(payload) +:
           leftCols.filterNot(_ == key).map(c => lit(null).as(c))))): _*)
     val lTagged = left.select(
       (col(key) +: (col(leftTime).as(timeCol) +: lit(1).as(sideTag) +:
-        (rightPayload.map(c => lit(null).as(s"asof_$c")) ++
+        (lit(null).as(payload) +:
           leftCols.filterNot(_ == key).map(col)))): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(timeCol), col(sideTag))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(rTagged.unionByName(lTagged)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    rTagged.unionByName(lTagged)
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
       .filter(col(sideTag) === 1)
-      .drop(sideTag, timeCol)
+      .select((rightPayload.map(c => col(s"$payload.asof_$c").as(s"asof_$c")) ++
+        leftCols.map(col)): _*)
   }
 }

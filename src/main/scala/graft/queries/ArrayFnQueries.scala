@@ -40,11 +40,13 @@ object ArrayFnQueries {
   }
 
   /** A4 collect_set/collect_list: per-lang distinct source sets, sorted
-    * for determinism (pyc extract_skills@145 collect_set idiom). */
+    * for determinism (pyc extract_skills@145 collect_set idiom). The set is
+    * serialized to a scalar (concat_ws) because the driver's compare
+    * harness can't sort array cells. */
   val aq02CollectSet: QueryDef = sqlChecked(
     "aq02_collect_set",
     """SELECT lang,
-      |  list_sort(list(DISTINCT source)) AS sources,
+      |  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
       |  len(list(DISTINCT source)) AS n_sources,
       |  len(list(source)) AS n_rows
       |FROM documents
@@ -54,7 +56,7 @@ object ArrayFnQueries {
     Tables.documents(spark, dir)
       .groupBy($"lang")
       .agg(
-        sort_array(collect_set($"source")).as("sources"),
+        concat_ws(",", sort_array(collect_set($"source"))).as("sources"),
         size(collect_set($"source")).as("n_sources"),
         size(collect_list($"source")).as("n_rows"))
       .orderBy($"lang")

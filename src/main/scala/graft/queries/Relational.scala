@@ -626,11 +626,18 @@ object Relational {
     * because the sketch isn't engine-portable. */
   val q25ApproxPercentiles: QueryDef = rowsOnly("q25_approx_percentiles") { (spark, dir) =>
     import spark.implicits._
+    // scalar columns, not the raw array: the driver's compare harness
+    // sorts every output column and can't sort array cells
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.01, 0.5, 0.99), 10000)").as("pcts"),
         count(lit(1)).as("n"))
+      .select($"l_returnflag",
+        element_at($"pcts", 1).as("p01"),
+        element_at($"pcts", 2).as("p50"),
+        element_at($"pcts", 3).as("p99"),
+        $"n")
       .orderBy($"l_returnflag")
   }
 

@@ -41,7 +41,9 @@ object SimilarityQueries {
     val q = emb.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"v".as("qv"))
     val c = emb.select($"vec_id".as("cid"), $"v".as("cv"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    q.join(broadcast(c), $"qid" =!= $"cid") // |Q| × N with Q broadcast
+    // |Q| × N with the BOUNDED query set broadcast; the corpus streams —
+    // the driver never materializes N rows
+    broadcast(q).join(c, $"qid" =!= $"cid")
       .withColumn("cos", cosine($"qv", $"cv"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
@@ -81,8 +83,9 @@ object SimilarityQueries {
       .select($"qid", $"cid")
     // baseline: exact top-5 for the same queries (unexploded frames)
     val wBf = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    val bf = emb0.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv"))
-      .join(broadcast(emb0.select($"vec_id".as("cid"), $"v".as("cv"))), $"qid" =!= $"cid")
+    val bf = broadcast(
+        emb0.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv")))
+      .join(emb0.select($"vec_id".as("cid"), $"v".as("cv")), $"qid" =!= $"cid")
       .withColumn("cos", cosine($"qv", $"cv"))
       .withColumn("rank", row_number().over(wBf))
       .filter($"rank" <= 5)
@@ -161,8 +164,9 @@ object SimilarityQueries {
       .filter($"rank" <= 5)
       .select($"qid", $"cid")
     val wBf = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    val bf = emb.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv"))
-      .join(broadcast(emb.select($"vec_id".as("cid"), $"v".as("cv"))), $"qid" =!= $"cid")
+    val bf = broadcast(
+        emb.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv")))
+      .join(emb.select($"vec_id".as("cid"), $"v".as("cv")), $"qid" =!= $"cid")
       .withColumn("cos", cosine($"qv", $"cv"))
       .withColumn("rank", row_number().over(wBf))
       .filter($"rank" <= 5)

@@ -27,9 +27,17 @@ object Tables {
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long via the
     * legacy conf, then rebuild a microsecond timestamp column — semantics
-    * identical at any granularity the queries use (>= microsecond). */
+    * identical at any granularity the queries use (>= microsecond).
+    *
+    * graft.Sessions sets `nanosAsLong` at session construction; a
+    * set/restore scoped to this method would NOT work because the parquet
+    * reader consults the conf again at physical planning, i.e. after this
+    * method returns. For sessions built outside graft.Sessions we set it
+    * here once if absent — a documented session-wide requirement of the
+    * events table, not a silent per-read side effect. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     import org.apache.spark.sql.functions._
     // `div` (integral) — a double division of epoch-nanos (~1.7e18) loses
     // the low bits (2^53 mantissa) and lands a microsecond off
