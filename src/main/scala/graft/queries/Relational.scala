@@ -561,24 +561,28 @@ object Relational {
   }
 
   /** Approximate distinct (HLL++) — scale substitute for exact distinct at
-    * 100 TB. Engines' sketches differ → rows-only check, with the exact
-    * value alongside for sanity. */
+    * 100 TB: sketches merge in the partial agg, so the shuffle carries one
+    * 16 KB sketch per (task, group) instead of every distinct key. Engines'
+    * sketches differ → rows-only check; exactness is covered by q09's
+    * oracle-checked countDistinct (pairing the exact aggregate in here
+    * would re-add the very shuffle the sketch exists to avoid). */
   val q23ApproxDistinct: QueryDef = rowsOnly("q23_approx_distinct") { (spark, dir) =>
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
         approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
-        countDistinct($"l_partkey").as("exact_parts"))
+        count(lit(1)).as("n_rows"))
       .orderBy($"l_returnflag")
   }
 
-  /** Exact per-group percentiles for ORACLE comparison only. The exact
-    * `percentile` aggregate buffers every value of a group in one task —
-    * fine at sf0.1, a scale-killer at 100 TB. q25 below is the scale path
-    * (approx_percentile = Greenwald-Khanna sketch, bounded memory, merges
-    * across any partition count); q24 exists because the sketch is not
-    * engine-portable and can't be hash-checked against DuckDB. */
+  /** Exact per-group percentiles via the distributed bucket-and-refine
+    * operator (graft.operators.ExactPercentile): three fully-parallel
+    * passes with bounded memory, vs Spark's `percentile` aggregate which
+    * buffers every value of a group in ONE task (the r1-flagged 100 TB
+    * scale-killer). Same quantile_cont semantics → same DuckDB oracle
+    * hash. q25 below is the sketch path (approx_percentile) for when one
+    * exact pass over boundary buckets is still too much. */
   val q24Percentiles: QueryDef = sqlChecked(
     "q24_percentiles",
     """SELECT l_returnflag,
@@ -589,12 +593,14 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    Tables.lineitem(spark, dir)
-      .groupBy($"l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.01)"), 4).as("p01"),
-        round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+    graft.operators.ExactPercentile.quantiles(
+        Tables.lineitem(spark, dir).select($"l_returnflag", $"l_extendedprice"),
+        "l_returnflag", "l_extendedprice",
+        Seq(0.01, 0.50, 0.99), Seq("p01", "p50", "p99"))
+      .select($"l_returnflag",
+        round($"p01", 4).as("p01"),
+        round($"p50", 4).as("p50"),
+        round($"p99", 4).as("p99"))
       .orderBy($"l_returnflag")
   }
 
