@@ -647,6 +647,95 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Analytic window battery: lag/lead, first_value over a running frame,
+    * ntile quartiles, percent_rank, cume_dist — one shuffle on the
+    * partition key serves all six functions (they share the window).
+    * Deterministic because the window order (o_orderdate, o_orderkey) is a
+    * total order. */
+  val q27WindowBattery: QueryDef = sqlChecked(
+    "q27_window_battery",
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice) OVER w AS prev_price,
+      |  lead(o_totalprice) OVER w AS next_price,
+      |  first_value(o_totalprice) OVER
+      |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter($"o_custkey" < 100) // pushes below the window (partition-key predicate)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"o_orderdate")
+      .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+      .withColumn("next_price", lead($"o_totalprice", 1).over(w))
+      .withColumn("first_price", first($"o_totalprice").over(wRows))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .drop("o_orderdate")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** arg-min/arg-max aggregates (max_by/min_by): per customer the
+    * orderkeys of the most/least expensive order. The struct-valued
+    * ordering column makes ties deterministic (price, then orderkey) —
+    * required for an exact-hash oracle; the DuckDB side expresses the
+    * same pick via ranked windows because its arg_max can't composite-
+    * order. One hash-agg shuffle; no window on the Spark side. */
+  val q28ArgMinMax: QueryDef = sqlChecked(
+    "q28_arg_min_max",
+    """WITH ranked AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+      |  FROM orders WHERE o_custkey < 500)
+      |SELECT o_custkey,
+      |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS best_order,
+      |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS worst_order,
+      |  max(o_totalprice) AS best_price,
+      |  min(o_totalprice) AS worst_price
+      |FROM ranked
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_custkey" < 500)
+      .groupBy($"o_custkey")
+      .agg(
+        max_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey")).as("best_order"),
+        min_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey")).as("worst_order"),
+        max($"o_totalprice").as("best_price"),
+        min($"o_totalprice").as("worst_price"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Uncorrelated scalar subquery through the SQL surface: orders above
+    * the global average price, counted per status. Spark plans the
+    * subquery once (SubqueryExec, reused), then the main scan filters —
+    * no join. The decimal-exact avg makes the threshold identical across
+    * engines, so a price adjacent to the mean can't flip. */
+  val q29ScalarSubquery: QueryDef = {
+    val sql =
+      s"""SELECT o_orderstatus, COUNT(*) AS n_above,
+         |  ${sqlDavg("o_totalprice")} AS avg_above
+         |FROM orders
+         |WHERE o_totalprice > (SELECT ${sqlDavg("o_totalprice")} FROM orders)
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
+    sqlChecked("q29_scalar_subquery", sql) { (spark, dir) =>
+      Tables.registerAll(spark, dir)
+      spark.sql(sql)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterRevenue, q03StarJoinRevenue,
     q04BroadcastPartJoin, q05SemiJoin, q06AntiJoin,
@@ -656,5 +745,6 @@ object Relational {
     q14CaseWhenBuckets, q15StringFuncs, q16DateFuncs, q17JsonExtract,
     q18IsinNullHandling, q19TopkGlobal, q20Stats, q21Pivot,
     q22JoinOnAggregate, q23ApproxDistinct, q24Percentiles,
-    q25ApproxPercentiles, q26NanNullChecks)
+    q25ApproxPercentiles, q26NanNullChecks, q27WindowBattery,
+    q28ArgMinMax, q29ScalarSubquery)
 }

@@ -233,8 +233,35 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  /** Deterministic content-hash sampling — the reproducible counterpart
+    * to tq08's seeded Bernoulli sampleBy: keep a row iff the first 4 hex
+    * chars of md5(doc_id) fall under the rate threshold ('4000'/'ffff' ≈
+    * 25%). Unlike seeded RNG sampling this is partition-count independent,
+    * re-runnable, and portable — the exact property a training-data
+    * pipeline needs for stable held-out splits at 100 TB (and what makes
+    * this variant fully oracle-checkable while tq08 is rows-only). */
+  val tq09DeterministicSample: QueryDef = sqlChecked(
+    "tq09_deterministic_sample",
+    """SELECT lang, COUNT(*) AS n_sampled,
+      |  CAST(SUM(CAST((n_chars) AS DECIMAL(30,6))) AS DOUBLE) AS sum_chars,
+      |  CAST(min(doc_id) AS BIGINT) AS min_doc_id
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(substring(md5($"doc_id".cast("string")), 1, 4) < "4000")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        dsum($"n_chars").as("sum_chars"),
+        min($"doc_id").cast("long").as("min_doc_id"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
     tq05Fingerprints, tq06MultimodalDecode, tq07MultimodalStats,
-    tq08StratifiedSample)
+    tq08StratifiedSample, tq09DeterministicSample)
 }

@@ -56,9 +56,10 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("sq01: bounded brute-force KNN broadcasts the corpus side") {
+  test("sq01: brute-force KNN broadcasts the bounded QUERY side, streams the corpus") {
     val p = plan(SimilarityQueries.sq01KnnBruteForce)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BuildLeft"), "query set (left) must be the broadcast build side:\n" + p)
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -93,5 +94,28 @@ class PlanSpec extends AnyFunSuite {
     // "(n) Scan parquet" detail headers only
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
     assert(scans == 1, s"expected 1 orders scan, got $scans")
+  }
+
+  test("q27: all six window functions share one partitioning (<=2 exchanges incl. final sort)") {
+    val p = plan(Relational.q27WindowBattery)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"window battery plans $exchanges exchanges:\n$p")
+    assert(p.contains("PushedFilters"), "custkey predicate should reach the scan")
+  }
+
+  test("q28: arg-min/max is a pure hash aggregate — no window, one scan") {
+    val p = plan(Relational.q28ArgMinMax)
+    assert(!p.contains("() Window") && !"\\(\\d+\\) Window".r.findFirstIn(p).isDefined,
+      "max_by/min_by should not plan a window:\n" + p)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 orders scan, got $scans")
+  }
+
+  test("q24: exact percentile never buffers groups in an ObjectHashAggregate") {
+    val p = plan(Relational.q24Percentiles)
+    assert(!p.contains("percentile"),
+      "q24 must use the distributed ExactPercentile operator, not the buffering aggregate:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "histogram/locate joins must broadcast:\n" + p)
   }
 }
