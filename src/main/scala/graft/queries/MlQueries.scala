@@ -68,8 +68,13 @@ object MlQueries {
       .orderBy($"cluster")
   }
 
-  /** M5+M13+M14+M12: adaptive random-forest salary model — seeded 80/20
-    * split, tier-table sizing, RMSE/MAE/R² + top feature importance. */
+  /** M5+M13+M14+M12: random-forest salary model — seeded 80/20 split,
+    * the PUBLISHED headline config (numTrees=100, maxDepth=10 —
+    * train_random_forest.py:206-212, the run behind BASELINE.md's
+    * RMSE 7.91 / R² 0.26), RMSE/MAE/R² + top feature importance.
+    * The legacy trainer's adaptive tier table stays available as
+    * Pipelines.adaptiveForestParams (unit-spec'd); at 40k rows it picks
+    * depth 18, which costs ~4× the headline model for no metric gain. */
   val mq03RfSalary: QueryDef = rowsOnly("mq03_rf_salary") { (spark, dir) =>
     import spark.implicits._
     val feats = featurizedJobs(spark, dir)
@@ -80,7 +85,7 @@ object MlQueries {
       .cache()
     val Array(train, test) = feats.randomSplit(Array(0.8, 0.2), 42)
     val nTrain = train.count()
-    val (numTrees, maxDepth) = Pipelines.adaptiveForestParams(nTrain)
+    val (numTrees, maxDepth) = (100, 10)
     val model = Pipelines.salaryForest(jobFeatureCols, numTrees, maxDepth).fit(train)
     val pred = model.transform(test)
     val rf = model.stages.last.asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel]
