@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectFunction(GraftExtensions.winnowDescriptor)
     ext.injectOptimizerRule(_ => CosineSelfSimilarityRule)
   }
 }
@@ -27,9 +28,21 @@ object GraftExtensions {
       CosineSimilarity(children.head, children(1))
     })
 
+  private[functions] val winnowDescriptor = (
+    new FunctionIdentifier("graft_winnow"),
+    new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 3, "graft_winnow expects (text, k, w)")
+      def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+        require(e.foldable, "graft_winnow k/w must be literals")
+        e.eval().toString.toInt
+      }
+      Winnow(children.head, intLit(children(1)), intLit(children(2)))
+    })
+
   /** Register on a live session (tests / REPL). */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (ident, info, builder) = cosineDescriptor
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
-  }
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(cosineDescriptor, winnowDescriptor).foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

@@ -153,7 +153,50 @@ object DedupQueries {
         count(when($"jaccard" >= 0.8, 1)).as("n_near_dups"))
   }
 
+  /** Winnowing rolling-hash fingerprints (graft.functions.Winnow, the
+    * MOSS algorithm): near-dup candidates = pairs sharing fingerprints,
+    * found by an equi-join on the fingerprint — never all-pairs. Hot
+    * fingerprints (k-grams common to > 20 docs, the stop-gram analogue)
+    * are dropped before pairing so one boilerplate phrase can't quadratic
+    * a bucket. rowsOnly: the hash isn't oracle-portable (WinnowSpec proves
+    * the guarantee + planted near-dups). */
+  val dq06WinnowFingerprints: QueryDef = rowsOnly("dq06_winnow_fingerprints") { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.fanOut(spark, Tables.documents(spark, dir))
+      .select($"doc_id",
+        graft.functions.Winnow(Shingles.normalized($"text"), 8, 16).as("fps"))
+      .cache() // consumed three times: explode, both rerank sides
+    val ex = docs.select($"doc_id", explode($"fps").as("fp"))
+    // stop-fingerprints gate CANDIDATE GENERATION only (a gram common to
+    // > 20 docs can't quadratic a bucket); the verify step below uses the
+    // FULL fingerprint sets, so dropping hot grams costs no recall as long
+    // as a near-dup pair shares one rare gram
+    val rare = ex.groupBy($"fp").agg(count(lit(1)).as("df")).filter($"df" <= 20)
+    val exr = ex.join(rare, Seq("fp"), "left_semi")
+    val cand = exr.as("a")
+      .join(exr.as("b"), $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_rare"))
+      .filter($"n_shared_rare" >= 2) // one shared rare gram is coincidence-prone
+      .select($"doc_a", $"doc_b")
+    // rerank candidates on full sets: |A ∩ B| / min(|A|, |B|)
+    val pairs = cand
+      .join(docs.select($"doc_id".as("doc_a"), $"fps".as("fps_a")), Seq("doc_a"))
+      .join(docs.select($"doc_id".as("doc_b"), $"fps".as("fps_b")), Seq("doc_b"))
+      .withColumn("shared", size(array_intersect($"fps_a", $"fps_b")))
+      .withColumn("overlap",
+        $"shared" / least(size($"fps_a"), size($"fps_b")).cast("double"))
+    val docStats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size($"fps")).as("avg_fp_per_doc"))
+    docStats.crossJoin(
+      pairs.agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        count(when($"overlap" >= 0.5, 1)).as("n_near_dups"),
+        coalesce(max($"overlap"), lit(0.0)).as("max_overlap")))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dq01ExactDedup, dq02DedupKeepFirst, dq03MinhashLsh, dq04Simhash,
-    dq05NgramJaccard)
+    dq05NgramJaccard, dq06WinnowFingerprints)
 }

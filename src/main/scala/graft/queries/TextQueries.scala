@@ -260,8 +260,37 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  /** BPE-ish subword token counting: letter runs, digit runs, and single
+    * punctuation marks count separately (the pre-merge segmentation a BPE
+    * tokenizer starts from), vs tq02's whitespace tokens. The pattern
+    * stays in the portable regex subset (character classes + alternation)
+    * so Java and RE2 agree; still one codegen'd projection, no row
+    * explosion. */
+  val tq10BpeTokenCounts: QueryDef = sqlChecked(
+    "tq10_bpe_token_counts",
+    """SELECT lang,
+      |  CAST(SUM(CAST((len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DECIMAL(30,6))) AS DOUBLE) AS total_bpe_tokens,
+      |  CAST(SUM(CAST((len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_bpe_tokens,
+      |  CAST(SUM(CAST((len(regexp_extract_all(text, '[0-9]+'))) AS DECIMAL(30,6))) AS DOUBLE) AS digit_runs
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val bpe = size(regexp_extract_all($"text",
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    Tables.documents(spark, dir)
+      .select($"lang", bpe.as("n_bpe"),
+        size(regexp_extract_all($"text", lit("[0-9]+"), lit(0))).as("n_digit"))
+      .groupBy($"lang")
+      .agg(
+        dsum($"n_bpe").as("total_bpe_tokens"),
+        (dsum($"n_bpe") / count(lit(1))).as("avg_bpe_tokens"),
+        dsum($"n_digit").as("digit_runs"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
     tq05Fingerprints, tq06MultimodalDecode, tq07MultimodalStats,
-    tq08StratifiedSample, tq09DeterministicSample)
+    tq08StratifiedSample, tq09DeterministicSample, tq10BpeTokenCounts)
 }
