@@ -52,16 +52,17 @@ object SimilarityQueries {
   }
 
   /** Multi-table LSH ANN with measured recall@5 against in-query brute
-    * force for 20 query vectors: 8 independent tables × 4 sign bits (the
+    * force for 20 query vectors: 12 independent tables × 4 sign bits (the
     * OR-construction — a neighbor is a candidate if it collides in ANY
-    * table, which is what makes signed-projection LSH recall usable).
+    * table, which is what makes signed-projection LSH recall usable;
+    * 8 tables measured 0.68 recall@5, 12 raise the collision odds).
     * Candidates = union of per-table bucket joins; rerank by exact cosine.
     * rowsOnly: hyperplanes are engine-side seeded constants, not
     * oracle-reproducible; the self-validating metric IS the recall column. */
   val sq02AnnLshRecall: QueryDef = rowsOnly("sq02_ann_lsh_recall") { (spark, dir) =>
     import spark.implicits._
     val rng = new scala.util.Random(42)
-    val tables = Seq.fill(8)(Seq.fill(4)(Array.fill(64)(rng.nextGaussian())))
+    val tables = Seq.fill(12)(Seq.fill(4)(Array.fill(64)(rng.nextGaussian())))
     val emb0 = Tables.embeddings(spark, dir)
       .select($"vec_id", toDouble($"embedding").as("v"))
     // one row per (vector, table): bucket = (table id, 4 sign bits)
@@ -126,9 +127,11 @@ object SimilarityQueries {
   }
 
   /** IVF-style ANN: a k-means coarse quantizer partitions the corpus into
-    * inverted lists; queries probe the 2 nearest centroids and rerank only
-    * those lists. The 100 TB shape: centroids are a tiny broadcast table,
-    * list assignment is a map, the probe is an equi-join on list id.
+    * inverted lists; queries probe the 4 nearest centroids and rerank only
+    * those lists (4/16 of the corpus scanned per query — the standard
+    * recall-vs-cost knob; 2 probes measured 0.53 recall@5, 4 probes ~0.8).
+    * The 100 TB shape: centroids are a tiny broadcast table, list
+    * assignment is a map, the probe is an equi-join on list id.
     * rowsOnly with self-measured recall@5 vs brute force. */
   val sq04AnnIvfRecall: QueryDef = rowsOnly("sq04_ann_ivf_recall") { (spark, dir) =>
     import spark.implicits._
@@ -153,7 +156,7 @@ object SimilarityQueries {
         aggregate(zip_with($"qv", $"centroid", (x, y) => (x - y) * (x - y)),
           lit(0.0), _ + _))
       .withColumn("prank", row_number().over(wProbe))
-      .filter($"prank" <= 2)
+      .filter($"prank" <= 4)
       .select($"qid", $"qv", $"list_id")
     val wAnn = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
     val ann = probes
@@ -177,7 +180,7 @@ object SimilarityQueries {
       .agg(
         count(lit(1)).as("n_queries"),
         lit(16).as("n_lists"),
-        lit(2).as("n_probes"),
+        lit(4).as("n_probes"),
         avg(coalesce($"n_hit", lit(0)) / $"n_bf").as("recall_at_5"))
   }
 
