@@ -510,6 +510,46 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** q20's statistics made oracle-exact: variance and correlation from
+    * decimal-exact raw moments (Σx, Σx², Σxy are DECIMAL partial sums —
+    * shuffle-order independent and identical in both engines), with the
+    * final double formula written identically on both sides. This is also
+    * the one-pass shape for exact second moments at 100 TB: three decimal
+    * accumulators per group, no second scan, no streaming-moment drift. */
+  val q20bMomentStats: QueryDef = {
+    def sql(inner: String) =
+      s"CAST(SUM(CAST(($inner) AS DECIMAL(30,6))) AS DOUBLE)"
+    sqlChecked(
+      "q20b_moment_stats",
+      s"""SELECT l_returnflag,
+         |  round(sqrt((${sql("l_quantity * l_quantity")} - ${sql("l_quantity")} * ${sql("l_quantity")} / COUNT(*)) / (COUNT(*) - 1)), 4) AS sd_qty,
+         |  round((${sql("l_quantity * l_extendedprice")} - ${sql("l_quantity")} * ${sql("l_extendedprice")} / COUNT(*)) /
+         |    (sqrt(${sql("l_quantity * l_quantity")} - ${sql("l_quantity")} * ${sql("l_quantity")} / COUNT(*)) *
+         |     sqrt(${sql("l_extendedprice * l_extendedprice")} - ${sql("l_extendedprice")} * ${sql("l_extendedprice")} / COUNT(*))), 4) AS corr_qty_price,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          dsum($"l_quantity").as("sx"),
+          dsum($"l_extendedprice").as("sy"),
+          dsum($"l_quantity" * $"l_quantity").as("sxx"),
+          dsum($"l_extendedprice" * $"l_extendedprice").as("syy"),
+          dsum($"l_quantity" * $"l_extendedprice").as("sxy"),
+          count(lit(1)).as("n"))
+        .select($"l_returnflag",
+          round(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 4).as("sd_qty"),
+          round(($"sxy" - $"sx" * $"sy" / $"n") /
+            (sqrt($"sxx" - $"sx" * $"sx" / $"n") *
+             sqrt($"syy" - $"sy" * $"sy" / $"n")), 4).as("corr_qty_price"),
+          $"n")
+        .orderBy($"l_returnflag")
+    }
+  }
+
   /** Pivot (reference's per-city/per-cluster breakdown generalized):
     * daily event counts pivoted by event_type. Oracle uses conditional
     * aggregation — same result, same column names. */
@@ -743,7 +783,7 @@ object Relational {
     q09DistinctCounts,
     q10Rollup, q11Cube, q12SetOps, q12bSetOperators, q13Having,
     q14CaseWhenBuckets, q15StringFuncs, q16DateFuncs, q17JsonExtract,
-    q18IsinNullHandling, q19TopkGlobal, q20Stats, q21Pivot,
+    q18IsinNullHandling, q19TopkGlobal, q20Stats, q20bMomentStats, q21Pivot,
     q22JoinOnAggregate, q23ApproxDistinct, q24Percentiles,
     q25ApproxPercentiles, q26NanNullChecks, q27WindowBattery,
     q28ArgMinMax, q29ScalarSubquery)
