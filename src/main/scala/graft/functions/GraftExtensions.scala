@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.winnowDescriptor)
     ext.injectOptimizerRule(_ => CosineSelfSimilarityRule)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }
 

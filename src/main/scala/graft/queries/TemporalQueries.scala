@@ -43,6 +43,37 @@ object TemporalQueries {
       .orderBy($"event_id")
   }
 
+  /** eq01's semantics through the engine's custom plan path: a first-class
+    * AsOfJoinPlan logical node planned by GraftStrategies into
+    * AsOfJoinExec's streaming sort-merge (O(1) state per task vs the
+    * composition's window frames). Same DuckDB ASOF JOIN oracle as eq01 —
+    * three independent implementations of the semantics must agree. */
+  val eq01bAsofExec: QueryDef = sqlChecked(
+    "eq01b_asof_exec",
+    """WITH clicks AS (
+      |  SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |purchases AS (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+      |  c.click_id AS asof_click_id, CAST(c.ts AS TIMESTAMP) AS asof_ts
+      |FROM purchases p
+      |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    graft.plans.AsOfJoinPhysical.joinAsOf(purchases, clicks, "user_id", "ts", "ts",
+        rightPayload = Seq("click_id", "ts"))
+      .select($"event_id", $"user_id", $"ts", $"value",
+        $"asof_click_id", $"asof_ts")
+      .orderBy($"event_id")
+  }
+
   /** Keyed range join: per purchase, activity in the preceding 10 minutes
     * by the same user — equi-join on the key with a time-range predicate
     * (the key equi-condition keeps it a hash join; the range is a
@@ -124,5 +155,6 @@ object TemporalQueries {
       .orderBy($"user_id")
   }
 
-  val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq02RangeJoin, eq03Sessionize)
+  val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq01bAsofExec, eq02RangeJoin,
+    eq03Sessionize)
 }
