@@ -59,6 +59,22 @@ class AsOfJoinExecSpec extends AnyFunSuite {
     assert(row.isNullAt(1), "null payload must not be backfilled from an older row")
   }
 
+  test("unmatched keys and an empty right side yield null payloads, not errors") {
+    val left = Seq((1L, 100L, 1L), (99L, 5L, 2L)).toDF("k", "t", "left_id")
+    val right = Seq((1L, 50L, "hit", "b")).toDF("k", "t", "pay_a", "pay_b")
+    val out = AsOfJoinPhysical
+      .joinAsOf(left, right, "k", "t", "t", Seq("pay_a"))
+      .select($"left_id", $"asof_pay_a")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("hit"), 2L -> None))
+
+    val empty = right.filter($"k" < 0)
+    val allNull = AsOfJoinPhysical
+      .joinAsOf(left, empty, "k", "t", "t", Seq("pay_a"))
+      .select($"asof_pay_a").collect()
+    assert(allNull.length == 2 && allNull.forall(_.isNullAt(0)))
+  }
+
   test("plans as AsOfJoinExec over two sorted hash exchanges, no join node") {
     val (left, right) = randomFrames(3)
     val df = AsOfJoinPhysical.joinAsOf(left, right, "k", "t", "t", Seq("pay_a"))
