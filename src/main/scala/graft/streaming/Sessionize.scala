@@ -44,4 +44,61 @@ object Sessionize {
   }
 
   val outputMode: OutputMode = OutputMode.Update()
+
+  // ---- flatMapGroupsWithState: gap-closed sessions, append mode ----
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class OpenSession(start: Long, end: Long, n: Long)
+  case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** The streaming counterpart of eq03's batch sessionization, via
+    * flatMapGroupsWithState (0..n outputs per group per batch — a closed
+    * session is emitted only when the event-time watermark passes the
+    * session's gap timeout, so results are final and append-safe). State
+    * per key is ONE fixed-size open-session record; eviction is by
+    * EventTimeTimeout, which unlike ProcessingTimeTimeout is driven by the
+    * data clock and therefore deterministic in tests and replays. */
+  def closedSessions(events: Dataset[_], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    implicit val evEnc = Encoders.product[SessionEvent]
+    implicit val stEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[ClosedSession]
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(user: Long, batch: Iterator[SessionEvent],
+        state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(ClosedSession(user, s.start, s.end, s.n))
+      } else {
+        val times = batch.map(_.ts.getTime).toSeq
+        val prev = state.getOption
+        // one open session per key: events within the gap extend it; a
+        // batch can also contain an internal gap, closing the session
+        // mid-batch and opening the next one
+        var closed = List.empty[ClosedSession]
+        var open = prev
+        for (t <- times.sorted) {
+          open = open match {
+            case Some(s) if t - s.end <= gapMs =>
+              Some(OpenSession(s.start, t, s.n + 1))
+            case Some(s) =>
+              closed ::= ClosedSession(user, s.start, s.end, s.n)
+              Some(OpenSession(t, t, 1))
+            case None => Some(OpenSession(t, t, 1))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.withWatermark("ts", "10 minutes").as[SessionEvent]
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
 }

@@ -63,4 +63,21 @@ object StreamingEtl {
   def start(spark: SparkSession, inputDir: String, outDir: String,
       checkpointDir: String): StreamingQuery =
     toParquet(fromJsonDir(spark, inputDir), outDir, checkpointDir).start()
+
+  /** foreachBatch sink: each micro-batch handed to an arbitrary BATCH
+    * writer — the engine-native stand-in for the reference's Cassandra
+    * writeStream (any store with a batch connector gets exactly-once via
+    * the checkpoint + an idempotent upsert keyed on batchId). The default
+    * writer appends parquet stamped with the batch id so replays are
+    * visible/idempotent-checkable. */
+  def toForeachBatch(etl: DataFrame, outDir: String, checkpointDir: String)(
+      write: (org.apache.spark.sql.Dataset[Row], Long) => Unit = { (batch, id) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+      }): DataStreamWriter[Row] =
+    etl.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(write)
 }

@@ -40,4 +40,32 @@ class SessionizeSpec extends AnyFunSuite {
       assert(latest("Huế") == ((1L, 8.0, 8.0)))
     } finally query.stop()
   }
+
+  test("flatMapGroupsWithState emits a session only once its gap timeout passes the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-03-01 $hhmm:00")
+    val stream = MemoryStream[Sessionize.SessionEvent]
+    val query = Sessionize.closedSessions(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    try {
+      // session 1: three events 10:00-10:10 for user 1
+      stream.addData(
+        Sessionize.SessionEvent(1L, ts("10:00")),
+        Sessionize.SessionEvent(1L, ts("10:05")),
+        Sessionize.SessionEvent(1L, ts("10:10")))
+      query.processAllAvailable()
+      assert(spark.table("closed_sessions").count() == 0, "session must stay open")
+
+      // a much later event advances the watermark (12:00 − 10 min lateness)
+      // past the session's 10:40 gap timeout → session 1 closes
+      stream.addData(Sessionize.SessionEvent(2L, ts("12:00")))
+      query.processAllAvailable()
+      val closed = spark.table("closed_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(3)))
+      assert(closed.toSeq == Seq((1L, 3L)),
+        s"expected user 1's 3-event session, got ${closed.toSeq}")
+    } finally query.stop()
+  }
 }

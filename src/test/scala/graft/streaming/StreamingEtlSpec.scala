@@ -94,6 +94,26 @@ class StreamingEtlSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("foreachBatch sink writes batch-stamped parquet exactly once across restarts") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-feb").toString
+    val (in, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    new java.io.File(in).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      jsonLine("Dev A", "Hà Nội", "10 - 20 triệu", "2 năm"))
+    StreamingEtl.toForeachBatch(
+      StreamingEtl.fromJsonDir(spark, in), outDir, ckpt)().start().awaitTermination()
+    // restart with one more file: checkpoint offsets mean only the new
+    // batch is handed to the writer
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      jsonLine("Dev B", "Huế", "Từ 15 triệu", "5+ năm"))
+    StreamingEtl.toForeachBatch(
+      StreamingEtl.fromJsonDir(spark, in), outDir, ckpt)().start().awaitTermination()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 2)
+    assert(out.select("batch_id").distinct().count() == 2, "one batch id per micro-batch")
+  }
+
   test("watermarked tumbling-window aggregation (extension point)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
