@@ -1,7 +1,6 @@
 package graft.plans
 
 import graft.TestSpark
-import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
