@@ -57,7 +57,14 @@ object Sessionize {
     * session's gap timeout, so results are final and append-safe). State
     * per key is ONE fixed-size open-session record; eviction is by
     * EventTimeTimeout, which unlike ProcessingTimeTimeout is driven by the
-    * data clock and therefore deterministic in tests and replays. */
+    * data clock and therefore deterministic in tests and replays.
+    *
+    * Late-data contract: under EventTimeTimeout the exec node filters
+    * input rows older than the current watermark before they reach the
+    * state function, so a straggler can neither resurrect a closed
+    * session nor push a timeout below the watermark — emitted sessions
+    * are final. (mapGroupsWithState with NoTimeout does NOT filter; the
+    * guarantee is specific to this event-time configuration.) */
   def closedSessions(events: Dataset[_], gapMinutes: Int = 30): Dataset[ClosedSession] = {
     implicit val evEnc = Encoders.product[SessionEvent]
     implicit val stEnc = Encoders.product[OpenSession]
@@ -90,6 +97,10 @@ object Sessionize {
         }
         open.foreach { s =>
           state.update(s)
+          // Safe: with EventTimeTimeout the exec node drops input rows
+          // older than the watermark before they reach this function
+          // (verified by SessionizeSpec's straggler test), so s.end >=
+          // watermark and s.end + gap is always a legal timeout.
           state.setTimeoutTimestamp(s.end + gapMs)
         }
         closed.reverseIterator

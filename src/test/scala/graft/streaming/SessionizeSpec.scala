@@ -68,4 +68,34 @@ class SessionizeSpec extends AnyFunSuite {
         s"expected user 1's 3-event session, got ${closed.toSeq}")
     } finally query.stop()
   }
+
+  test("a straggler below the watermark is dropped before the state function, not a timeout error") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-03-01 $hhmm:00")
+    val stream = MemoryStream[Sessionize.SessionEvent]
+    val query = Sessionize.closedSessions(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("straggler_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(Sessionize.SessionEvent(5L, ts("12:00")))
+      query.processAllAvailable() // watermark ≈ 11:50
+      // Under EventTimeTimeout the exec node late-filters input rows, so
+      // this event (natural timeout 10:30, far below the watermark) must
+      // be dropped — NOT reach setTimeoutTimestamp and throw.
+      stream.addData(Sessionize.SessionEvent(6L, ts("10:00")))
+      query.processAllAvailable()
+      stream.addData(Sessionize.SessionEvent(5L, ts("12:30")))
+      query.processAllAvailable() // extends user 5's open session
+      // advance the watermark past user 5's gap timeout (13:00)
+      stream.addData(Sessionize.SessionEvent(7L, ts("14:00")))
+      query.processAllAvailable() // watermark 13:50 → user 5 closes
+      val byUser = spark.table("straggler_sessions")
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(byUser.get(5L).contains(2L),
+        s"user 5's 2-event session should have closed by timeout, got $byUser")
+      assert(!byUser.contains(6L),
+        s"the late straggler should have been dropped, got $byUser")
+    } finally query.stop()
+  }
 }
