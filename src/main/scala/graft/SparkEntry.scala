@@ -18,7 +18,9 @@ object SparkEntry {
     graft.queries.TextQueries.all ++
     graft.queries.DedupQueries.all ++
     graft.queries.SimilarityQueries.all ++
-    graft.queries.MlQueries.all
+    graft.queries.MlQueries.all ++
+    graft.queries.SketchQueries.all ++
+    graft.queries.RelationalExt.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

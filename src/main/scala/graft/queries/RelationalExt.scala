@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.sqlChecked
+import graft.sources.Tables
+import graft.util.Num._
+import org.apache.spark.sql.functions._
+
+/** Second relational battery: the SQL-surface features added to Spark 4's
+  * Dataset API that the first battery (q01-q29) predates — GROUPING SETS
+  * as a first-class grouping (not just rollup/cube), relational unpivot,
+  * correlated LATERAL subqueries, and the higher-order array-function
+  * family (aggregate/exists/forall/slice over unbounded-width arrays,
+  * which stay codegen-friendly and never leave the row — the scalable
+  * alternative to exploding token arrays into row space).
+  */
+object RelationalExt {
+
+  /** GROUPING SETS via the Dataset groupingSets API (more general than
+    * rollup q10 / cube q11: an explicit set list skips the cross-product
+    * of grouping combinations — at 100 TB each extra grouping combination
+    * is another full pass of partial aggregation, so enumerating exactly
+    * the sets a dashboard needs is the cheap form). grouping_id()
+    * disambiguates which set each output row belongs to. */
+  val q30GroupingSets: QueryDef = sqlChecked(
+    "q30_grouping_sets",
+    """SELECT n_regionkey, n_nationkey % 5 AS nk,
+      |  GROUPING(n_regionkey, n_nationkey % 5) AS gid, COUNT(*) AS n
+      |FROM nation
+      |GROUP BY GROUPING SETS ((n_regionkey), (n_nationkey % 5), ())
+      |ORDER BY gid, n_regionkey NULLS FIRST, nk NULLS FIRST""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    // NB: the set members and the grouping columns must be the SAME
+    // attribute references — an expression in one and an alias of it in
+    // the other do not unify (the aliased column comes back all-null with
+    // a phantom third grouping bit). Projecting nk first sidesteps it.
+    Tables.nation(spark, dir)
+      .withColumn("nk", $"n_nationkey" % 5)
+      .groupingSets(
+        Seq(Seq($"n_regionkey"), Seq($"nk"), Seq.empty),
+        $"n_regionkey", $"nk")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+      .orderBy($"gid", $"n_regionkey".asc_nulls_first, $"nk".asc_nulls_first)
+  }
+
+  /** Relational unpivot (wide metric columns → long (metric, value) rows)
+    * then re-aggregation — the standard reshape before a per-metric
+    * rollup. Decimal-exact sums keep the result engine-portable. */
+  val q31Unpivot: QueryDef = sqlChecked(
+    "q31_unpivot", {
+      s"""SELECT metric, ${sqlDsum("value")} AS total, COUNT(*) AS n
+         |FROM (
+         |  SELECT * FROM (
+         |    SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+         |           CAST(p_size AS DOUBLE) AS p_size
+         |    FROM part WHERE p_size <= 20)
+         |  UNPIVOT (value FOR metric IN (p_retailprice, p_size)))
+         |GROUP BY metric
+         |ORDER BY metric""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .filter($"p_size" <= 20)
+      .select($"p_partkey",
+        $"p_retailprice".cast("double").as("p_retailprice"),
+        $"p_size".cast("double").as("p_size"))
+      .unpivot(Array($"p_partkey"), Array($"p_retailprice", $"p_size"),
+        "metric", "value")
+      .groupBy($"metric")
+      .agg(dsum($"value").as("total"), count(lit(1)).as("n"))
+      .orderBy($"metric")
+  }
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 customers
+    * per nation. Same semantics as the window top-K (q07) but through the
+    * lateral-join operator surface — Catalyst plans the correlation as a
+    * DomainJoin and the per-key LIMIT never materializes a full sort of
+    * the fact side. */
+  val q32LateralTopK: QueryDef = {
+    val sql =
+      """SELECT n_name, c.c_name, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) AS c
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+    sqlChecked("q32_lateral_topk", sql) { (spark, dir) =>
+      Tables.registerAll(spark, dir)
+      spark.sql(sql)
+    }
+  }
+
+  /** Higher-order array functions over tokenized text: aggregate (fold),
+    * exists, forall, array_sort + slice — all computed inside the row
+    * with codegen, no explode. At 100 TB this is the difference between
+    * a map-only pass and a shuffle of every token. */
+  val q33HofBattery: QueryDef = sqlChecked(
+    "q33_hof_battery",
+    """SELECT doc_id, len(toks) AS n_tokens,
+      |  list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS total_len,
+      |  len(list_filter(toks, x -> len(x) > 7)) > 0 AS has_long,
+      |  len(list_filter(toks, x -> NOT (len(x) > 0))) = 0 AS all_nonempty,
+      |  array_to_string(list_sort(toks)[1:3], ' ') AS first3
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |      FROM documents WHERE doc_id < 200)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 200)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select(
+        $"doc_id",
+        size($"toks").as("n_tokens"),
+        aggregate($"toks", lit(0), (acc, x) => acc + length(x)).as("total_len"),
+        exists($"toks", x => length(x) > 7).as("has_long"),
+        forall($"toks", x => length(x) > 0).as("all_nonempty"),
+        concat_ws(" ", slice(array_sort($"toks"), 1, 3)).as("first3"))
+      .orderBy($"doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery)
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.{rowsOnly, sqlChecked}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch aggregation battery (DataSketches surface of Spark 4).
+  *
+  * THE 100 TB pattern: distinct counts / quantiles / set cardinalities are
+  * the aggregations that do not decompose — a naive COUNT(DISTINCT) over
+  * 100 TB shuffles every key and an exact percentile buffers whole groups.
+  * Sketches restore map-side partial aggregation: each partition (or each
+  * partition of a pre-aggregated rollup table) produces a small fixed-size
+  * summary, summaries merge associatively at query time, and accuracy is a
+  * tunable constant. Every query below is written in that two-level shape —
+  * build partials at fine grain, merge at coarse grain — so the plan is the
+  * one you'd run on a real cluster (partial_* → merge_* with no row
+  * explosion), not a single-level toy.
+  *
+  * kq01 is EXACT (RoaringBitmap-style bucketed bitmaps) and oracle-checked
+  * against DuckDB COUNT(DISTINCT). kq02-kq04 are estimators, so no SQL
+  * oracle can hash-match them; instead each emits its own ground truth and
+  * relative error as columns (self-validating output), and SketchSpec
+  * asserts the published error bounds hold.
+  */
+object SketchQueries {
+
+  /** Exact distinct via bucketed bitmaps (bitmap_bucket_number splits the
+    * key space into 32k-bit buckets; bitmap_construct_agg ORs positions in
+    * a bucket; bucket bitmaps then merge per group). Unlike
+    * COUNT(DISTINCT), every level is a mergeable partial aggregate — the
+    * dense-integer-key answer to exact distinct at scale. */
+  val kq01BitmapDistinct: QueryDef = sqlChecked(
+    "kq01_bitmap_distinct",
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus", bitmap_bucket_number($"o_custkey").as("bucket"))
+      .agg(bitmap_construct_agg(bitmap_bit_position($"o_custkey")).as("bm"))
+      .groupBy($"o_orderstatus")
+      .agg(sum(bitmap_count($"bm")).as("n_customers"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** HLL rollup: per-(status, orderdate) sketches of the customer set —
+    * the shape of a daily pre-aggregated rollup table — merged per status
+    * with hll_union_agg. Emits the exact distinct alongside so the output
+    * is self-validating (rel_err column; lgConfigK=14 ⇒ σ ≈ 0.81%). */
+  val kq02HllRollup: QueryDef = rowsOnly("kq02_hll_rollup") { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val daily = orders
+      .groupBy($"o_orderstatus", $"o_orderdate")
+      .agg(hll_sketch_agg($"o_custkey", 14).as("sk"))
+    val est = daily
+      .groupBy($"o_orderstatus")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_distinct"))
+    val exact = orders
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("exact_distinct"))
+    est.join(exact, "o_orderstatus")
+      .select($"o_orderstatus", $"est_distinct", $"exact_distinct",
+        (abs($"est_distinct" - $"exact_distinct") / $"exact_distinct")
+          .as("rel_err"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** KLL quantile sketches: partial sketches of l_extendedprice built per
+    * (returnflag, linestatus) — the finer partial grain — merged per
+    * returnflag with kll_merge_agg_double, then p50/p95 read from the
+    * merged sketch. Exact quantile_cont values ride along for validation.
+    * At 100 TB this replaces exact percentile's bucket-and-refine passes
+    * with one pass + constant-size merges (k=200 ⇒ rank error ≈ 1.65%). */
+  val kq03KllQuantiles: QueryDef = rowsOnly("kq03_kll_quantiles") { (spark, dir) =>
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val partial = li
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(kll_sketch_agg_double($"l_extendedprice", 200).as("sk"))
+    val merged = partial
+      .groupBy($"l_returnflag")
+      .agg(kll_merge_agg_double($"sk").as("sk"))
+      .select($"l_returnflag",
+        kll_sketch_get_quantile_double($"sk", lit(0.5)).as("p50_est"),
+        kll_sketch_get_quantile_double($"sk", lit(0.95)).as("p95_est"))
+    val exact = li
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_exact"))
+    merged.join(exact, "l_returnflag")
+      .select($"l_returnflag", $"p50_est", $"p50_exact", $"p95_est", $"p95_exact",
+        (abs($"p50_est" - $"p50_exact") / $"p50_exact").as("p50_rel_err"),
+        (abs($"p95_est" - $"p95_exact") / $"p95_exact").as("p95_rel_err"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Theta sketches: set algebra over customer populations without
+    * materializing the sets. A = customers with an urgent order, B =
+    * customers with a high-value order; union/intersection/difference
+    * cardinalities all come from two fixed-size sketches. Exact values
+    * (one extra aggregate over the same scan shape) ride along. */
+  val kq04ThetaSetAlgebra: QueryDef = rowsOnly("kq04_theta_set_algebra") { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val urgent  = $"o_orderpriority" === "1-URGENT"
+    val bigspend = $"o_totalprice" > 200000.0
+    val sketches = orders.agg(
+      theta_sketch_agg(when(urgent, $"o_custkey")).as("sk_a"),
+      theta_sketch_agg(when(bigspend, $"o_custkey")).as("sk_b"))
+    // Ground truth must use SET semantics: a customer is in A∩B when they
+    // have some urgent order AND some big order (not necessarily the same
+    // order!), so reduce to per-customer flags first — one scan, and the
+    // same single-pass shape q12 uses for set-op counts.
+    val exact = orders
+      .groupBy($"o_custkey")
+      .agg(max(urgent.cast("int")).as("a"), max(bigspend.cast("int")).as("b"))
+      .agg(
+        sum($"a").as("exact_a"),
+        sum($"b").as("exact_b"),
+        sum(greatest($"a", $"b")).as("exact_union"),
+        sum(least($"a", $"b")).as("exact_intersect"))
+    sketches.crossJoin(exact)
+      .select(
+        theta_sketch_estimate($"sk_a").as("est_a"),
+        theta_sketch_estimate($"sk_b").as("est_b"),
+        theta_sketch_estimate(theta_union($"sk_a", $"sk_b")).as("est_union"),
+        theta_sketch_estimate(theta_intersection($"sk_a", $"sk_b")).as("est_intersect"),
+        $"exact_a", $"exact_b", $"exact_union", $"exact_intersect")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    kq01BitmapDistinct, kq02HllRollup, kq03KllQuantiles, kq04ThetaSetAlgebra)
+}
