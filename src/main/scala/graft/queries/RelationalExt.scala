@@ -118,6 +118,52 @@ object RelationalExt {
       .orderBy($"doc_id")
   }
 
+  /** Extended string-function battery beyond q15's core set: initcap,
+    * translate, pads, repeat/reverse, position, ascii/chr, hashing
+    * (md5/sha2), edit distance, regexp_count. All codegen'd built-ins —
+    * the full text-normalization vocabulary a cleaning pipeline draws
+    * from, each proven against an independent engine. (DuckDB lacks
+    * initcap, so the oracle reconstructs it from word-split — which also
+    * pins down the exact per-word semantics.) */
+  val q34StringExt: QueryDef = sqlChecked(
+    "q34_string_ext",
+    """SELECT p_partkey,
+      |  array_to_string(list_transform(string_split(lower(p_name), ' '),
+      |    x -> upper(x[1]) || x[2:]), ' ') AS name_title,
+      |  translate(p_name, 'aeiou', '12345') AS name_leet,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+      |  rpad(substring(p_name, 1, 4), 6, '.') AS name_cell,
+      |  repeat(right(p_name, 2), 2) AS tail_twice,
+      |  reverse(p_name) AS name_rev,
+      |  strpos(p_name, 'o') AS first_o,
+      |  ascii(p_name) AS first_code,
+      |  md5(p_name) AS name_md5,
+      |  sha256(p_name) AS name_sha,
+      |  levenshtein(substring(p_name, 1, 8), reverse(substring(p_name, 1, 8))) AS palindrome_dist,
+      |  len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels
+      |FROM part
+      |WHERE p_partkey < 300
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .filter($"p_partkey" < 300)
+      .select($"p_partkey",
+        initcap($"p_name").as("name_title"),
+        translate($"p_name", "aeiou", "12345").as("name_leet"),
+        lpad($"p_partkey".cast("string"), 8, "0").as("key_padded"),
+        rpad(substring($"p_name", 1, 4), 6, ".").as("name_cell"),
+        repeat(substring($"p_name", -2, 2), 2).as("tail_twice"),
+        reverse($"p_name").as("name_rev"),
+        instr($"p_name", "o").as("first_o"),
+        ascii($"p_name").as("first_code"),
+        md5($"p_name").as("name_md5"),
+        sha2($"p_name", 256).as("name_sha"),
+        levenshtein(substring($"p_name", 1, 8),
+          reverse(substring($"p_name", 1, 8))).as("palindrome_dist"),
+        regexp_count($"p_name", lit("[aeiou]")).as("n_vowels"))
+      .orderBy($"p_partkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery)
+    q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt)
 }
