@@ -118,4 +118,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "histogram/locate joins must broadcast:\n" + p)
   }
+
+  test("kq01: bitmap distinct is a mergeable partial aggregate — no count-distinct Expand") {
+    val p = plan(SketchQueries.kq01BitmapDistinct)
+    assert(p.contains("partial_bitmap_construct_agg"),
+      "bitmap partial aggregation missing:\n" + p)
+    assert(!p.contains("Expand"),
+      "sketch path must avoid the count-distinct Expand rewrite:\n" + p)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 orders scan, got $scans")
+  }
+
+  test("q32: correlated LATERAL decorrelates to a hash join, never a per-row subquery") {
+    val p = plan(RelationalExt.q32LateralTopK)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "lateral subquery did not decorrelate:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "expected the decorrelated equi-join:\n" + p)
+  }
+
+  test("q33: higher-order functions stay in-row — no Generate, pushed filter, one scan") {
+    val p = plan(RelationalExt.q33HofBattery)
+    assert(!p.contains("Generate"), "HOFs must not explode to row space:\n" + p)
+    assert(p.contains("LessThan(doc_id,200)"), "doc_id filter not pushed:\n" + p)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans")
+  }
 }

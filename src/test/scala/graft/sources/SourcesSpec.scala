@@ -47,4 +47,20 @@ class SourcesSpec extends AnyFunSuite {
     val pred = loaded.transform(row).select($"prediction").head.getDouble(0)
     assert(!pred.isNaN && pred > 0, s"prediction $pred")
   }
+
+  test("parquet schema evolution: mergeSchema unions old and new file schemas") {
+    // A 100 TB table accretes columns over years of writes; readers must
+    // take the union schema and null-fill the files written before a
+    // column existed (and, per partition-file pruning, only pay for the
+    // columns they select).
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$base/d=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.parquet(s"$base/d=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "d"))
+    val rows = merged.orderBy($"id").collect()
+    assert(rows(0).getAs[Any]("v2") == null, "pre-evolution file must null-fill v2")
+    assert(rows(1).getAs[Double]("v2") == 9.5)
+  }
 }
