@@ -164,6 +164,36 @@ object RelationalExt {
       .orderBy($"p_partkey")
   }
 
+  /** Semi-structured VARIANT (Spark 4): parse_json once into the binary
+    * variant encoding, then typed variant_get path extraction — unlike
+    * per-path get_json_object (q17) the document is parsed ONCE however
+    * many paths are read, the shape lakehouse event tables want.
+    * try_variant_get on an absent path yields null instead of failing. */
+  val q35Variant: QueryDef = sqlChecked(
+    "q35_variant",
+    """SELECT event_type,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+      |  COUNT(*) FILTER (props->>'$.absent' IS NULL) AS n_missing,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("v", parse_json($"props"))
+      .withColumn("k", variant_get($"v", "$.k", "bigint"))
+      .groupBy($"event_type")
+      .agg(
+        sum($"k").as("sum_k"),
+        max($"k").as("max_k"),
+        count(when(try_variant_get($"v", "$.absent", "string").isNull, 1))
+          .as("n_missing"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt)
+    q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt,
+    q35Variant)
 }

@@ -87,10 +87,12 @@ object SketchQueries {
       .select($"l_returnflag",
         kll_sketch_get_quantile_double($"sk", lit(0.5)).as("p50_est"),
         kll_sketch_get_quantile_double($"sk", lit(0.95)).as("p95_est"))
-    val exact = li
-      .groupBy($"l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95_exact"))
+    // validation side via the engine's own distributed exact-percentile
+    // operator (bounded memory), not the whole-group-buffering built-in
+    val exact = graft.operators.ExactPercentile.quantiles(
+      li.select($"l_returnflag", $"l_extendedprice"),
+      "l_returnflag", "l_extendedprice",
+      Seq(0.5, 0.95), Seq("p50_exact", "p95_exact"))
     merged.join(exact, "l_returnflag")
       .select($"l_returnflag", $"p50_est", $"p50_exact", $"p95_est", $"p95_exact",
         (abs($"p50_est" - $"p50_exact") / $"p50_exact").as("p50_rel_err"),

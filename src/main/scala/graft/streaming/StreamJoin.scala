@@ -37,4 +37,14 @@ object StreamJoin {
       .select(col("purchase_id"), p("user_id"), col("purchase_ts"),
         col("amount"), col("click_id"), col("click_ts"))
   }
+
+  /** Stream-static dimension enrichment — the other join a streaming
+    * pipeline needs constantly: each micro-batch joins against a batch
+    * dimension table. Stateless (nothing buffered across batches), and
+    * the static side is re-planned per batch, so a dimension refreshed
+    * in place is picked up without restarting the query. Broadcast keeps
+    * it a map-side hash join: the stream side never shuffles, which at
+    * cluster scale means enrichment adds no exchange to the hot path. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

@@ -42,4 +42,29 @@ class StreamJoinSpec extends AnyFunSuite {
       assert(rows == Set((9001L, 101L), (9002L, 201L)))
     } finally query.stop()
   }
+
+  test("stream-static enrichment joins each micro-batch against the dimension, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = graft.sources.Tables.customer(spark, "/root/testdata/sf0.001")
+      .select($"c_custkey", $"c_mktsegment")
+    val events = MemoryStream[(Long, Double)]
+    val enriched = StreamJoin.enrichWithDim(
+      events.toDF().toDF("c_custkey", "amount"), dim, "c_custkey")
+    val query = enriched.writeStream
+      .format("memory").queryName("enriched_sink")
+      .outputMode("append").start()
+    try {
+      events.addData((1L, 10.0), (2L, 20.0), (-999L, 5.0)) // -999: no dim row
+      query.processAllAvailable()
+      events.addData((1L, 30.0)) // second batch joins again
+      query.processAllAvailable()
+      val rows = spark.table("enriched_sink").collect()
+      assert(rows.length == 4)
+      val segs = rows.map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)))).toSet
+      assert(segs.count(_._3.isEmpty) == 1, s"left join must keep the unmatched row: $segs")
+      assert(segs.filter(_._1 == 1L).forall(_._3.nonEmpty))
+    } finally query.stop()
+  }
 }
