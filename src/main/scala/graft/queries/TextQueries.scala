@@ -289,8 +289,38 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  /** Token-budget shard packing (sequence packing for training-data
+    * prep): documents in deterministic doc_id order accumulate into
+    * shards of ≤64k whitespace tokens; a doc's shard is where its FIRST
+    * token lands. The running total comes from operators/PrefixSum —
+    * range-partitioned parallel prefix, not a single-partition window
+    * sort — so the same query shape survives a 100 TB corpus. The oracle
+    * recomputes it with a plain windowed SUM, proving the distributed
+    * prefix is exactly the sequential one. */
+  val tq11TokenPacking: QueryDef = sqlChecked(
+    "tq11_token_packing",
+    """SELECT doc_id, n_tokens, running_tokens,
+      |  CAST(FLOOR((running_tokens - n_tokens) / 65536.0) AS BIGINT) AS shard
+      |FROM (
+      |  SELECT doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY doc_id) AS running_tokens
+      |  FROM (
+      |    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+    graft.operators.PrefixSum
+      .runningSum(toks, "doc_id", "n_tokens", "running_tokens")
+      .withColumn("shard",
+        floor(($"running_tokens" - $"n_tokens") / 65536.0).cast("bigint"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
     tq05Fingerprints, tq06MultimodalDecode, tq07MultimodalStats,
-    tq08StratifiedSample, tq09DeterministicSample, tq10BpeTokenCounts)
+    tq08StratifiedSample, tq09DeterministicSample, tq10BpeTokenCounts,
+    tq11TokenPacking)
 }

@@ -63,4 +63,31 @@ class OperatorsSpec extends AnyFunSuite {
     val b = salted.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
     assert(a.sameElements(b))
   }
+
+  test("distributed prefix sum equals the single-partition window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("v"))
+    val dist = PrefixSum.runningSum(toks, "doc_id", "v", "run")
+      .select($"doc_id", $"run")
+    val naive = toks.withColumn("run", sum($"v").over(Window.orderBy($"doc_id")))
+      .select($"doc_id", $"run")
+    val d = dist.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = naive.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(d.sameElements(n))
+  }
+
+  test("prefix sum range-partitions the data — the full-data exchange is never SinglePartition") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("v"))
+    val p = PrefixSum.runningSum(toks, "doc_id", "v", "run")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("rangepartitioning(doc_id"),
+      "expected a range exchange over the order key:\n" + p)
+    // the only SinglePartition exchange allowed is the one over the
+    // N-row partition-totals frame (its input is the aggregate, not the scan)
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 1, s"expected at most the tiny offsets exchange, got $singles:\n$p")
+  }
 }
