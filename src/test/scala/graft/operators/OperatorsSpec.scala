@@ -77,6 +77,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d.sameElements(n))
   }
 
+  test("prefix sum edge cases: empty input, one row, more partitions than rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    assert(PrefixSum.runningSum(empty, "k", "v", "run").count() == 0)
+    val one = Seq((7L, 42L)).toDF("k", "v")
+    val oneOut = PrefixSum.runningSum(one, "k", "v", "run").collect()
+    assert(oneOut.length == 1 && oneOut.head.getAs[Long]("run") == 42L)
+    val few = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val fewOut = PrefixSum.runningSum(few, "k", "v", "run", numPartitions = 16)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("run")).toMap
+    assert(fewOut == Map(1L -> 10L, 2L -> 30L, 3L -> 60L))
+  }
+
   test("prefix sum range-partitions the data — the full-data exchange is never SinglePartition") {
     import org.apache.spark.sql.execution.ExplainMode
     val toks = Tables.documents(spark, dir)
