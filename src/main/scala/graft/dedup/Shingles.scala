@@ -24,4 +24,13 @@ object Shingles {
       sequence(lit(0), size(toks) - 3),
       i => concat_ws(" ",
         element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+
+  /** Distinct word n-gram shingles for arbitrary n (decontamination uses
+    * longer grams than near-dup detection — an 8-gram match is strong
+    * evidence of copied text, not shared phrasing). Same caveat as
+    * [[shingles3]]: filter size(tokens) >= n first. */
+  def shinglesN(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 }

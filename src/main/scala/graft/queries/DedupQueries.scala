@@ -196,7 +196,53 @@ object DedupQueries {
         coalesce(max($"overlap"), lit(0.0)).as("max_overlap")))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any 8-gram
+    * shingle with an eval/benchmark set (stand-in: doc_id % 7 == 3) —
+    * the pre-training hygiene pass that keeps eval answers out of the
+    * training mix. 8-grams, not 3-grams: a long-gram match is copied
+    * text, not shared phrasing.
+    *
+    * Scale shape: the eval set is small and bounded, so its exploded
+    * shingle set BROADCASTS; the corpus side streams through a map-side
+    * hash join — no shuffle of the 100 TB side, no candidate explosion.
+    * Oracle: DuckDB recomputes the same shingle join with list
+    * comprehensions. */
+  val dq07Decontaminate: QueryDef = QueryDef.sqlChecked(
+    "dq07_decontaminate",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(w) - 7),
+      |      i -> array_to_string(w[i+1:i+8], ' '))) AS shingles
+      |  FROM toks WHERE len(w) >= 8),
+      |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+      |ev AS (SELECT doc_id AS eval_doc, sh FROM ex WHERE doc_id % 7 = 3),
+      |corpus AS (SELECT doc_id AS corpus_doc, sh FROM ex WHERE doc_id % 7 <> 3),
+      |hits AS (
+      |  SELECT corpus_doc, eval_doc FROM corpus JOIN ev USING (sh))
+      |SELECT COUNT(DISTINCT corpus_doc) AS n_contaminated,
+      |  COUNT(DISTINCT eval_doc) AS n_eval_hit,
+      |  COUNT(*) AS n_hits
+      |FROM hits""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ex = Tables.fanOut(spark, Tables.documents(spark, dir))
+      .withColumn("toks", Shingles.tokens($"text"))
+      .filter(size($"toks") >= 8)
+      .select($"doc_id", explode(Shingles.shinglesN($"toks", 8)).as("sh"))
+    val ev = ex.filter($"doc_id" % 7 === 3)
+      .select($"doc_id".as("eval_doc"), $"sh")
+    val corpus = ex.filter($"doc_id" % 7 =!= 3)
+      .select($"doc_id".as("corpus_doc"), $"sh")
+    corpus.join(broadcast(ev), Seq("sh"))
+      .agg(
+        countDistinct($"corpus_doc").as("n_contaminated"),
+        countDistinct($"eval_doc").as("n_eval_hit"),
+        count(lit(1)).as("n_hits"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dq01ExactDedup, dq02DedupKeepFirst, dq03MinhashLsh, dq04Simhash,
-    dq05NgramJaccard, dq06WinnowFingerprints)
+    dq05NgramJaccard, dq06WinnowFingerprints, dq07Decontaminate)
 }

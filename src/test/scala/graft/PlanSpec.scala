@@ -50,7 +50,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup and similarity candidate generation never plans CartesianProduct") {
     for (q <- Seq(DedupQueries.dq03MinhashLsh, DedupQueries.dq05NgramJaccard,
-        SimilarityQueries.sq02AnnLshRecall)) {
+        DedupQueries.dq07Decontaminate, SimilarityQueries.sq02AnnLshRecall)) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian product")
     }
