@@ -193,7 +193,35 @@ object RelationalExt {
       .orderBy($"event_type")
   }
 
+  /** Correlated EXISTS / NOT EXISTS / IN subqueries — the remaining
+    * subquery surface beyond scalar (q29) and lateral (q32). Catalyst
+    * rewrites all three to semi/anti joins, so the SQL-shaped predicates
+    * cost the same as the explicit join forms (q05/q06). */
+  val q36ExistsSubquery: QueryDef = {
+    val sql =
+      """SELECT c_mktsegment,
+        |  COUNT(*) FILTER (WHERE has_urgent) AS n_with_urgent,
+        |  COUNT(*) FILTER (WHERE no_orders) AS n_without_orders,
+        |  COUNT(*) FILTER (WHERE in_big_nation) AS n_big_nation
+        |FROM (
+        |  SELECT c_mktsegment,
+        |    EXISTS (SELECT 1 FROM orders
+        |            WHERE o_custkey = c_custkey
+        |              AND o_orderpriority = '1-URGENT') AS has_urgent,
+        |    NOT EXISTS (SELECT 1 FROM orders
+        |                WHERE o_custkey = c_custkey) AS no_orders,
+        |    c_nationkey IN (SELECT n_nationkey FROM nation
+        |                    WHERE n_regionkey = 0) AS in_big_nation
+        |  FROM customer)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
+    sqlChecked("q36_exists_subquery", sql) { (spark, dir) =>
+      Tables.registerAll(spark, dir)
+      spark.sql(sql)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt,
-    q35Variant)
+    q35Variant, q36ExistsSubquery)
 }
