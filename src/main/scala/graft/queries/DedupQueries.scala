@@ -242,7 +242,74 @@ object DedupQueries {
         count(lit(1)).as("n_hits"))
   }
 
+  /** Incremental-ingest dedup: a new batch (stand-in: the top fifth of
+    * doc_ids) is deduped AGAINST the historical corpus by content digest
+    * — the day-2 shape of every training-data pipeline (the corpus is
+    * only ever deduped once; each ingest then anti-joins the history).
+    * Only 32-byte digests move: the history side is a digest projection,
+    * the anti-join shuffles hashes, and document bodies stay put. Batch
+    * rows also dedup within themselves (keep-first) before the history
+    * check, so a doc duplicated inside the batch counts once.
+    *
+    * Canonical form: sha256 of the SORTED DISTINCT token set (bag of
+    * words) rather than dq01's whitespace-normalized text — order- and
+    * repetition-insensitive, so shuffled/near-reordered copies unify
+    * (this corpus's planted near-dups do: the history check genuinely
+    * fires — 10 batch groups dropped at sf0.01). */
+  val dq08IncrementalDedup: QueryDef = sqlChecked(
+    "dq08_incremental_dedup",
+    """WITH bounds AS (SELECT CAST(max(doc_id) * 0.8 AS BIGINT) AS cut FROM documents),
+      |h AS (
+      |  SELECT doc_id, lang,
+      |    sha256(array_to_string(list_sort(list_distinct(
+      |      string_split_regex(lower(text), '\s+'))), ' ')) AS h
+      |  FROM documents),
+      |hist AS (SELECT DISTINCT h FROM h, bounds WHERE doc_id < cut),
+      |batch AS (
+      |  SELECT h, lang, min(doc_id) AS keep_id, COUNT(*) AS n_in_batch
+      |  FROM h, bounds WHERE doc_id >= cut GROUP BY h, lang),
+      |kept AS (
+      |  SELECT lang, n_in_batch,
+      |    NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = batch.h) AS fresh
+      |  FROM batch)
+      |SELECT lang,
+      |  CAST(SUM(n_in_batch) AS BIGINT) AS n_batch_rows,
+      |  COUNT(*) FILTER (WHERE fresh) AS n_kept,
+      |  COUNT(*) FILTER (WHERE NOT fresh) AS n_dropped_vs_history,
+      |  CAST(SUM(n_in_batch - 1) AS BIGINT) AS n_dropped_in_batch
+      |FROM kept
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val h = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        sha2(concat_ws(" ",
+          array_sort(array_distinct(split(lower($"text"), "\\s+")))), 256).as("h"))
+    // cut stays a broadcast 1-row frame, not a driver collect — the split
+    // point is data-derived without leaving the executors
+    val bounds = h.agg((max($"doc_id") * 0.8).cast("long").as("cut"))
+    val hb = h.crossJoin(broadcast(bounds))
+    val hist = hb.filter($"doc_id" < $"cut").select($"h").distinct()
+    val batch = hb.filter($"doc_id" >= $"cut")
+      .groupBy($"h", $"lang")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_in_batch"))
+    val checked = batch.join(hist, Seq("h"), "left_anti")
+      .select($"lang", $"n_in_batch", lit(true).as("fresh"))
+      .unionByName(
+        batch.join(hist, Seq("h"), "left_semi")
+          .select($"lang", $"n_in_batch", lit(false).as("fresh")))
+    checked
+      .groupBy($"lang")
+      .agg(
+        sum($"n_in_batch").cast("long").as("n_batch_rows"),
+        count(when($"fresh", 1)).as("n_kept"),
+        count(when(!$"fresh", 1)).as("n_dropped_vs_history"),
+        sum($"n_in_batch" - 1).cast("long").as("n_dropped_in_batch"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dq01ExactDedup, dq02DedupKeepFirst, dq03MinhashLsh, dq04Simhash,
-    dq05NgramJaccard, dq06WinnowFingerprints, dq07Decontaminate)
+    dq05NgramJaccard, dq06WinnowFingerprints, dq07Decontaminate,
+    dq08IncrementalDedup)
 }
