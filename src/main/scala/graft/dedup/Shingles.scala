@@ -16,19 +16,14 @@ object Shingles {
   /** Lowercase whitespace tokens. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Distinct word 3-gram shingles. Caller must filter size(tokens) >= 3
-    * first: Spark's sequence(0, n) generates DESCENDING sequences for
-    * negative n instead of an empty array. */
-  def shingles3(toks: Column): Column =
-    array_distinct(transform(
-      sequence(lit(0), size(toks) - 3),
-      i => concat_ws(" ",
-        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+  /** Distinct word 3-gram shingles (near-dup detection grain). */
+  def shingles3(toks: Column): Column = shinglesN(toks, 3)
 
-  /** Distinct word n-gram shingles for arbitrary n (decontamination uses
-    * longer grams than near-dup detection — an 8-gram match is strong
-    * evidence of copied text, not shared phrasing). Same caveat as
-    * [[shingles3]]: filter size(tokens) >= n first. */
+  /** Distinct word n-gram shingles (decontamination uses longer grams
+    * than near-dup detection — an 8-gram match is strong evidence of
+    * copied text, not shared phrasing). Caller must filter
+    * size(tokens) >= n first: Spark's sequence(0, m) generates DESCENDING
+    * sequences for negative m instead of an empty array. */
   def shinglesN(toks: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(0), size(toks) - n),

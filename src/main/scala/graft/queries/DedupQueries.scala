@@ -255,10 +255,13 @@ object DedupQueries {
     * words) rather than dq01's whitespace-normalized text — order- and
     * repetition-insensitive, so shuffled/near-reordered copies unify
     * (this corpus's planted near-dups do: the history check genuinely
-    * fires — 10 batch groups dropped at sf0.01). */
+    * fires — 12 batch groups dropped vs history + 4 in-batch at
+    * sf0.01). The oracle cut uses FLOOR before the BIGINT cast because
+    * DuckDB's CAST rounds to nearest while Spark's non-ANSI cast
+    * truncates. */
   val dq08IncrementalDedup: QueryDef = sqlChecked(
     "dq08_incremental_dedup",
-    """WITH bounds AS (SELECT CAST(max(doc_id) * 0.8 AS BIGINT) AS cut FROM documents),
+    """WITH bounds AS (SELECT CAST(FLOOR(max(doc_id) * 0.8) AS BIGINT) AS cut FROM documents),
       |h AS (
       |  SELECT doc_id, lang,
       |    sha256(array_to_string(list_sort(list_distinct(

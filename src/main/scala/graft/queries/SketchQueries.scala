@@ -27,10 +27,13 @@ import org.apache.spark.sql.functions._
 object SketchQueries {
 
   /** Exact distinct via bucketed bitmaps (bitmap_bucket_number splits the
-    * key space into 32k-bit buckets; bitmap_construct_agg ORs positions in
-    * a bucket; bucket bitmaps then merge per group). Unlike
-    * COUNT(DISTINCT), every level is a mergeable partial aggregate — the
-    * dense-integer-key answer to exact distinct at scale. */
+    * key space into 32k-bit buckets; bitmap_construct_agg ORs positions
+    * within a bucket). Built at a FINER grain than asked — per (status,
+    * priority, bucket), the shape of a pre-aggregated rollup table — then
+    * rolled up with bitmap_or_agg, proving the bitmaps merge losslessly
+    * across the extra dimension. Unlike COUNT(DISTINCT), every level is a
+    * mergeable partial aggregate — the dense-integer-key answer to exact
+    * distinct at scale. */
   val kq01BitmapDistinct: QueryDef = sqlChecked(
     "kq01_bitmap_distinct",
     """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
@@ -39,8 +42,11 @@ object SketchQueries {
       |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     Tables.orders(spark, dir)
-      .groupBy($"o_orderstatus", bitmap_bucket_number($"o_custkey").as("bucket"))
+      .groupBy($"o_orderstatus", $"o_orderpriority",
+        bitmap_bucket_number($"o_custkey").as("bucket"))
       .agg(bitmap_construct_agg(bitmap_bit_position($"o_custkey")).as("bm"))
+      .groupBy($"o_orderstatus", $"bucket")
+      .agg(bitmap_or_agg($"bm").as("bm"))
       .groupBy($"o_orderstatus")
       .agg(sum(bitmap_count($"bm")).as("n_customers"))
       .orderBy($"o_orderstatus")

@@ -88,7 +88,11 @@ object Sessionize {
         for (t <- times.sorted) {
           open = open match {
             case Some(s) if t - s.end <= gapMs =>
-              Some(OpenSession(s.start, t, s.n + 1))
+              // min/max, not (start, t): events sort only WITHIN a batch, so
+              // a later batch can deliver an event above the watermark but
+              // inside (or before) the open session's span — the span must
+              // only ever widen, never move backward
+              Some(OpenSession(math.min(s.start, t), math.max(s.end, t), s.n + 1))
             case Some(s) =>
               closed ::= ClosedSession(user, s.start, s.end, s.n)
               Some(OpenSession(t, t, 1))

@@ -45,7 +45,9 @@ object TwsSessionize {
       for (t <- times) {
         cur = cur match {
           case Some(s) if t - s.end <= gapMs =>
-            Some(OpenSession(s.start, t, s.n + 1))
+            // widen-only (see Sessionize): a cross-batch out-of-order event
+            // above the watermark must not move the session end backward
+            Some(OpenSession(math.min(s.start, t), math.max(s.end, t), s.n + 1))
           case Some(s) =>
             closed ::= ClosedSession(user, s.start, s.end, s.n)
             Some(OpenSession(t, t, 1))

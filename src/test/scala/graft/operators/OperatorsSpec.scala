@@ -90,7 +90,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fewOut == Map(1L -> 10L, 2L -> 30L, 3L -> 60L))
   }
 
-  test("prefix sum range-partitions the data — the full-data exchange is never SinglePartition") {
+  test("prefix sum shuffles the data exactly once (range), all other exchanges are tiny") {
     import org.apache.spark.sql.execution.ExplainMode
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", size(split($"text", " ")).cast("long").as("v"))
@@ -98,9 +98,33 @@ class OperatorsSpec extends AnyFunSuite {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("rangepartitioning(doc_id"),
       "expected a range exchange over the order key:\n" + p)
-    // the only SinglePartition exchange allowed is the one over the
-    // N-row partition-totals frame (its input is the aggregate, not the scan)
-    val singles = "Exchange SinglePartition".r.findAllIn(p).size
-    assert(singles <= 1, s"expected at most the tiny offsets exchange, got $singles:\n$p")
+    assert(p.contains("MapPartitions"),
+      "expected the per-partition accumulator pass:\n" + p)
+    // The wide rows pay ONE range exchange (output pass); the offsets
+    // pass range-shuffles only a pruned (orderCol, value) projection and
+    // adds one N-row hash exchange + one SinglePartition sort of N
+    // totals. A hashpartitioning exchange beyond that single tiny one
+    // would mean the full rows are being reshuffled (the
+    // window-on-partition-id mistake this operator exists to avoid).
+    // formatted explain prints the partitioning in per-node Arguments lines
+    val ranges = "rangepartitioning\\(".r.findAllIn(p).size
+    val hashes = "hashpartitioning\\(".r.findAllIn(p).size
+    val singles = "SinglePartition".r.findAllIn(p).size
+    assert(ranges == 2 && hashes <= 1 && singles <= 1,
+      s"unexpected exchange profile (range=$ranges hash=$hashes single=$singles):\n$p")
+  }
+
+  test("prefix sum null semantics match the global window: null until the first non-null") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val data = Seq[(Long, java.lang.Long)](
+      (1L, null), (2L, null), (3L, 10L), (4L, null), (5L, 5L))
+      .toDF("k", "v")
+    val dist = PrefixSum.runningSum(data, "k", "v", "run", numPartitions = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("run")))).toMap
+    val naive = data.withColumn("run", sum($"v").over(Window.orderBy($"k")))
+      .collect().map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("run")))).toMap
+    assert(dist == naive, s"dist=$dist naive=$naive")
+    assert(dist(1L).isEmpty && dist(3L).contains(10L) && dist(5L).contains(15L))
   }
 }

@@ -98,4 +98,34 @@ class SessionizeSpec extends AnyFunSuite {
         s"the late straggler should have been dropped, got $byUser")
     } finally query.stop()
   }
+
+  test("a cross-batch out-of-order event inside the session widens it, never moves end backward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-03-01 $hhmm:00")
+    val stream = MemoryStream[Sessionize.SessionEvent]
+    val query = Sessionize.closedSessions(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(Sessionize.SessionEvent(9L, ts("12:00")))
+      query.processAllAvailable() // watermark ≈ 11:50
+      // above the watermark, earlier than the stored end: must widen the
+      // span to [11:55, 12:00], not move end back to 11:55
+      stream.addData(Sessionize.SessionEvent(9L, ts("11:55")))
+      query.processAllAvailable()
+      // 12:28 is within 30 min of the TRUE end (12:00) → same session
+      stream.addData(Sessionize.SessionEvent(9L, ts("12:28")))
+      query.processAllAvailable()
+      stream.addData(Sessionize.SessionEvent(8L, ts("14:00")))
+      query.processAllAvailable() // watermark 13:50 closes user 9
+      val rows = spark.table("ooo_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 == 9L)
+      assert(rows.length == 1, s"expected ONE widened session, got $rows")
+      val (_, start, end, n) = rows.head
+      assert(start == ts("11:55").getTime && end == ts("12:28").getTime && n == 3L,
+        s"expected [11:55, 12:28] n=3, got start=$start end=$end n=$n")
+    } finally query.stop()
+  }
 }

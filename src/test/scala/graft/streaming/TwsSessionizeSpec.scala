@@ -32,6 +32,7 @@ class TwsSessionizeSpec extends AnyFunSuite {
     val script = Seq(
       Seq(Sessionize.SessionEvent(1L, ts("09:00")), Sessionize.SessionEvent(2L, ts("09:01"))),
       Seq(Sessionize.SessionEvent(1L, ts("09:05"))),
+      Seq(Sessionize.SessionEvent(1L, ts("09:02"))), // out-of-order, inside the span: widen only
       Seq(Sessionize.SessionEvent(1L, ts("09:45"))), // closes 09:00-09:05 mid-batch
       Seq(Sessionize.SessionEvent(3L, ts("11:00")))) // watermark → timers fire
 
@@ -53,7 +54,7 @@ class TwsSessionizeSpec extends AnyFunSuite {
     val v1 = run(Sessionize.closedSessions(_), "fmgws_sessions")
     assert(v2 == v1, s"v2=$v2 v1=$v1")
     // and the expected content, not just equivalence
-    assert(v2.contains(Sessionize.ClosedSession(1L, ts("09:00").getTime, ts("09:05").getTime, 2L)))
+    assert(v2.contains(Sessionize.ClosedSession(1L, ts("09:00").getTime, ts("09:05").getTime, 3L)))
     assert(v2.exists(s => s.user_id == 1L && s.n_events == 1L)) // the 09:45 singleton
     assert(v2.exists(s => s.user_id == 2L && s.n_events == 1L))
   }
