@@ -311,8 +311,67 @@ object DedupQueries {
       .orderBy($"lang")
   }
 
+  /** Duplicate-cluster resolution: near-dup PAIRS (3-gram Jaccard ≥ 0.5,
+    * dq05's candidate machinery) collapsed into duplicate GROUPS via
+    * connected components (operators/ConnectedComponents) — dedup must
+    * respect the transitive closure: a~b and b~c keep ONE of {a,b,c}
+    * even though a~c was never paired (the fixture genuinely contains
+    * size-3 chains). Oracle: DuckDB recomputes the components with a
+    * recursive CTE — an exact cross-engine check of the distributed
+    * fixpoint. */
+  val dq09DupClusters: QueryDef = sqlChecked(
+    "dq09_dup_clusters",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
+      |    i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))) AS shingles
+      |  FROM toks WHERE len(w) >= 3),
+      |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+      |sz AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  JOIN sz sa ON sa.doc_id = doc_a
+      |  JOIN sz sb ON sb.doc_id = doc_b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM jac
+      |      UNION SELECT doc_b, doc_a FROM jac),
+      |reach AS (
+      |  SELECT a AS doc, a AS label FROM e
+      |  UNION
+      |  SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.doc),
+      |comp AS (SELECT doc, min(label) AS component FROM reach GROUP BY doc),
+      |cl AS (SELECT component, COUNT(*) AS c FROM comp GROUP BY component)
+      |SELECT COUNT(*) AS n_clusters,
+      |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_docs_in_clusters,
+      |  CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_cluster_size
+      |FROM cl""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val base = shingled(spark, dir).cache()
+    val ex = base.select($"doc_id", explode($"shingles").as("sh"))
+    val sz = base.select($"doc_id", size($"shingles").as("sz"))
+    val pairs = ex.as("a")
+      .join(ex.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), Seq("doc_a"))
+      .join(sz.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), Seq("doc_b"))
+      .filter($"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter") >= 0.5)
+      .select($"doc_a", $"doc_b")
+    graft.operators.ConnectedComponents.components(pairs)
+      .groupBy($"component").agg(count(lit(1)).as("c"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        coalesce(sum($"c"), lit(0)).cast("long").as("n_docs_in_clusters"),
+        coalesce(max($"c"), lit(0)).cast("long").as("max_cluster_size"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dq01ExactDedup, dq02DedupKeepFirst, dq03MinhashLsh, dq04Simhash,
     dq05NgramJaccard, dq06WinnowFingerprints, dq07Decontaminate,
-    dq08IncrementalDedup)
+    dq08IncrementalDedup, dq09DupClusters)
 }
