@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.SimilarityQueries.all ++
     graft.queries.MlQueries.all ++
     graft.queries.SketchQueries.all ++
-    graft.queries.RelationalExt.all
+    graft.queries.RelationalExt.all ++
+    graft.queries.FilterQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

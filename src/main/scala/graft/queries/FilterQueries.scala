@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.sqlChecked
+import graft.sources.Tables
+import graft.util.Num._
+import org.apache.spark.sql.functions._
+
+/** Corpus filtering / cleaning battery — the quality-and-safety passes a
+  * training-data pipeline runs between ingest and tokenization. All four
+  * are single-scan, in-row computations (regex + array built-ins inside
+  * whole-stage codegen) feeding one aggregation — the only shape that
+  * survives a 100 TB corpus — and all are DuckDB-oracle-checked.
+  */
+object FilterQueries {
+
+  /** Sensitive-term redaction: masks a term list with word-boundary
+    * regexes and accounts for every replacement (the redaction machinery
+    * of a PII pass — same regexp_replace/regexp-count plumbing, fixture-
+    * visible pattern). Accounting rides the same scan as the rewrite. */
+  val fq01TermRedaction: QueryDef = sqlChecked(
+    "fq01_term_redaction",
+    """SELECT lang,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(*) FILTER (len(regexp_extract_all(text, '\bcustomer\b')) > 0) AS n_docs_hit,
+      |  CAST(SUM(len(regexp_extract_all(text, '\bcustomer\b'))) AS BIGINT) AS n_redactions,
+      |  CAST(SUM(len(regexp_replace(text, '\bcustomer\b', '<REDACTED>', 'g'))
+      |    - len(text)) AS BIGINT) AS added_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val hits = regexp_count($"text", lit("\\bcustomer\\b"))
+    Tables.documents(spark, dir)
+      .select($"lang", hits.as("hits"),
+        (length(regexp_replace($"text", "\\bcustomer\\b", "<REDACTED>")) -
+          length($"text")).as("delta"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when($"hits" > 0, 1)).as("n_docs_hit"),
+        sum($"hits").cast("long").as("n_redactions"),
+        sum($"delta").cast("long").as("added_chars"))
+      .orderBy($"lang")
+  }
+
+  /** Quality-filter funnel (Gopher-rule shape): independent rule-failure
+    * counts plus the survivors — funnel accounting tells you WHICH rule
+    * is eating the corpus, and it all rides one scan. */
+  val fq02FilterFunnel: QueryDef = sqlChecked(
+    "fq02_filter_funnel",
+    """WITH f AS (
+      |  SELECT
+      |    len(toks) AS n_tokens,
+      |    CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)
+      |      / len(toks) AS mean_len,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_frac,
+      |    list_contains(toks, 'the') OR list_contains(toks, 'a') AS has_stopword
+      |  FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+      |SELECT COUNT(*) AS n_docs,
+      |  COUNT(*) FILTER (n_tokens < 30) AS fail_too_short,
+      |  COUNT(*) FILTER (mean_len < 2.0 OR mean_len > 8.0) AS fail_word_len,
+      |  COUNT(*) FILTER (distinct_frac < 0.5) AS fail_repetitious,
+      |  COUNT(*) FILTER (NOT has_stopword) AS fail_no_stopword,
+      |  COUNT(*) FILTER (n_tokens >= 30 AND mean_len >= 2.0 AND mean_len <= 8.0
+      |    AND distinct_frac >= 0.5 AND has_stopword) AS n_pass
+      |FROM f""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val f = Tables.documents(spark, dir)
+      .select(split($"text", " ").as("toks"))
+      .select(
+        size($"toks").as("n_tokens"),
+        (aggregate($"toks", lit(0), (acc, x) => acc + length(x)).cast("double") /
+          size($"toks")).as("mean_len"),
+        (size(array_distinct($"toks")).cast("double") / size($"toks"))
+          .as("distinct_frac"),
+        (array_contains($"toks", "the") || array_contains($"toks", "a"))
+          .as("has_stopword"))
+    f.agg(
+      count(lit(1)).as("n_docs"),
+      count(when($"n_tokens" < 30, 1)).as("fail_too_short"),
+      count(when($"mean_len" < 2.0 || $"mean_len" > 8.0, 1)).as("fail_word_len"),
+      count(when($"distinct_frac" < 0.5, 1)).as("fail_repetitious"),
+      count(when(!$"has_stopword", 1)).as("fail_no_stopword"),
+      count(when($"n_tokens" >= 30 && $"mean_len" >= 2.0 && $"mean_len" <= 8.0 &&
+        $"distinct_frac" >= 0.5 && $"has_stopword", 1)).as("n_pass"))
+  }
+
+  /** Repetition detection: duplicate-token and duplicate-bigram fractions
+    * per document (the Gopher repetition filters), aggregated per lang —
+    * all computed inside the row from the token array, no explode. */
+  val fq03Repetition: QueryDef = sqlChecked(
+    "fq03_repetition",
+    """WITH r AS (
+      |  SELECT lang,
+      |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_tok_frac,
+      |    1.0 - CAST(len(list_distinct(list_transform(range(len(toks) - 1),
+      |        i -> concat(toks[i+1], ' ', toks[i+2])))) AS DOUBLE)
+      |      / (len(toks) - 1) AS dup_bigram_frac
+      |  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 2)
+      |SELECT lang,
+      |  CAST(SUM(CAST((dup_tok_frac) AS DECIMAL(30,6))) AS DOUBLE) / COUNT((dup_tok_frac)) AS avg_dup_tok,
+      |  CAST(SUM(CAST((dup_bigram_frac) AS DECIMAL(30,6))) AS DOUBLE) / COUNT((dup_bigram_frac)) AS avg_dup_bigram,
+      |  COUNT(*) FILTER (dup_bigram_frac > 0.2) AS n_flagged
+      |FROM r
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val toksCol = split($"text", " ")
+    val r = Tables.documents(spark, dir)
+      .select($"lang", toksCol.as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"lang",
+        (lit(1.0) - size(array_distinct($"toks")).cast("double") / size($"toks"))
+          .as("dup_tok_frac"),
+        (lit(1.0) - size(array_distinct(graft.dedup.Shingles.shinglesN($"toks", 2)))
+          .cast("double") / (size($"toks") - 1)).as("dup_bigram_frac"))
+    r.groupBy($"lang")
+      .agg(
+        davg($"dup_tok_frac").as("avg_dup_tok"),
+        davg($"dup_bigram_frac").as("avg_dup_bigram"),
+        count(when($"dup_bigram_frac" > 0.2, 1)).as("n_flagged"))
+      .orderBy($"lang")
+  }
+
+  /** Corpus mixing: given target language weights, compute the largest
+    * total the available per-lang counts can serve at those proportions
+    * (budget = min over langs of n_l / w_l), then draw each language's
+    * share with the deterministic md5-threshold sample — reproducible on
+    * any cluster layout, no shuffle beyond the count aggregation. */
+  val fq04CorpusMixing: QueryDef = sqlChecked(
+    "fq04_corpus_mixing",
+    """WITH w(lang, wt) AS (VALUES ('en', 0.4), ('zh', 0.2), ('fr', 0.2), ('de', 0.1), ('es', 0.1)),
+      |avail AS (SELECT lang, COUNT(*) AS n_avail FROM documents GROUP BY lang),
+      |budget AS (SELECT min(n_avail / wt) AS b FROM avail JOIN w USING (lang)),
+      |frac AS (
+      |  SELECT lang, n_avail, wt, LEAST(1.0, wt * b / n_avail) AS f
+      |  FROM avail JOIN w USING (lang), budget),
+      |sampled AS (
+      |  SELECT d.lang, COUNT(*) AS n_sampled
+      |  FROM documents d JOIN frac ON d.lang = frac.lang
+      |  WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |    < CAST(frac.f * 4294967296.0 AS BIGINT)
+      |  GROUP BY d.lang)
+      |SELECT lang, n_avail, wt AS target_weight, n_sampled
+      |FROM frac LEFT JOIN sampled USING (lang)
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val w = Seq(("en", 0.4), ("zh", 0.2), ("fr", 0.2), ("de", 0.1), ("es", 0.1))
+      .toDF("lang", "wt")
+    val avail = docs.groupBy($"lang").agg(count(lit(1)).as("n_avail"))
+    val frac = avail.join(broadcast(w), "lang")
+      .crossJoin(broadcast(
+        avail.join(broadcast(w), "lang").agg(min($"n_avail" / $"wt").as("b"))))
+      .select($"lang", $"n_avail", $"wt",
+        least(lit(1.0), $"wt" * $"b" / $"n_avail").as("f"))
+    val sampled = docs.join(broadcast(frac), "lang")
+      .filter(
+        conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("long") <
+          ($"f" * 4294967296.0).cast("long"))
+      .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+    frac.join(sampled, Seq("lang"), "left")
+      .select($"lang", $"n_avail", $"wt".as("target_weight"), $"n_sampled")
+      .orderBy($"lang")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    fq01TermRedaction, fq02FilterFunnel, fq03Repetition, fq04CorpusMixing)
+}
