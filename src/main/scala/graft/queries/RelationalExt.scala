@@ -221,7 +221,25 @@ object RelationalExt {
     }
   }
 
+  /** Generator with ordinality: posexplode keeps each element's position
+    * — the explode variant order-sensitive consumers (token streams,
+    * windowed shingles) need. Oracle: DuckDB generate_series + 1-based
+    * list indexing. */
+  val q37Posexplode: QueryDef = sqlChecked(
+    "q37_posexplode",
+    """SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |      FROM documents WHERE doc_id < 20),
+      |  LATERAL unnest(generate_series(1, len(toks))) AS t(i)
+      |ORDER BY doc_id, pos""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 20)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      .orderBy($"doc_id", $"pos")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt,
-    q35Variant, q36ExistsSubquery)
+    q35Variant, q36ExistsSubquery, q37Posexplode)
 }

@@ -155,6 +155,47 @@ object TemporalQueries {
       .orderBy($"user_id")
   }
 
+  /** Sessionization via the BUILT-IN session_window aggregation — the
+    * idiomatic one-liner next to eq03's window-islands formulation (and
+    * the streaming Sessionize state machines): groupBy(user,
+    * session_window(ts, gap)) merges events into gap-separated sessions
+    * inside a single aggregate, no window functions at all.
+    *
+    * Boundary semantics differ from eq03 by design and the oracle
+    * encodes them exactly: session_window treats the session as
+    * [start, last+gap) half-open, so an event at EXACTLY gap distance
+    * starts a NEW session (oracle rule `>= INTERVAL` not `>`), while
+    * eq03's island rule (`> INTERVAL`) merges it. */
+  val eq04SessionWindow: QueryDef = sqlChecked(
+    "eq04_session_window",
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_start
+      |  FROM events WHERE user_id < 100
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"user_id" < 100)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("w") // struct output breaks the compare harness; min/max carry the bounds
+      .orderBy($"user_id", $"session_start")
+  }
+
   val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq01bAsofExec, eq02RangeJoin,
-    eq03Sessionize)
+    eq03Sessionize, eq04SessionWindow)
 }
