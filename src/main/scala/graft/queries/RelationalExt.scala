@@ -239,7 +239,37 @@ object RelationalExt {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** Schema-full JSON path (F1): from_json with an explicit schema into a
+    * typed struct, field access, and to_json re-serialization — the
+    * batch oracle-checked counterpart of the streaming parseJson path.
+    * Both engines canonicalize to {"k":69} (no whitespace), so the
+    * round-trip string itself is part of the hash-checked output. */
+  val q38JsonRoundtrip: QueryDef = sqlChecked(
+    "q38_json_roundtrip",
+    """SELECT event_type,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(*) FILTER (CAST(to_json(struct_pack(
+      |    k := CAST(props->>'$.k' AS BIGINT))) AS VARCHAR) = '{"k":69}') AS n_k69,
+      |  COUNT(DISTINCT CAST(to_json(struct_pack(
+      |    k := CAST(props->>'$.k' AS BIGINT))) AS VARCHAR)) AS n_distinct_json
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, dir)
+      .withColumn("parsed", from_json($"props", schema))
+      .withColumn("rt", to_json($"parsed"))
+      .groupBy($"event_type")
+      .agg(
+        sum($"parsed.k").as("sum_k"),
+        count(when($"rt" === """{"k":69}""", 1)).as("n_k69"),
+        countDistinct($"rt").as("n_distinct_json"))
+      .orderBy($"event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt,
-    q35Variant, q36ExistsSubquery, q37Posexplode)
+    q35Variant, q36ExistsSubquery, q37Posexplode, q38JsonRoundtrip)
 }

@@ -99,6 +99,33 @@ class SessionizeSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("built-in session_window works in streaming append mode (fourth sessionization path)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-03-01 $hhmm:00")
+    val stream = MemoryStream[Sessionize.SessionEvent]
+    val sessions = stream.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("start"), $"n_events")
+    val query = sessions.writeStream
+      .format("memory").queryName("builtin_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(Sessionize.SessionEvent(1L, ts("09:00")),
+        Sessionize.SessionEvent(1L, ts("09:10")))
+      query.processAllAvailable()
+      stream.addData(Sessionize.SessionEvent(1L, ts("11:00")))
+      query.processAllAvailable() // watermark 10:50 > 09:40 → session emits
+      val rows = spark.table("builtin_sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, ts("09:00"), 2L)),
+        s"expected the closed 2-event session, got ${rows.toSeq}")
+    } finally query.stop()
+  }
+
   test("a cross-batch out-of-order event inside the session widens it, never moves end backward") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
