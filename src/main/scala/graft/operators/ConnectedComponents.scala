@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param pairs two-column frame of undirected edges (src, dst)
+    * @param maxIterations fail-safe bound on propagation rounds (rounds
+    *        needed = component diameter); exhausting it THROWS rather
+    *        than silently returning unconverged labels — wrong components
+    *        would make a dedup keeper-choice quietly keep duplicates
     * @return (vertex, component) — component = min vertex id reachable */
-  def components(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val Array(srcCol, dstCol) = pairs.columns
@@ -65,6 +69,10 @@ object ConnectedComponents {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIterations rounds " +
+          "(component diameter exceeds the bound); raise maxIterations")
     labels
   }
 }

@@ -91,7 +91,7 @@ object FilterQueries {
     * all computed inside the row from the token array, no explode. */
   val fq03Repetition: QueryDef = sqlChecked(
     "fq03_repetition",
-    """WITH r AS (
+    s"""WITH r AS (
       |  SELECT lang,
       |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_tok_frac,
       |    1.0 - CAST(len(list_distinct(list_transform(range(len(toks) - 1),
@@ -100,8 +100,8 @@ object FilterQueries {
       |  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
       |  WHERE len(toks) >= 2)
       |SELECT lang,
-      |  CAST(SUM(CAST((dup_tok_frac) AS DECIMAL(30,6))) AS DOUBLE) / COUNT((dup_tok_frac)) AS avg_dup_tok,
-      |  CAST(SUM(CAST((dup_bigram_frac) AS DECIMAL(30,6))) AS DOUBLE) / COUNT((dup_bigram_frac)) AS avg_dup_bigram,
+      |  ${sqlDavg("dup_tok_frac")} AS avg_dup_tok,
+      |  ${sqlDavg("dup_bigram_frac")} AS avg_dup_bigram,
       |  COUNT(*) FILTER (dup_bigram_frac > 0.2) AS n_flagged
       |FROM r
       |GROUP BY lang
@@ -114,7 +114,7 @@ object FilterQueries {
       .select($"lang",
         (lit(1.0) - size(array_distinct($"toks")).cast("double") / size($"toks"))
           .as("dup_tok_frac"),
-        (lit(1.0) - size(array_distinct(graft.dedup.Shingles.shinglesN($"toks", 2)))
+        (lit(1.0) - size(graft.dedup.Shingles.shinglesN($"toks", 2))
           .cast("double") / (size($"toks") - 1)).as("dup_bigram_frac"))
     r.groupBy($"lang")
       .agg(
@@ -141,7 +141,7 @@ object FilterQueries {
       |  SELECT d.lang, COUNT(*) AS n_sampled
       |  FROM documents d JOIN frac ON d.lang = frac.lang
       |  WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-      |    < CAST(frac.f * 4294967296.0 AS BIGINT)
+      |    < CAST(FLOOR(frac.f * 4294967296.0) AS BIGINT)
       |  GROUP BY d.lang)
       |SELECT lang, n_avail, wt AS target_weight, n_sampled
       |FROM frac LEFT JOIN sampled USING (lang)
@@ -151,9 +151,9 @@ object FilterQueries {
     val w = Seq(("en", 0.4), ("zh", 0.2), ("fr", 0.2), ("de", 0.1), ("es", 0.1))
       .toDF("lang", "wt")
     val avail = docs.groupBy($"lang").agg(count(lit(1)).as("n_avail"))
-    val frac = avail.join(broadcast(w), "lang")
-      .crossJoin(broadcast(
-        avail.join(broadcast(w), "lang").agg(min($"n_avail" / $"wt").as("b"))))
+    val aw = avail.join(broadcast(w), "lang")
+    val frac = aw
+      .crossJoin(broadcast(aw.agg(min($"n_avail" / $"wt").as("b"))))
       .select($"lang", $"n_avail", $"wt",
         least(lit(1.0), $"wt" * $"b" / $"n_avail").as("f"))
     val sampled = docs.join(broadcast(frac), "lang")

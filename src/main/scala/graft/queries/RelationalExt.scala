@@ -247,11 +247,11 @@ object RelationalExt {
   val q38JsonRoundtrip: QueryDef = sqlChecked(
     "q38_json_roundtrip",
     """SELECT event_type,
-      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(SUM(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
       |  COUNT(*) FILTER (CAST(to_json(struct_pack(
-      |    k := CAST(props->>'$.k' AS BIGINT))) AS VARCHAR) = '{"k":69}') AS n_k69,
+      |    k := TRY_CAST(props->>'$.k' AS BIGINT))) AS VARCHAR) = '{"k":69}') AS n_k69,
       |  COUNT(DISTINCT CAST(to_json(struct_pack(
-      |    k := CAST(props->>'$.k' AS BIGINT))) AS VARCHAR)) AS n_distinct_json
+      |    k := TRY_CAST(props->>'$.k' AS BIGINT))) AS VARCHAR)) AS n_distinct_json
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (spark, dir) =>
@@ -260,7 +260,11 @@ object RelationalExt {
     val schema = StructType(Seq(StructField("k", LongType)))
     Tables.events(spark, dir)
       .withColumn("parsed", from_json($"props", schema))
-      .withColumn("rt", to_json($"parsed"))
+      // ignoreNullFields=false: a null k serializes as {"k":null} exactly
+      // like the oracle's struct_pack (the default would emit {} and
+      // silently diverge on any fixture row without k); TRY_CAST above is
+      // the DuckDB mirror of from_json's null-on-bad-value behavior
+      .withColumn("rt", to_json($"parsed", Map("ignoreNullFields" -> "false")))
       .groupBy($"event_type")
       .agg(
         sum($"parsed.k").as("sum_k"),

@@ -49,15 +49,21 @@ object Sessionize {
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class OpenSession(start: Long, end: Long, n: Long)
+  /** Per-key state: the OPEN islands, possibly several when out-of-order
+    * events (above the watermark) arrive more than a gap apart. */
+  case class OpenSessions(islands: List[OpenSession])
   case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 
   /** The streaming counterpart of eq03's batch sessionization, via
     * flatMapGroupsWithState (0..n outputs per group per batch — a closed
     * session is emitted only when the event-time watermark passes the
     * session's gap timeout, so results are final and append-safe). State
-    * per key is ONE fixed-size open-session record; eviction is by
-    * EventTimeTimeout, which unlike ProcessingTimeTimeout is driven by the
-    * data clock and therefore deterministic in tests and replays.
+    * per key is the list of OPEN islands — usually one, several only
+    * while out-of-order events (above the watermark) sit more than a gap
+    * apart, so its size is bounded by the watermark-delay/gap ratio, not
+    * the stream. Eviction is by EventTimeTimeout, which unlike
+    * ProcessingTimeTimeout is driven by the data clock and therefore
+    * deterministic in tests and replays.
     *
     * Late-data contract: under EventTimeTimeout the exec node filters
     * input rows older than the current watermark before they reach the
@@ -67,47 +73,55 @@ object Sessionize {
     * guarantee is specific to this event-time configuration.) */
   def closedSessions(events: Dataset[_], gapMinutes: Int = 30): Dataset[ClosedSession] = {
     implicit val evEnc = Encoders.product[SessionEvent]
-    implicit val stEnc = Encoders.product[OpenSession]
+    implicit val stEnc = Encoders.product[OpenSessions]
     implicit val outEnc = Encoders.product[ClosedSession]
     val gapMs = gapMinutes * 60L * 1000L
 
     def update(user: Long, batch: Iterator[SessionEvent],
-        state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+        state: GroupState[OpenSessions]): Iterator[ClosedSession] = {
+      val wm = state.getCurrentWatermarkMs()
       if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator(ClosedSession(user, s.start, s.end, s.n))
+        val islands = state.get.islands
+        val (expired, live) = islands.partition(_.end + gapMs <= wm)
+        if (live.isEmpty) state.remove()
+        else {
+          state.update(OpenSessions(live))
+          state.setTimeoutTimestamp(live.map(_.end + gapMs).min)
+        }
+        expired.sortBy(_.start)
+          .map(s => ClosedSession(user, s.start, s.end, s.n)).iterator
       } else {
-        val times = batch.map(_.ts.getTime).toSeq
-        val prev = state.getOption
-        // one open session per key: events within the gap extend it; a
-        // batch can also contain an internal gap, closing the session
-        // mid-batch and opening the next one
-        var closed = List.empty[ClosedSession]
-        var open = prev
-        for (t <- times.sorted) {
-          open = open match {
-            case Some(s) if t - s.end <= gapMs =>
-              // min/max, not (start, t): events sort only WITHIN a batch, so
-              // a later batch can deliver an event above the watermark but
-              // inside (or before) the open session's span — the span must
-              // only ever widen, never move backward
-              Some(OpenSession(math.min(s.start, t), math.max(s.end, t), s.n + 1))
+        val times = batch.map(_.ts.getTime).toSeq.sorted
+        val prev = state.getOption.map(_.islands).getOrElse(Nil)
+        // A key can hold SEVERAL open islands: out-of-order events above
+        // the watermark may open a session more than `gap` BEFORE an
+        // existing one (merging those would glue sessions a batch
+        // recomputation keeps apart). Insert each event into the island
+        // whose [start-gap, end+gap] hull covers it, else open a new
+        // island; then merge islands a new point bridged.
+        var islands = prev
+        for (t <- times) {
+          islands.find(s => t >= s.start - gapMs && t <= s.end + gapMs) match {
             case Some(s) =>
-              closed ::= ClosedSession(user, s.start, s.end, s.n)
-              Some(OpenSession(t, t, 1))
-            case None => Some(OpenSession(t, t, 1))
+              islands = Sessionize.mergeIslands(
+                OpenSession(math.min(s.start, t), math.max(s.end, t), s.n + 1) ::
+                  islands.filterNot(_ eq s), gapMs)
+            case None =>
+              islands = Sessionize.mergeIslands(OpenSession(t, t, 1) :: islands, gapMs)
           }
         }
-        open.foreach { s =>
-          state.update(s)
-          // Safe: with EventTimeTimeout the exec node drops input rows
-          // older than the watermark before they reach this function
-          // (verified by SessionizeSpec's straggler test), so s.end >=
-          // watermark and s.end + gap is always a legal timeout.
-          state.setTimeoutTimestamp(s.end + gapMs)
-        }
-        closed.reverseIterator
+        // islands already expired by the data clock (possible when the
+        // watermark advanced since this key's last batch) close NOW —
+        // their timer may never fire because data arrival suppresses it
+        val (expired, live) = islands.partition(_.end + gapMs <= wm)
+        if (live.nonEmpty) {
+          state.update(OpenSessions(live))
+          // every live island has end + gap > watermark, so the earliest
+          // deadline is a legal timeout (late rows were exec-filtered)
+          state.setTimeoutTimestamp(live.map(_.end + gapMs).min)
+        } else state.remove()
+        expired.sortBy(_.start)
+          .map(s => ClosedSession(user, s.start, s.end, s.n)).iterator
       }
     }
 
@@ -116,4 +130,13 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  /** Collapse any islands whose hulls now bridge (a new point can connect
+    * two existing islands). Input order free; output sorted by start. */
+  def mergeIslands(islands: List[OpenSession], gapMs: Long): List[OpenSession] =
+    islands.sortBy(_.start).foldLeft(List.empty[OpenSession]) {
+      case (acc @ (prev :: rest), cur) if cur.start - prev.end <= gapMs =>
+        OpenSession(prev.start, math.max(prev.end, cur.end), prev.n + cur.n) :: rest
+      case (acc, cur) => cur :: acc
+    }.reverse
 }

@@ -7,17 +7,19 @@ import org.apache.spark.sql.streaming._
   * flatMapGroupsWithState (SPIP: arbitrary stateful processing v2). Same
   * semantics as [[Sessionize.closedSessions]], expressed in the new API:
   *
-  *   - typed state handles (ValueState here; ListState/MapState exist)
-  *     instead of one opaque GroupState blob — state is composable and
-  *     each handle maps to its own RocksDB column family;
+  *   - typed state handles instead of one opaque GroupState blob — the
+  *     open islands live in a ListState, each handle mapping to its own
+  *     RocksDB column family (with the v1 API a list must be smuggled
+  *     through a single value);
   *   - explicit timers (registerTimer/handleExpiredTimer) instead of one
-  *     implicit timeout per key — a key can hold many timers;
+  *     implicit timeout per key;
   *   - TTLConfig-driven state expiry as a first-class concern.
   *
-  * State per key stays ONE fixed-size OpenSession record + one timer, so
-  * executor memory scales with live keys, never stream length — and with
-  * the RocksDB provider (required by transformWithState) live state spills
-  * to local SSD, so even the live-key set isn't bounded by the heap.
+  * State per key is the open-island list (bounded by the
+  * watermark-delay/gap ratio, not the stream) plus one timer, and with
+  * the RocksDB provider (required by transformWithState) live state
+  * spills to local SSD, so even the live-key set isn't bounded by the
+  * heap.
   *
   * The semantic equivalence with the v1 operator is asserted by
   * TwsSessionizeSpec, which feeds both implementations the same stream.
@@ -28,57 +30,65 @@ object TwsSessionize {
   class SessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, SessionEvent, ClosedSession] {
 
-    @transient private var open: ValueState[OpenSession] = _
+    @transient private var open: ListState[OpenSession] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      open = getHandle.getValueState[OpenSession](
+      open = getHandle.getListState[OpenSession](
         "open", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def islands(): List[OpenSession] = {
+      val it = open.get()
+      var acc = List.empty[OpenSession]
+      while (it.hasNext) acc ::= it.next()
+      acc
+    }
+
+    /** Emit expired islands, store the rest, re-arm the earliest
+      * deadline. Shared by the data and timer paths. */
+    private def settle(user: Long, all: List[OpenSession], wm: Long,
+        prevDeadline: Option[Long]): Iterator[ClosedSession] = {
+      val (expired, live) = all.partition(_.end + gapMs <= wm)
+      open.clear()
+      if (live.nonEmpty) {
+        open.appendList(live.toArray)
+        val deadline = live.map(_.end + gapMs).min
+        if (!prevDeadline.contains(deadline)) {
+          prevDeadline.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(deadline)
+        }
+      } else prevDeadline.foreach(getHandle.deleteTimer)
+      expired.sortBy(_.start)
+        .map(s => ClosedSession(user, s.start, s.end, s.n)).iterator
+    }
 
     override def handleInputRows(
         user: Long,
         rows: Iterator[SessionEvent],
         timers: TimerValues): Iterator[ClosedSession] = {
-      val times = rows.map(_.ts.getTime).toSeq.sorted
-      var closed = List.empty[ClosedSession]
-      var cur = if (open.exists()) Some(open.get()) else None
-      val prevTimer = cur.map(_.end + gapMs)
-      for (t <- times) {
-        cur = cur match {
-          case Some(s) if t - s.end <= gapMs =>
-            // widen-only (see Sessionize): a cross-batch out-of-order event
-            // above the watermark must not move the session end backward
-            Some(OpenSession(math.min(s.start, t), math.max(s.end, t), s.n + 1))
+      val prev = islands()
+      val prevDeadline =
+        if (prev.isEmpty) None else Some(prev.map(_.end + gapMs).min)
+      var all = prev
+      for (t <- rows.map(_.ts.getTime).toSeq.sorted) {
+        all.find(s => t >= s.start - gapMs && t <= s.end + gapMs) match {
           case Some(s) =>
-            closed ::= ClosedSession(user, s.start, s.end, s.n)
-            Some(OpenSession(t, t, 1))
-          case None => Some(OpenSession(t, t, 1))
+            all = Sessionize.mergeIslands(
+              OpenSession(math.min(s.start, t), math.max(s.end, t), s.n + 1) ::
+                all.filterNot(_ eq s), gapMs)
+          case None =>
+            all = Sessionize.mergeIslands(OpenSession(t, t, 1) :: all, gapMs)
         }
       }
-      cur.foreach { s =>
-        open.update(s)
-        val newTimer = s.end + gapMs
-        // one live timer per key: re-arm only when the deadline moved
-        if (!prevTimer.contains(newTimer)) {
-          prevTimer.foreach(getHandle.deleteTimer)
-          getHandle.registerTimer(newTimer)
-        }
-      }
-      closed.reverseIterator
+      settle(user, all, timers.getCurrentWatermarkInMs(), prevDeadline)
     }
 
     override def handleExpiredTimer(
         user: Long,
         timers: TimerValues,
         expired: ExpiredTimerInfo): Iterator[ClosedSession] = {
-      // A stale timer (superseded deadline) can still fire; only close the
-      // session if the gap has truly elapsed at this timer's timestamp.
-      if (open.exists()) {
-        val s = open.get()
-        if (expired.getExpiryTimeInMs >= s.end + gapMs) {
-          open.clear()
-          Iterator.single(ClosedSession(user, s.start, s.end, s.n))
-        } else Iterator.empty
-      } else Iterator.empty
+      // the fired timer is already consumed: prevDeadline=None makes
+      // settle re-register the next deadline unconditionally
+      settle(user, islands(), timers.getCurrentWatermarkInMs(), None)
     }
   }
 

@@ -90,28 +90,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fewOut == Map(1L -> 10L, 2L -> 30L, 3L -> 60L))
   }
 
-  test("prefix sum shuffles the data exactly once (range), all other exchanges are tiny") {
+  test("prefix sum shuffles the data exactly once (bucket hash), all other exchanges are tiny") {
     import org.apache.spark.sql.execution.ExplainMode
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", size(split($"text", " ")).cast("long").as("v"))
     val p = PrefixSum.runningSum(toks, "doc_id", "v", "run")
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(p.contains("rangepartitioning(doc_id"),
-      "expected a range exchange over the order key:\n" + p)
     assert(p.contains("MapPartitions"),
       "expected the per-partition accumulator pass:\n" + p)
-    // The wide rows pay ONE range exchange (output pass); the offsets
-    // pass range-shuffles only a pruned (orderCol, value) projection and
-    // adds one N-row hash exchange + one SinglePartition sort of N
-    // totals. A hashpartitioning exchange beyond that single tiny one
-    // would mean the full rows are being reshuffled (the
-    // window-on-partition-id mistake this operator exists to avoid).
+    // Deterministic bucketing: NO sampled range exchange anywhere (two
+    // independently-sampled repartitionByRange branches can disagree on
+    // boundaries — the bug this shape removes). The wide rows pay ONE
+    // hash exchange on the computed bucket id; the offsets pass adds one
+    // bucket-count-row agg exchange + one SinglePartition sort of the
+    // totals. More than 3 exchanges would mean the full rows are being
+    // reshuffled again (the window-on-partition-id mistake).
     // formatted explain prints the partitioning in per-node Arguments lines
     val ranges = "rangepartitioning\\(".r.findAllIn(p).size
-    val hashes = "hashpartitioning\\(".r.findAllIn(p).size
+    val bucketHashes = "hashpartitioning\\(__bucket".r.findAllIn(p).size
+    // the remaining exchanges are the (min,max) / offsets scalar aggs and
+    // the bucket-count window sort — all SinglePartition over tiny frames
     val singles = "SinglePartition".r.findAllIn(p).size
-    assert(ranges == 2 && hashes <= 1 && singles <= 1,
-      s"unexpected exchange profile (range=$ranges hash=$hashes single=$singles):\n$p")
+    assert(ranges == 0 && bucketHashes == 2 && singles <= 3,
+      s"unexpected exchange profile (range=$ranges bucketHash=$bucketHashes single=$singles):\n$p")
   }
 
   test("prefix sum null semantics match the global window: null until the first non-null") {

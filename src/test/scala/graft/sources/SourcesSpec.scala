@@ -63,4 +63,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows(0).getAs[Any]("v2") == null, "pre-evolution file must null-fill v2")
     assert(rows(1).getAs[Double]("v2") == 9.5)
   }
+
+  test("file-metadata columns: _metadata.file_name and input_file_name resolve per row") {
+    // lakehouse lineage surface: every row knows its source file — the
+    // hook audit/backfill tooling keys on (constant per scan task, no cost)
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", col("_metadata.file_name").as("fname"),
+        input_file_name().as("fpath"))
+      .limit(5).collect()
+    assert(li.nonEmpty)
+    li.foreach { r =>
+      assert(r.getAs[String]("fname") == "lineitem.parquet")
+      assert(r.getAs[String]("fpath").endsWith("lineitem.parquet"))
+    }
+  }
 }

@@ -126,6 +126,31 @@ class SessionizeSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("an out-of-order event more than a gap BEFORE the span opens its own island") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-03-01 $hhmm:00")
+    // gap (5 min) < watermark delay (10 min): an above-watermark event can
+    // arrive more than a gap before the open session and must NOT merge
+    val stream = MemoryStream[Sessionize.SessionEvent]
+    val query = Sessionize.closedSessions(stream.toDS(), gapMinutes = 5)
+      .writeStream.format("memory").queryName("island_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(Sessionize.SessionEvent(4L, ts("12:00")))
+      query.processAllAvailable() // watermark 11:50
+      stream.addData(Sessionize.SessionEvent(4L, ts("11:52")))
+      query.processAllAvailable() // 8 min before 12:00 > gap → own island
+      stream.addData(Sessionize.SessionEvent(7L, ts("12:30")))
+      query.processAllAvailable() // watermark 12:20 closes both islands
+      val rows = spark.table("island_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .filter(_._1 == 4L).toSet
+      assert(rows == Set((4L, ts("11:52").getTime, 1L), (4L, ts("12:00").getTime, 1L)),
+        s"expected two separate singleton sessions, got $rows")
+    } finally query.stop()
+  }
+
   test("a cross-batch out-of-order event inside the session widens it, never moves end backward") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
