@@ -246,13 +246,18 @@ object RelationalExt {
     * round-trip string itself is part of the hash-checked output. */
   val q38JsonRoundtrip: QueryDef = sqlChecked(
     "q38_json_roundtrip",
-    """SELECT event_type,
-      |  CAST(SUM(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
-      |  COUNT(*) FILTER (CAST(to_json(struct_pack(
-      |    k := TRY_CAST(props->>'$.k' AS BIGINT))) AS VARCHAR) = '{"k":69}') AS n_k69,
-      |  COUNT(DISTINCT CAST(to_json(struct_pack(
-      |    k := TRY_CAST(props->>'$.k' AS BIGINT))) AS VARCHAR)) AS n_distinct_json
-      |FROM events
+    """WITH j AS (
+      |  SELECT event_type,
+      |    TRY_CAST(TRY_CAST(props AS JSON)->>'$.k' AS BIGINT) AS k,
+      |    props IS NULL AS props_null
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  COUNT(*) FILTER (NOT props_null AND CAST(to_json(struct_pack(k := k))
+      |    AS VARCHAR) = '{"k":69}') AS n_k69,
+      |  COUNT(DISTINCT CASE WHEN props_null THEN NULL
+      |    ELSE CAST(to_json(struct_pack(k := k)) AS VARCHAR) END) AS n_distinct_json
+      |FROM j
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (spark, dir) =>
     import spark.implicits._
@@ -262,8 +267,11 @@ object RelationalExt {
       .withColumn("parsed", from_json($"props", schema))
       // ignoreNullFields=false: a null k serializes as {"k":null} exactly
       // like the oracle's struct_pack (the default would emit {} and
-      // silently diverge on any fixture row without k); TRY_CAST above is
-      // the DuckDB mirror of from_json's null-on-bad-value behavior
+      // silently diverge on any fixture row without k). The oracle also
+      // mirrors from_json's other null behaviors: TRY_CAST(props AS JSON)
+      // nulls out malformed JSON (Spark yields a null-fields struct →
+      // same '{"k":null}' serialization), and a NULL props row maps to a
+      // NULL round-trip string on both sides.
       .withColumn("rt", to_json($"parsed", Map("ignoreNullFields" -> "false")))
       .groupBy($"event_type")
       .agg(

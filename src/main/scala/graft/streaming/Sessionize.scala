@@ -77,19 +77,29 @@ object Sessionize {
     implicit val outEnc = Encoders.product[ClosedSession]
     val gapMs = gapMinutes * 60L * 1000L
 
+    // Emit expired islands, store the rest, re-arm the earliest deadline.
+    // Expiry is STRICT (`< wm`, not `<=`): rows at ts == watermark are
+    // still admitted (the late filter drops only ts < wm) and can bridge
+    // an island whose deadline equals the watermark — closing it at
+    // equality would split a session a batch recomputation keeps whole.
+    // setTimeoutTimestamp(deadline == wm) is legal (must not be EARLIER
+    // than the watermark).
+    def settle(user: Long, all: List[OpenSession],
+        state: GroupState[OpenSessions], wm: Long): Iterator[ClosedSession] = {
+      val (expired, live) = all.partition(_.end + gapMs < wm)
+      if (live.nonEmpty) {
+        state.update(OpenSessions(live))
+        state.setTimeoutTimestamp(live.map(_.end + gapMs).min)
+      } else if (state.exists) state.remove()
+      expired.sortBy(_.start)
+        .map(s => ClosedSession(user, s.start, s.end, s.n)).iterator
+    }
+
     def update(user: Long, batch: Iterator[SessionEvent],
         state: GroupState[OpenSessions]): Iterator[ClosedSession] = {
       val wm = state.getCurrentWatermarkMs()
       if (state.hasTimedOut) {
-        val islands = state.get.islands
-        val (expired, live) = islands.partition(_.end + gapMs <= wm)
-        if (live.isEmpty) state.remove()
-        else {
-          state.update(OpenSessions(live))
-          state.setTimeoutTimestamp(live.map(_.end + gapMs).min)
-        }
-        expired.sortBy(_.start)
-          .map(s => ClosedSession(user, s.start, s.end, s.n)).iterator
+        settle(user, state.get.islands, state, wm)
       } else {
         val times = batch.map(_.ts.getTime).toSeq.sorted
         val prev = state.getOption.map(_.islands).getOrElse(Nil)
@@ -113,15 +123,7 @@ object Sessionize {
         // islands already expired by the data clock (possible when the
         // watermark advanced since this key's last batch) close NOW —
         // their timer may never fire because data arrival suppresses it
-        val (expired, live) = islands.partition(_.end + gapMs <= wm)
-        if (live.nonEmpty) {
-          state.update(OpenSessions(live))
-          // every live island has end + gap > watermark, so the earliest
-          // deadline is a legal timeout (late rows were exec-filtered)
-          state.setTimeoutTimestamp(live.map(_.end + gapMs).min)
-        } else state.remove()
-        expired.sortBy(_.start)
-          .map(s => ClosedSession(user, s.start, s.end, s.n)).iterator
+        settle(user, islands, state, wm)
       }
     }
 

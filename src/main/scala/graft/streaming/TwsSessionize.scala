@@ -44,17 +44,25 @@ object TwsSessionize {
     }
 
     /** Emit expired islands, store the rest, re-arm the earliest
-      * deadline. Shared by the data and timer paths. */
+      * deadline. Shared by the data and timer paths. Expiry is STRICT
+      * (`< wm`): a row at ts == watermark is still admitted and can
+      * bridge an island whose deadline equals the watermark (see the v1
+      * Sessionize.settle for the full boundary argument). Unlike
+      * flatMapGroupsWithState, transformWithState FIRES timers at
+      * deadline <= watermark and consumes them — so when an island
+      * survives strict expiry at the knife edge, the re-arm must land
+      * STRICTLY beyond the current watermark or the emission is lost
+      * (the clamp advances every fire, so this terminates). */
     private def settle(user: Long, all: List[OpenSession], wm: Long,
         prevDeadline: Option[Long]): Iterator[ClosedSession] = {
-      val (expired, live) = all.partition(_.end + gapMs <= wm)
+      val (expired, live) = all.partition(_.end + gapMs < wm)
       open.clear()
       if (live.nonEmpty) {
         open.appendList(live.toArray)
-        val deadline = live.map(_.end + gapMs).min
-        if (!prevDeadline.contains(deadline)) {
+        val armAt = math.max(live.map(_.end + gapMs).min, wm + 1)
+        if (!prevDeadline.contains(armAt)) {
           prevDeadline.foreach(getHandle.deleteTimer)
-          getHandle.registerTimer(deadline)
+          getHandle.registerTimer(armAt)
         }
       } else prevDeadline.foreach(getHandle.deleteTimer)
       expired.sortBy(_.start)
@@ -66,8 +74,10 @@ object TwsSessionize {
         rows: Iterator[SessionEvent],
         timers: TimerValues): Iterator[ClosedSession] = {
       val prev = islands()
-      val prevDeadline =
-        if (prev.isEmpty) None else Some(prev.map(_.end + gapMs).min)
+      // the armed timer may have been clamped past a watermark tick, so
+      // ask the handle rather than recomputing from island deadlines
+      val timerIt = getHandle.listTimers()
+      val prevDeadline = if (timerIt.hasNext) Some(timerIt.next()) else None
       var all = prev
       for (t <- rows.map(_.ts.getTime).toSeq.sorted) {
         all.find(s => t >= s.start - gapMs && t <= s.end + gapMs) match {
