@@ -58,7 +58,12 @@ object Bench {
     def jstr(m: collection.Map[String, String]) =
       m.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${jnum(timings)},"errors":${jstr(errors)},"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${jnum(timings)},"errors":${jstr(errors)},"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line: the driver captures stdout, which has been
+    // observed truncated at the head for long runs (BENCH_r03 lost the
+    // aq-jq rows) — a committed file survives that.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
   }
 }

@@ -77,6 +77,53 @@ object Pipelines {
     new Pipeline().setStages(Array(cityIdx, posIdx, ohe, asm, lr))
   }
 
+  /** The exact stop-word list persisted in the reference's
+    * job_attractiveness_lr_v1 StopWordsRemover stage metadata
+    * (stages/05_StopWordsRemover_e9c2e15589de/metadata) — Vietnamese
+    * job-posting boilerplate. Replicated verbatim, including the
+    * multi-word entries ("nhân viên", "công ty", …) that a per-token
+    * remover can never match: fidelity to the persisted model wins over
+    * cleaning up its quirks. */
+  val attractivenessStopWords: Array[String] = Array(
+    "của", "và", "các", "có", "làm", "tại", "trong", "được", "với", "là",
+    "người", "những", "cho", "về", "nhân viên", "công ty", "tuyển", "lương",
+    "tháng", "mô tả", "yêu cầu", "chi nhánh")
+
+  /** M6+M9 composed: the reference's job_attractiveness_lr_v1 pipeline,
+    * stage-for-stage from its persisted metadata (models/
+    * job_attractiveness_lr_v1/stages/00_…-09_…/metadata): StringIndexer
+    * city→city_idx + OHE, StringIndexer position_level→pos_idx + OHE,
+    * Tokenizer full_text_features→words_raw, StopWordsRemover(custom
+    * list)→words_clean, HashingTF(3000)→tf_features, IDF→text_vec,
+    * VectorAssembler([experience_years, city_vec, pos_vec, text_vec]),
+    * LogisticRegression(labelCol=is_attractive, regParam=0.01,
+    * elasticNetParam=0.8). The 0.8 elastic-net mix is mostly-L1, so the
+    * fitted coefficient vector over the 3000-dim text block is sparse —
+    * callers can assert sparsity as a self-validating metric. */
+  def attractivenessLrV1(): Pipeline = {
+    val cityIdx = new StringIndexer().setInputCol("city").setOutputCol("city_idx")
+      .setHandleInvalid("keep")
+    val cityOhe = new OneHotEncoder()
+      .setInputCols(Array("city_idx")).setOutputCols(Array("city_vec"))
+    val posIdx = new StringIndexer().setInputCol("position_level").setOutputCol("pos_idx")
+      .setHandleInvalid("keep")
+    val posOhe = new OneHotEncoder()
+      .setInputCols(Array("pos_idx")).setOutputCols(Array("pos_vec"))
+    val tok = new Tokenizer().setInputCol("full_text_features").setOutputCol("words_raw")
+    val stop = new StopWordsRemover().setInputCol("words_raw").setOutputCol("words_clean")
+      .setStopWords(attractivenessStopWords)
+    val tf = new HashingTF().setInputCol("words_clean").setOutputCol("tf_features")
+      .setNumFeatures(3000)
+    val idf = new IDF().setInputCol("tf_features").setOutputCol("text_vec")
+    val asm = new VectorAssembler()
+      .setInputCols(Array("experience_years", "city_vec", "pos_vec", "text_vec"))
+      .setOutputCol("features")
+    val lr = new LogisticRegression().setLabelCol("is_attractive")
+      .setFeaturesCol("features").setRegParam(0.01).setElasticNetParam(0.8)
+    new Pipeline().setStages(
+      Array(cityIdx, cityOhe, posIdx, posOhe, tok, stop, tf, idf, asm, lr))
+  }
+
   /** M9: text → TF-IDF (HashingTF numFeatures=3000 —
     * job_attractiveness_lr_v1 stage metadata). */
   def tfidf(textCol: String): Pipeline = {

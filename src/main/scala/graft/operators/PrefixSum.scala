@@ -28,9 +28,18 @@ import org.apache.spark.sql.types._
   *      this. A window PARTITIONED BY bucket would instead re-shuffle the
   *      full rows a second time.
   *
-  * Bucketing is uniform over the key range — the right shape for id- and
-  * timestamp-like order keys; pathologically skewed keys would want a
-  * sampled-CDF bucket map in step 1 (same plumbing, different bucket fn).
+  * Bucketing is uniform over the key range by default — the right shape
+  * for id- and timestamp-like order keys. For pathologically skewed keys
+  * (most rows packed into a sliver of the key range), pass
+  * `skewSampled = true`: step 1 instead collects approximate key
+  * QUANTILES once (one extra narrow pass over just the key column — the
+  * same sampling cost RangePartitioner pays) and embeds them as literal
+  * split points, so every bucket holds ~1/n of the ROWS regardless of how
+  * the key VALUES are distributed. Because the splits are collected on
+  * the driver and baked into the plan as literals, the assignment stays
+  * deterministic across plan branches — the property that rules out
+  * repartitionByRange (whose sampled boundaries are a per-branch
+  * execution artifact) holds for both bucket maps.
   *
   * Matches `sum(v).over(Window.orderBy(k))` exactly for a UNIQUE order
   * key and an integral value column, INCLUDING null semantics: a row's
@@ -42,13 +51,67 @@ import org.apache.spark.sql.types._
   */
 object PrefixSum {
 
+  /** Attach a monotone `__bucket` column (Int; null keys get bucket -1 so
+    * they sort first, matching the window's nulls-first order — a NULL
+    * bucket would be silently dropped by the inner offsets join).
+    * Uniform: affine map over the broadcast (min, max) — zero driver
+    * actions. Sampled CDF: approximate key quantiles collected once and
+    * embedded as literal split points — balanced buckets under arbitrary
+    * key skew. Both maps are pure column functions of the key, so every
+    * consumer of the returned frame derives the identical assignment. */
+  private[graft] def withBuckets(df: DataFrame, orderCol: String,
+      nBuckets: Int, skewSampled: Boolean): DataFrame = {
+    val k = col(orderCol).cast("double")
+    if (skewSampled) {
+      // one narrow pass over the key column (nulls excluded by the
+      // sketch); err << 1/nBuckets keeps the realized bucket counts
+      // within a few percent of ideal
+      val splits = df.select(k.as("__k")).stat.approxQuantile(
+        "__k", (1 until nBuckets).map(_.toDouble / nBuckets).toArray,
+        0.1 / nBuckets)
+      if (splits.isEmpty)
+        df.withColumn("__bucket",
+          when(k.isNull, lit(-1)).otherwise(lit(0)))
+      else {
+        // bucket = first split index with k < split (== #splits <= k):
+        // monotone in k, so bucket order == key order. A short-circuiting
+        // when-chain of plain comparisons, NOT filter(array, lambda) — a
+        // higher-order function here trips Catalyst's constraint
+        // inference: the inferred isnotnull(__bucket) join filter
+        // substitutes the alias body and strands a lambda expression
+        // above the offsets aggregate where k is pruned
+        // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution).
+        val ss = splits.distinct.sorted
+        val chain = ss.zipWithIndex.foldRight(lit(ss.length)) {
+          case ((s, i), acc) => when(k < s, lit(i)).otherwise(acc)
+        }
+        df.withColumn("__bucket", when(k.isNull, lit(-1)).otherwise(chain))
+      }
+    } else {
+      val mm = df.agg(min(k).as("__mn"), max(k).as("__mx"))
+      df.crossJoin(broadcast(mm))
+        // floor of an affine map is monotone in k, so bucket order == key order
+        .withColumn("__bucket",
+          when(k.isNull, lit(-1)).otherwise(
+            when(col("__mx") <= col("__mn"), lit(0)).otherwise(
+              least(lit(nBuckets - 1), greatest(lit(0),
+                floor((k - col("__mn")) * nBuckets / (col("__mx") - col("__mn") + 1e-9))
+                  .cast("int"))))))
+        .drop("__mn", "__mx")
+    }
+  }
+
   /** @param orderCol unique global ordering column (numeric or timestamp)
     * @param valueCol numeric column to accumulate (integral → long
     *                 running total, fractional → double — same result
     *                 type as the built-in window sum)
-    * @param out      name of the produced running-total column */
+    * @param out      name of the produced running-total column
+    * @param skewSampled balanced sampled-CDF bucketing for pathologically
+    *                 skewed key distributions (costs one extra pass over
+    *                 the key column) */
   def runningSum(df: DataFrame, orderCol: String, valueCol: String,
-      out: String, numPartitions: Int = 0): DataFrame = {
+      out: String, numPartitions: Int = 0,
+      skewSampled: Boolean = false): DataFrame = {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -60,18 +123,9 @@ object PrefixSum {
         s"runningSum needs an integral or floating value column, got $t")
     }
     val accType = if (integral) LongType else DoubleType
-    val k = col(orderCol).cast("double")
-    val mm = df.agg(min(k).as("__mn"), max(k).as("__mx"))
-    val bucketed = df
-      .withColumn("__v", col(valueCol).cast(accType))
-      .crossJoin(broadcast(mm))
-      // floor of an affine map is monotone in k, so bucket order == key order
-      .withColumn("__bucket",
-        when(col("__mx") <= col("__mn"), lit(0)).otherwise(
-          least(lit(nBuckets - 1), greatest(lit(0),
-            floor((k - col("__mn")) * nBuckets / (col("__mx") - col("__mn") + 1e-9))
-              .cast("int")))))
-      .drop("__mn", "__mx")
+    val bucketed = withBuckets(
+      df.withColumn("__v", col(valueCol).cast(accType)),
+      orderCol, nBuckets, skewSampled)
     // bucket-count-many (total, non-null count) rows → exclusive prefix on
     // one tiny task → broadcast back; the partial agg is map-side, so the
     // wide rows do NOT shuffle for this pass
@@ -82,10 +136,19 @@ object PrefixSum {
       .select(col("__bucket"),
         coalesce(sum(col("__total")).over(w), lit(0).cast(accType)).as("__offset"),
         coalesce(sum(col("__cnt")).over(w), lit(0)).as("__prior"))
-    val ranged = bucketed
+    // The local sort MUST sit ABOVE the offsets join, directly under
+    // mapPartitions: a Sort placed below a join child is removed by
+    // Catalyst's EliminateSorts (join output ordering is unspecified), and
+    // the accumulator would then consume shuffle-fetch order — correct by
+    // ACCIDENT whenever every map task is key-ordered (single-row-group
+    // fixtures!) and silently wrong the moment it isn't (exposed by the
+    // skewed-key spec's round-robin input). The broadcast join preserves
+    // the left side's hash partitioning, so sorting after it is the same
+    // per-partition order the accumulator needs.
+    val joined = bucketed
       .repartition(parts, col("__bucket"))
+      .join(broadcast(offsets), "__bucket")
       .sortWithinPartitions(col("__bucket"), col(orderCol))
-    val joined = ranged.join(broadcast(offsets), "__bucket")
     val outSchema = StructType(joined.schema.fields :+ StructField(out, accType))
     val bIdx = joined.schema.fieldIndex("__bucket")
     val vIdx = joined.schema.fieldIndex("__v")

@@ -151,7 +151,11 @@ object FilterQueries {
     val w = Seq(("en", 0.4), ("zh", 0.2), ("fr", 0.2), ("de", 0.1), ("es", 0.1))
       .toDF("lang", "wt")
     val avail = docs.groupBy($"lang").agg(count(lit(1)).as("n_avail"))
-    val aw = avail.join(broadcast(w), "lang")
+    // cache the per-lang summary (≤|langs| rows): it feeds the budget
+    // scalar, the sampled draw, AND the final stitch — without it each DAG
+    // reuse re-runs the corpus count aggregate (4 extra full scans at
+    // 100 TB for a 5-row frame)
+    val aw = avail.join(broadcast(w), "lang").cache()
     val frac = aw
       .crossJoin(broadcast(aw.agg(min($"n_avail" / $"wt").as("b"))))
       .select($"lang", $"n_avail", $"wt",
@@ -161,7 +165,9 @@ object FilterQueries {
         conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("long") <
           ($"f" * 4294967296.0).cast("long"))
       .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
-    frac.join(sampled, Seq("lang"), "left")
+    // both summaries are ≤|langs| rows — broadcast so the final stitch
+    // never plans a sort-merge exchange
+    frac.join(broadcast(sampled), Seq("lang"), "left")
       .select($"lang", $"n_avail", $"wt".as("target_weight"), $"n_sampled")
       .orderBy($"lang")
   }

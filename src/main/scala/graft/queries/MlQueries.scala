@@ -172,8 +172,45 @@ object MlQueries {
     lda.describeTopics(5).select($"topic", size($"termIndices").as("n_terms"))
   }
 
+  /** M6+M9 composed end-to-end: the reference's job_attractiveness_lr_v1
+    * persisted pipeline (stage graph + hyper-params verbatim from its
+    * model metadata — Pipelines.attractivenessLrV1), trained on the jobs
+    * fixture. The v1 trainer script is NOT in the reference tree (only
+    * the saved model), so the feature text is composed from the posting
+    * fields the tokenizer stage would have seen (title + fields +
+    * skills) and the label mirrors mq05's salary-threshold proxy.
+    * Self-validating metrics: held-out AUC, plus coefficient sparsity —
+    * elasticNetParam=0.8 is mostly-L1, so most of the 3000-dim text
+    * block must zero out (a dense vector would mean the elastic-net mix
+    * was silently dropped). */
+  val mq09AttractivenessLrV1: QueryDef = rowsOnly("mq09_attractiveness_lr_v1") { (spark, dir) =>
+    import spark.implicits._
+    val feats = featurizedJobs(spark, dir)
+      .withColumn("is_attractive", ($"salary_final" > 25).cast("double"))
+      .withColumn("full_text_features",
+        concat_ws(" ", $"job_title", $"job_fields", $"skills"))
+      .select($"city", $"position_level", $"full_text_features",
+        $"exp_final".as("experience_years"), $"is_attractive")
+      .na.fill(0.0, Seq("experience_years"))
+      .limit(50000)
+      .coalesce(8) // iterative LR fit: fewer, fuller partitions ≫ 32 slivers
+      .cache()
+    val Array(train, test) = feats.randomSplit(Array(0.8, 0.2), 42)
+    val model = Pipelines.attractivenessLrV1().fit(train)
+    val lr = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    // the summary pins the training SparkSession inside the transform
+    // closure (non-serializable once observe() has run anywhere in the
+    // JVM) — drop it before the model is shipped to tasks
+    org.apache.spark.ml.GraftMlBridge.dropTrainingSummary(lr)
+    val pred = model.transform(test)
+    Seq((train.count(), test.count(), Pipelines.auc(pred, "is_attractive"),
+        lr.coefficients.size, lr.coefficients.numNonzeros))
+      .toDF("n_train", "n_test", "auc", "n_coeffs", "n_nonzero_coeffs")
+  }
+
   val all: Seq[QueryDef] = Seq(
     mq01KmeansEmbeddings, mq02KmeansJobs, mq03RfSalary, mq04GbtHotScore,
     mq05LogisticAttractiveness, mq06TfidfDocs, mq07Word2vecSynonyms,
-    mq08LdaTopics)
+    mq08LdaTopics, mq09AttractivenessLrV1)
 }

@@ -96,8 +96,8 @@ object RelationalExt {
     * a map-only pass and a shuffle of every token. */
   val q33HofBattery: QueryDef = sqlChecked(
     "q33_hof_battery",
-    """SELECT doc_id, len(toks) AS n_tokens,
-      |  list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS total_len,
+    """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS BIGINT) AS total_len,
       |  len(list_filter(toks, x -> len(x) > 7)) > 0 AS has_long,
       |  len(list_filter(toks, x -> NOT (len(x) > 0))) = 0 AS all_nonempty,
       |  array_to_string(list_sort(toks)[1:3], ' ') AS first3
@@ -110,8 +110,8 @@ object RelationalExt {
       .select($"doc_id", split($"text", " ").as("toks"))
       .select(
         $"doc_id",
-        size($"toks").as("n_tokens"),
-        aggregate($"toks", lit(0), (acc, x) => acc + length(x)).as("total_len"),
+        size($"toks").cast("long").as("n_tokens"),
+        aggregate($"toks", lit(0), (acc, x) => acc + length(x)).cast("long").as("total_len"),
         exists($"toks", x => length(x) > 7).as("has_long"),
         forall($"toks", x => length(x) > 0).as("all_nonempty"),
         concat_ws(" ", slice(array_sort($"toks"), 1, 3)).as("first3"))

@@ -65,19 +65,28 @@ object SimilarityQueries {
     val tables = Seq.fill(12)(Seq.fill(4)(Array.fill(64)(rng.nextGaussian())))
     val emb0 = Tables.embeddings(spark, dir)
       .select($"vec_id", toDouble($"embedding").as("v"))
-    // one row per (vector, table): bucket = (table id, 4 sign bits)
-    val emb = emb0.select($"vec_id", $"v", explode(array(
+    // one row per (vector, table): bucket = (table id, 4 sign bits).
+    // The bucket frame carries ONLY ids — at 100 TB the candidate
+    // union/dedup below shuffles 16-byte pairs, not 512-byte vectors.
+    val emb = emb0.select($"vec_id", explode(array(
         tables.zipWithIndex.map { case (planes, t) =>
           struct(lit(t).as("tbl"), lshBucket($"v", planes).as("bits"))
         }: _*)).as("bk"))
-      .select($"vec_id", $"v", $"bk.tbl", $"bk.bits")
+      .select($"vec_id", $"bk.tbl", $"bk.bits")
     val q = emb.filter($"vec_id" < 20)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"tbl", $"bits")
-    val wAnn = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    val ann = q.join(emb.select($"vec_id".as("cid"), $"v".as("cv"), $"tbl", $"bits"),
-        Seq("tbl", "bits"))
+      .select($"vec_id".as("qid"), $"tbl", $"bits")
+    // union of per-table bucket collisions, deduped on the id pair alone
+    val candidates = q
+      .join(emb.select($"vec_id".as("cid"), $"tbl", $"bits"), Seq("tbl", "bits"))
       .filter($"qid" =!= $"cid")
-      .select($"qid", $"qv", $"cid", $"cv").distinct() // union across tables
+      .select($"qid", $"cid").distinct()
+    // rerank gather: broadcast the 20 query vectors, equi-join corpus
+    // vectors back on cid (the standard ANN rerank shape)
+    val wAnn = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val ann = candidates
+      .join(broadcast(emb0.filter($"vec_id" < 20)
+        .select($"vec_id".as("qid"), $"v".as("qv"))), Seq("qid"))
+      .join(emb0.select($"vec_id".as("cid"), $"v".as("cv")), Seq("cid"))
       .withColumn("cos", cosine($"qv", $"cv"))
       .withColumn("rank", row_number().over(wAnn))
       .filter($"rank" <= 5)

@@ -303,7 +303,7 @@ object TextQueries {
       |  CAST(FLOOR((running_tokens - n_tokens) / 65536.0) AS BIGINT) AS shard
       |FROM (
       |  SELECT doc_id, n_tokens,
-      |    SUM(n_tokens) OVER (ORDER BY doc_id) AS running_tokens
+      |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS running_tokens
       |  FROM (
       |    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |    FROM documents))

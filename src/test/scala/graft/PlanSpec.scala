@@ -137,6 +137,43 @@ class PlanSpec extends AnyFunSuite {
       "expected the decorrelated equi-join:\n" + p)
   }
 
+  test("fq01-fq03: filter battery stays in-row — one scan, no Generate, no join") {
+    for (q <- Seq(FilterQueries.fq01TermRedaction, FilterQueries.fq02FilterFunnel,
+        FilterQueries.fq03Repetition)) {
+      val p = plan(q)
+      assert(!p.contains("Generate"),
+        s"${q.name}: token arrays must not explode to row space:\n$p")
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"${q.name}: expected 1 documents scan, got $scans")
+      assert(!p.contains("Join"), s"${q.name}: single-scan shape lost:\n$p")
+    }
+  }
+
+  test("fq04: mixing weights/budget/fractions all broadcast onto the corpus scan") {
+    val p = plan(FilterQueries.fq04CorpusMixing)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "per-lang fraction frame must broadcast, not shuffle the corpus:\n" + p)
+    // corpus is read twice by design (availability counts + sampled draw);
+    // anything more means a frame was recomputed
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected <=2 documents scans, got $scans")
+  }
+
+  test("q37: posexplode pushes the doc_id filter below the Generate") {
+    val p = plan(RelationalExt.q37Posexplode)
+    assert(p.contains("Generate"), "posexplode should plan a Generate:\n" + p)
+    assert(p.contains("LessThan(doc_id,20)"),
+      "doc_id filter must reach the scan, not sit above the explode:\n" + p)
+  }
+
+  test("q38: JSON round-trip is one events scan, fully in-row until the aggregate") {
+    val p = plan(RelationalExt.q38JsonRoundtrip)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 events scan, got $scans")
+    assert(!p.contains("Generate") && !p.contains("Join"), p)
+  }
+
   test("q33: higher-order functions stay in-row — no Generate, pushed filter, one scan") {
     val p = plan(RelationalExt.q33HofBattery)
     assert(!p.contains("Generate"), "HOFs must not explode to row space:\n" + p)

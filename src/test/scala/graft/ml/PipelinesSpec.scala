@@ -73,6 +73,34 @@ class PipelinesSpec extends AnyFunSuite {
     assert(Pipelines.adaptiveForestParams(50000) == (75, 18))
   }
 
+  test("attractiveness LR v1 pipeline: held-out AUC + elastic-net sparsity") {
+    import spark.implicits._
+    val frame = MlQueries.featurizedJobs(spark, dir)
+      .withColumn("is_attractive", ($"salary_final" > 25).cast("double"))
+      .withColumn("full_text_features",
+        concat_ws(" ", $"job_title", $"job_fields", $"skills"))
+      .select($"city", $"position_level", $"full_text_features",
+        $"exp_final".as("experience_years"), $"is_attractive")
+      .na.fill(0.0, Seq("experience_years"))
+      .cache()
+    val Array(train, test) = frame.randomSplit(Array(0.8, 0.2), 42)
+    val model = Pipelines.attractivenessLrV1().fit(train)
+    val lr = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    // drop the summary (holds the shared session; with ObserveSpec's
+    // metrics registered in the same JVM the transform closure would be
+    // unserializable — see GraftMlBridge)
+    org.apache.spark.ml.GraftMlBridge.dropTrainingSummary(lr)
+    val auc = Pipelines.auc(model.transform(test), "is_attractive")
+    assert(auc > 0.5, s"auc $auc should beat random")
+    // elasticNetParam=0.8 is mostly L1: the 3000-dim text block must be
+    // sparse — a dense coefficient vector means the penalty was dropped
+    assert(lr.coefficients.numNonzeros < lr.coefficients.size / 2,
+      s"${lr.coefficients.numNonzeros}/${lr.coefficients.size} nonzero — not sparse")
+    // stage graph matches the persisted reference model (10 stages)
+    assert(model.stages.length == 10)
+  }
+
   test("model registry append + latest lookup") {
     val path = java.nio.file.Files.createTempDirectory("graft-reg").toString + "/registry"
     val now = System.currentTimeMillis()

@@ -115,6 +115,75 @@ class OperatorsSpec extends AnyFunSuite {
       s"unexpected exchange profile (range=$ranges bucketHash=$bucketHashes single=$singles):\n$p")
   }
 
+  test("prefix sum: the accumulator's local sort survives optimization (EliminateSorts guard)") {
+    // A Sort placed BELOW the offsets join is removed by EliminateSorts
+    // (join output ordering is unspecified) and the accumulator then
+    // consumes raw shuffle-fetch order — correct by accident on
+    // single-row-group fixtures, wrong on real multi-mapper inputs. The
+    // sort must sit between MapPartitions and the join in the physical
+    // plan.
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("v"))
+    val p = PrefixSum.runningSum(toks, "doc_id", "v", "run")
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val iMap = p.indexOf("MapPartitions")
+    val iSort = p.indexOf("Sort [__bucket")
+    val iJoin = p.indexOf("Join")
+    assert(iMap >= 0 && iSort >= 0 && iJoin >= 0, p)
+    assert(iMap < iSort && iSort < iJoin,
+      s"local sort not between MapPartitions and the offsets join (map=$iMap sort=$iSort join=$iJoin):\n$p")
+  }
+
+  test("sampled-CDF bucketing balances a pathologically skewed key; uniform does not") {
+    import spark.implicits._
+    // 90% of rows packed into <0.001% of the key range: keys 0..8999
+    // dense, the last 1000 rows flung across [9000, ~1e9]
+    val skewed = spark.range(10000)
+      .select(when($"id" < 9000, $"id".cast("double"))
+        .otherwise(lit(9000.0) + ($"id" - 9000) * 1e6).as("k"),
+        lit(1L).as("v"))
+      .repartition(8)
+    val nBuckets = 16
+    def maxBucket(sampled: Boolean): Long =
+      PrefixSum.withBuckets(skewed, "k", nBuckets, skewSampled = sampled)
+        .groupBy($"__bucket").count().agg(max($"count")).head().getLong(0)
+    // uniform affine map: the dense sliver lands in ONE bucket
+    assert(maxBucket(false) >= 9000L,
+      s"expected the uniform map to collapse under skew, max=${maxBucket(false)}")
+    // sampled CDF: every bucket ~1/16 of the ROWS (<=2x ideal tolerance)
+    val cdfMax = maxBucket(true)
+    assert(cdfMax <= 2L * 10000 / nBuckets,
+      s"sampled-CDF bucket sizes unbalanced: max=$cdfMax ideal=${10000 / nBuckets}")
+    // and the running sum over the skewed keys is still exactly the window
+    val dist = PrefixSum.runningSum(skewed, "k", "v", "run", skewSampled = true)
+      .select($"k", $"run")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    val naive = skewed.withColumn("run",
+        sum($"v").over(org.apache.spark.sql.expressions.Window.orderBy($"k")))
+      .select($"k", $"run")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    assert(dist.sameElements(naive))
+  }
+
+  test("prefix sum carries null order keys first (bucket -1), matching nulls-first window order") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val data = Seq[(java.lang.Long, Long)](
+      (null, 7L), (1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("k", "v")
+    for (sampled <- Seq(false, true)) {
+      val dist = PrefixSum.runningSum(data, "k", "v", "run",
+          numPartitions = 3, skewSampled = sampled)
+        .collect().map(r => Option(r.get(r.fieldIndex("k"))) -> r.getLong(r.fieldIndex("run")))
+        .toMap
+      val naive = data.withColumn("run", sum($"v").over(Window.orderBy($"k")))
+        .collect().map(r => Option(r.get(r.fieldIndex("k"))) -> r.getLong(r.fieldIndex("run")))
+        .toMap
+      assert(dist == naive, s"sampled=$sampled dist=$dist naive=$naive")
+      assert(dist(None) == 7L && dist(Some(3L)) == 67L)
+    }
+  }
+
   test("prefix sum null semantics match the global window: null until the first non-null") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
