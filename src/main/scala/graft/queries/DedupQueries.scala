@@ -93,6 +93,70 @@ object DedupQueries {
         max($"jaccard").as("max_jaccard"))
   }
 
+  /** dq03's machinery under an independent engine: the SAME MinHash+LSH
+    * pipeline (shingles → 16 per-doc signature minima → 4 banded buckets →
+    * candidate equi-join → exact Jaccard) run with the md5-derived
+    * permutation family that DuckDB implements bit-for-bit, so every stage
+    * — not just the summary invariants — is oracle-hash-checked. dq03
+    * keeps the faster xxhash64 family for the production path (the
+    * q24-exact / q25-sketch pattern applied to dedup). */
+  val dq03bMinhashPortable: QueryDef = {
+    val numHashes = 16
+    val numBands = 4
+    val rowsPerBand = numHashes / numBands
+    val sigCols = (0 until numHashes).map { i =>
+      s"    list_min(list_transform(shingles, s -> CAST(('0x' || substring(md5('$i:' || s), 1, 15)) AS BIGINT))) AS h$i"
+    }.mkString(",\n")
+    val bandSelects = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")
+      s"  SELECT doc_id, $b AS band_idx, md5($cols) AS band_hash FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    sqlChecked(
+      "dq03b_minhash_portable",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+         |base AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
+         |    i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))) AS shingles
+         |  FROM toks WHERE len(w) >= 3),
+         |sigs AS (
+         |  SELECT doc_id,
+         |$sigCols
+         |  FROM base),
+         |bands AS (
+         |$bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id),
+         |jac AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+         |  FROM cand c
+         |  JOIN base sa ON sa.doc_id = c.doc_a
+         |  JOIN base sb ON sb.doc_id = c.doc_b)
+         |SELECT CAST($numHashes AS INT) AS num_hashes, CAST($numBands AS INT) AS num_bands,
+         |  COUNT(*) AS n_candidate_pairs,
+         |  COUNT(*) FILTER (jaccard >= 0.8) AS n_near_dups,
+         |  CAST(MAX(jaccard) AS DOUBLE) AS max_jaccard
+         |FROM jac""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables.fanOut(spark, Tables.documents(spark, dir))
+        .select($"doc_id", $"text")
+      graft.dedup.MinHashLsh
+        .candidatePairs(docs, numHashes, numBands, portable = true)
+        .agg(
+          lit(numHashes).as("num_hashes"),
+          lit(numBands).as("num_bands"),
+          count(lit(1)).as("n_candidate_pairs"),
+          count(when($"jaccard" >= 0.8, 1)).as("n_near_dups"),
+          max($"jaccard").as("max_jaccard"))
+    }
+  }
+
   /** SimHash fingerprinting (see graft.dedup.SimHash; SimHashSpec proves
     * near-dups land at small Hamming distance). rowsOnly summary — the
     * hash isn't oracle-portable. */
@@ -371,7 +435,8 @@ object DedupQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    dq01ExactDedup, dq02DedupKeepFirst, dq03MinhashLsh, dq04Simhash,
+    dq01ExactDedup, dq02DedupKeepFirst, dq03MinhashLsh, dq03bMinhashPortable,
+    dq04Simhash,
     dq05NgramJaccard, dq06WinnowFingerprints, dq07Decontaminate,
     dq08IncrementalDedup, dq09DupClusters)
 }
