@@ -12,13 +12,22 @@ object SimHash {
 
   val Bits = 32
 
-  /** @param docs (doc_id, text) @return (doc_id, simhash: long) */
-  def fingerprints(docs: DataFrame): DataFrame = {
+  /** @param docs (doc_id, text)
+    * @param portable use a 32-bit md5-prefix token hash instead of
+    *   xxhash64 — slower per token but reproducible bit-for-bit in
+    *   DuckDB, which makes the per-document fingerprints themselves
+    *   row-level oracle-checkable (dq04b); xxhash64 stays the
+    *   production mixer (dq04)
+    * @return (doc_id, simhash: long) */
+  def fingerprints(docs: DataFrame, portable: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val tokenHash =
+      if (portable) conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long")
+      else xxhash64($"tok")
     val votes = docs
       .select($"doc_id", explode(Shingles.tokens($"text")).as("tok"))
-      .withColumn("th", xxhash64($"tok"))
+      .withColumn("th", tokenHash)
       .groupBy($"doc_id")
       .agg(
         sum(when(shiftrightunsigned($"th", 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("w0"),

@@ -170,6 +170,45 @@ object DedupQueries {
         count(when($"simhash" === 0L, 1)).as("n_zero_fp"))
   }
 
+  /** dq04's machinery row-level-checked under an independent engine: the
+    * SAME SimHash construction (per-token hash → 32 bit-votes → sign →
+    * fingerprint) with a 32-bit md5-prefix token hash DuckDB reproduces
+    * exactly, emitting the per-document fingerprints themselves (not a
+    * summary) for the first 200 docs — every bit of every fingerprint is
+    * hash-compared. */
+  val dq04bSimhashPortable: QueryDef = {
+    val bits = graft.dedup.SimHash.Bits
+    val voteCols = (0 until bits).map { j =>
+      s"    SUM(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS w$j"
+    }.mkString(",\n")
+    val fpSum = (0 until bits)
+      .map(j => s"(CASE WHEN w$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" +\n    ")
+    sqlChecked(
+      "dq04b_simhash_portable",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+         |  FROM documents WHERE doc_id < 200),
+         |h AS (
+         |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS th
+         |  FROM toks),
+         |votes AS (
+         |  SELECT doc_id,
+         |$voteCols
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CAST($fpSum AS BIGINT) AS simhash
+         |FROM votes
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.dedup.SimHash.fingerprints(
+          Tables.fanOut(spark, Tables.documents(spark, dir))
+            .filter($"doc_id" < 200).select($"doc_id", $"text"),
+          portable = true)
+        .orderBy($"doc_id")
+    }
+  }
+
   /** n-gram Jaccard set-similarity join — candidate pairs ONLY via the
     * shared-shingle equi-join (SURVEY §2.4 J3 pattern), then Jaccard from
     * intersection counts. Fully SQL-expressible → oracle-checked. */
@@ -215,6 +254,49 @@ object DedupQueries {
         count(lit(1)).as("n_candidate_pairs"),
         count(when($"jaccard" >= 0.1, 1)).as("n_ge_01"),
         count(when($"jaccard" >= 0.8, 1)).as("n_near_dups"))
+  }
+
+  /** dq06's winnowing SELECTION row-level-checked under an independent
+    * engine: the fingerprint set of a document is the DISTINCT set of
+    * sliding-window hash minima, which is tie-rule-independent (equal
+    * minima collapse under dedup), so the algorithm is reproducible from
+    * any shared gram hash. This variant hashes each k-gram with an md5
+    * prefix (DuckDB-exact) and selects window minima with array built-ins,
+    * emitting every fingerprint of the first 50 docs for hash compare.
+    * The native graft.functions.Winnow expression stays the production
+    * path (dq06): its rolling hash + monotonic deque is O(n) per doc vs
+    * this variant's O(n·w) — WinnowSpec proves that path's guarantee. */
+  val dq06bWinnowPortable: QueryDef = {
+    val k = 8
+    val w = 16
+    sqlChecked(
+      "dq06b_winnow_portable",
+      s"""WITH d AS (
+         |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+         |  FROM documents WHERE doc_id < 50),
+         |g AS (
+         |  SELECT doc_id, list_transform(range(len(s) - ${k - 1}),
+         |    i -> CAST(('0x' || substring(md5(substring(s, i + 1, $k)), 1, 8)) AS BIGINT)) AS hs
+         |  FROM d WHERE len(s) >= ${w + k - 1}),
+         |f AS (
+         |  SELECT doc_id, list_sort(list_distinct(list_transform(range(len(hs) - ${w - 1}),
+         |    j -> list_min(hs[j + 1 : j + $w])))) AS fps
+         |  FROM g)
+         |SELECT doc_id, unnest(fps) AS fp FROM f
+         |ORDER BY doc_id, fp""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val s = Shingles.normalized($"text")
+      val hs = transform(sequence(lit(0), length(s) - k),
+        i => conv(substring(md5(s.substr(i + lit(1), lit(k))), 1, 8), 16, 10).cast("long"))
+      Tables.fanOut(spark, Tables.documents(spark, dir))
+        .filter($"doc_id" < 50)
+        .filter(length(s) >= w + k - 1)
+        .select($"doc_id", hs.as("hs"))
+        .select($"doc_id", explode(array_sort(array_distinct(
+          transform(sequence(lit(0), size($"hs") - w),
+            j => array_min(slice($"hs", j + lit(1), lit(w))))))).as("fp"))
+        .orderBy($"doc_id", $"fp")
+    }
   }
 
   /** Winnowing rolling-hash fingerprints (graft.functions.Winnow, the
@@ -436,7 +518,7 @@ object DedupQueries {
 
   val all: Seq[QueryDef] = Seq(
     dq01ExactDedup, dq02DedupKeepFirst, dq03MinhashLsh, dq03bMinhashPortable,
-    dq04Simhash,
+    dq04Simhash, dq04bSimhashPortable, dq06bWinnowPortable,
     dq05NgramJaccard, dq06WinnowFingerprints, dq07Decontaminate,
     dq08IncrementalDedup, dq09DupClusters)
 }
