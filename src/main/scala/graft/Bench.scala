@@ -31,6 +31,14 @@ object Bench {
       spark.range(1000000).agg(sum(col("id"))).write.mode("overwrite").format("noop").save()
       graft.sources.Tables.lineitem(spark, sfDir).limit(1000)
         .write.mode("overwrite").format("noop").save()
+      // the jobs fixture's generator CASEs + the explode/agg shape over
+      // them are the other big codegen compile (~2.5 s measured: a plain
+      // limit() warm-up does NOT cover the generate+aggregate codegen the
+      // alphabetically-first aq01 then pays for); run the real shape once
+      graft.etl.JobsFixture.jobs(spark, sfDir)
+        .select(explode(split(lower(col("skills")), ",")).as("sk"))
+        .groupBy(col("sk")).count().orderBy(col("count").desc).limit(5)
+        .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -62,8 +70,10 @@ object Bench {
     println(line)
     // Also persist the line: the driver captures stdout, which has been
     // observed truncated at the head for long runs (BENCH_r03 lost the
-    // aq-jq rows) — a committed file survives that.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    // aq-jq rows) — a committed file survives that. Filtered dev runs
+    // (SPARK_GRAFT_ONLY) must not clobber the last full-suite record.
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
   }
 }

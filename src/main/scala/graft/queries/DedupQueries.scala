@@ -353,8 +353,10 @@ object DedupQueries {
     * hash join — no shuffle of the 100 TB side, no candidate explosion.
     * Oracle: DuckDB recomputes the same shingle join with list
     * comprehensions. */
-  val dq07Decontaminate: QueryDef = QueryDef.sqlChecked(
-    "dq07_decontaminate",
+  /** Shared oracle for dq07/dq07b: the Bloom variant's pre-filter has no
+    * false negatives and the exact confirm join removes false positives,
+    * so both must produce the identical answer. */
+  private val decontaminateOracle =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
       |  FROM documents),
@@ -371,17 +373,58 @@ object DedupQueries {
       |SELECT COUNT(DISTINCT corpus_doc) AS n_contaminated,
       |  COUNT(DISTINCT eval_doc) AS n_eval_hit,
       |  COUNT(*) AS n_hits
-      |FROM hits""".stripMargin) { (spark, dir) =>
+      |FROM hits""".stripMargin
+
+  /** Exploded (doc_id, 8-gram shingle) rows plus the eval/corpus split
+    * used by both decontamination variants. */
+  private def contaminationSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val ex = Tables.fanOut(spark, Tables.documents(spark, dir))
       .withColumn("toks", Shingles.tokens($"text"))
       .filter(size($"toks") >= 8)
       .select($"doc_id", explode(Shingles.shinglesN($"toks", 8)).as("sh"))
-    val ev = ex.filter($"doc_id" % 7 === 3)
-      .select($"doc_id".as("eval_doc"), $"sh")
-    val corpus = ex.filter($"doc_id" % 7 =!= 3)
-      .select($"doc_id".as("corpus_doc"), $"sh")
+    (ex.filter($"doc_id" % 7 === 3).select($"doc_id".as("eval_doc"), $"sh"),
+     ex.filter($"doc_id" % 7 =!= 3).select($"doc_id".as("corpus_doc"), $"sh"))
+  }
+
+  val dq07Decontaminate: QueryDef = QueryDef.sqlChecked(
+    "dq07_decontaminate", decontaminateOracle) { (spark, dir) =>
+    import spark.implicits._
+    val (ev, corpus) = contaminationSides(spark, dir)
     corpus.join(broadcast(ev), Seq("sh"))
+      .agg(
+        countDistinct($"corpus_doc").as("n_contaminated"),
+        countDistinct($"eval_doc").as("n_eval_hit"),
+        count(lit(1)).as("n_hits"))
+  }
+
+  /** dq07 with a Bloom pre-filter on the corpus side — the shape for when
+    * the eval suite's shingle SET no longer broadcasts as strings but its
+    * Bloom bitset does (~10 bits/item vs ~50 B/shingle, a 40× reduction).
+    * One mergeable filter is built over the distinct eval shingles
+    * (partial filters OR-merge inside `DataFrameStatFunctions
+    * .bloomFilter` — public `org.apache.spark.util.sketch.BloomFilter`
+    * API), broadcast once, and probed map-side so ~(1 - hit_rate - fpp)
+    * of the 100 TB corpus's shingles die BEFORE the confirm join's
+    * exchange. Bloom filters have no false negatives and the exact join
+    * removes false positives, hence the oracle is dq07's verbatim. The
+    * probe is a scala UDF (two xxhash evaluations per row) guarding only
+    * a (long, string) projection — never wide rows; the confirm join is
+    * deliberately NOT hint-broadcast: at scale it is a shuffle join whose
+    * left input the Bloom filter has already decimated. */
+  val dq07bDecontaminateBloom: QueryDef = QueryDef.sqlChecked(
+    "dq07b_decontaminate_bloom", decontaminateOracle) { (spark, dir) =>
+    import spark.implicits._
+    val (ev0, corpus) = contaminationSides(spark, dir)
+    val ev = ev0.cache() // consumed twice: filter build + confirm join
+    val distinctEval = ev.select($"sh").distinct()
+    val expected = math.max(distinctEval.count(), 1L)
+    val bloom = distinctEval.stat.bloomFilter("sh", expected, 0.01)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((s: String) => s != null && bloomB.value.mightContainString(s))
+    corpus.filter(mightContain($"sh"))
+      .join(ev, Seq("sh"))
       .agg(
         countDistinct($"corpus_doc").as("n_contaminated"),
         countDistinct($"eval_doc").as("n_eval_hit"),
@@ -520,5 +563,6 @@ object DedupQueries {
     dq01ExactDedup, dq02DedupKeepFirst, dq03MinhashLsh, dq03bMinhashPortable,
     dq04Simhash, dq04bSimhashPortable, dq06bWinnowPortable,
     dq05NgramJaccard, dq06WinnowFingerprints, dq07Decontaminate,
+    dq07bDecontaminateBloom,
     dq08IncrementalDedup, dq09DupClusters)
 }

@@ -318,9 +318,99 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Corpus-unigram-LM quality score — the cheapest useful "perplexity"
+    * proxy a training pipeline runs before anything model-based: score a
+    * document by the mean log-probability of its tokens under the
+    * corpus's own unigram distribution (gibberish and boilerplate land
+    * far in the tails). Two corpus scans (vocab build + score) instead of
+    * caching exploded tokens — at 100 TB a cached token explosion is
+    * executor-memory suicide while a rescan is a column-pruned parquet
+    * pass. The token→count join BROADCASTS the vocab: distinct unigrams
+    * grow sublinearly (Heaps' law) while a hash shuffle on `tok` would
+    * put every "the" on one executor — broadcast sidesteps the worst key
+    * skew in the business. Final per-lang means are rounded to 1e-6 so
+    * cross-engine libm ln() ulp drift can't flip the hash. */
+  val tq12UnigramLogprob: QueryDef = sqlChecked(
+    "tq12_unigram_logprob",
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents),
+      |vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab),
+      |doc AS (
+      |  SELECT doc_id, lang, AVG(ln(c / n)) AS lp
+      |  FROM toks JOIN vocab USING (tok), tot
+      |  GROUP BY doc_id, lang)
+      |SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(lp), 6) AS avg_logprob
+      |FROM doc GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    def toks = Tables.fanOut(spark, Tables.documents(spark, dir))
+      .select($"doc_id", $"lang",
+        explode(split(lower($"text"), "\\s+")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum($"c").cast("double").as("n"))
+    toks
+      .join(broadcast(vocab), Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy($"doc_id", $"lang")
+      .agg(avg(log($"c" / $"n")).as("lp"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"lp"), 6).as("avg_logprob"))
+      .orderBy($"lang")
+  }
+
+  /** Context-window chunking — split each document's token stream into
+    * fixed training windows with overlap (here 32-token windows, 8-token
+    * overlap, stride 24 — sized so the synthetic corpus's ~100-token docs
+    * genuinely multi-chunk; a real pipeline's 2048/128 is the same shape),
+    * the map-only precursor to sequence packing (tq11). Chunk i covers
+    * tokens [24·i, 24·i+32); the last window is the one whose end
+    * reaches the document end, so short tails are absorbed rather than
+    * emitted as fully-overlapped fragments. Pure `sequence`/`slice`
+    * arithmetic inside whole-stage codegen; the only row growth is the
+    * bounded ~n/112 explode, and there is no shuffle before the output
+    * sort. Row-level oracle over a 30-doc sample. */
+  val tq13ContextChunks: QueryDef = sqlChecked(
+    "tq13_context_chunks",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents WHERE doc_id < 30),
+      |sz AS (SELECT doc_id, w, len(w) AS n FROM toks),
+      |idx AS (
+      |  SELECT doc_id, w, n, unnest(range(
+      |    CASE WHEN n <= 32 THEN 1
+      |         ELSE CAST(FLOOR((n - 9) / 24.0) AS BIGINT) + 1 END)) AS chunk_idx
+      |  FROM sz),
+      |ch AS (
+      |  SELECT doc_id, chunk_idx, w, chunk_idx * 24 AS st,
+      |    LEAST(n - chunk_idx * 24, 32) AS chunk_len
+      |  FROM idx)
+      |SELECT doc_id, chunk_idx, chunk_len,
+      |  w[st + 1] AS first_tok,
+      |  w[st + chunk_len] AS last_tok
+      |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val nChunks = when($"n" <= 32, lit(1L))
+      .otherwise(floor(($"n" - lit(9)) / lit(24.0)) + 1L)
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 30)
+      .select($"doc_id", split(lower($"text"), "\\s+").as("w"))
+      .withColumn("n", size($"w").cast("long"))
+      .select($"doc_id", $"w", $"n",
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_idx"))
+      .withColumn("st", $"chunk_idx" * 24L)
+      .withColumn("chunk_len", least($"n" - $"st", lit(32L)))
+      .select($"doc_id", $"chunk_idx", $"chunk_len",
+        element_at($"w", ($"st" + 1L).cast("int")).as("first_tok"),
+        element_at($"w", ($"st" + $"chunk_len").cast("int")).as("last_tok"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
     tq05Fingerprints, tq06MultimodalDecode, tq07MultimodalStats,
     tq08StratifiedSample, tq09DeterministicSample, tq10BpeTokenCounts,
-    tq11TokenPacking)
+    tq11TokenPacking, tq12UnigramLogprob, tq13ContextChunks)
 }
