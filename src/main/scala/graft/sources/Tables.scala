@@ -50,11 +50,22 @@ object Tables {
   /** Register every table as a temp view (for spark.sql entry points).
     * Routes through the per-table loaders so schema quirks (events' nanos
     * timestamps) are handled regardless of which query runs first. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  /** Register every table as a temp view — the SQL catalog surface.
+    * Memoized per (session, dir): registration costs one parquet-footer
+    * read per table, which is catalog START-UP cost, not per-query cost;
+    * a session conf key records the registered dir so repeat callers
+    * (aq04, q29, ad-hoc spark.sql users) don't re-pay it. The fixture
+    * dirs are immutable, so re-registration is only needed when the dir
+    * actually changes. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val key = "graft.catalog.registeredDir"
+    if (spark.conf.getOption(key).contains(dir)) return
     names.foreach { n =>
       val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
       df.createOrReplaceTempView(n)
     }
+    spark.conf.set(key, dir)
+  }
 
   /** Fan a narrow scan out to all cores before CPU-heavy per-row work.
     *

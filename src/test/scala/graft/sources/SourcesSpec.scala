@@ -64,6 +64,50 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows(1).getAs[Double]("v2") == 9.5)
   }
 
+  test("orc round-trip preserves rows, types, and nested arrays") {
+    // format breadth: ORC is the other columnar lakehouse format Spark
+    // ships natively; nested array columns must survive the round-trip
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", split(lower($"text"), "\\s+").as("toks"))
+    val path = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/docs"
+    docs.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    // ORC does not persist containsNull, so the element nullability widens
+    // on read — compare names + SQL types, which is the contract that matters
+    assert(back.schema.map(f => (f.name, f.dataType.sql))
+      == docs.schema.map(f => (f.name, f.dataType.sql)))
+    assert(back.count() == docs.count())
+    val a = docs.agg(sum(size($"toks"))).head.getLong(0)
+    val b = back.agg(sum(size($"toks"))).head.getLong(0)
+    assert(a == b, "token counts must survive the ORC round-trip")
+  }
+
+  test("json-lines round-trip with explicit schema avoids inference scan") {
+    // JSON-lines is the interchange format every training-data pipeline
+    // ingests; reading with an EXPLICIT schema matters at scale (schema
+    // inference is a full extra pass over 100 TB)
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"lang", $"n_chars")
+    val path = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/docs"
+    docs.write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val back = spark.read.schema(schema).json(path)
+    assert(back.schema == schema)
+    assert(back.count() == docs.count())
+    val a = docs.agg(sum($"n_chars")).head.getLong(0)
+    assert(back.agg(sum($"n_chars")).head.getLong(0) == a)
+    // malformed rows surface under PERMISSIVE as null-filled, not failures
+    val badPath = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/bad"
+    Seq("""{"doc_id": 1, "lang": "en", "n_chars": 10}""", """not json at all""")
+      .toDF("value").write.mode("overwrite").text(badPath)
+    val bad = spark.read.schema(schema).json(badPath)
+    assert(bad.count() == 2)
+    assert(bad.filter($"doc_id".isNull).count() == 1, "malformed row null-fills")
+  }
+
   test("file-metadata columns: _metadata.file_name and input_file_name resolve per row") {
     // lakehouse lineage surface: every row knows its source file — the
     // hook audit/backfill tooling keys on (constant per scan task, no cost)
