@@ -214,6 +214,70 @@ object SimilarityQueries {
       max($"cos").as("max_cos"))
   }
 
+  /** Int8 scalar quantization of the embedding column — the storage/
+    * bandwidth lever for vector corpora (4 B float → 1 B int per dim;
+    * at 100 TB of embeddings that's 75 TB saved and 4× more vectors per
+    * shuffle block or ANN bucket). Per-vector max-abs scaling:
+    * scale = max|x|/127, q_i = floor(x_i/scale + .5), dequant q_i·scale.
+    * Everything is codegen'd array built-ins (transform/aggregate/
+    * zip_with) — no UDF, map-only, no shuffle before the tiny per-label
+    * summary. The oracle recomputes quantization in DuckDB: the summed
+    * squared int8 codes are EXACT BIGINTs (a bit-level cross-engine proof
+    * of identical codes) while the reconstruction-error means are rounded
+    * at 1e-9 against summation-order ulp drift. floor(x+0.5) is used on
+    * both sides because Spark/DuckDB round() disagree on half-way ties;
+    * the 1e-12 scale floor makes all-zero vectors quantize to zeros
+    * instead of dividing by zero. */
+  val sq06Int8Quantization: QueryDef = sqlChecked(
+    "sq06_int8_quantization",
+    """WITH s AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+      |    greatest(list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, label, e, scale,
+      |    list_transform(e, x -> floor(x / scale + 0.5)) AS qv
+      |  FROM s),
+      |m AS (
+      |  SELECT vec_id, label,
+      |    CAST(list_sum(list_transform(qv, x -> CAST(x * x AS BIGINT)))
+      |      AS BIGINT) AS q2,
+      |    list_sum(list_transform(range(len(e)),
+      |      i -> (e[i+1] - qv[i+1] * scale) * (e[i+1] - qv[i+1] * scale)))
+      |      / len(e) AS mse,
+      |    list_max(list_transform(range(len(e)),
+      |      i -> abs(e[i+1] - qv[i+1] * scale))) AS maxerr
+      |  FROM q)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(q2) AS BIGINT) AS sum_q2,
+      |  ROUND(AVG(mse), 9) AS avg_mse,
+      |  ROUND(MAX(maxerr), 9) AS max_abs_err
+      |FROM m GROUP BY label ORDER BY label""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val e = transform($"embedding", x => x.cast("double"))
+    val absmax = aggregate(e, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", e.as("e"),
+        (greatest(absmax, lit(1e-12)) / 127.0).as("scale"))
+      .select($"vec_id", $"label", $"e", $"scale",
+        transform($"e", x => floor(x / $"scale" + 0.5)).as("qv"))
+      .select($"vec_id", $"label",
+        aggregate($"qv", lit(0L), (acc, x) => acc + (x * x)).as("q2"),
+        (aggregate(zip_with($"e", $"qv", (x, q) =>
+            (x - q * $"scale") * (x - q * $"scale")),
+          lit(0.0), (acc, d) => acc + d) / size($"e")).as("mse"),
+        aggregate(zip_with($"e", $"qv", (x, q) => abs(x - q * $"scale")),
+          lit(0.0), (acc, d) => greatest(acc, d)).as("maxerr"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"q2").cast("long").as("sum_q2"),
+        round(avg($"mse"), 9).as("avg_mse"),
+        round(max($"maxerr"), 9).as("max_abs_err"))
+      .orderBy($"label")
+  }
+
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
-    sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup)
+    sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
+    sq06Int8Quantization)
 }

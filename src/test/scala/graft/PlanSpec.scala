@@ -174,6 +174,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate") && !p.contains("Join"), p)
   }
 
+  test("dq07b: Bloom probe filters the corpus BELOW the confirm join") {
+    val p = plan(DedupQueries.dq07bDecontaminateBloom)
+    assert(!p.contains("CartesianProduct"), p)
+    // the scala-UDF membership probe must appear as a Filter in the plan
+    // (map-side, ahead of the join) — that is the 100 TB point of dq07b
+    assert(p.contains("UDF"), "Bloom might-contain probe missing from plan:\n" + p)
+    // formatted mode lists node details separately: the probe shows up as a
+    // Filter node whose Condition argument carries the UDF
+    assert(p.linesIterator.exists(l => l.contains("Condition") && l.contains("UDF")),
+      "Bloom probe is not a Filter condition:\n" + p)
+  }
+
+  test("tq12: token->vocab join broadcasts the vocab (stopword skew shield)") {
+    val p = plan(TextQueries.tq12UnigramLogprob)
+    assert(p.contains("BroadcastHashJoin"), "vocab must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "a shuffle join on tok puts every stopword on one executor:\n" + p)
+  }
+
+  test("tq13: chunking is map-only — one scan, no join, no shuffle before output sort") {
+    val p = plan(TextQueries.tq13ContextChunks)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), "chunk explode should plan a Generate:\n" + p)
+    // only exchange allowed is the rangepartitioning for the final sort
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"chunking must not shuffle before the output sort:\n$p")
+  }
+
+  test("sq06: quantization stays in-row — no Generate, no join, one scan") {
+    val p = plan(SimilarityQueries.sq06Int8Quantization)
+    assert(!p.contains("Generate"),
+      "array transforms must not explode 64-dim vectors to row space:\n" + p)
+    assert(!p.contains("Join"), p)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 embeddings scan, got $scans")
+  }
+
   test("q33: higher-order functions stay in-row — no Generate, pushed filter, one scan") {
     val p = plan(RelationalExt.q33HofBattery)
     assert(!p.contains("Generate"), "HOFs must not explode to row space:\n" + p)
