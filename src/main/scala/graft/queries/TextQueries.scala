@@ -348,7 +348,10 @@ object TextQueries {
     def toks = Tables.fanOut(spark, Tables.documents(spark, dir))
       .select($"doc_id", $"lang",
         explode(split(lower($"text"), "\\s+")).as("tok"))
-    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+    // the vocab aggregate feeds BOTH the score join and the total; without
+    // cache() each consumer re-runs the build scan (no cross-branch CSE) —
+    // and the vocab is the bounded Heaps'-law frame caching is made for
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c")).cache()
     val tot = vocab.agg(sum($"c").cast("double").as("n"))
     toks
       .join(broadcast(vocab), Seq("tok"))

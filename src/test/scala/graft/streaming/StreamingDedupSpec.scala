@@ -5,11 +5,19 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Streaming exact-dedup: dropDuplicates over a content fingerprint with
-  * a watermark bounding the dedup state — the streaming half of the
-  * LLM-pipeline dedup story (batch half: dq01/dq02). State holds one
-  * fingerprint per document inside the watermark window; without the
-  * watermark, state grows with the whole stream's history.
+/** Streaming exact-dedup — the streaming half of the LLM-pipeline dedup
+  * story (batch half: dq01/dq02).
+  *
+  * Two distinct semantics, both pinned here:
+  *   - `dropDuplicates("fp")`: exact forever-dedup. The watermark does
+  *     NOT evict this state (eviction only happens when the event-time
+  *     column is part of the dedup key) — state grows with the stream's
+  *     full fingerprint history. Correct semantics, unbounded state.
+  *   - `dropDuplicatesWithinWatermark("fp")`: dedup on fp alone with
+  *     state EVICTED once the watermark passes a row's event time — the
+  *     bounded-state form an infinite 100 TB/day stream must run. The
+  *     price: a duplicate arriving after eviction is emitted again, and
+  *     the second test proves exactly that trade.
   */
 case class StreamDoc(doc_id: Long, text: String, event_ts: java.sql.Timestamp)
 
@@ -44,6 +52,41 @@ class StreamingDedupSpec extends AnyFunSuite {
       val kept = spark.table("dedup_sink").select($"doc_id")
         .collect().map(_.getLong(0)).toSet
       assert(kept == Set(1L, 3L, 5L), s"kept $kept")
+    } finally query.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark bounds state: dups die in-window, evicted keys re-emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamDoc]
+    val deduped = stream.toDS()
+      .withColumn("fp", sha2(lower(regexp_replace(trim($"text"), "\\s+", " ")), 256))
+      .withWatermark("event_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+    val query = deduped.writeStream
+      .format("memory")
+      .queryName("dedup_wm_sink")
+      .outputMode("append")
+      .start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+      def ts(mins: Int) = new java.sql.Timestamp(t0.getTime + mins * 60000L)
+      stream.addData(
+        StreamDoc(1, "the quick brown fox", ts(0)),
+        StreamDoc(2, "the quick brown fox", ts(1))) // in-window dup: dropped
+      query.processAllAvailable()
+      // advance the watermark to 50 min — past doc 1's event time, so its
+      // fingerprint state is eligible for eviction after this batch
+      stream.addData(StreamDoc(3, "watermark mover", ts(60)))
+      query.processAllAvailable()
+      // same payload again, AFTER its state was evicted: emitted anew —
+      // the documented trade for bounded state
+      stream.addData(StreamDoc(4, "the quick brown fox", ts(61)))
+      query.processAllAvailable()
+      val kept = spark.table("dedup_wm_sink").select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 4L),
+        s"kept $kept — expected in-window dup 2 dropped, evicted-key re-arrival 4 emitted")
     } finally query.stop()
   }
 }
