@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.MlQueries.all ++
     graft.queries.SketchQueries.all ++
     graft.queries.RelationalExt.all ++
-    graft.queries.FilterQueries.all
+    graft.queries.FilterQueries.all ++
+    graft.queries.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PartitionedLayout.upsert: key-level merge into a partitioned parquet
+  * table must (1) replace superseded keys, (2) insert new keys — including
+  * into brand-new partitions, (3) leave every unaffected partition's FILES
+  * byte-identical (the partition-pruned rewrite is the whole point: at
+  * 100 TB "upsert" that rewrites the table is a non-starter).
+  */
+class UpsertSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def listFiles(p: String): Map[String, (Long, Long)] = {
+    val d = new java.io.File(p)
+    require(d.isDirectory, s"missing partition dir $p")
+    d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+  }
+
+  test("upsert rewrites only affected partitions; updates, inserts, new partitions land") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/docs"
+    val docs = Tables.documents(spark, dir)
+    PartitionedLayout.write(docs, base, "lang")
+
+    val langs = docs.select($"lang").distinct().as[String].collect().sorted
+    assert(langs.length >= 2, "fixture needs two langs")
+    val (langUpd, langKeep) = (langs.head, langs.last)
+    val keepFilesBefore = listFiles(s"$base/lang=$langKeep")
+    val keepSumBefore = PartitionedLayout.read(spark, base)
+      .filter($"lang" === langKeep).agg(sum($"n_chars")).head.getLong(0)
+
+    val targets = docs.filter($"lang" === langUpd)
+      .orderBy($"doc_id").limit(2).select($"doc_id").as[Long].collect()
+    val maxId = docs.agg(max($"doc_id")).head.getLong(0)
+    val nBefore = PartitionedLayout.read(spark, base).count()
+
+    // 2 in-place updates + 1 insert into an existing partition + 1 insert
+    // creating a brand-new partition
+    val updates = Seq(
+      (targets(0), s"updated body ${targets(0)}", langUpd, "upsert-src", -1L),
+      (targets(1), s"updated body ${targets(1)}", langUpd, "upsert-src", -1L),
+      (maxId + 1, "fresh document", langUpd, "upsert-src", -2L),
+      (maxId + 2, "new partition document", "zz", "upsert-src", -3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    PartitionedLayout.upsert(spark, base, updates, "doc_id", "lang")
+
+    val after = PartitionedLayout.read(spark, base)
+    assert(after.count() == nBefore + 2, "2 inserts expected")
+    val updated = after.filter($"doc_id".isin(targets.map(Long.box): _*))
+      .select($"n_chars").as[Long].collect().toSet
+    assert(updated == Set(-1L), s"superseded keys must be replaced: $updated")
+    assert(after.filter($"lang" === "zz").count() == 1, "new partition row")
+    // the unaffected partition: same files, same sizes, same mtimes
+    assert(listFiles(s"$base/lang=$langKeep") == keepFilesBefore,
+      "unaffected partition was rewritten")
+    val keepSumAfter = after.filter($"lang" === langKeep)
+      .agg(sum($"n_chars")).head.getLong(0)
+    assert(keepSumAfter == keepSumBefore)
+  }
+}
