@@ -75,4 +75,57 @@ object PartitionedLayout {
       }
     }
   }
+
+  /** Small-file compaction — the other half of table maintenance. Years
+    * of incremental ingests/upserts leave partitions with hundreds of
+    * KB-scale files; every query then pays a task (and an open/footer
+    * read) per fragment. Compaction rewrites a partition's rows into
+    * ~`targetBytes` files.
+    *
+    * Only partitions WORTH compacting are rewritten: a partition is
+    * selected when its file count exceeds what its byte size justifies
+    * (> ceil(bytes/target) + slack). Selection walks the directory
+    * listing (driver-side metadata, the same listing any scan performs);
+    * rewriting reads just the selected partitions via partition-pruned
+    * scans and overwrites them with `partitionOverwriteMode=dynamic`, so
+    * healthy partitions keep their files byte-identical — same bound as
+    * `upsert`. Row contents are preserved exactly; only layout changes.
+    *
+    * @return the partition directory names that were rewritten */
+  def compact(spark: SparkSession, path: String, partitionCol: String,
+      targetBytes: Long = 128L * 1024 * 1024, slackFiles: Int = 1): Seq[String] = {
+    val root = new java.io.File(path)
+    val partDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(s"$partitionCol="))
+    val fragmented = partDirs.filter { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      val bytes = files.map(_.length()).sum
+      val justified = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      files.length > justified + slackFiles
+    }
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try {
+      fragmented.toSeq.map { d =>
+        val value = d.getName.stripPrefix(s"$partitionCol=")
+        val bytes = d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(_.length()).sum
+        val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        // partition-pruned read of just this partition; repartition to the
+        // justified file count and rewrite only this directory
+        spark.read.parquet(path)
+          .filter(org.apache.spark.sql.functions.col(partitionCol) === value)
+          .repartition(nFiles)
+          .localCheckpoint()
+          .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+        d.getName
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(modeKey, v)
+        case None    => spark.conf.unset(modeKey)
+      }
+    }
+  }
 }
