@@ -196,6 +196,63 @@ object TemporalQueries {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Pure interval-overlap join — NO equi key at all, the shape eq02's
+    * keyed range join can't cover (global maintenance windows, outage
+    * blackouts, promo periods vs an event stream). Naively this is a
+    * CartesianProduct with a range filter; the scale path is time-bucket
+    * quantization: each 15-minute window explodes to the (≤2) 15-minute
+    * epoch buckets it covers, each activity event computes its single
+    * bucket, and the join becomes an EQUI-join on bucket followed by the
+    * exact range predicate. An event has exactly one bucket, so a
+    * (window, event) pair can match at most once — no dedup pass. The
+    * bucket width equals the window length, bounding the explode factor
+    * at 2 regardless of data volume; both sides stay shuffle-joinable at
+    * any scale (the window side ALSO needs no broadcast). The oracle is
+    * DuckDB's plain range join — two independent evaluation strategies,
+    * one answer. */
+  val eq05IntervalOverlap: QueryDef = sqlChecked(
+    "eq05_interval_overlap",
+    s"""WITH win AS (
+       |  SELECT event_id AS win_id, ts AS w_start,
+       |    ts + INTERVAL 15 MINUTE AS w_end
+       |  FROM events WHERE event_type = 'purchase' AND event_id % 20 = 0),
+       |act AS (
+       |  SELECT ts, value FROM events WHERE event_type <> 'purchase')
+       |SELECT w.win_id, COUNT(a.ts) AS n_overlap,
+       |  CAST(COALESCE(SUM(CAST((a.value) AS DECIMAL(30,6))), 0) AS DOUBLE) AS sum_value
+       |FROM win w LEFT JOIN act a
+       |  ON a.ts >= w.w_start AND a.ts < w.w_end
+       |GROUP BY w.win_id ORDER BY w.win_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val bucketSec = 900L // bucket width == window length ⇒ ≤2 buckets/window
+    val ev = Tables.events(spark, dir)
+    val win = ev
+      .filter($"event_type" === "purchase" && $"event_id" % 20 === 0)
+      .select($"event_id".as("win_id"), $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 15 MINUTES")).as("w_end"))
+    // floor-of-epoch-seconds is monotone, so any t in [start, end) lands in
+    // a bucket the window exploded to — candidate generation is lossless
+    // Column./ is double division; floor() restores the integral bucket id
+    // (epoch seconds / 900 is far inside double's exact-integer range)
+    val wb = win.withColumn("bucket",
+      explode(sequence(floor($"w_start".cast("long") / bucketSec),
+        floor($"w_end".cast("long") / bucketSec))))
+    val act = ev.filter($"event_type" =!= "purchase")
+      .select($"ts".as("a_ts"), $"value",
+        floor($"ts".cast("long") / bucketSec).as("bucket"))
+    val hits = wb
+      .join(act, Seq("bucket"))
+      .filter($"a_ts" >= $"w_start" && $"a_ts" < $"w_end")
+      .groupBy($"win_id")
+      .agg(count(lit(1)).as("n_overlap"), dsum($"value").as("sum_value"))
+    win.select($"win_id")
+      .join(hits, Seq("win_id"), "left")
+      .select($"win_id",
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+        coalesce($"sum_value", lit(0.0)).as("sum_value"))
+      .orderBy($"win_id")
+  }
+
   val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq01bAsofExec, eq02RangeJoin,
-    eq03Sessionize, eq04SessionWindow)
+    eq03Sessionize, eq04SessionWindow, eq05IntervalOverlap)
 }

@@ -213,6 +213,14 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 embeddings scan, got $scans")
   }
 
+  test("eq05: keyless interval overlap joins on quantized buckets — never a nested loop") {
+    val p = plan(TemporalQueries.eq05IntervalOverlap)
+    assert(!p.contains("CartesianProduct"),
+      "overlap join degenerated to all-pairs:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "overlap join must be the bucket EQUI-join, not a range nested loop:\n" + p)
+  }
+
   test("q33: higher-order functions stay in-row — no Generate, pushed filter, one scan") {
     val p = plan(RelationalExt.q33HofBattery)
     assert(!p.contains("Generate"), "HOFs must not explode to row space:\n" + p)
