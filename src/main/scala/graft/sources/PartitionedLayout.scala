@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Hive-style partitioned parquet layout — the 100 TB table organization.
   *
@@ -23,6 +23,37 @@ object PartitionedLayout {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Durable staging for in-place rewrites: materialize `df` to a sibling
+    * staging directory, hand the re-read back to `write`, then clean up.
+    * Spark (correctly) refuses to overwrite a path its plan still reads;
+    * the staging copy severs that lineage DURABLY — unlike a
+    * localCheckpoint, whose unreplicated executor-local blocks would be
+    * unrecoverable if an executor died after the overwrite started
+    * deleting target directories. What stages is only the affected-
+    * partitions slice, bounded by update locality. (An ACID table format
+    * subsumes all of this; this is the parquet-native equivalent.) */
+  private def withStaging(spark: SparkSession, path: String, df: DataFrame)(
+      write: DataFrame => Unit): Unit = {
+    val staging = path.stripSuffix("/") + "__staging"
+    df.write.mode("overwrite").parquet(staging)
+    try write(spark.read.parquet(staging))
+    finally {
+      val p = new org.apache.hadoop.fs.Path(staging)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  private def withDynamicOverwrite(spark: SparkSession)(body: => Unit): Unit = {
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None    => spark.conf.unset(modeKey)
+    }
+  }
+
   /** Key-level upsert into a partitioned parquet table — the corpus
     * maintenance primitive (refreshed documents, relabeled rows, daily
     * incremental ingests land as updates, not full rewrites).
@@ -30,49 +61,38 @@ object PartitionedLayout {
     * Plain parquet has no row-level MERGE, so the unit of rewrite is the
     * PARTITION, and the whole game is touching only the partitions that
     * contain updated keys:
-    *   1. the updates' distinct partition values (a tiny frame) broadcast
-    *      into a left-semi join that restricts the current table to
-    *      affected partitions — everything else is partition-pruned at
-    *      the scan;
-    *   2. affected current rows lose superseded keys (left-anti on key,
-    *      again against the bounded update set) and union the updates;
-    *   3. `partitionOverwriteMode=dynamic` rewrites ONLY the partitions
-    *      present in the merged frame — untouched partition directories
-    *      keep their exact files (UpsertSpec asserts file identity).
-    *
-    * The merged frame is localCheckpoint()ed first: Spark (correctly)
-    * refuses to overwrite a path its plan still reads, and the eager
-    * checkpoint both severs that lineage and guards against a task retry
-    * re-reading half-deleted input. What materializes is only the
-    * affected-partitions slice — bounded by update locality, the same
-    * bound dynamic overwrite itself relies on. (On a deployment with an
-    * ACID table format, that format's MERGE subsumes this; this is the
-    * parquet-native equivalent.)
+    *   1. affected partitions = the updates' partition values UNION the
+    *      partitions currently holding any updated key. The second set
+    *      matters when an update CHANGES a row's partition value (a doc
+    *      relabeled en→fr): without it the old row's partition is never
+    *      rewritten and the stale row survives as a duplicate. Finding it
+    *      costs one column-pruned (key, partition) scan against the
+    *      broadcast update keys — metadata-sized I/O, not a data read;
+    *   2. the current table, partition-pruned to the affected set, loses
+    *      superseded keys (left-anti on the broadcast keys) and unions
+    *      the updates;
+    *   3. the merged slice is durably staged (see [[withStaging]]) and
+    *      written with `partitionOverwriteMode=dynamic`, which rewrites
+    *      ONLY the partitions present in it — untouched partition
+    *      directories keep their exact files (UpsertSpec asserts file
+    *      identity).
     *
     * `updates` must carry the full table schema, `keyCol` unique per row.
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
-      keyCol: String, partitionCol: String): Unit = {
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(modeKey)
-    spark.conf.set(modeKey, "dynamic")
-    try {
-      val affected = updates.select(partitionCol).distinct()
-      val current = spark.read.parquet(path)
-        .join(broadcast(affected), Seq(partitionCol), "left_semi")
-      val merged = current
-        .join(broadcast(updates.select(keyCol)), Seq(keyCol), "left_anti")
-        .unionByName(updates)
-        .localCheckpoint()
-      merged.write
-        .mode("overwrite")
-        .partitionBy(partitionCol)
-        .parquet(path)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(modeKey, v)
-        case None    => spark.conf.unset(modeKey)
-      }
+      keyCol: String, partitionCol: String): Unit = withDynamicOverwrite(spark) {
+    val updKeys = broadcast(updates.select(keyCol).distinct())
+    val oldPartitions = spark.read.parquet(path)
+      .join(updKeys, Seq(keyCol), "left_semi")
+      .select(partitionCol)
+    val affected = updates.select(partitionCol).union(oldPartitions).distinct()
+    val current = spark.read.parquet(path)
+      .join(broadcast(affected), Seq(partitionCol), "left_semi")
+    val merged = current
+      .join(updKeys, Seq(keyCol), "left_anti")
+      .unionByName(updates)
+    withStaging(spark, path, merged) { staged =>
+      staged.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
     }
   }
 
@@ -85,11 +105,18 @@ object PartitionedLayout {
     * Only partitions WORTH compacting are rewritten: a partition is
     * selected when its file count exceeds what its byte size justifies
     * (> ceil(bytes/target) + slack). Selection walks the directory
-    * listing (driver-side metadata, the same listing any scan performs);
-    * rewriting reads just the selected partitions via partition-pruned
-    * scans and overwrites them with `partitionOverwriteMode=dynamic`, so
-    * healthy partitions keep their files byte-identical — same bound as
-    * `upsert`. Row contents are preserved exactly; only layout changes.
+    * listing (driver-side metadata, the same listing any scan performs).
+    * The fragmented partitions are then read BY DIRECTORY PATH (with
+    * `basePath` preserving the partition column) — never by parsing the
+    * Hive-escaped directory name back into a value, which would silently
+    * miss partitions whose values need escaping (`en%3AUS`) and the null
+    * partition (`__HIVE_DEFAULT_PARTITION__`). One job reads them all,
+    * one shuffle lands each partition's rows on one task, and
+    * `maxRecordsPerFile` (target bytes scaled by the slice's measured
+    * rows/byte) splits oversized partitions into multiple files. The
+    * staged result overwrites dynamically, so healthy partitions keep
+    * their files byte-identical — same bound as `upsert`. Rows are
+    * preserved exactly; only layout changes.
     *
     * @return the partition directory names that were rewritten */
   def compact(spark: SparkSession, path: String, partitionCol: String,
@@ -103,29 +130,28 @@ object PartitionedLayout {
       val justified = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
       files.length > justified + slackFiles
     }
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(modeKey)
-    spark.conf.set(modeKey, "dynamic")
-    try {
-      fragmented.toSeq.map { d =>
-        val value = d.getName.stripPrefix(s"$partitionCol=")
-        val bytes = d.listFiles().filter(_.getName.endsWith(".parquet"))
-          .map(_.length()).sum
-        val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        // partition-pruned read of just this partition; repartition to the
-        // justified file count and rewrite only this directory
-        spark.read.parquet(path)
-          .filter(org.apache.spark.sql.functions.col(partitionCol) === value)
-          .repartition(nFiles)
-          .localCheckpoint()
-          .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-        d.getName
-      }
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(modeKey, v)
-        case None    => spark.conf.unset(modeKey)
+    if (fragmented.isEmpty) return Nil
+    val totalBytes = fragmented.map(
+      _.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum).sum
+    withDynamicOverwrite(spark) {
+      val frag = spark.read
+        .option("basePath", path)
+        .parquet(fragmented.map(_.getPath).toIndexedSeq: _*)
+      // footer-stats count — no data pages are read for a bare count
+      val totalRows = frag.count()
+      val rowsPerFile = math.max(1L,
+        if (totalBytes == 0) Long.MaxValue
+        else targetBytes * totalRows / math.max(1L, totalBytes))
+      withStaging(spark, path, frag) { staged =>
+        staged
+          .repartition(col(partitionCol)) // one task per partition value
+          .write
+          .mode("overwrite")
+          .option("maxRecordsPerFile", rowsPerFile)
+          .partitionBy(partitionCol)
+          .parquet(path)
       }
     }
+    fragmented.toIndexedSeq.map(_.getName)
   }
 }

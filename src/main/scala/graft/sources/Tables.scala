@@ -47,10 +47,9 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** Register every table as a temp view (for spark.sql entry points).
-    * Routes through the per-table loaders so schema quirks (events' nanos
-    * timestamps) are handled regardless of which query runs first. */
   /** Register every table as a temp view — the SQL catalog surface.
+    * Routes through the per-table loaders so schema quirks (events' nanos
+    * timestamps) are handled regardless of which query runs first.
     * Memoized per (session, dir): registration costs one parquet-footer
     * read per table, which is catalog START-UP cost, not per-query cost;
     * a session conf key records the registered dir so repeat callers

@@ -49,4 +49,23 @@ class CompactionSpec extends AnyFunSuite {
       targetBytes = 512L * 1024 * 1024)
     assert(again.isEmpty, s"healthy partitions re-compacted: $again")
   }
+
+  test("partitions whose values need Hive escaping compact too (path-based read)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    // 'en:US' writes to directory lang=en%3AUS — value-parsing approaches
+    // that filter col === dirName.stripPrefix silently no-op on it
+    val df = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "en:US" else "plain"))
+      .toDF("id", "lang")
+    df.repartition(8).write.partitionBy("lang").parquet(base)
+    assert(parquetCount(s"$base/lang=en%3AUS") >= 4, "fixture not fragmented")
+    val rewritten = PartitionedLayout.compact(spark, base, "lang",
+      targetBytes = 512L * 1024 * 1024, slackFiles = 0)
+    assert(rewritten.contains("lang=en%3AUS"), s"escaped partition skipped: $rewritten")
+    assert(parquetCount(s"$base/lang=en%3AUS") == 1, "escaped partition not compacted")
+    val back = spark.read.parquet(base)
+    assert(back.count() == 40)
+    assert(back.filter($"lang" === "en:US").count() == 20,
+      "escaped partition value must round-trip")
+  }
 }

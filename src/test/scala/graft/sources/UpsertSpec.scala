@@ -63,4 +63,30 @@ class UpsertSpec extends AnyFunSuite {
       .agg(sum($"n_chars")).head.getLong(0)
     assert(keepSumAfter == keepSumBefore)
   }
+
+  test("upsert relocates a row whose partition value changes — no stale duplicate") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/docs"
+    val docs = Tables.documents(spark, dir)
+    PartitionedLayout.write(docs, base, "lang")
+    val nBefore = PartitionedLayout.read(spark, base).count()
+
+    // relabel one existing doc into a different (new) partition: the OLD
+    // partition holds the stale row and is NOT named by the update's
+    // partition value — exactly the case that duplicates if affected
+    // partitions are derived from update rows alone
+    val moved = docs.orderBy($"doc_id").limit(1)
+      .select($"doc_id", $"text", $"source", $"n_chars").as[(Long, String, String, Long)]
+      .head()
+    val updates = Seq((moved._1, moved._2, "zz", moved._3, moved._4))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    PartitionedLayout.upsert(spark, base, updates, "doc_id", "lang")
+
+    val after = PartitionedLayout.read(spark, base)
+    assert(after.count() == nBefore, "relabel must not change row count")
+    val rows = after.filter($"doc_id" === moved._1)
+      .select($"lang").as[String].collect()
+    assert(rows.toSeq == Seq("zz"),
+      s"moved key must exist exactly once in the new partition: ${rows.toSeq}")
+  }
 }
