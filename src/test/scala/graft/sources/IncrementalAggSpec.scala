@@ -1,0 +1,64 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IncrementalAgg: merged partial aggregates must equal the one-shot
+  * aggregate of all history, and a narrow batch must rewrite only the
+  * buckets its keys hash to.
+  */
+class IncrementalAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("two sequential ingests equal the one-shot aggregate") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-iagg").toString + "/rollup"
+    val docs = Tables.documents(spark, dir).select($"lang", $"n_chars")
+    val (a, b) = (docs.filter(hash($"n_chars") % 2 === 0),
+      docs.filter(hash($"n_chars") % 2 =!= 0))
+    IncrementalAgg.init(spark, path, a, "lang", "n_chars")
+    IncrementalAgg.ingest(spark, path, b, "lang", "n_chars")
+
+    val got = IncrementalAgg.read(spark, path, "lang")
+      .orderBy($"lang").select($"lang", $"sum", $"cnt").as[(String, Long, Long)].collect()
+    val want = docs.groupBy($"lang")
+      .agg(sum($"n_chars").cast("long").as("sum"), count($"n_chars").as("cnt"))
+      .orderBy($"lang").as[(String, Long, Long)].collect()
+    assert(got.toSeq == want.toSeq,
+      s"merged rollup diverged from one-shot aggregate:\n$got\nvs\n$want")
+  }
+
+  test("a single-key batch rewrites only that key's bucket") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-iagg").toString + "/rollup"
+    val docs = Tables.documents(spark, dir).select($"lang", $"n_chars")
+    IncrementalAgg.init(spark, path, docs, "lang", "n_chars")
+    def files(): Map[String, Set[(String, Long, Long)]] = {
+      val root = new java.io.File(path)
+      root.listFiles().filter(_.getName.startsWith("bucket=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      }.toMap
+    }
+    val before = files()
+    val oneLang = docs.select($"lang").head.getString(0)
+    val batch = Seq((oneLang, 7L)).toDF("lang", "n_chars")
+    IncrementalAgg.ingest(spark, path, batch, "lang", "n_chars")
+    val after = files()
+    val hot = s"bucket=${Seq(oneLang).toDF("lang")
+      .select(pmod(hash($"lang"), lit(IncrementalAgg.NumBuckets))).head.getInt(0)}"
+    assert(after(hot) != before(hot), "hot bucket must be rewritten")
+    (before.keySet - hot).foreach { b =>
+      assert(after(b) == before(b), s"untouched bucket $b was rewritten")
+    }
+    // and the merged value is right
+    val row = IncrementalAgg.read(spark, path, "lang")
+      .filter($"lang" === oneLang).select($"sum", $"cnt").head
+    val base = docs.filter($"lang" === oneLang)
+      .agg(sum($"n_chars").cast("long"), count(lit(1))).head
+    assert(row.getLong(0) == base.getLong(0) + 7L)
+    assert(row.getLong(1) == base.getLong(1) + 1L)
+  }
+}
