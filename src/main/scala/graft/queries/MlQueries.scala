@@ -132,6 +132,10 @@ object MlQueries {
       .cache()
     val Array(train, test) = feats.randomSplit(Array(0.8, 0.2), 42)
     val model = Pipelines.attractivenessLogistic(Array("salary_final", "exp_final")).fit(train)
+    // same trap mq09 documents: the retained training summary pins the
+    // SparkSession inside the transform closure — drop it before transform
+    org.apache.spark.ml.GraftMlBridge.dropTrainingSummary(
+      model.stages.last.asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel])
     val pred = model.transform(test)
     Seq((train.count(), test.count(), Pipelines.auc(pred, "is_hot")))
       .toDF("n_train", "n_test", "auc")
