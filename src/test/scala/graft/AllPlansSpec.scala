@@ -21,15 +21,30 @@ class AllPlansSpec extends AnyFunSuite {
 
   private val allowCartesian: Set[String] = Set.empty
 
-  test("no registered query plans a CartesianProduct") {
+  /** A frame consumed N times re-executes N times (no cross-branch CSE),
+    * so runaway scan counts are the recompute-explosion smell. Current
+    * legitimate maximum is sq02's 12 LSH hash tables; anything above
+    * needs a cache or a rethink. dq09 is exempt: its iterative fixpoint
+    * stacks each ROUND's lineage into the final plan TEXT, but every
+    * round is cached and materialized during the loop, so the printed
+    * scans never re-execute. */
+  private val maxScans = 13
+  private val allowManyScans: Set[String] = Set("dq09_dup_clusters")
+
+  test("no registered query plans a CartesianProduct or a scan explosion") {
+    val scanNode = "\\(\\d+\\) Scan parquet".r
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, _) if allowCartesian(name) => None
       case (name, fn) =>
         val plan = fn(spark, dir).queryExecution
           .explainString(ExplainMode.fromString("formatted"))
-        if (plan.contains("CartesianProduct")) Some(name) else None
+        val cartesian = !allowCartesian(name) && plan.contains("CartesianProduct")
+        val scans = scanNode.findAllIn(plan).size
+        val explosion = !allowManyScans(name) && scans > maxScans
+        if (cartesian) Some(s"$name (CartesianProduct)")
+        else if (explosion) Some(s"$name ($scans scans)")
+        else None
     }
     assert(offenders.isEmpty,
-      s"queries planning CartesianProduct: ${offenders.mkString(", ")}")
+      s"queries with degenerate plans: ${offenders.mkString(", ")}")
   }
 }
