@@ -61,4 +61,31 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(row.getLong(0) == base.getLong(0) + 7L)
     assert(row.getLong(1) == base.getLong(1) + 1L)
   }
+
+  test("property: any 3-way split of history ingests to the one-shot aggregate") {
+    import spark.implicits._
+    // the monoid-merge property the whole primitive rests on: batch
+    // boundaries must never be observable in the final rollup
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10),
+      org.scalacheck.Prop.forAll(org.scalacheck.Gen.listOfN(60,
+        org.scalacheck.Gen.zip(
+          org.scalacheck.Gen.oneOf("en", "de", "es", "fr"),
+          org.scalacheck.Gen.choose(-1000L, 1000L),
+          org.scalacheck.Gen.choose(0, 2)))) { rows =>
+        val path = java.nio.file.Files.createTempDirectory("graft-iagg-prop")
+          .toString + "/rollup"
+        val df = rows.toDF("k", "v", "part")
+        IncrementalAgg.init(spark, path, df.filter($"part" === 0), "k", "v")
+        IncrementalAgg.ingest(spark, path, df.filter($"part" === 1), "k", "v")
+        IncrementalAgg.ingest(spark, path, df.filter($"part" === 2), "k", "v")
+        val got = IncrementalAgg.read(spark, path, "k")
+          .select($"k", $"sum", $"cnt").as[(String, Long, Long)].collect().toSet
+        val want = df.groupBy($"k")
+          .agg(sum($"v").cast("long").as("sum"), count($"v").as("cnt"))
+          .as[(String, Long, Long)].collect().toSet
+        got == want
+      })
+    assert(res.passed, res.status.toString)
+  }
 }
