@@ -43,8 +43,19 @@ object IncrementalAgg {
       keyCol: String, valueCol: String): Unit =
     PartitionedLayout.withDynamicOverwrite(spark) {
       val batchAgg = partials(batch, keyCol, valueCol)
+      // a rollup initialized from zero history (stream-everything-in) has
+      // no schema-bearing parquet files yet — read it as an empty store
+      val stored =
+        try spark.read.parquet(path)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+                e.getMessage.contains("PATH_NOT_FOUND") =>
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), batchAgg.schema)
+        }
       val affected = broadcast(batchAgg.select(col("bucket")).distinct())
-      val slice = spark.read.parquet(path)
+      val slice = stored
         .join(affected, Seq("bucket"), "left_semi")
       val merged = slice.unionByName(batchAgg)
         .groupBy(col(keyCol), col("bucket"))

@@ -62,6 +62,33 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(row.getLong(1) == base.getLong(1) + 1L)
   }
 
+  test("streaming foreachBatch ingestion keeps the rollup consistent across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the day-2 deployment shape: the stream lands each micro-batch into
+    // the stored rollup; foreachBatch gives the batch-level merge a
+    // transactional boundary per epoch
+    val path = java.nio.file.Files.createTempDirectory("graft-iagg-stream")
+      .toString + "/rollup"
+    IncrementalAgg.init(spark, path,
+      Seq.empty[(String, Long)].toDF("k", "v"), "k", "v")
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val query = stream.toDS().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        IncrementalAgg.ingest(batch.sparkSession, path, batch, "k", "v")
+      }
+      .start()
+    try {
+      stream.addData(("en", 10L), ("de", 5L), ("en", 1L))
+      query.processAllAvailable()
+      stream.addData(("en", 100L), ("fr", 7L))
+      query.processAllAvailable()
+      val got = IncrementalAgg.read(spark, path, "k")
+        .select($"k", $"sum", $"cnt").as[(String, Long, Long)].collect().toSet
+      assert(got == Set(("en", 111L, 3L), ("de", 5L, 1L), ("fr", 7L, 1L)), got.toString)
+    } finally query.stop()
+  }
+
   test("property: any 3-way split of history ingests to the one-shot aggregate") {
     import spark.implicits._
     // the monoid-merge property the whole primitive rests on: batch
