@@ -79,8 +79,13 @@ object Bench {
     // observed truncated at the head for long runs (BENCH_r03 lost the
     // aq-jq rows) — a committed file survives that. Filtered dev runs
     // (SPARK_GRAFT_ONLY) must not clobber the last full-suite record.
+    // Path is overridable and the write is non-fatal: a read-only or
+    // foreign cwd must not turn a completed benchmark into a crash.
     if (only.isEmpty)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+      try {
+        val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+      } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -44,13 +44,16 @@ object IncrementalAgg {
     PartitionedLayout.withDynamicOverwrite(spark) {
       val batchAgg = partials(batch, keyCol, valueCol)
       // a rollup initialized from zero history (stream-everything-in) has
-      // no schema-bearing parquet files yet — read it as an empty store
+      // no schema-bearing parquet files yet — read it as an empty store.
+      // Matched on the structured error condition, not message substrings:
+      // a genuinely corrupt store must fail loudly, not masquerade as
+      // empty and silently drop history from the merge.
       val stored =
         try spark.read.parquet(path)
         catch {
           case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-                e.getMessage.contains("PATH_NOT_FOUND") =>
+              if Option(e.getCondition).exists(c =>
+                c.startsWith("UNABLE_TO_INFER_SCHEMA") || c.startsWith("PATH_NOT_FOUND")) =>
             spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](), batchAgg.schema)
         }

@@ -75,24 +75,51 @@ object PartitionedLayout {
     *      written with `partitionOverwriteMode=dynamic`, which rewrites
     *      ONLY the partitions present in it — untouched partition
     *      directories keep their exact files (UpsertSpec asserts file
-    *      identity).
+    *      identity). Dynamic overwrite has a blind spot the merge must
+    *      cover: a partition whose EVERY row was superseded (its sole
+    *      keys relabeled elsewhere) contributes zero rows to the merged
+    *      slice, so the overwrite never touches its directory and the
+    *      stale rows would survive as duplicates. Affected-but-absent
+    *      partitions are therefore deleted explicitly after the write
+    *      (directory names via Hive escaping, never by parsing).
+    *
+    * All key/partition comparisons are null-safe (`<=>`): rows in the
+    * null partition (`__HIVE_DEFAULT_PARTITION__`) and updates carrying a
+    * null partition value prune, relocate, and supersede like any other.
     *
     * `updates` must carry the full table schema, `keyCol` unique per row.
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String, partitionCol: String): Unit = withDynamicOverwrite(spark) {
-    val updKeys = broadcast(updates.select(keyCol).distinct())
-    val oldPartitions = spark.read.parquet(path)
-      .join(updKeys, Seq(keyCol), "left_semi")
-      .select(partitionCol)
-    val affected = updates.select(partitionCol).union(oldPartitions).distinct()
-    val current = spark.read.parquet(path)
-      .join(broadcast(affected), Seq(partitionCol), "left_semi")
+    val updKeys = broadcast(updates.select(col(keyCol).as("__upd_key")).distinct())
+    val table = spark.read.parquet(path)
+    val oldPartitions = table
+      .join(updKeys, table(keyCol) <=> updKeys("__upd_key"), "left_semi")
+      .select(col(partitionCol))
+    val affected = updates.select(col(partitionCol)).union(oldPartitions).distinct()
+    // tiny by construction (it is broadcast below); collected for the
+    // drained-partition diff after the write
+    val affectedVals = affected.collect().map(_.get(0))
+    val affectedKeyed = broadcast(affected.withColumnRenamed(partitionCol, "__aff_p"))
+    val current = table
+      .join(affectedKeyed, table(partitionCol) <=> affectedKeyed("__aff_p"), "left_semi")
     val merged = current
-      .join(updKeys, Seq(keyCol), "left_anti")
+      .join(updKeys, current(keyCol) <=> updKeys("__upd_key"), "left_anti")
       .unionByName(updates)
     withStaging(spark, path, merged) { staged =>
       staged.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+      val present = staged.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      val drained = affectedVals.filterNot(present)
+      if (drained.nonEmpty) {
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        drained.foreach { v =>
+          val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(partitionCol, if (v == null) null else v.toString)
+          fs.delete(new org.apache.hadoop.fs.Path(root, dirName), true)
+        }
+      }
     }
   }
 
@@ -121,22 +148,29 @@ object PartitionedLayout {
     * @return the partition directory names that were rewritten */
   def compact(spark: SparkSession, path: String, partitionCol: String,
       targetBytes: Long = 128L * 1024 * 1024, slackFiles: Int = 1): Seq[String] = {
-    val root = new java.io.File(path)
-    val partDirs = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith(s"$partitionCol="))
-    val fragmented = partDirs.filter { d =>
-      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
-      val bytes = files.map(_.length()).sum
+    // Hadoop FileSystem, not java.io.File: the 100 TB deployment target is
+    // HDFS/S3, where a local-File walk would silently list nothing and
+    // turn compaction into a no-op
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    val partDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+    val withFiles = partDirs.map { d =>
+      d -> fs.listStatus(d.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    }
+    val fragmented = withFiles.filter { case (_, files) =>
+      val bytes = files.map(_.getLen).sum
       val justified = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
       files.length > justified + slackFiles
     }
     if (fragmented.isEmpty) return Nil
-    val totalBytes = fragmented.map(
-      _.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum).sum
+    val totalBytes = fragmented.map(_._2.map(_.getLen).sum).sum
     withDynamicOverwrite(spark) {
       val frag = spark.read
         .option("basePath", path)
-        .parquet(fragmented.map(_.getPath).toIndexedSeq: _*)
+        .parquet(fragmented.map(_._1.getPath.toString).toIndexedSeq: _*)
       // footer-stats count — no data pages are read for a bare count
       val totalRows = frag.count()
       val rowsPerFile = math.max(1L,
@@ -152,6 +186,6 @@ object PartitionedLayout {
           .parquet(path)
       }
     }
-    fragmented.toIndexedSeq.map(_.getName)
+    fragmented.toIndexedSeq.map(_._1.getPath.getName)
   }
 }

@@ -89,4 +89,62 @@ class UpsertSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq("zz"),
       s"moved key must exist exactly once in the new partition: ${rows.toSeq}")
   }
+
+  test("upsert deletes a fully-drained partition — sole row relocated, no stale duplicate") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/t"
+    val rows = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "fr"))
+      .toDF("id", "v", "lang")
+    PartitionedLayout.write(rows, base, "lang")
+
+    // relabel the SOLE row of lang=fr into lang=en: the merged slice then
+    // contains zero fr rows, so dynamic overwrite alone would leave the
+    // old fr directory (and its stale row) behind as a duplicate
+    val updates = Seq((3L, "c-moved", "en")).toDF("id", "v", "lang")
+    PartitionedLayout.upsert(spark, base, updates, "id", "lang")
+
+    val after = PartitionedLayout.read(spark, base)
+    assert(after.count() == 3, "relabel must not change row count")
+    assert(after.filter($"lang" === "fr").count() == 0, "drained partition must be empty")
+    assert(!new java.io.File(s"$base/lang=fr").exists(),
+      "drained partition directory must be deleted")
+    val moved = after.filter($"id" === 3L).select($"v", $"lang").as[(String, String)].collect()
+    assert(moved.toSeq == Seq(("c-moved", "en")))
+  }
+
+  test("upsert into the null partition preserves its untouched sibling rows") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/t"
+    val rows = Seq((1L, "a", "en"), (2L, "b", null), (3L, "c", null))
+      .toDF("id", "v", "lang")
+    PartitionedLayout.write(rows, base, "lang")
+
+    // null-UNSAFE partition joins would exclude the null partition from
+    // `current`, so the dynamic overwrite would rewrite
+    // __HIVE_DEFAULT_PARTITION__ with ONLY the update row — losing id=3
+    val updates = Seq((2L, "b2", null)).toDF("id", "v", "lang")
+    PartitionedLayout.upsert(spark, base, updates, "id", "lang")
+
+    val after = PartitionedLayout.read(spark, base)
+    assert(after.count() == 3, "untouched null-partition sibling must survive")
+    assert(after.filter($"id" === 2L).select($"v").as[String].head() == "b2")
+    assert(after.filter($"id" === 3L).count() == 1, "sibling row id=3 was lost")
+  }
+
+  test("upsert drains the null partition — directory deleted, row relocated once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/t"
+    val rows = Seq((1L, "a", "en"), (2L, "b", null)).toDF("id", "v", "lang")
+    PartitionedLayout.write(rows, base, "lang")
+
+    val updates = Seq((2L, "b-moved", "en")).toDF("id", "v", "lang")
+    PartitionedLayout.upsert(spark, base, updates, "id", "lang")
+
+    val after = PartitionedLayout.read(spark, base)
+    assert(after.count() == 2)
+    assert(after.filter($"lang".isNull).count() == 0, "null partition must be drained")
+    assert(!new java.io.File(s"$base/lang=__HIVE_DEFAULT_PARTITION__").exists(),
+      "drained null-partition directory must be deleted")
+    assert(after.filter($"id" === 2L).select($"lang").as[String].collect().toSeq == Seq("en"))
+  }
 }
