@@ -559,10 +559,64 @@ object DedupQueries {
         coalesce(max($"c"), lit(0)).cast("long").as("max_cluster_size"))
   }
 
+  /** Passage-level dedup — finer-grained than whole-document dedup: the
+    * corpus is split into non-overlapping 16-token passages, and only
+    * the FIRST occurrence (by doc_id, then chunk position) of each
+    * distinct passage is retained; repeats anywhere else in the corpus
+    * (boilerplate, quoted text, licence headers) are dropped.
+    *
+    * 100 TB shape: the dedup window partitions by the passage's sha256
+    * DIGEST, not its text — Catalyst prunes the passage column before the
+    * exchange, so the shuffle carries 32-byte keys plus row metadata,
+    * never passage bodies. The oracle partitions by the raw text; the
+    * results agree up to sha256 collision (none). */
+  val dq10PassageDedup: QueryDef = sqlChecked(
+    "dq10_passage_dedup",
+    """WITH toks AS (
+      |  SELECT lang, doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |idx AS (
+      |  SELECT lang, doc_id, w,
+      |    unnest(range(CAST(CEIL(len(w) / 16.0) AS BIGINT))) AS ci
+      |  FROM toks),
+      |pas AS (
+      |  SELECT lang, doc_id, ci,
+      |    array_to_string(w[ci * 16 + 1 : LEAST(ci * 16 + 16, len(w))], ' ') AS passage
+      |  FROM idx),
+      |ranked AS (
+      |  SELECT lang, passage,
+      |    row_number() OVER (PARTITION BY passage ORDER BY doc_id, ci) AS rn
+      |  FROM pas)
+      |SELECT lang, COUNT(*) AS n_passages,
+      |  COUNT(*) FILTER (rn = 1) AS n_retained,
+      |  COUNT(*) FILTER (rn > 1) AS n_dropped
+      |FROM ranked
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val pas = Tables.documents(spark, dir)
+      .select($"lang", $"doc_id", split(lower($"text"), "\\s+").as("w"))
+      .withColumn("n", size($"w").cast("long"))
+      .select($"lang", $"doc_id", $"w",
+        explode(sequence(lit(0L), ceil($"n" / lit(16.0)).cast("long") - 1L)).as("ci"))
+      .select($"lang", $"doc_id", $"ci",
+        concat_ws(" ", slice($"w", ($"ci" * 16L + 1L).cast("int"), lit(16))).as("passage"))
+      .withColumn("fp", sha2($"passage", 256))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"fp").orderBy($"doc_id", $"ci")
+    pas.withColumn("rn", row_number().over(w))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_passages"),
+        count(when($"rn" === 1, 1)).as("n_retained"),
+        count(when($"rn" > 1, 1)).as("n_dropped"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dq01ExactDedup, dq02DedupKeepFirst, dq03MinhashLsh, dq03bMinhashPortable,
     dq04Simhash, dq04bSimhashPortable, dq06bWinnowPortable,
     dq05NgramJaccard, dq06WinnowFingerprints, dq07Decontaminate,
     dq07bDecontaminateBloom,
-    dq08IncrementalDedup, dq09DupClusters)
+    dq08IncrementalDedup, dq09DupClusters, dq10PassageDedup)
 }

@@ -172,6 +172,72 @@ object FilterQueries {
       .orderBy($"lang")
   }
 
+  /** PII scrubbing battery — email / URL / phone detection and masking,
+    * the safety pass every training corpus gets before tokenization. The
+    * fixture text carries no PII, so both engines first APPEND identical
+    * deterministic synthetic contacts to a doc_id-keyed subset (mod 7 /
+    * 11 / 13) — the scrub is then exercised against known ground truth
+    * instead of vacuously counting zeros. The regexes stay in the
+    * portable subset (character classes + quantifiers, no lookaround) so
+    * Java and DuckDB's RE2 agree; counting and masking ride one scan,
+    * one codegen'd projection, one aggregate. */
+  val fq05PiiScrub: QueryDef = sqlChecked(
+    "fq05_pii_scrub",
+    """WITH aug AS (
+      |  SELECT lang, text
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0
+      |         THEN ' visit https://data.example.org/d/' || CAST(doc_id AS VARCHAR) || ' today'
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0
+      |         THEN ' call +1 555 0' || CAST(doc_id % 100 AS VARCHAR) || ' ok'
+      |         ELSE '' END AS t
+      |  FROM documents)
+      |SELECT lang,
+      |  CAST(SUM(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+      |  CAST(SUM(len(regexp_extract_all(t, 'https?://[A-Za-z0-9./_-]+'))) AS BIGINT) AS n_urls,
+      |  CAST(SUM(len(regexp_extract_all(t, '\+[0-9][0-9 ]{4,14}[0-9]'))) AS BIGINT) AS n_phones,
+      |  CAST(SUM(len(regexp_replace(regexp_replace(regexp_replace(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+      |    'https?://[A-Za-z0-9./_-]+', '<PII>', 'g'),
+      |    '\+[0-9][0-9 ]{4,14}[0-9]', '<PII>', 'g'))) AS BIGINT) AS clean_chars
+      |FROM aug
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlRe = "https?://[A-Za-z0-9./_-]+"
+    val phoneRe = "\\+[0-9][0-9 ]{4,14}[0-9]"
+    val t = concat($"text",
+      when(pmod($"doc_id", lit(7)) === 0,
+        concat(lit(" contact user"), $"doc_id".cast("string"), lit("@example.com now")))
+        .otherwise(lit("")),
+      when(pmod($"doc_id", lit(11)) === 0,
+        concat(lit(" visit https://data.example.org/d/"), $"doc_id".cast("string"), lit(" today")))
+        .otherwise(lit("")),
+      when(pmod($"doc_id", lit(13)) === 0,
+        concat(lit(" call +1 555 0"), pmod($"doc_id", lit(100)).cast("string"), lit(" ok")))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select($"lang", t.as("t"))
+      .select($"lang",
+        regexp_count($"t", lit(emailRe)).as("ne"),
+        regexp_count($"t", lit(urlRe)).as("nu"),
+        regexp_count($"t", lit(phoneRe)).as("np"),
+        length(regexp_replace(regexp_replace(regexp_replace($"t",
+          emailRe, "<PII>"), urlRe, "<PII>"), phoneRe, "<PII>")).as("nc"))
+      .groupBy($"lang")
+      .agg(
+        sum($"ne").cast("long").as("n_emails"),
+        sum($"nu").cast("long").as("n_urls"),
+        sum($"np").cast("long").as("n_phones"),
+        sum($"nc").cast("long").as("clean_chars"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    fq01TermRedaction, fq02FilterFunnel, fq03Repetition, fq04CorpusMixing)
+    fq01TermRedaction, fq02FilterFunnel, fq03Repetition, fq04CorpusMixing,
+    fq05PiiScrub)
 }

@@ -233,6 +233,38 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  /** tq08's stratified-rebalance semantics, deterministically: the keep
+    * fraction still varies per stratum (en ~25%, fr ~50%, the rest all),
+    * but the draw is a content-hash threshold on the id instead of a
+    * seeded Bernoulli — so the SAME rows are kept on every rerun, any
+    * partition count, and any engine, which is what makes this variant
+    * oracle-checkable (and what a reproducible corpus rebalance actually
+    * wants; tq08 keeps the sampleBy operator itself covered). 'gggg'
+    * compares above every hex string = keep-all. */
+  val tq08bStratifiedPortable: QueryDef = sqlChecked(
+    "tq08b_stratified_portable",
+    """SELECT lang, COUNT(*) AS n_sampled,
+      |  CAST(SUM(CAST((n_chars) AS DECIMAL(30,6))) AS DOUBLE) AS sum_chars,
+      |  CAST(min(doc_id) AS BIGINT) AS min_doc_id
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      |  CASE lang WHEN 'en' THEN '4000' WHEN 'fr' THEN '8000' ELSE 'gggg' END
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val threshold = when($"lang" === "en", "4000")
+      .when($"lang" === "fr", "8000")
+      .otherwise("gggg")
+    Tables.documents(spark, dir)
+      .filter(substring(md5($"doc_id".cast("string")), 1, 4) < threshold)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        dsum($"n_chars").as("sum_chars"),
+        min($"doc_id").cast("long").as("min_doc_id"))
+      .orderBy($"lang")
+  }
+
   /** Deterministic content-hash sampling — the reproducible counterpart
     * to tq08's seeded Bernoulli sampleBy: keep a row iff the first 4 hex
     * chars of md5(doc_id) fall under the rate threshold ('4000'/'ffff' ≈
@@ -411,9 +443,113 @@ object TextQueries {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** Deterministic global shuffle — the training-data ordering primitive.
+    * Every row gets a content-hash sort key (md5 of its id); the shard is
+    * the key's first hex char (16 shards) and the within-shard order is
+    * key order — reproducible across runs, engines, and partition counts,
+    * which rand()-based shuffles are not. The checksum sum(doc_id · rank)
+    * is order-SENSITIVE: both engines must compute the identical
+    * permutation, not merely the same membership, for it to match.
+    *
+    * 100 TB shape: the shard is a pure column function (one hash exchange
+    * on it), and the rank is a window WITHIN each shard — there is no
+    * global sort anywhere; shards are written/consumed independently. */
+  val tq14GlobalShuffle: QueryDef = sqlChecked(
+    "tq14_global_shuffle",
+    """WITH keyed AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT shard, doc_id,
+      |    row_number() OVER (PARTITION BY shard ORDER BY k) AS rn
+      |  FROM keyed)
+      |SELECT shard, COUNT(*) AS n_rows,
+      |  CAST(SUM(doc_id * rn) AS BIGINT) AS order_checksum,
+      |  CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS head_doc
+      |FROM ranked
+      |GROUP BY shard
+      |ORDER BY shard""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val keyed = Tables.documents(spark, dir)
+      .select($"doc_id", md5($"doc_id".cast("string")).as("k"))
+      .withColumn("shard", substring($"k", 1, 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"k")
+    keyed.withColumn("rn", row_number().over(w))
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"doc_id" * $"rn").cast("long").as("order_checksum"),
+        max(when($"rn" === 1, $"doc_id")).cast("long").as("head_doc"))
+      .orderBy($"shard")
+  }
+
+  /** Bigram collocation mining with PMI — the corpus-analysis pass that
+    * surfaces multi-word expressions worth protecting from tokenizer
+    * splits. Pointwise mutual information log(p(xy)/(p(x)p(y))) from
+    * bigram and unigram counts; identical double formula on both engines,
+    * rounded to 6 decimals for libm last-ulp drift.
+    *
+    * Scale shape: the corpus is touched exactly twice (unigram explode,
+    * bigram explode) — the token/pair TOTALS derive from the aggregated
+    * count frames (nu = Σc, nb = Σcxy), not from re-scanning the corpus,
+    * and those count frames are cached because Spark re-executes a
+    * subtree per consumer (no cross-branch CSE). Every join is then
+    * between cached vocabulary-sized frames — never anything
+    * corpus-sized; AQE broadcasts the small sides at runtime. Top-20
+    * with a deterministic (count, w1, w2) tiebreak. */
+  val tq15BigramPmi: QueryDef = sqlChecked(
+    "tq15_bigram_pmi",
+    """WITH toks AS (
+      |  SELECT string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |uni AS (SELECT unnest(w) AS tok FROM toks),
+      |ucnt AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+      |utot AS (SELECT COUNT(*) AS nu FROM uni),
+      |bp AS (
+      |  SELECT unnest(list_transform(range(1, len(w)),
+      |    i -> {'x': w[i], 'y': w[i + 1]})) AS p
+      |  FROM toks WHERE len(w) >= 2),
+      |bcnt AS (SELECT p.x AS x, p.y AS y, COUNT(*) AS cxy FROM bp GROUP BY p.x, p.y),
+      |btot AS (SELECT COUNT(*) AS nb FROM bp)
+      |SELECT x AS w1, y AS w2, cxy AS n_pairs,
+      |  ROUND(LN((CAST(cxy AS DOUBLE) / nb) /
+      |    ((CAST(cx.c AS DOUBLE) / nu) * (CAST(cy.c AS DOUBLE) / nu))), 6) AS pmi
+      |FROM bcnt
+      |CROSS JOIN btot CROSS JOIN utot
+      |JOIN ucnt cx ON cx.tok = x
+      |JOIN ucnt cy ON cy.tok = y
+      |ORDER BY n_pairs DESC, w1, w2
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(split(lower($"text"), "\\s+").as("w"))
+    val ucnt = toks.select(explode($"w").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c")).cache()
+    val utot = ucnt.agg(sum($"c").as("nu"))
+    val pairs = toks.filter(size($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS x, element_at(w, i + 1) AS y))")).as("p"))
+      .select($"p.x".as("x"), $"p.y".as("y"))
+    val bcnt = pairs.groupBy($"x", $"y").agg(count(lit(1)).as("cxy")).cache()
+    val btot = bcnt.agg(sum($"cxy").as("nb"))
+    bcnt
+      .crossJoin(broadcast(btot))
+      .crossJoin(broadcast(utot))
+      .join(ucnt.select($"tok".as("x"), $"c".as("cx")), Seq("x"))
+      .join(ucnt.select($"tok".as("y"), $"c".as("cy")), Seq("y"))
+      .select($"x".as("w1"), $"y".as("w2"), $"cxy".as("n_pairs"),
+        round(log(($"cxy".cast("double") / $"nb") /
+          (($"cx".cast("double") / $"nu") * ($"cy".cast("double") / $"nu"))), 6).as("pmi"))
+      .orderBy($"n_pairs".desc, $"w1", $"w2")
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
     tq05Fingerprints, tq06MultimodalDecode, tq07MultimodalStats,
-    tq08StratifiedSample, tq09DeterministicSample, tq10BpeTokenCounts,
-    tq11TokenPacking, tq12UnigramLogprob, tq13ContextChunks)
+    tq08StratifiedSample, tq08bStratifiedPortable, tq09DeterministicSample,
+    tq10BpeTokenCounts, tq11TokenPacking, tq12UnigramLogprob,
+    tq13ContextChunks, tq14GlobalShuffle, tq15BigramPmi)
 }

@@ -221,6 +221,47 @@ class PlanSpec extends AnyFunSuite {
       "overlap join must be the bucket EQUI-join, not a range nested loop:\n" + p)
   }
 
+  test("tq08b/fq05: deterministic sampling and PII scrub stay in-row — one scan, no join") {
+    for (q <- Seq(TextQueries.tq08bStratifiedPortable, FilterQueries.fq05PiiScrub)) {
+      val p = plan(q)
+      assert(!p.contains("Generate"), s"${q.name}: must not explode to row space:\n$p")
+      assert(!p.contains("Join"), s"${q.name}: single-scan shape lost:\n$p")
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"${q.name}: expected 1 documents scan, got $scans")
+    }
+  }
+
+  test("tq14: shuffle-by-shard is one scan, one hash exchange on shard (no global sort)") {
+    val p = plan(TextQueries.tq14GlobalShuffle)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans")
+    assert(p.contains("hashpartitioning(shard"),
+      "shard rank must hash-partition on the shard column:\n" + p)
+    // window hash exchange + final output sort range exchange, nothing more
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("dq10: passage dedup shuffles 32-byte digests, not passage bodies") {
+    val p = plan(DedupQueries.dq10PassageDedup)
+    assert(p.contains("hashpartitioning(fp"),
+      "dedup window must partition on the sha256 digest column:\n" + p)
+    // column pruning must drop the passage text before the exchange: the
+    // exchange input projection carries the digest, lang, and order keys
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("tq15: PMI joins run over cached vocab-sized frames — corpus scanned at most twice") {
+    val p = plan(TextQueries.tq15BigramPmi)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"corpus must be scanned <=2 times (uni+bi), got $scans:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "count frames must be cached (no cross-branch CSE in Spark):\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q33: higher-order functions stay in-row — no Generate, pushed filter, one scan") {
     val p = plan(RelationalExt.q33HofBattery)
     assert(!p.contains("Generate"), "HOFs must not explode to row space:\n" + p)
