@@ -124,6 +124,22 @@ object Pipelines {
       Array(cityIdx, cityOhe, posIdx, posOhe, tok, stop, tf, idf, asm, lr))
   }
 
+  /** Quality-filter distillation: a text classifier (Tokenizer →
+    * HashingTF(1024) → LogisticRegression) trained to reproduce a cheap
+    * heuristic quality label, then used to score the whole corpus — the
+    * model-based filtering stage of a training-data pipeline (the
+    * fastText-classifier pattern): rules label a slice, the distilled
+    * model generalizes the judgment, and inference is one map-side
+    * transform over the corpus. */
+  def qualityFilterLr(labelCol: String): Pipeline = {
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("q_tokens")
+    val tf = new HashingTF().setInputCol("q_tokens").setOutputCol("q_features")
+      .setNumFeatures(1024)
+    val lr = new LogisticRegression().setLabelCol(labelCol)
+      .setFeaturesCol("q_features").setMaxIter(20).setRegParam(0.01)
+    new Pipeline().setStages(Array(tok, tf, lr))
+  }
+
   /** M9: text → TF-IDF (HashingTF numFeatures=3000 —
     * job_attractiveness_lr_v1 stage metadata). */
   def tfidf(textCol: String): Pipeline = {

@@ -213,8 +213,37 @@ object MlQueries {
       .toDF("n_train", "n_test", "auc", "n_coeffs", "n_nonzero_coeffs")
   }
 
+  /** Model-based corpus quality filtering — heuristic rules label the
+    * corpus, an LR text classifier distills them, and the model scores
+    * every document; the pipeline keeps what the model trusts. Mirrors
+    * the classifier-filter stage of large-scale data curation: heuristics
+    * are brittle per-document but cheap to label with, while the
+    * distilled model generalizes and runs as one map-side transform at
+    * 100 TB (no shuffle — scoring is embarrassingly parallel). */
+  val mq10QualityFilterLr: QueryDef = rowsOnly("mq10_quality_filter_lr") { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .withColumn("is_quality", ($"n_chars" >= 200).cast("double"))
+      .select($"doc_id", $"lang", $"text", $"is_quality")
+      .coalesce(8) // iterative LR fit: fewer, fuller partitions ≫ 32 slivers
+      .cache()
+    val Array(train, test) = docs.randomSplit(Array(0.8, 0.2), 42)
+    val model = Pipelines.qualityFilterLr("is_quality").fit(train)
+    val lr = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    org.apache.spark.ml.GraftMlBridge.dropTrainingSummary(lr)
+    val auc = Pipelines.auc(model.transform(test), "is_quality")
+    val scored = model.transform(docs).select($"lang",
+      (element_at(org.apache.spark.ml.functions.vector_to_array($"probability"), 2)
+        >= 0.5).cast("long").as("keep"))
+    scored.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"keep").cast("long").as("n_kept"))
+      .withColumn("test_auc", round(lit(auc), 4))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     mq01KmeansEmbeddings, mq02KmeansJobs, mq03RfSalary, mq04GbtHotScore,
     mq05LogisticAttractiveness, mq06TfidfDocs, mq07Word2vecSynonyms,
-    mq08LdaTopics, mq09AttractivenessLrV1)
+    mq08LdaTopics, mq09AttractivenessLrV1, mq10QualityFilterLr)
 }

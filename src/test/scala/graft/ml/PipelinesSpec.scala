@@ -101,6 +101,22 @@ class PipelinesSpec extends AnyFunSuite {
     assert(model.stages.length == 10)
   }
 
+  test("quality-filter LR distills the heuristic label: held-out AUC >= 0.8") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .withColumn("is_quality", ($"n_chars" >= 200).cast("double"))
+      .select($"text", $"is_quality")
+      .coalesce(4).cache()
+    val Array(train, test) = docs.randomSplit(Array(0.8, 0.2), 42)
+    val model = Pipelines.qualityFilterLr("is_quality").fit(train)
+    val lr = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    org.apache.spark.ml.GraftMlBridge.dropTrainingSummary(lr)
+    val auc = Pipelines.auc(model.transform(test), "is_quality")
+    assert(auc >= 0.8, s"distilled quality filter AUC $auc below 0.8")
+    docs.unpersist()
+  }
+
   test("model registry append + latest lookup") {
     val path = java.nio.file.Files.createTempDirectory("graft-reg").toString + "/registry"
     val now = System.currentTimeMillis()

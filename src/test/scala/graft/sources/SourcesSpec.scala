@@ -31,6 +31,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("binaryFile source: one row per asset, glob pruning, content round-trip") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-bin").toString
+    val payloads = Seq("a" -> "alpha bytes", "b" -> "beta bytes", "c" -> "gamma")
+    payloads.foreach { case (name, body) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, s"$name.img"), body.getBytes("UTF-8"))
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "ignore.txt"), "not an asset".getBytes("UTF-8"))
+
+    val assets = Binary.read(spark, root, Some("*.img"))
+    assert(assets.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    assert(assets.count() == 3, "glob must prune the .txt file before read")
+    val back = assets
+      .select(element_at(split($"path", "/"), -1).as("f"),
+        $"length", $"content".cast("string").as("body"))
+      .as[(String, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(back.map(_._1) == Seq("a.img", "b.img", "c.img"))
+    assert(back.map(_._3) == payloads.map(_._2), "byte content must round-trip")
+    assert(back.forall { case (_, len, body) => len == body.getBytes("UTF-8").length },
+      "length metadata must match content size")
+  }
+
   test("single-row in-memory frame through a persisted model (inference path)") {
     import spark.implicits._
     val feats = MlQueries.featurizedJobs(spark, dir)
