@@ -546,10 +546,54 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Content-defined chunking boundaries — the dedup-stable alternative
+    * to fixed-offset chunking (tq13): a chunk boundary falls wherever the
+    * hash of the local content (here: the adjacent token bigram) lands in
+    * a target range, so an insertion early in a document only moves the
+    * boundaries of ITS chunk, not every chunk after it. The boundary
+    * predicate md5(w[i] + ' ' + w[i+1]) starting with '0' fires with
+    * p = 1/16 → ~16-token expected chunks. Entirely in-row (HOF filter
+    * over the token array, no explode), portable (md5 is the shared
+    * hash), and oracle-checked. */
+  val tq16CdcBoundaries: QueryDef = sqlChecked(
+    "tq16_cdc_boundaries",
+    """WITH b AS (
+      |  SELECT lang,
+      |    len(string_split_regex(lower(text), '\s+')) AS n,
+      |    len(list_filter(range(1, len(string_split_regex(lower(text), '\s+'))),
+      |      i -> substr(md5(string_split_regex(lower(text), '\s+')[i] || ' ' ||
+      |                      string_split_regex(lower(text), '\s+')[i + 1]), 1, 1) = '0'))
+      |      AS n_bounds
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_bounds + 1) AS BIGINT) AS total_chunks,
+      |  CAST(SUM(CAST((n) AS DECIMAL(30,6))) AS DOUBLE)
+      |    / CAST(SUM(n_bounds + 1) AS DOUBLE) AS avg_chunk_tokens,
+      |  CAST(MAX(n_bounds + 1) AS BIGINT) AS max_chunks_per_doc
+      |FROM b
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select($"lang", split(lower($"text"), "\\s+").as("w"))
+      .withColumn("n", size($"w").cast("long"))
+      .withColumn("n_bounds", expr(
+        "size(filter(sequence(1, size(w) - 1), " +
+          "i -> substring(md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 1) = '0'))")
+        .cast("long"))
+    base.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_bounds" + 1L).cast("long").as("total_chunks"),
+        (dsum($"n") / sum($"n_bounds" + 1L).cast("double")).as("avg_chunk_tokens"),
+        max($"n_bounds" + 1L).cast("long").as("max_chunks_per_doc"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
     tq05Fingerprints, tq06MultimodalDecode, tq07MultimodalStats,
     tq08StratifiedSample, tq08bStratifiedPortable, tq09DeterministicSample,
     tq10BpeTokenCounts, tq11TokenPacking, tq12UnigramLogprob,
-    tq13ContextChunks, tq14GlobalShuffle, tq15BigramPmi)
+    tq13ContextChunks, tq14GlobalShuffle, tq15BigramPmi, tq16CdcBoundaries)
 }

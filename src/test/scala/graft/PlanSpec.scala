@@ -221,8 +221,9 @@ class PlanSpec extends AnyFunSuite {
       "overlap join must be the bucket EQUI-join, not a range nested loop:\n" + p)
   }
 
-  test("tq08b/fq05: deterministic sampling and PII scrub stay in-row — one scan, no join") {
-    for (q <- Seq(TextQueries.tq08bStratifiedPortable, FilterQueries.fq05PiiScrub)) {
+  test("tq08b/fq05/tq16: sampling, PII scrub, CDC chunking stay in-row — one scan, no join") {
+    for (q <- Seq(TextQueries.tq08bStratifiedPortable, FilterQueries.fq05PiiScrub,
+        TextQueries.tq16CdcBoundaries)) {
       val p = plan(q)
       assert(!p.contains("Generate"), s"${q.name}: must not explode to row space:\n$p")
       assert(!p.contains("Join"), s"${q.name}: single-scan shape lost:\n$p")
