@@ -188,4 +188,29 @@ object PartitionedLayout {
     }
     fragmented.toIndexedSeq.map(_._1.getPath.getName)
   }
+
+  /** Crash-debris cleanup — the third leg of table maintenance next to
+    * [[upsert]] and [[compact]]. A job that dies between materializing
+    * its staging copy and finishing the overwrite leaves a
+    * `<table>__staging` sibling directory behind; Spark task retries can
+    * additionally strand `_temporary` attempt directories inside the
+    * table. Both are invisible to correct readers (staging is a sibling,
+    * `_temporary`/`_`-prefixed files are filtered by FileIndex) but cost
+    * real storage at 100 TB and can confuse naive directory walkers.
+    * vacuum deletes both kinds; data files and partition directories are
+    * never touched.
+    *
+    * @return the paths that were deleted */
+  def vacuum(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__staging")
+    val stray = (if (fs.exists(staging)) Seq(staging) else Nil) ++
+      (if (fs.exists(root))
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName == "_temporary").toSeq
+      else Nil)
+    stray.foreach(p => fs.delete(p, true))
+    stray.map(_.toUri.getPath)
+  }
 }

@@ -147,4 +147,27 @@ class UpsertSpec extends AnyFunSuite {
       "drained null-partition directory must be deleted")
     assert(after.filter($"id" === 2L).select($"lang").as[String].collect().toSeq == Seq("en"))
   }
+
+  test("vacuum removes crashed-job staging debris, never data") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-vac").toString + "/t"
+    val rows = Seq((1L, "a", "en"), (2L, "b", "fr")).toDF("id", "v", "lang")
+    PartitionedLayout.write(rows, base, "lang")
+
+    // simulate a job that died mid-upsert: a stranded staging sibling and
+    // a _temporary attempt dir inside the table
+    val staging = new java.io.File(base + "__staging")
+    staging.mkdirs()
+    java.nio.file.Files.write(staging.toPath.resolve("part-crashed.parquet"),
+      Array[Byte](1, 2, 3))
+    new java.io.File(base, "_temporary/0").mkdirs()
+
+    val deleted = PartitionedLayout.vacuum(spark, base)
+    assert(deleted.size == 2, s"expected staging + _temporary, got $deleted")
+    assert(!staging.exists(), "staging sibling must be deleted")
+    assert(!new java.io.File(base, "_temporary").exists())
+    val after = PartitionedLayout.read(spark, base)
+    assert(after.count() == 2, "vacuum must not touch data")
+    assert(PartitionedLayout.vacuum(spark, base).isEmpty, "idempotent on clean table")
+  }
 }

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.ml.Pipelines
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Online model inference inside a streaming query — the serving shape of
+  * mq10's quality filter: a model trained and persisted in batch is
+  * loaded once and applied per micro-batch (a stateless map-side
+  * transform, so it composes with checkpointing and re-plans per batch
+  * like any projection). This is how a curation pipeline scores documents
+  * AS THEY ARRIVE instead of re-running batch scoring over the corpus.
+  */
+class StreamingInferenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("persisted quality-filter model scores streaming micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // batch: train on the fixture corpus and persist
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .withColumn("is_quality", ($"n_chars" >= 200).cast("double"))
+      .select($"text", $"is_quality")
+      .coalesce(4).cache()
+    val model = Pipelines.qualityFilterLr("is_quality").fit(docs)
+    val lr = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    org.apache.spark.ml.GraftMlBridge.dropTrainingSummary(lr)
+    val path = java.nio.file.Files.createTempDirectory("graft-qlr").toString + "/m"
+    Pipelines.save(model, path)
+    val served = Pipelines.load(path)
+
+    // stream: score arriving documents with the loaded model
+    val stream = MemoryStream[String]
+    val scored = served.transform(stream.toDF().withColumnRenamed("value", "text"))
+      .select($"text",
+        element_at(org.apache.spark.ml.functions.vector_to_array($"probability"), 2)
+          .as("p_quality"))
+    val query = scored.writeStream
+      .format("memory").queryName("quality_scores").outputMode("append").start()
+    try {
+      val longDoc = ("table scan row value part " * 60).trim // ≫ 200 chars
+      val shortDoc = "tiny doc"
+      stream.addData(longDoc, shortDoc)
+      query.processAllAvailable()
+      stream.addData(longDoc + " more tokens appended")
+      query.processAllAvailable()
+
+      val out = spark.table("quality_scores")
+        .select($"text", $"p_quality").as[(String, Double)].collect()
+      assert(out.length == 3, "every micro-batch row must be scored")
+      val byText = out.toMap
+      assert(byText(longDoc) > 0.5, s"long doc scored ${byText(longDoc)}")
+      assert(byText(shortDoc) < 0.5, s"short doc scored ${byText(shortDoc)}")
+    } finally {
+      query.stop()
+      docs.unpersist()
+    }
+  }
+}
