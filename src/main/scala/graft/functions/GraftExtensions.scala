@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.winnowDescriptor)
+    ext.injectFunction(GraftExtensions.nfcDescriptor)
     ext.injectOptimizerRule(_ => CosineSelfSimilarityRule)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
@@ -41,9 +42,17 @@ object GraftExtensions {
       Winnow(children.head, intLit(children(1)), intLit(children(2)))
     })
 
+  private[functions] val nfcDescriptor = (
+    new FunctionIdentifier("graft_nfc"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "graft_nfc expects exactly 1 argument")
+      NfcNormalize(children.head)
+    })
+
   /** Register on a live session (tests / REPL). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineDescriptor, winnowDescriptor).foreach { case (ident, info, builder) =>
+    Seq(cosineDescriptor, winnowDescriptor, nfcDescriptor).foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
 }

@@ -237,7 +237,51 @@ object FilterQueries {
       .orderBy($"lang")
   }
 
+  /** Unicode NFC normalization over the corpus via the engine's native
+    * `graft_nfc` expression (functions/NfcNormalize.scala — Spark has no
+    * normalization built-in; DuckDB's independent `nfc_normalize` is the
+    * oracle, so two separate UAX #15 implementations must agree byte for
+    * byte). The synthetic fixture is ASCII, which would make the check
+    * vacuous — like fq05, both engines append the SAME deterministic
+    * marker of decomposed codepoints (e + combining acute U+0301, the
+    * Angstrom-sign singleton U+212B, o + combining diaeresis U+0308, and
+    * the ﬁ ligature U+FB01 which NFC must LEAVE alone) to every doc, so
+    * every row genuinely exercises composition, singleton mapping, and
+    * compatibility-exclusion. Row-level digests: md5 over the normalized
+    * UTF-8 plus codepoint lengths before/after. Map-only — the 100 TB
+    * shape is a straight scan, no shuffle before the output sort. */
+  val fq06NfcNormalize: QueryDef = sqlChecked(
+    "fq06_nfc_normalize",
+    """WITH marked AS (
+      |  SELECT doc_id,
+      |    text || ' Cafe' || chr(769) || ' ' || chr(8491) || ' No' || chr(776)
+      |         || 'e' || chr(769) || chr(64257) AS t
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT doc_id,
+      |  CAST(length(t) AS BIGINT) AS chars_before,
+      |  CAST(length(nfc_normalize(t)) AS BIGINT) AS chars_after,
+      |  (t <> nfc_normalize(t)) AS changed,
+      |  md5(nfc_normalize(t)) AS digest
+      |FROM marked
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.NfcNormalize.nfc
+    // decomposed on purpose, spelled as escapes so no editor or
+    // toolchain can silently NFC the source literal; must mirror the
+    // oracle's chr() construction codepoint for codepoint
+    val marker = " Cafe\u0301 \u212B No\u0308e\u0301\uFB01"
+    val t = concat($"text", lit(marker))
+    Tables.documents(spark, dir)
+      .filter(pmod($"doc_id", lit(3)) === 0)
+      .select($"doc_id",
+        length(t).cast("long").as("chars_before"),
+        length(nfc(t)).cast("long").as("chars_after"),
+        (t =!= nfc(t)).as("changed"),
+        md5(nfc(t).cast("binary")).as("digest"))
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     fq01TermRedaction, fq02FilterFunnel, fq03Repetition, fq04CorpusMixing,
-    fq05PiiScrub)
+    fq05PiiScrub, fq06NfcNormalize)
 }

@@ -253,6 +253,145 @@ object TemporalQueries {
       .orderBy($"win_id")
   }
 
+  /** Ordered conversion funnel: signup → first click strictly AFTER the
+    * signup → first purchase strictly AFTER that click. Each stage gate
+    * depends on the previous stage's timestamp, so this is NOT three
+    * independent filters — it is the sequential funnel every product
+    * analytics engine ships. Shape: three aggregates/joins ALL keyed by
+    * user_id, so after the first hash exchange the stage frames stay
+    * co-partitioned and the follow-up joins plan without new shuffles;
+    * per-user state is one timestamp per stage (no event lists are ever
+    * collected). Counts are exact integers — no float drift surface. */
+  val eq06EventFunnel: QueryDef = sqlChecked(
+    "eq06_event_funnel",
+    """WITH s AS (
+      |  SELECT user_id, min(ts) AS s_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+      |  JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s.s_ts GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s
+      |  UNION ALL
+      |  SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+      |  UNION ALL
+      |  SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p)
+      |ORDER BY stage""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts")
+    val s = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("s_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .join(s, Seq("user_id"))
+      .filter($"ts" > $"s_ts")
+      .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, Seq("user_id"))
+      .filter($"ts" > $"c_ts")
+      .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), $"n_users")
+    stage(s, "1_signup")
+      .unionByName(stage(c, "2_click"))
+      .unionByName(stage(p, "3_purchase"))
+      .orderBy($"stage")
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their FIRST
+    * event; for each cohort, how many distinct users were active k weeks
+    * later. Both engines truncate to Monday-aligned weeks, so the day
+    * difference is an exact multiple of 7 and the offset division is
+    * exact. Shape: first-event aggregate and the distinct (user, week)
+    * activity frame both hash on user_id (one co-partitioned join), then
+    * a count-distinct keyed by (cohort, offset) — cohort cardinality is
+    * tiny (weeks × weeks), the heavy lifting stays per-user. */
+  val eq07CohortRetention: QueryDef = sqlChecked(
+    "eq07_cohort_retention",
+    """WITH first_seen AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |act AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+      |SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+      |  CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT) AS week_offset,
+      |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      |FROM first_seen f JOIN act a ON f.user_id = a.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select($"user_id", $"ts")
+    val firstSeen = ev.groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+    val act = ev
+      .select($"user_id", date_trunc("week", $"ts").as("act_week"))
+      .distinct()
+    firstSeen.join(act, Seq("user_id"))
+      // both weeks are Monday 00:00, so the gap is an exact multiple of 7
+      // days; double division by 7 is exact and the long cast is safe
+      .groupBy($"cohort_week",
+        (datediff($"act_week", $"cohort_week") / 7).cast("long").as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  /** Daily event-volume anomaly detection: per event type, z-score each
+    * day's count against that type's own mean/std over the window. The
+    * moments are EXACT BIGINT sums (counts are integers), so mean and
+    * variance derive from identical integer inputs in both engines and
+    * the double arithmetic below is the same IEEE expression tree —
+    * z-scores match to the bit before the defensive 1e-6 rounding. Shape:
+    * daily counts hash on (type, day); the per-type moment frame is
+    * #types rows and broadcasts back — the scan never repeats and nothing
+    * wider than a count crosses the exchange. Zero-variance types emit
+    * NULL z rather than ±Inf (both engines). */
+  val eq08DailyAnomaly: QueryDef = sqlChecked(
+    "eq08_daily_anomaly",
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt * cnt) AS BIGINT) AS ss
+      |  FROM daily GROUP BY 1)
+      |SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, d.cnt,
+      |  round((CAST(d.cnt AS DOUBLE) - CAST(t.s AS DOUBLE) / t.n_days) /
+      |    sqrt(NULLIF((CAST(t.ss AS DOUBLE) -
+      |      CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n_days) /
+      |      (t.n_days - 1), 0.0)), 6) AS z,
+      |  COALESCE(abs(round((CAST(d.cnt AS DOUBLE) - CAST(t.s AS DOUBLE) / t.n_days) /
+      |    sqrt(NULLIF((CAST(t.ss AS DOUBLE) -
+      |      CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n_days) /
+      |      (t.n_days - 1), 0.0)), 6)) > 2.5, FALSE) AS is_anomaly
+      |FROM daily d JOIN stats t ON d.event_type = t.event_type
+      |ORDER BY d.event_type, day""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"cnt").as("s"), sum($"cnt" * $"cnt").as("ss"))
+    // variance from raw moments, NULL when degenerate — mirrors the oracle
+    // term-for-term so the pre-rounding doubles are bit-identical
+    val mean = $"s".cast("double") / $"n_days"
+    val variance = ($"ss".cast("double") - $"s".cast("double") * $"s".cast("double") / $"n_days") /
+      ($"n_days" - lit(1))
+    val z = round(($"cnt".cast("double") - mean) /
+      sqrt(when(variance === 0.0, lit(null)).otherwise(variance)), 6)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select($"event_type", $"day", $"cnt", z.as("z"),
+        coalesce(abs(z) > 2.5, lit(false)).as("is_anomaly"))
+      .orderBy($"event_type", $"day")
+  }
+
   val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq01bAsofExec, eq02RangeJoin,
-    eq03Sessionize, eq04SessionWindow, eq05IntervalOverlap)
+    eq03Sessionize, eq04SessionWindow, eq05IntervalOverlap, eq06EventFunnel,
+    eq07CohortRetention, eq08DailyAnomaly)
 }
