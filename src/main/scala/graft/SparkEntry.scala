@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.SketchQueries.all ++
     graft.queries.RelationalExt.all ++
     graft.queries.FilterQueries.all ++
-    graft.queries.PipelineQueries.all
+    graft.queries.PipelineQueries.all ++
+    graft.queries.RetrievalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -58,4 +58,26 @@ object TopKPerGroup {
       }
       .toDF("o_custkey", "o_orderkey", "o_totalprice", "rk")
   }
+
+  /** Generic top-K per group over any (group, score, id) triple: returns
+    * the input column names plus `rnk` (1-based, ordered score desc with
+    * id-asc tiebreak — the same deterministic ordering the window form
+    * and the q07b oracle pin down). Group/id are widened to long and the
+    * score to double; callers keep their own aliases. */
+  def topK(spark: SparkSession, df: DataFrame, group: String, score: String,
+      id: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val agg = new TopK(k)
+    df.select(col(group).cast("long").as[Long],
+        struct(col(score).cast("double"), col(id).cast("long")).as[(Double, Long)])
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (g, top) =>
+        top.iterator.zipWithIndex.map { case ((s, i), r) =>
+          (g, i, s, (r + 1).toLong)
+        }
+      }
+      .toDF(group, id, score, "rnk")
+  }
 }

@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.sqlChecked
+import graft.operators.TopKPerGroup
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the corpus — the lexical-search half of a
+  * data-curation stack (the embedding half is SimilarityQueries). BM25 is
+  * the standard lexical ranking function (Robertson et al., TREC-3); data
+  * pipelines use it for targeted corpus search, retrieval-augmented
+  * filtering, and hard-negative mining.
+  */
+object RetrievalQueries {
+
+  /** BM25 top-5 per query (k1=1.2, b=0.75) against a fixed bounded query
+    * set. Shape at 100 TB:
+    *
+    *  - ONE corpus tokenize+explode produces the per-(doc, term) tf frame,
+    *    which is cached and reused for BOTH document frequencies and
+    *    scoring — document text never shuffles, only (doc_id, term, tf).
+    *  - the query side is bounded (user queries, not data), so query
+    *    terms + their df join map-side via broadcast; the corpus-side tf
+    *    frame is filtered to query terms BEFORE any exchange, so the
+    *    scoring aggregate only sees candidate postings.
+    *  - the corpus moment (N, Σdl) is a 1-row broadcast.
+    *  - ranking uses the K-bounded typed Aggregator (operators/
+    *    TopKPerGroup), not a row_number window: each map task shuffles at
+    *    most K candidates per query instead of every posting.
+    *
+    * Exactness: per-term scores are pure double arithmetic spelled
+    * identically in both engines (same IEEE expression tree, ln included);
+    * the per-(query, doc) sum goes through DECIMAL(38,18) so partial-sum
+    * ORDER cannot perturb the total; the final round(6) is rank key AND
+    * output, so ranking is tie-stable across engines (doc_id tiebreak). */
+  val sq07Bm25TopK: QueryDef = sqlChecked(
+    "sq07_bm25_topk",
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |dl AS (SELECT doc_id, len(toks) AS dl, toks FROM docs),
+      |tf AS (
+      |  SELECT doc_id, dl, unnest(toks) AS term FROM dl),
+      |tfc AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, dl
+      |  FROM tf GROUP BY doc_id, term, dl),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+      |  FROM dl),
+      |dfreq AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY term),
+      |q(qid, term) AS (VALUES
+      |  (1, 'spark'), (1, 'window'), (1, 'agg'),
+      |  (2, 'customer'), (2, 'query'), (2, 'join'),
+      |  (3, 'fast'), (3, 'scan'),
+      |  (4, 'stream'), (4, 'batch'),
+      |  (5, 'sort'), (5, 'merge'), (5, 'table')),
+      |parts AS (
+      |  SELECT q.qid, t.doc_id,
+      |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) *
+      |      (CAST(t.tf AS DOUBLE) * 2.2) /
+      |      (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |        (CAST(t.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS ts
+      |  FROM tfc t JOIN q ON t.term = q.term JOIN dfreq d ON t.term = d.term, stats s),
+      |scored AS (
+      |  SELECT qid, doc_id,
+      |    round(CAST(SUM(CAST(ts AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+      |  FROM parts GROUP BY qid, doc_id),
+      |ranked AS (
+      |  SELECT qid, doc_id, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |  FROM scored)
+      |SELECT CAST(qid AS BIGINT) AS qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val k1 = 1.2
+    val b = 0.75
+    val queries = Seq(
+      (1L, "spark"), (1L, "window"), (1L, "agg"),
+      (2L, "customer"), (2L, "query"), (2L, "join"),
+      (3L, "fast"), (3L, "scan"),
+      (4L, "stream"), (4L, "batch"),
+      (5L, "sort"), (5L, "merge"), (5L, "table")).toDF("qid", "term")
+    val dl = Tables.documents(spark, dir)
+      .select($"doc_id",
+        regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("dl"), $"toks")
+    // one corpus explode feeds BOTH df and scoring; cache the posting
+    // frame so the second consumer doesn't re-scan the corpus
+    val tfc = dl
+      .select($"doc_id", $"dl", explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term", $"dl")
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val dfreq = tfc.groupBy($"term").agg(count(lit(1)).as("df"))
+    // bounded query side: restrict the vocab-sized df frame to query
+    // terms first, then broadcast — the corpus side never shuffles for
+    // the join
+    val qterms = queries.join(dfreq, Seq("term"))
+    val idf = log(lit(1.0) +
+      ($"n_docs".cast("double") - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    // 2.2 as ONE literal (not k1 + 1.0): the runtime sum of two rounded
+    // doubles ties exactly halfway between neighbors of 2.2 — spell the
+    // same literal both engines parse instead
+    val ts = idf * ($"tf".cast("double") * lit(2.2)) /
+      ($"tf".cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) *
+        ($"dl".cast("double") / ($"sum_dl".cast("double") / $"n_docs"))))
+    val scored = tfc
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select($"qid", $"doc_id",
+        ts.cast(org.apache.spark.sql.types.DecimalType(38, 18)).as("ts"))
+      .groupBy($"qid", $"doc_id")
+      .agg(round(sum($"ts").cast("double"), 6).as("score"))
+    TopKPerGroup.topK(spark, scored, "qid", "score", "doc_id", 5)
+      .select($"qid", col("doc_id"), $"score", $"rnk")
+      .orderBy($"qid", $"rnk")
+  }
+
+  val all: Seq[QueryDef] = Seq(sq07Bm25TopK)
+}
