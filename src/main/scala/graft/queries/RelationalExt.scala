@@ -281,7 +281,49 @@ object RelationalExt {
       .orderBy($"event_type")
   }
 
+  /** Winsorization (percentile clipping) — the robust-scaling step of
+    * numeric feature engineering: per group, clip values into the
+    * [p05, p95] band computed by the engine's distributed EXACT
+    * percentile operator (bucket-and-refine, bounded memory — no
+    * per-group value buffering), and account for what was clipped.
+    * The thresholds are rounded to 4 dp in BOTH engines before any
+    * comparison: q24 proves the exact-interpolation values agree at that
+    * precision, and clipping against the rounded threshold removes the
+    * last-ulp boundary risk a raw interpolated double would carry. The
+    * per-group threshold frame is #groups rows and broadcasts back onto
+    * the fact scan; the clipped sum is decimal-exact. */
+  val q39Winsorize: QueryDef = sqlChecked(
+    "q39_winsorize",
+    s"""WITH t AS (
+       |  SELECT l_returnflag,
+       |    round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+       |    round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l.l_returnflag,
+       |  COUNT(*) AS n,
+       |  COUNT(*) FILTER (l.l_extendedprice < t.lo) AS n_clipped_low,
+       |  COUNT(*) FILTER (l.l_extendedprice > t.hi) AS n_clipped_high,
+       |  ${sqlDsum("LEAST(GREATEST(l.l_extendedprice, t.lo), t.hi)")} AS sum_winsorized
+       |FROM lineitem l JOIN t USING (l_returnflag)
+       |GROUP BY l.l_returnflag
+       |ORDER BY l.l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_returnflag", $"l_extendedprice")
+    val t = graft.operators.ExactPercentile.quantiles(
+        li, "l_returnflag", "l_extendedprice", Seq(0.05, 0.95), Seq("lo", "hi"))
+      .select($"l_returnflag", round($"lo", 4).as("lo"), round($"hi", 4).as("hi"))
+    val clipped = least(greatest($"l_extendedprice", $"lo"), $"hi")
+    li.join(broadcast(t), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when($"l_extendedprice" < $"lo", 1)).as("n_clipped_low"),
+        count(when($"l_extendedprice" > $"hi", 1)).as("n_clipped_high"),
+        dsum(clipped).as("sum_winsorized"))
+      .orderBy($"l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt,
-    q35Variant, q36ExistsSubquery, q37Posexplode, q38JsonRoundtrip)
+    q35Variant, q36ExistsSubquery, q37Posexplode, q38JsonRoundtrip, q39Winsorize)
 }

@@ -391,7 +391,61 @@ object TemporalQueries {
       .orderBy($"event_type", $"day")
   }
 
+  /** Time-series resampling with gap fill: per-user purchase activity
+    * re-gridded onto the CONTINUOUS daily calendar (absent days
+    * materialize as zero rows) with the last observed daily total carried
+    * forward across gaps — the resample/ffill operation of every
+    * time-series store. Shape: the daily aggregate hashes on (user, day);
+    * the calendar bounds are a 1-row broadcast; the grid explodes a
+    * bounded per-user `sequence` (explode factor = span in days, data
+    * independent); the forward fill is one window pass per user. The
+    * carried value derives from the decimal-exact daily sum, so the fill
+    * chain is bit-stable across engines. */
+  val eq09GapFill: QueryDef = sqlChecked(
+    "eq09_gap_fill",
+    s"""WITH p AS (
+       |  SELECT user_id, date_trunc('day', ts) AS day,
+       |    CAST(count(*) AS BIGINT) AS n, ${sqlDsum("value")} AS v
+       |  FROM events WHERE event_type = 'purchase' AND user_id < 20
+       |  GROUP BY 1, 2),
+       |bounds AS (
+       |  SELECT min(date_trunc('day', ts)) AS d0, max(date_trunc('day', ts)) AS d1
+       |  FROM events),
+       |users AS (SELECT DISTINCT user_id FROM p),
+       |grid AS (
+       |  SELECT u.user_id, unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS day
+       |  FROM users u, bounds b)
+       |SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+       |  COALESCE(p.n, 0) AS n_events,
+       |  COALESCE(p.v, 0.0) AS day_value,
+       |  COALESCE(last_value(p.v IGNORE NULLS) OVER (
+       |    PARTITION BY g.user_id ORDER BY g.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS carried_value
+       |FROM grid g LEFT JOIN p ON g.user_id = p.user_id AND g.day = p.day
+       |ORDER BY g.user_id, g.day""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter($"event_type" === "purchase" && $"user_id" < 20)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("v"))
+    val bounds = ev.agg(
+      min(date_trunc("day", $"ts")).as("d0"), max(date_trunc("day", $"ts")).as("d1"))
+    val grid = p.select($"user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"user_id",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(p, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        coalesce($"n", lit(0L)).as("n_events"),
+        coalesce($"v", lit(0.0)).as("day_value"),
+        coalesce(last($"v", ignoreNulls = true).over(w), lit(0.0)).as("carried_value"))
+      .orderBy($"user_id", $"day")
+  }
+
   val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq01bAsofExec, eq02RangeJoin,
     eq03Sessionize, eq04SessionWindow, eq05IntervalOverlap, eq06EventFunnel,
-    eq07CohortRetention, eq08DailyAnomaly)
+    eq07CohortRetention, eq08DailyAnomaly, eq09GapFill)
 }

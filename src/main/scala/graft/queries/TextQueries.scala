@@ -590,10 +590,78 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  /** Interpolated bigram language-model scoring — the next rung above
+    * tq12's unigram model and the standard cheap LM-quality signal
+    * (Jelinek-Mercer smoothing): p(w2|w1) = λ·c(w1w2)/c(w1·) +
+    * (1−λ)·c(w2)/N with λ=0.7, each document scored by the mean ln p of
+    * its bigrams, averaged per language. The model IS the corpus's own
+    * counts — no external artifact. Shape: one token explode (unigram
+    * counts) + one bigram explode (bigram counts); the unigram vocab is
+    * the bounded Heaps'-law frame and broadcasts; the bigram count frame
+    * joins by hash on (w1, w2) — at 100 TB that's the one genuinely
+    * data-sized model table, and it shuffles as 2 strings + a count, not
+    * documents. Context totals c(w1·) derive from the bigram frame (one
+    * more vocab-sized aggregate), not a third corpus pass. */
+  val tq17BigramLogprob: QueryDef = sqlChecked(
+    "tq17_bigram_logprob",
+    """WITH docs AS (
+      |  SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, lang, w[i+1] AS w1, w[i+2] AS w2
+      |  FROM (SELECT doc_id, lang, w, unnest(range(len(w) - 1)) AS i
+      |        FROM docs WHERE len(w) >= 2)),
+      |uni AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu
+      |  FROM (SELECT unnest(w) AS tok FROM docs) GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM uni),
+      |bc AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM big GROUP BY w1, w2),
+      |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+      |doc AS (
+      |  SELECT b.doc_id, b.lang,
+      |    AVG(ln(0.7 * c.c12 / x.c1 + 0.3 * u.cu / t.n)) AS lp
+      |  FROM big b
+      |  JOIN bc c ON b.w1 = c.w1 AND b.w2 = c.w2
+      |  JOIN ctx x ON b.w1 = x.w1
+      |  JOIN uni u ON b.w2 = u.tok, tot t
+      |  GROUP BY b.doc_id, b.lang)
+      |SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(lp), 6) AS avg_bigram_logprob
+      |FROM doc GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    def docs = Tables.fanOut(spark, Tables.documents(spark, dir))
+      .select($"doc_id", $"lang", split(lower($"text"), "\\s+").as("w"))
+    def bi = docs.filter(size($"w") >= 2)
+      .select($"doc_id", $"lang", explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"))
+        .as("bg"))
+      .select($"doc_id", $"lang", $"bg.w1", $"bg.w2")
+    val uni = docs.select(explode($"w").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cu")).cache()
+    val tot = uni.agg(sum($"cu").cast("double").as("n"))
+    // bigram counts feed the score join AND the context totals — cache so
+    // the second consumer reuses the one bigram-explode scan
+    val bc = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12")).cache()
+    val ctx = bc.groupBy($"w1").agg(sum($"c12").as("c1"))
+    bi
+      .join(bc, Seq("w1", "w2"))
+      .join(broadcast(ctx), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("tok", "w2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy($"doc_id", $"lang")
+      .agg(avg(log(lit(0.7) * $"c12" / $"c1" + lit(0.3) * $"cu" / $"n")).as("lp"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"lp"), 6).as("avg_bigram_logprob"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
     tq05Fingerprints, tq06MultimodalDecode, tq07MultimodalStats,
     tq08StratifiedSample, tq08bStratifiedPortable, tq09DeterministicSample,
     tq10BpeTokenCounts, tq11TokenPacking, tq12UnigramLogprob,
-    tq13ContextChunks, tq14GlobalShuffle, tq15BigramPmi, tq16CdcBoundaries)
+    tq13ContextChunks, tq14GlobalShuffle, tq15BigramPmi, tq16CdcBoundaries,
+    tq17BigramLogprob)
 }
