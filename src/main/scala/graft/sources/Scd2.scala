@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension Type 2 maintenance — versioned dimension
+  * history with validity intervals, the warehouse primitive for "what did
+  * this customer's segment look like WHEN the order shipped" (the as-of
+  * join's natural table shape; eq01 consumes exactly this kind of data).
+  *
+  * History schema: key, attribute struct, `valid_from`, `valid_to`
+  * (null = open/current version), `is_current`. An update batch is
+  * (key, attributes, ts). Semantics per key, in ts order:
+  *   - a genuinely CHANGED attribute tuple closes the open version at the
+  *     update ts and opens a new one;
+  *   - an update identical to the prevailing version is a NO-OP (no
+  *     version churn from idempotent re-deliveries);
+  *   - several updates to one key in one batch chain correctly;
+  *   - keys absent from the batch are never touched.
+  *
+  * Scale shape: the merge runs only over keys PRESENT in the batch (one
+  * left-semi prune of the history), everything hashes on the key, and
+  * per-key state inside the window pass is one lagged attribute struct —
+  * no version lists are ever collected. The stored variant reuses the
+  * IncrementalAgg bucket layout, so a small batch rewrites only the
+  * key-hash buckets it touches — O(batch + affected slice), independent
+  * of history size.
+  */
+object Scd2 {
+
+  /** Pure merge: returns the post-batch history frame.
+    *
+    * @param history current SCD2 table (key, attrs..., valid_from,
+    *                valid_to, is_current)
+    * @param updates batch (key, attrs..., tsCol)
+    * @param keyCol  dimension key column name
+    * @param tsCol   update-effective-time column in `updates`
+    * @param attrs   tracked attribute column names (version identity) */
+  def merge(history: DataFrame, updates: DataFrame, keyCol: String,
+      tsCol: String, attrs: Seq[String]): DataFrame = {
+    val key = col(keyCol)
+    val attrStruct: Column = struct(attrs.map(col): _*)
+    val batchKeys = updates.select(key).distinct()
+
+    // keys not in the batch pass through byte-identical
+    val untouched = history.join(batchKeys, Seq(keyCol), "left_anti")
+    val affected = history.join(batchKeys, Seq(keyCol), "left_semi")
+    // closed versions of affected keys are immutable history — only the
+    // OPEN version participates in the merge
+    val closed = affected.filter(!col("is_current"))
+    val open = affected.filter(col("is_current"))
+
+    // candidate version stream per key: the open version (at its original
+    // valid_from) then the batch updates, in time order; src breaks the
+    // tie so the prevailing version sorts first at equal timestamps
+    val cand = open
+      .select(key, attrStruct.as("a"), col("valid_from").as("ts"), lit(0).as("src"))
+      .unionByName(updates
+        .select(key, attrStruct.as("a"), col(tsCol).as("ts"), lit(1).as("src")))
+    val wOrd = Window.partitionBy(key).orderBy(col("ts"), col("src"))
+    // drop candidates equal to the version they would supersede; repeat
+    // suppression must compare against the last SURVIVING version, which
+    // for (open, upd1=open, upd2=upd1) collapses to the plain lag chain
+    // only after the first differing row — two window passes: mark equal-
+    // to-lag, then keep rows whose attrs differ from the previous KEPT
+    // row. A run of identical candidates has exactly one survivor (the
+    // first), so lag-based suppression IS last-survivor suppression.
+    val marked = cand
+      .withColumn("prev_a", lag(col("a"), 1).over(wOrd))
+      .filter(col("prev_a").isNull || !(col("a") <=> col("prev_a")))
+    val merged = marked
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(wOrd))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(Seq(key) ++ attrs.map(n => col("a").getField(n).as(n)) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+
+    untouched.unionByName(closed).unionByName(merged)
+  }
+
+  /** First write: every batch row opens a version at its own ts. */
+  def init(spark: SparkSession, path: String, rows: DataFrame,
+      keyCol: String, tsCol: String, attrs: Seq[String]): Unit = {
+    val empty = rows
+      .select(Seq(col(keyCol)) ++ attrs.map(col) ++ Seq(
+        col(tsCol).as("valid_from"),
+        col(tsCol).cast("timestamp").as("valid_to"),
+        lit(true).as("is_current")): _*)
+      .limit(0)
+    writeBucketed(path, merge(empty, rows, keyCol, tsCol, attrs), keyCol)
+  }
+
+  /** Merge a batch into the stored table, rewriting only the key-hash
+    * buckets the batch touches (IncrementalAgg layout + staging). */
+  def ingest(spark: SparkSession, path: String, updates: DataFrame,
+      keyCol: String, tsCol: String, attrs: Seq[String]): Unit =
+    PartitionedLayout.withDynamicOverwrite(spark) {
+      val stored = spark.read.parquet(path)
+      val buckets = updates.select(bucketOf(col(keyCol)).as("bucket")).distinct()
+      val slice = stored.join(broadcast(buckets), Seq("bucket"), "left_semi")
+        .drop("bucket")
+      val merged = merge(slice, updates, keyCol, tsCol, attrs)
+      PartitionedLayout.withStaging(spark, path,
+          merged.withColumn("bucket", bucketOf(col(keyCol)))) { staged =>
+        staged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+      }
+    }
+
+  /** Point-in-time lookup: the version of each key valid at `at`. */
+  def asOf(table: DataFrame, at: Column): DataFrame =
+    table.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
+
+  private def bucketOf(key: Column) =
+    pmod(hash(key), lit(IncrementalAgg.NumBuckets))
+
+  private def writeBucketed(path: String, df: DataFrame, keyCol: String): Unit =
+    df.withColumn("bucket", bucketOf(col(keyCol)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+}

@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SCD Type 2 semantics: version chaining, idempotent-update suppression,
+  * multi-update batches, point-in-time lookup, and the bucket-pruned
+  * stored merge (untouched buckets byte-identical).
+  */
+class Scd2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("changed attributes version; identical updates are no-ops; batches chain") {
+    import spark.implicits._
+    val init = Seq(
+      (1L, "gold", ts("2024-01-01 00:00:00")),
+      (2L, "silver", ts("2024-01-01 00:00:00"))).toDF("cust", "segment", "ts")
+    val hist0 = Scd2.merge(
+      init.select($"cust", $"segment", $"ts".as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current")).limit(0),
+      init, "cust", "ts", Seq("segment"))
+
+    // cust 1 changes twice IN ONE BATCH, cust 2 re-delivers its value
+    val batch = Seq(
+      (1L, "platinum", ts("2024-02-01 00:00:00")),
+      (1L, "diamond", ts("2024-03-01 00:00:00")),
+      (2L, "silver", ts("2024-02-15 00:00:00"))).toDF("cust", "segment", "ts")
+    val hist1 = Scd2.merge(hist0, batch, "cust", "ts", Seq("segment"))
+      .orderBy($"cust", $"valid_from")
+      .select($"cust", $"segment", $"valid_from", $"valid_to", $"is_current")
+      .collect()
+
+    val c1 = hist1.filter(_.getLong(0) == 1L)
+    assert(c1.map(_.getString(1)).toSeq == Seq("gold", "platinum", "diamond"))
+    assert(c1(0).getTimestamp(3) == ts("2024-02-01 00:00:00"), "gold closes at v2 start")
+    assert(c1(1).getTimestamp(3) == ts("2024-03-01 00:00:00"), "platinum closes at v3 start")
+    assert(c1(2).isNullAt(3) && c1(2).getBoolean(4), "diamond stays open")
+    // idempotent re-delivery: cust 2 keeps exactly one open version
+    val c2 = hist1.filter(_.getLong(0) == 2L)
+    assert(c2.length == 1 && c2(0).getString(1) == "silver" && c2(0).getBoolean(4))
+  }
+
+  test("asOf returns the prevailing version per key") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "gold", ts("2024-01-01 00:00:00")),
+      (1L, "platinum", ts("2024-02-01 00:00:00"))).toDF("cust", "segment", "ts")
+    val hist = Scd2.merge(
+      rows.select($"cust", $"segment", $"ts".as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current")).limit(0),
+      rows, "cust", "ts", Seq("segment"))
+    def at(s: String) =
+      Scd2.asOf(hist, lit(ts(s))).select($"segment").as[String].collect().toSeq
+    assert(at("2024-01-15 00:00:00") == Seq("gold"))
+    assert(at("2024-02-01 00:00:00") == Seq("platinum"), "boundary belongs to the new version")
+    assert(at("2023-12-31 00:00:00") == Seq.empty, "before first version: no row")
+  }
+
+  test("stored ingest rewrites only the touched buckets and keeps history queryable") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-scd2").toString + "/dim"
+    val init = (1L to 40L).map(k => (k, s"seg$k", ts("2024-01-01 00:00:00")))
+      .toDF("cust", "segment", "ts")
+    Scd2.init(spark, path, init, "cust", "ts", Seq("segment"))
+
+    def files(): Map[String, Set[(String, Long, Long)]] = {
+      val root = new java.io.File(path)
+      root.listFiles().filter(_.getName.startsWith("bucket=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet
+      }.toMap
+    }
+    val before = files()
+    val batch = Seq((7L, "upgraded", ts("2024-06-01 00:00:00")))
+      .toDF("cust", "segment", "ts")
+    Scd2.ingest(spark, path, batch, "cust", "ts", Seq("segment"))
+    val after = files()
+    val hot = s"bucket=${Seq(7L).toDF("cust")
+      .select(pmod(hash($"cust"), lit(IncrementalAgg.NumBuckets))).head.getInt(0)}"
+    assert(after(hot) != before(hot), "hot bucket must be rewritten")
+    (before.keySet - hot).foreach { b =>
+      assert(after(b) == before(b), s"untouched bucket $b was rewritten")
+    }
+    val t = spark.read.parquet(path)
+    assert(t.count() == 41, "one new version row")
+    val v7 = t.filter($"cust" === 7L).orderBy($"valid_from").collect()
+    assert(v7.length == 2 && !v7(0).getAs[Boolean]("is_current")
+      && v7(1).getAs[Boolean]("is_current"))
+    assert(t.filter($"is_current").count() == 40, "one open version per key")
+  }
+}
