@@ -445,7 +445,49 @@ object TemporalQueries {
       .orderBy($"user_id", $"day")
   }
 
+  /** Trailing 7-day moving window over a SPARSE daily series — the
+    * RANGE-interval window frame (q08/q27 cover ROWS frames; a RANGE
+    * frame bounds by VALUE distance, so a day with no neighbors within a
+    * week averages only itself — a rows-frame would wrongly reach back
+    * across the gap). Exactness: the windowed aggregate is computed as
+    * exact BIGINT sum / exact BIGINT count — both engines aggregate the
+    * identical frame row set, so the single final division is the only
+    * float op. Shape: one hash exchange on event_type, one sort, one
+    * frame pass; per-row state is the bounded 7-day slice. */
+  val eq10MovingWindow: QueryDef = sqlChecked(
+    "eq10_moving_window",
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events WHERE user_id % 10 = 3 GROUP BY 1, 2)
+      |SELECT event_type, CAST(day AS TIMESTAMP) AS day, cnt,
+      |  CAST(SUM(cnt) OVER w AS BIGINT) AS w_sum,
+      |  CAST(COUNT(cnt) OVER w AS BIGINT) AS w_days,
+      |  CAST(SUM(cnt) OVER w AS DOUBLE) / COUNT(cnt) OVER w AS w_avg
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .filter($"user_id" % 10 === 3)
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    // RANGE frame over epoch seconds: value-distance bounds, not row
+    // counts — 6 days back through the current day, gaps excluded
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"day".cast("long"))
+      .rangeBetween(-6L * 86400L, 0L)
+    daily
+      .select($"event_type", $"day", $"cnt",
+        sum($"cnt").over(w).as("w_sum"),
+        count($"cnt").over(w).as("w_days"),
+        (sum($"cnt").over(w).cast("double") / count($"cnt").over(w)).as("w_avg"))
+      .orderBy($"event_type", $"day")
+  }
+
   val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq01bAsofExec, eq02RangeJoin,
     eq03Sessionize, eq04SessionWindow, eq05IntervalOverlap, eq06EventFunnel,
-    eq07CohortRetention, eq08DailyAnomaly, eq09GapFill)
+    eq07CohortRetention, eq08DailyAnomaly, eq09GapFill, eq10MovingWindow)
 }

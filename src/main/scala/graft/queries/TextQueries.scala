@@ -657,11 +657,66 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  /** Vocabulary growth curve (Heaps'-law measurement): cumulative
+    * distinct token types vs cumulative token instances across ten
+    * ingest-order corpus slices — how a data team decides whether more of
+    * the same source still buys vocabulary. Cumulative-distinct is NOT
+    * computed by re-scanning prefixes (quadratic): each type's FIRST
+    * slice is a vocab-sized min-aggregate, new-type counts bucket into
+    * ten rows, and the running totals are a window over that 10-row
+    * summary — corpus scanned once, all integers, exact. */
+  val tq18VocabGrowth: QueryDef = sqlChecked(
+    "tq18_vocab_growth",
+    """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+      |toks AS (
+      |  SELECT CAST(doc_id * 10 // (m.mx + 1) AS BIGINT) AS slice,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents, m),
+      |inst AS (
+      |  SELECT slice, CAST(count(*) AS BIGINT) AS n_tokens
+      |  FROM toks GROUP BY slice),
+      |first_seen AS (
+      |  SELECT tok, min(slice) AS slice FROM toks GROUP BY tok),
+      |newt AS (
+      |  SELECT slice, CAST(count(*) AS BIGINT) AS new_types
+      |  FROM first_seen GROUP BY slice)
+      |SELECT i.slice, i.n_tokens,
+      |  CAST(SUM(i.n_tokens) OVER (ORDER BY i.slice
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+      |  COALESCE(n.new_types, 0) AS new_types,
+      |  CAST(SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY i.slice
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+      |FROM inst i LEFT JOIN newt n ON i.slice = n.slice
+      |ORDER BY i.slice""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(max($"doc_id").as("mx"))
+    // ingest-order slice: floor(doc_id·10 / (max+1)) — exact integer
+    // arithmetic well inside double's integer range in both engines
+    def toks = docs.crossJoin(broadcast(mx))
+      .select(floor($"doc_id" * 10 / ($"mx" + 1)).cast("long").as("slice"),
+        explode(split(lower($"text"), "\\s+")).as("tok"))
+    val inst = toks.groupBy($"slice").agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = toks.groupBy($"tok").agg(min($"slice").as("slice"))
+    val newt = firstSeen.groupBy($"slice").agg(count(lit(1)).as("new_types"))
+    // the running totals window runs over the 10-row slice summary, not
+    // data — a single-partition frame is exactly right here
+    val w = Window.orderBy($"slice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inst.join(newt, Seq("slice"), "left")
+      .select($"slice", $"n_tokens",
+        sum($"n_tokens").over(w).as("cum_tokens"),
+        coalesce($"new_types", lit(0L)).as("new_types"),
+        sum(coalesce($"new_types", lit(0L))).over(w).as("cum_vocab"))
+      .orderBy($"slice")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
     tq05Fingerprints, tq06MultimodalDecode, tq07MultimodalStats,
     tq08StratifiedSample, tq08bStratifiedPortable, tq09DeterministicSample,
     tq10BpeTokenCounts, tq11TokenPacking, tq12UnigramLogprob,
     tq13ContextChunks, tq14GlobalShuffle, tq15BigramPmi, tq16CdcBoundaries,
-    tq17BigramLogprob)
+    tq17BigramLogprob, tq18VocabGrowth)
 }
