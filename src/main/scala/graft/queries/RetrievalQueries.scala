@@ -121,5 +121,86 @@ object RetrievalQueries {
       .orderBy($"qid", $"rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(sq07Bm25TopK)
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): PageRank
+    * over the word co-occurrence graph — nodes are frequent tokens, edges
+    * are adjacent-token pairs seen often enough, undirected. The rank runs
+    * in the engine's deterministic integer fixed-point PageRank
+    * (operators/PageRank.scala), so the final rank units are EXACT BIGINTs
+    * and the DuckDB oracle — ten mechanically unrolled join+aggregate
+    * iterations of the same integer recurrence — must hash-match them
+    * bit for bit. That is the strongest cross-engine check an iterative
+    * graph algorithm can get (float PageRank could never hash-compare).
+    * Scale: the graph is vocab-sized (Heaps' law), the corpus is scanned
+    * twice (token counts, adjacency pairs), and each of the 10 rounds is
+    * one vertex-keyed hash join + aggregate on cached vocab-sized frames. */
+  val tq19TextrankKeywords: QueryDef = {
+    val prologue =
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |uni AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok),
+        |nodes AS (SELECT tok FROM uni WHERE c >= 20),
+        |pairs AS (
+        |  SELECT w[i+1] AS w1, w[i+2] AS w2
+        |  FROM (SELECT w, unnest(range(len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 2)),
+        |bi AS (
+        |  SELECT w1, w2 FROM pairs
+        |  WHERE w1 <> w2
+        |    AND w1 IN (SELECT tok FROM nodes) AND w2 IN (SELECT tok FROM nodes)
+        |  GROUP BY w1, w2 HAVING count(*) >= 3),
+        |edges AS (SELECT w1 AS src, w2 AS dst FROM bi
+        |          UNION SELECT w2, w1 FROM bi),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+        |verts AS (SELECT DISTINCT src AS vertex FROM edges),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts),
+        |b AS (SELECT ((1000000000000 * 15) // 100) // n AS base FROM nv),
+        |r0 AS (SELECT v.vertex, 1000000000000 // nv.n AS r
+        |       FROM verts v CROSS JOIN nv)""".stripMargin
+    val rounds = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT v.vertex, b.base + COALESCE(c.s, 0) AS r
+         |  FROM verts v CROSS JOIN b
+         |  LEFT JOIN (
+         |    SELECT e.dst AS vertex,
+         |      CAST(SUM(((p.r // d.deg) * 85) // 100) AS BIGINT) AS s
+         |    FROM r${i - 1} p
+         |    JOIN edges e ON p.vertex = e.src
+         |    JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) c ON c.vertex = v.vertex)""".stripMargin
+    }.mkString(",\n")
+    val epilogue =
+      """SELECT vertex AS tok, CAST(r AS BIGINT) AS rank_units
+        |FROM r10 ORDER BY r DESC, tok LIMIT 20""".stripMargin
+    sqlChecked(
+      "tq19_textrank_keywords",
+      s"$prologue,\n$rounds\n$epilogue") { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+        .select(split(lower($"text"), "\\s+").as("w"))
+      val uni = docs.select(explode($"w").as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("c"))
+      val nodes = uni.filter($"c" >= 20).select($"tok")
+      val pairs = docs.filter(size($"w") >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"))
+          .as("bg"))
+        .select($"bg.w1", $"bg.w2")
+        .filter($"w1" =!= $"w2")
+      val bi = pairs
+        .join(broadcast(nodes.withColumnRenamed("tok", "w1")), Seq("w1"))
+        .join(broadcast(nodes.withColumnRenamed("tok", "w2")), Seq("w2"))
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
+        .filter($"n" >= 3)
+      val edges = bi.select($"w1".as("src"), $"w2".as("dst"))
+        .unionByName(bi.select($"w2".as("src"), $"w1".as("dst")))
+      graft.operators.PageRank.ranks(edges, 10)
+        .orderBy($"r".desc, $"vertex")
+        .limit(20)
+        .select($"vertex".as("tok"), $"r".as("rank_units"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(sq07Bm25TopK, tq19TextrankKeywords)
 }
