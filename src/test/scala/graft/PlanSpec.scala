@@ -270,4 +270,70 @@ class PlanSpec extends AnyFunSuite {
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
     assert(scans == 1, s"expected 1 documents scan, got $scans")
   }
+
+  test("eq06/eq07: funnel and cohort stages stay keyed on user_id — no dim-table sort-merge surprises") {
+    for (q <- Seq(TemporalQueries.eq06EventFunnel, TemporalQueries.eq07CohortRetention)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"${q.name}:\n$p")
+    }
+  }
+
+  test("eq08: the per-type moment frame joins back via broadcast, not a shuffle of daily counts") {
+    val p = plan(TemporalQueries.eq08DailyAnomaly)
+    assert(p.contains("BroadcastHashJoin"), "stats frame must broadcast:\n" + p)
+  }
+
+  test("eq09: calendar bounds broadcast; the grid is a Generate explode, not a join blow-up") {
+    val p = plan(TemporalQueries.eq09GapFill)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "1-row bounds must broadcast:\n" + p)
+    assert(p.contains("Generate"), "grid must come from sequence+explode:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("eq10: RANGE-interval frame (value bounds), single window pass") {
+    val p = plan(TemporalQueries.eq10MovingWindow)
+    assert(p.contains("RangeFrame") || p.toLowerCase.contains("rangebetween"),
+      "moving window must use a RANGE frame:\n" + p)
+    val windows = "\\(\\d+\\) Window".r.findAllIn(p).size
+    assert(windows == 1, s"expected 1 window operator, got $windows")
+  }
+
+  test("fq06: NFC normalization is map-only — one scan, pushed residual, no shuffle before sort") {
+    val p = plan(FilterQueries.fq06NfcNormalize)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans")
+    assert(!p.contains("Generate") && !p.contains("Join"), "must stay in-row:\n" + p)
+  }
+
+  test("sq07: BM25 query terms + corpus moments broadcast; posting join never sort-merges the query side") {
+    val p = plan(RetrievalQueries.sq07Bm25TopK)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size +
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"query side and stats must broadcast, got $broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q39: winsorize thresholds broadcast back onto the fact scan") {
+    val p = plan(RelationalExt.q39Winsorize)
+    assert(p.contains("BroadcastHashJoin"), "threshold frame must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tq17: unigram vocab and context totals broadcast; only the bigram model table hash-joins") {
+    val p = plan(TextQueries.tq17BigramLogprob)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"vocab/context joins must broadcast, got $broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tq18: vocab growth runs the running totals over the 10-row summary, not the corpus") {
+    val p = plan(TextQueries.tq18VocabGrowth)
+    // the window must sit ABOVE both aggregates: no Generate between the
+    // window and the result (the explode happens below the aggregations)
+    val afterWindow = p.substring(0, p.indexOf("Window"))
+    assert(p.contains("Window"), p)
+    assert(!afterWindow.contains("Generate"),
+      "window must consume the slice summary, not exploded tokens:\n" + p)
+  }
 }
