@@ -37,7 +37,7 @@ object ConnectedComponents {
       .cache() // reused every round; edge list ≪ corpus (near-dups only)
     var labels = edges.select($"a".as("vertex")).distinct()
       .withColumn("component", $"vertex")
-      .cache()
+      .localCheckpoint(true)
     val nVertices = labels.count()
     if (nVertices == 0) return labels
     // Dedup graphs have few vertices relative to the corpus, so the label
@@ -57,12 +57,17 @@ object ConnectedComponents {
       val propagated = edges
         .join(if (broadcastLabels) broadcast(lbl) else lbl, Seq("a"))
         .select($"b".as("vertex"), $"component")
+      // localCheckpoint, not cache: cached frames still carry the full
+      // logical lineage, so analyzer/optimizer cost compounds with round
+      // count (the pathology PageRank measured at ~3.7 s/round by round
+      // 10); checkpointing keeps every round planning against a flat
+      // scan, which is what lets the adversarial long-chain case actually
+      // reach maxIterations
       val next = labels.unionByName(propagated)
         .groupBy($"vertex")
         .agg(min($"component").as("component"))
-        .cache()
+        .localCheckpoint(true)
       val nextSum = checksum(next)
-      labels.unpersist()
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
