@@ -712,11 +712,44 @@ object TextQueries {
       .orderBy($"slice")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis, IPL'06):
+    * keep the top-k documents by ln(u)/w where u is a per-doc uniform
+    * draw and w the sampling weight (here n_chars — "prefer longer
+    * docs") — provably equivalent to sequential weighted draws, and
+    * embarrassingly parallel: each row computes its own key, top-k is a
+    * bounded global selection, no sequential state at any scale. The
+    * draw u is the md5 hash of the doc id (tq09's determinism trick), so
+    * the "random" sample is reproducible on any cluster layout AND
+    * replayable by the oracle. Both engines rank by the key ROUNDED to
+    * 1e-9 with a doc_id tiebreak, so a last-ulp `ln` divergence cannot
+    * flip the selection boundary. */
+  val tq20WeightedSample: QueryDef = sqlChecked(
+    "tq20_weighted_sample",
+    """WITH keyed AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    round(ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        + 0.5) / 4294967296.0) / n_chars, 9) AS es_key
+      |  FROM documents)
+      |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight, es_key
+      |FROM keyed
+      |ORDER BY es_key DESC, doc_id
+      |LIMIT 50""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val u = (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(0.5)) / lit(4294967296.0)
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars",
+        round(log(u) / $"n_chars", 9).as("es_key"))
+      .orderBy($"es_key".desc, $"doc_id")
+      .limit(50)
+      .select($"doc_id", $"lang", $"n_chars".cast("long").as("weight"), $"es_key")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
     tq05Fingerprints, tq06MultimodalDecode, tq07MultimodalStats,
     tq08StratifiedSample, tq08bStratifiedPortable, tq09DeterministicSample,
     tq10BpeTokenCounts, tq11TokenPacking, tq12UnigramLogprob,
     tq13ContextChunks, tq14GlobalShuffle, tq15BigramPmi, tq16CdcBoundaries,
-    tq17BigramLogprob, tq18VocabGrowth)
+    tq17BigramLogprob, tq18VocabGrowth, tq20WeightedSample)
 }

@@ -91,4 +91,37 @@ class Scd2Spec extends AnyFunSuite {
       && v7(1).getAs[Boolean]("is_current"))
     assert(t.filter($"is_current").count() == 40, "one open version per key")
   }
+
+  test("streaming foreachBatch ingestion maintains the dimension history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the CDC deployment shape: each micro-batch of dimension updates
+    // merges into the stored SCD2 table with a transactional boundary per
+    // epoch — the streaming counterpart of the batch ingest test
+    val path = java.nio.file.Files.createTempDirectory("graft-scd2-stream")
+      .toString + "/dim"
+    Scd2.init(spark, path,
+      Seq((1L, "gold", ts("2024-01-01 00:00:00"))).toDF("cust", "segment", "ts"),
+      "cust", "ts", Seq("segment"))
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val query = stream.toDS().toDF("cust", "segment", "ts").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Scd2.ingest(batch.sparkSession, path, batch, "cust", "ts", Seq("segment"))
+      }
+      .start()
+    stream.addData((1L, "platinum", ts("2024-02-01 00:00:00")))
+    query.processAllAvailable()
+    stream.addData((1L, "platinum", ts("2024-03-01 00:00:00")), // idempotent redelivery
+      (2L, "silver", ts("2024-03-01 00:00:00")))                // new key
+    query.processAllAvailable()
+    query.stop()
+    val t = spark.read.parquet(path)
+    assert(t.count() == 3, "gold->platinum versions for cust 1 + one for cust 2")
+    val c1 = t.filter($"cust" === 1L).orderBy($"valid_from").collect()
+    assert(c1.map(_.getAs[String]("segment")).toSeq == Seq("gold", "platinum"))
+    assert(!c1(0).getAs[Boolean]("is_current") && c1(1).getAs[Boolean]("is_current"))
+    assert(Scd2.asOf(t, lit(ts("2024-01-15 00:00:00")))
+      .filter($"cust" === 1L).select($"segment").as[String].head() == "gold")
+  }
 }
