@@ -44,12 +44,19 @@ object PageRank {
     val spark = edges.sparkSession
     import spark.implicits._
     val Array(sc, dc) = edges.columns
-    val e = edges.select(col(sc).as("src"), col(dc).as("dst"))
+    val e0 = edges.select(col(sc).as("src"), col(dc).as("dst"))
       .distinct().cache()
+    val n0 = e0.select($"src").distinct().count()
+    require(n0 > 0, "PageRank needs a non-empty graph")
+    // vocab/dedup-sized graphs (the common case) don't amortize 32-task
+    // stages × 10 rounds of scheduler overhead — collapse small graphs to
+    // a single partition, same adaptive call the tiny-frame ML fits make;
+    // big graphs keep the cluster layout
+    val small = n0 < 100000
+    val e = (if (small) e0.coalesce(1) else e0).cache()
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg")).cache()
     val verts = e.select($"src".as("vertex")).distinct().cache()
-    val n = verts.count()
-    require(n > 0, "PageRank needs a non-empty graph")
+    val n = n0
     val r0 = units / n
     val base = (units * 15L / 100L) / n
     // localCheckpoint, not cache: cache short-circuits EXECUTION but the
