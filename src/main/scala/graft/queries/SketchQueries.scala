@@ -140,6 +140,52 @@ object SketchQueries {
         $"exact_a", $"exact_b", $"exact_union", $"exact_intersect")
   }
 
+  /** Frequent tokens via Misra–Gries candidates + exact confirm — and
+    * UNLIKE kq02-kq04 this sketch query IS hash-oracle-checkable: the
+    * summary's no-false-negative guarantee (every item with count >
+    * n/(k+1) survives, operators/MisraGries.scala) means
+    * sketch-candidates → exact-re-count → threshold-filter yields exactly
+    * the set a full groupBy would — deterministically, whatever the
+    * partitioning did to the counter values. Same architecture as dq07b's
+    * Bloom pass: the sketch DECIMATES (at 100 TB the exact count runs
+    * over ≤ k candidate tokens via semi-join, not the whole vocabulary),
+    * the exact pass confirms. Three corpus passes, each map-friendly: an
+    * in-row token count (no explode), the bounded-state sketch, and the
+    * candidate-only count. Threshold compares as `cnt · (k+1) > n` —
+    * pure integers, no division ambiguity. */
+  val kq05HeavyHitters: QueryDef = sqlChecked(
+    "kq05_heavy_hitters",
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+      |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok)
+      |SELECT c.tok, c.cnt
+      |FROM c, n WHERE c.cnt * 33 > n.n
+      |ORDER BY c.cnt DESC, c.tok""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val k = 32
+    def docs = Tables.documents(spark, dir)
+      .select(split(lower($"text"), "\\s+").as("w"))
+    // pass 1 (in-row, no explode): total token count n
+    val n = docs.agg(sum(size($"w")).cast("long").as("n"))
+    // pass 2: bounded-state sketch → candidate tokens (≤ k rows)
+    def toks = docs.select(explode($"w").as("tok"))
+    val cand = toks.as[String]
+      .select(graft.operators.MisraGries.summary(k).toColumn.name("hh"))
+      .toDF("hh")
+      .select(explode($"hh").as("e"))
+      .select($"e._1".as("tok"))
+    // pass 3: exact counts for candidates ONLY (semi-join decimation)
+    toks.join(broadcast(cand), Seq("tok"), "left_semi")
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter($"cnt" * (k + 1) > $"n")
+      .select($"tok", $"cnt")
+      .orderBy($"cnt".desc, $"tok")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    kq01BitmapDistinct, kq02HllRollup, kq03KllQuantiles, kq04ThetaSetAlgebra)
+    kq01BitmapDistinct, kq02HllRollup, kq03KllQuantiles, kq04ThetaSetAlgebra,
+    kq05HeavyHitters)
 }
