@@ -99,5 +99,61 @@ object PipelineQueries {
       .orderBy($"shard")
   }
 
-  val all: Seq[QueryDef] = Seq(pq01TrainingPrep)
+  /** Curriculum binning — order the corpus by a difficulty proxy and cut
+    * it into quartile bins (curriculum learning feeds easy→hard; data
+    * teams also use the bins for mixture re-weighting). The difficulty
+    * score is in-row (mean word length proxy — one scan, no shuffle); the
+    * quartile thresholds come from the engine's distributed EXACT
+    * percentile operator over the whole corpus (single logical group),
+    * rounded to 4 dp in both engines before any comparison exactly like
+    * q39, then broadcast back as three scalars. Bin assignment and
+    * per-bin accounting ride one more scan. */
+  val pq02Curriculum: QueryDef = sqlChecked(
+    "pq02_curriculum",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CAST(n_chars AS DOUBLE) / len(string_split_regex(lower(text), '\s+')) AS score
+      |  FROM documents),
+      |t AS (
+      |  SELECT round(quantile_cont(score, 0.25), 4) AS t25,
+      |    round(quantile_cont(score, 0.50), 4) AS t50,
+      |    round(quantile_cont(score, 0.75), 4) AS t75
+      |  FROM s)
+      |SELECT
+      |  CASE WHEN score < t25 THEN 'q1_easy'
+      |       WHEN score < t50 THEN 'q2_mid_low'
+      |       WHEN score < t75 THEN 'q3_mid_high'
+      |       ELSE 'q4_hard' END AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CAST((score) AS DECIMAL(30,6))) AS DOUBLE) AS sum_score,
+      |  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+      |  CAST(max(doc_id) AS BIGINT) AS max_doc_id
+      |FROM s, t
+      |GROUP BY bin
+      |ORDER BY bin""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.util.Num.dsum
+    val s = Tables.documents(spark, dir)
+      .select($"doc_id",
+        ($"n_chars".cast("double") / size(split(lower($"text"), "\\s+")))
+          .as("score"))
+    val t = graft.operators.ExactPercentile.quantiles(
+        s.withColumn("g", lit(1)), "g", "score",
+        Seq(0.25, 0.50, 0.75), Seq("t25", "t50", "t75"))
+      .select(round($"t25", 4).as("t25"), round($"t50", 4).as("t50"),
+        round($"t75", 4).as("t75"))
+    s.crossJoin(broadcast(t))
+      .select($"doc_id", $"score",
+        when($"score" < $"t25", "q1_easy")
+          .when($"score" < $"t50", "q2_mid_low")
+          .when($"score" < $"t75", "q3_mid_high")
+          .otherwise("q4_hard").as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), dsum($"score").as("sum_score"),
+        min($"doc_id").cast("long").as("min_doc_id"),
+        max($"doc_id").cast("long").as("max_doc_id"))
+      .orderBy($"bin")
+  }
+
+  val all: Seq[QueryDef] = Seq(pq01TrainingPrep, pq02Curriculum)
 }
