@@ -242,8 +242,54 @@ object MlQueries {
       .orderBy($"lang")
   }
 
+  /** SemDeDup (Abbas et al., 2023): semantic deduplication by clustering
+    * embeddings FIRST, then checking cosine only WITHIN clusters — the
+    * k-means partition bounds the quadratic (Σ cᵢ² pairs instead of n²),
+    * which is the paper's entire scale argument and the alternative
+    * candidate-generation to sq05's LSH buckets. Pairs at cos ≥ τ are
+    * semantic duplicates; the lower vec_id wins, every higher id in a dup
+    * pair is dropped. The synthetic embeddings are near-orthogonal (max
+    * pairwise cosine 0.51 at sf0.01), which would make the τ=0.995 check
+    * vacuous — so, like fq05/fq06, the query PLANTS deterministic
+    * duplicates: every vec_id % 20 == 0 vector re-enters under id+100000.
+    * Identical vectors land in the same k-means cell by definition, so
+    * the operator must drop EXACTLY the planted copies — n_dropped sums
+    * to the planted count, n = n_kept + n_dropped per cluster, and the
+    * output self-validates. kmeans keeps this rows-only (seeded, but no
+    * SQL oracle replays the fit). */
+  val mq11SemDedup: QueryDef = rowsOnly("mq11_semdedup") { (spark, dir) =>
+    import spark.implicits._
+    import graft.similarity.VectorOps
+    val base = Tables.embeddings(spark, dir)
+    val planted = base.filter($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val df = base.select($"vec_id", $"embedding").unionByName(planted)
+      .select($"vec_id", array_to_vector($"embedding").as("features"),
+        VectorOps.toDouble($"embedding").as("v"))
+      .cache()
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(10).setSeed(42).setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(df)
+    val pred = model.transform(df).select($"vec_id", $"v", $"cluster").cache()
+    val a = pred.select($"cluster", $"vec_id".as("i"), $"v".as("vi"))
+    val b = pred.select($"cluster", $"vec_id".as("j"), $"v".as("vj"))
+    // equi-join on cluster + i<j: the quadratic never leaves a cluster
+    val pairs = a.join(b, Seq("cluster"))
+      .filter($"i" < $"j")
+      .select($"cluster", $"i", $"j",
+        VectorOps.cosine($"vi", $"vj").as("cos"))
+    val dropped = pairs.filter($"cos" >= 0.995)
+      .select($"cluster", $"j".as("vec_id")).distinct()
+    pred.join(dropped.select($"vec_id", lit(1).as("is_dup")), Seq("vec_id"), "left")
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n"),
+        count($"is_dup").as("n_dropped"),
+        (count(lit(1)) - count($"is_dup")).as("n_kept"))
+      .orderBy($"cluster")
+  }
+
   val all: Seq[QueryDef] = Seq(
     mq01KmeansEmbeddings, mq02KmeansJobs, mq03RfSalary, mq04GbtHotScore,
     mq05LogisticAttractiveness, mq06TfidfDocs, mq07Word2vecSynonyms,
-    mq08LdaTopics, mq09AttractivenessLrV1, mq10QualityFilterLr)
+    mq08LdaTopics, mq09AttractivenessLrV1, mq10QualityFilterLr, mq11SemDedup)
 }
