@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.winnowDescriptor)
     ext.injectFunction(GraftExtensions.nfcDescriptor)
+    ext.injectFunction(GraftExtensions.deflateDescriptor)
     ext.injectOptimizerRule(_ => CosineSelfSimilarityRule)
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
@@ -50,9 +51,18 @@ object GraftExtensions {
       NfcNormalize(children.head)
     })
 
+  private[functions] val deflateDescriptor = (
+    new FunctionIdentifier("graft_deflate_len"),
+    new ExpressionInfo(classOf[DeflateLength].getName, "graft_deflate_len"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1, "graft_deflate_len expects exactly 1 argument")
+      DeflateLength(children.head)
+    })
+
   /** Register on a live session (tests / REPL). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineDescriptor, winnowDescriptor, nfcDescriptor).foreach { case (ident, info, builder) =>
+    Seq(cosineDescriptor, winnowDescriptor, nfcDescriptor, deflateDescriptor)
+      .foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
 }

@@ -745,11 +745,44 @@ object TextQueries {
       .select($"doc_id", $"lang", $"n_chars".cast("long").as("weight"), $"es_key")
   }
 
+  /** Compression-ratio quality signal (Gopher/CCNet lineage): DEFLATE
+    * length / raw byte length via the native `graft_deflate_len`
+    * expression. Long-range repetition (boilerplate, template spam)
+    * compresses far below the ~0.3 band that normal prose occupies, and
+    * per-token heuristics (fq03) miss it when the repeated unit is longer
+    * than a bigram. No SQL engine ships a compression scalar, so this is
+    * rows-only — but the output SELF-validates: two planted rows ride
+    * along with the corpus, one pathologically repetitive (must land in
+    * the flagged band) and one of incompressible hex noise (must not),
+    * and their flags are part of the emitted rows. Map-only scan. */
+  val tq21CompressionRatio: QueryDef = QueryDef.rowsOnly(
+    "tq21_compression_ratio") { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.DeflateLength.deflateLen
+    val planted = Seq(
+      (9000001L, "xx", ("spam " * 400).trim),
+      (9000002L, "xx", Seq.tabulate(400)(i =>
+        java.lang.Long.toHexString(i * 2654435761L)).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val ratio = deflateLen($"text").cast("double") / octet_length($"text")
+    Tables.documents(spark, dir).select($"doc_id", $"lang", $"text")
+      .unionByName(planted)
+      .select($"lang", ratio.as("r"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"r"), 4).as("avg_ratio"),
+        round(min($"r"), 4).as("min_ratio"),
+        round(max($"r"), 4).as("max_ratio"),
+        count(when($"r" < 0.2, 1)).as("n_flagged_repetitive"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
     tq05Fingerprints, tq06MultimodalDecode, tq07MultimodalStats,
     tq08StratifiedSample, tq08bStratifiedPortable, tq09DeterministicSample,
     tq10BpeTokenCounts, tq11TokenPacking, tq12UnigramLogprob,
     tq13ContextChunks, tq14GlobalShuffle, tq15BigramPmi, tq16CdcBoundaries,
-    tq17BigramLogprob, tq18VocabGrowth, tq20WeightedSample)
+    tq17BigramLogprob, tq18VocabGrowth, tq20WeightedSample,
+    tq21CompressionRatio)
 }
