@@ -613,10 +613,61 @@ object DedupQueries {
       .orderBy($"lang")
   }
 
+  /** Blocked fuzzy join (entity resolution): find record pairs whose
+    * names are within Levenshtein distance 1 WITHOUT the all-pairs
+    * quadratic. Candidate generation is trigram blocking: a single edit
+    * destroys at most 3 positional trigrams, so any two strings of
+    * length ≥ 6 within distance 1 still SHARE a trigram — the equi-join
+    * on trigrams is provably lossless for this radius, and the exact
+    * Levenshtein check runs only inside blocks. The oracle is the brute
+    * force: every pair over the same bounded universe, so a blocking bug
+    * that loses a candidate is a hash mismatch, not a silent recall dip.
+    * The universe plants a deterministic typo of every name (one char
+    * dropped at a key-derived position) — every original must pair with
+    * its typo, plus whatever genuine near-collisions the catalog has. */
+  val dq11FuzzyJoin: QueryDef = sqlChecked(
+    "dq11_fuzzy_join",
+    """WITH base AS (
+      |  SELECT p_partkey AS id, p_name AS nm FROM part WHERE p_partkey < 500),
+      |typo AS (
+      |  SELECT id + 100000 AS id,
+      |    substr(nm, 1, (id % 5) + 2) || substr(nm, (id % 5) + 4) AS nm
+      |  FROM base),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM typo)
+      |SELECT a.id AS i, b.id AS j, CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+      |FROM u a JOIN u b ON a.id < b.id
+      |WHERE levenshtein(a.nm, b.nm) <= 1
+      |ORDER BY i, j""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val base = Tables.part(spark, dir)
+      .filter($"p_partkey" < 500)
+      .select($"p_partkey".as("id"), $"p_name".as("nm"))
+    // drop one char at a key-derived position (1-based pos = id%5 + 3,
+    // always interior for names of length >= 7)
+    val typo = base.select(($"id" + 100000L).as("id"),
+      expr("concat(substr(nm, 1, (id % 5) + 2), substr(nm, (id % 5) + 4))").as("nm"))
+    val u = base.unionByName(typo)
+    // blocking: distinct positional trigrams per name; an equi-join on the
+    // trigram replaces the 1M-pair cross product with shared-gram blocks
+    val grams = u.select($"id", $"nm",
+      explode(array_distinct(expr(
+        "transform(sequence(1, length(nm) - 2), i -> substring(nm, i, 3))")))
+        .as("g"))
+    val cands = grams.select($"g", $"id".as("i"), $"nm".as("nmi"))
+      .join(grams.select($"g", $"id".as("j"), $"nm".as("nmj")), Seq("g"))
+      .filter($"i" < $"j")
+      .select($"i", $"j", $"nmi", $"nmj")
+      .distinct()
+    cands
+      .filter(levenshtein($"nmi", $"nmj") <= 1)
+      .select($"i", $"j", levenshtein($"nmi", $"nmj").cast("long").as("dist"))
+      .orderBy($"i", $"j")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dq01ExactDedup, dq02DedupKeepFirst, dq03MinhashLsh, dq03bMinhashPortable,
     dq04Simhash, dq04bSimhashPortable, dq06bWinnowPortable,
     dq05NgramJaccard, dq06WinnowFingerprints, dq07Decontaminate,
     dq07bDecontaminateBloom,
-    dq08IncrementalDedup, dq09DupClusters, dq10PassageDedup)
+    dq08IncrementalDedup, dq09DupClusters, dq10PassageDedup, dq11FuzzyJoin)
 }
