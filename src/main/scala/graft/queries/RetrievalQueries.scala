@@ -202,5 +202,49 @@ object RetrievalQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(sq07Bm25TopK, tq19TextrankKeywords)
+  /** Phrase search over a positional inverted index: docs where the
+    * query's tokens appear ADJACENT, found by joining the two terms'
+    * posting lists on (doc, next-position) — substring matching can't do
+    * this against a tokenized corpus, and scanning every document at
+    * query time can't do it at scale; the postings join touches only the
+    * two terms' lists. The oracle is the DEFINITIONAL in-row adjacency
+    * scan (a HOF filter over each doc's token array) — index path vs
+    * definition, two independent strategies, one answer. At 100 TB the
+    * posting frame is the thing you persist bucketed by token; here it's
+    * built transiently from one posexplode. */
+  val sq08PhraseSearch: QueryDef = sqlChecked(
+    "sq08_phrase_search",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |ph(phrase, a, b) AS (VALUES
+      |  ('fast scan', 'fast', 'scan'),
+      |  ('merge batch', 'merge', 'batch'),
+      |  ('window agg', 'window', 'agg'))
+      |SELECT ph.phrase, d.doc_id
+      |FROM d, ph
+      |WHERE len(list_filter(range(len(w) - 1),
+      |  i -> w[i+1] = ph.a AND w[i+2] = ph.b)) > 0
+      |ORDER BY phrase, doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val phrases = Seq(
+      ("fast scan", "fast", "scan"),
+      ("merge batch", "merge", "batch"),
+      ("window agg", "window", "agg")).toDF("phrase", "a", "b")
+    val post = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .toDF("doc_id", "pos", "tok")
+    // two probes of the posting frame, one per phrase slot; the query
+    // side broadcasts so each probe is a map-side filter of the postings
+    val pa = post.join(broadcast(phrases), $"tok" === $"a")
+      .select($"phrase", $"doc_id", $"pos")
+    val pb = post.join(broadcast(phrases.select($"phrase", $"b")), $"tok" === $"b")
+      .select($"phrase".as("ph2"), $"doc_id".as("doc2"), $"pos".as("pos2"))
+    pa.join(pb,
+        $"phrase" === $"ph2" && $"doc_id" === $"doc2" && $"pos2" === $"pos" + 1)
+      .select($"phrase", $"doc_id")
+      .distinct()
+      .orderBy($"phrase", $"doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(sq07Bm25TopK, sq08PhraseSearch,
+    tq19TextrankKeywords)
 }

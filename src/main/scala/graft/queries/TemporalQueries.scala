@@ -487,7 +487,49 @@ object TemporalQueries {
       .orderBy($"event_type", $"day")
   }
 
+  /** SCD2 version derivation, ORACLE-CHECKED: spending-tier history per
+    * user built by the engine's SCD Type 2 merge (sources/Scd2.scala —
+    * elsewhere proven by specs and a property fold) vs a DuckDB window
+    * replay of the versioning rules (suppress-equal-to-predecessor, chain
+    * valid_from/valid_to, last version open). Two entirely different
+    * evaluation strategies — distributed semi-prune + window passes vs
+    * declarative lag/lead SQL — must emit the identical version table.
+    * (user, ts) is deduplicated first so the version order is total. */
+  val eq11Scd2Versions: QueryDef = sqlChecked(
+    "eq11_scd2_versions",
+    """WITH p AS (
+      |  SELECT user_id, ts, max(value) AS v FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      |t AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN v < 50 THEN 'low' WHEN v < 200 THEN 'mid' ELSE 'high' END AS tier
+      |  FROM p),
+      |k AS (
+      |  SELECT user_id, ts, tier,
+      |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+      |  FROM t),
+      |kept AS (SELECT user_id, ts, tier FROM k WHERE pt IS NULL OR tier <> pt)
+      |SELECT user_id, tier, CAST(ts AS TIMESTAMP) AS valid_from,
+      |  CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS TIMESTAMP) AS valid_to,
+      |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
+      |FROM kept
+      |ORDER BY user_id, valid_from""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val updates = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("v"))
+      .select($"user_id", $"ts",
+        when($"v" < 50, "low").when($"v" < 200, "mid").otherwise("high").as("tier"))
+    val empty = updates
+      .select($"user_id", $"tier", $"ts".as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current"))
+      .limit(0)
+    graft.sources.Scd2.merge(empty, updates, "user_id", "ts", Seq("tier"))
+      .orderBy($"user_id", $"valid_from")
+  }
+
   val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq01bAsofExec, eq02RangeJoin,
     eq03Sessionize, eq04SessionWindow, eq05IntervalOverlap, eq06EventFunnel,
-    eq07CohortRetention, eq08DailyAnomaly, eq09GapFill, eq10MovingWindow)
+    eq07CohortRetention, eq08DailyAnomaly, eq09GapFill, eq10MovingWindow,
+    eq11Scd2Versions)
 }
