@@ -528,8 +528,70 @@ object TemporalQueries {
       .orderBy($"user_id", $"valid_from")
   }
 
+  /** Point-in-time join — the canonical consumer of SCD2 history: every
+    * click event picks up the spending tier that was VALID at the
+    * click's timestamp (valid_from ≤ ts < valid_to, open version
+    * unbounded). Joins on user_id (hash join) with the interval predicate
+    * as a post-join filter — never a range-only join; a user's version
+    * count is tiny, so the per-key fan-out is bounded. Events before a
+    * user's first version, and users with no history, fall out as
+    * 'unknown' via the left join — the time-travel-correct answer, not
+    * the current tier (which would leak future information into
+    * training features). */
+  val eq12PitJoin: QueryDef = sqlChecked(
+    "eq12_pit_join",
+    """WITH p AS (
+      |  SELECT user_id, ts, max(value) AS v FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      |t AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN v < 50 THEN 'low' WHEN v < 200 THEN 'mid' ELSE 'high' END AS tier
+      |  FROM p),
+      |k AS (
+      |  SELECT user_id, ts, tier,
+      |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+      |  FROM t),
+      |kept AS (SELECT user_id, ts, tier FROM k WHERE pt IS NULL OR tier <> pt),
+      |v AS (
+      |  SELECT user_id, tier, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      |  FROM kept),
+      |clicks AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT COALESCE(v.tier, 'unknown') AS tier_at_click,
+      |  CAST(count(*) AS BIGINT) AS n_clicks,
+      |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users
+      |FROM clicks c LEFT JOIN v
+      |  ON c.user_id = v.user_id
+      |  AND c.ts >= v.valid_from AND (v.valid_to IS NULL OR c.ts < v.valid_to)
+      |GROUP BY 1
+      |ORDER BY tier_at_click""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val updates = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("v"))
+      .select($"user_id", $"ts",
+        when($"v" < 50, "low").when($"v" < 200, "mid").otherwise("high").as("tier"))
+    val empty = updates
+      .select($"user_id", $"tier", $"ts".as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current"))
+      .limit(0)
+    val versions = graft.sources.Scd2.merge(empty, updates, "user_id", "ts", Seq("tier"))
+      .select($"user_id".as("v_user"), $"tier", $"valid_from", $"valid_to")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts")
+    clicks.join(versions,
+        $"user_id" === $"v_user" && $"ts" >= $"valid_from" &&
+          ($"valid_to".isNull || $"ts" < $"valid_to"),
+        "left")
+      .groupBy(coalesce($"tier", lit("unknown")).as("tier_at_click"))
+      .agg(count(lit(1)).as("n_clicks"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"tier_at_click")
+  }
+
   val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq01bAsofExec, eq02RangeJoin,
     eq03Sessionize, eq04SessionWindow, eq05IntervalOverlap, eq06EventFunnel,
     eq07CohortRetention, eq08DailyAnomaly, eq09GapFill, eq10MovingWindow,
-    eq11Scd2Versions)
+    eq11Scd2Versions, eq12PitJoin)
 }
