@@ -327,6 +327,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dq11/sq08/eq11/eq12: fuzzy join, phrase search, SCD2 paths never plan a cartesian or nested loop over data") {
+    for (q <- Seq(DedupQueries.dq11FuzzyJoin, RetrievalQueries.sq08PhraseSearch,
+        TemporalQueries.eq11Scd2Versions, TemporalQueries.eq12PitJoin)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$p")
+    }
+    // the PIT interval join must ride its user_id equi-key, not a nested loop
+    val pit = plan(TemporalQueries.eq12PitJoin)
+    assert(!pit.contains("BroadcastNestedLoopJoin"),
+      "interval predicate must be a post-join filter on the hash join:\n" + pit)
+  }
+
+  test("tq20: weighted sampling is one scan ending in TakeOrderedAndProject") {
+    val p = plan(TextQueries.tq20WeightedSample)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans")
+  }
+
+  test("tq21: compression scoring is map-only — one scan, no join") {
+    val p = plan(TextQueries.tq21CompressionRatio)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans")
+    assert(!p.contains("Join"), "must stay in-row:\n" + p)
+  }
+
+  test("kq05/pq02: sketch-confirm and curriculum broadcast their tiny frames") {
+    val kq = plan(SketchQueries.kq05HeavyHitters)
+    assert(!kq.contains("CartesianProduct"))
+    val pq = plan(PipelineQueries.pq02Curriculum)
+    assert(pq.contains("BroadcastHashJoin") || pq.contains("BroadcastNestedLoopJoin"),
+      "thresholds must broadcast:\n" + pq)
+    assert(!pq.contains("CartesianProduct"))
+  }
+
   test("tq18: vocab growth runs the running totals over the 10-row summary, not the corpus") {
     val p = plan(TextQueries.tq18VocabGrowth)
     // the window must sit ABOVE both aggregates: no Generate between the
