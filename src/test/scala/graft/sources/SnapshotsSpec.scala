@@ -1,0 +1,62 @@
+package graft.sources
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snapshot tables: atomic overwrite semantics, time travel, reader
+  * isolation from later commits, rollback by re-commit, and vacuum
+  * reclaiming exactly the unreferenced files.
+  */
+class SnapshotsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tbl() =
+    java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+
+  test("overwrite commits version; every retained version time-travels") {
+    import spark.implicits._
+    val path = tbl()
+    assert(Snapshots.versions(spark, path).isEmpty)
+    val v1 = Snapshots.commit(spark, path, Seq(1, 2, 3).toDF("x"))
+    val v2 = Snapshots.commit(spark, path, Seq(10, 20).toDF("x"))
+    assert((v1, v2) == (1L, 2L))
+    assert(Snapshots.read(spark, path).as[Int].collect().sorted.toSeq == Seq(10, 20))
+    assert(Snapshots.read(spark, path, v1).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(Snapshots.versions(spark, path) == Seq(1L, 2L))
+  }
+
+  test("a reader's resolved plan survives a concurrent commit (immutable files)") {
+    import spark.implicits._
+    val path = tbl()
+    Snapshots.commit(spark, path, Seq("a", "b").toDF("s"))
+    val readerOfV1 = Snapshots.read(spark, path, 1L)
+    Snapshots.commit(spark, path, Seq("zzz").toDF("s"))
+    // v1's files are still on disk and still referenced by its manifest
+    assert(readerOfV1.as[String].collect().sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("rollback = committing an old snapshot's content as the new head") {
+    import spark.implicits._
+    val path = tbl()
+    Snapshots.commit(spark, path, Seq(1).toDF("x"))
+    Snapshots.commit(spark, path, Seq(2).toDF("x"))
+    val rolledBack = Snapshots.commit(spark, path, Snapshots.read(spark, path, 1L))
+    assert(rolledBack == 3L)
+    assert(Snapshots.read(spark, path).as[Int].head() == 1)
+  }
+
+  test("vacuum keeps the retained versions readable and deletes the rest") {
+    import spark.implicits._
+    val path = tbl()
+    (1 to 4).foreach(i => Snapshots.commit(spark, path, Seq(i).toDF("x")))
+    val deleted = Snapshots.vacuum(spark, path, keep = 2)
+    assert(deleted.nonEmpty, "v1/v2 data files must be reclaimed")
+    assert(Snapshots.versions(spark, path) == Seq(3L, 4L))
+    assert(Snapshots.read(spark, path, 3L).as[Int].head() == 3)
+    assert(Snapshots.read(spark, path, 4L).as[Int].head() == 4)
+    intercept[IllegalArgumentException](Snapshots.read(spark, path, 1L))
+    // deleted paths are gone from disk
+    val root = new java.io.File(path)
+    deleted.foreach(rel => assert(!new java.io.File(root, rel).exists()))
+  }
+}
