@@ -59,4 +59,27 @@ class SnapshotsSpec extends AnyFunSuite {
     val root = new java.io.File(path)
     deleted.foreach(rel => assert(!new java.io.File(root, rel).exists()))
   }
+
+  test("streaming publication: each micro-batch lands as one atomic version") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the CDC/ingest deployment: foreachBatch gives the commit a
+    // transactional boundary per epoch, so downstream readers only ever
+    // observe whole micro-batches — never a partially-written one
+    val path = tbl()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val q = stream.toDS().toDF("x").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Snapshots.commit(batch.sparkSession, path, batch): Unit
+      }
+      .start()
+    stream.addData(1, 2)
+    q.processAllAvailable()
+    stream.addData(3)
+    q.processAllAvailable()
+    q.stop()
+    assert(Snapshots.versions(spark, path) == Seq(1L, 2L))
+    assert(Snapshots.read(spark, path, 1L).as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(Snapshots.read(spark, path, 2L).as[Int].collect().toSeq == Seq(3))
+  }
 }
