@@ -155,5 +155,39 @@ object PipelineQueries {
       .orderBy($"bin")
   }
 
-  val all: Seq[QueryDef] = Seq(pq01TrainingPrep, pq02Curriculum)
+  /** Snapshot time travel, ORACLE-CHECKED end to end: commit the corpus
+    * as v1, overwrite with the filtered corpus as v2 (sources/Snapshots —
+    * append-only files + atomically renamed manifests), then read BOTH
+    * versions back through the manifest path and report their aggregates.
+    * The oracle computes the same two aggregates straight from the source
+    * parquet — so the snapshot write→manifest→time-travel-read round trip
+    * must preserve every row and value bit for bit, or the hash breaks.
+    * The overwrite's old version staying readable IS the feature under
+    * test. */
+  val pq03SnapshotTimeTravel: QueryDef = sqlChecked(
+    "pq03_snapshot_time_travel",
+    """SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CAST((n_chars) AS DECIMAL(30,6))) AS DOUBLE) AS sum_chars
+      |FROM documents
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+      |  CAST(SUM(CAST((n_chars) AS DECIMAL(30,6))) AS DOUBLE)
+      |FROM documents WHERE lang = 'en'
+      |ORDER BY version""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.util.Num.dsum
+    val path = java.nio.file.Files.createTempDirectory("graft-snap-q")
+      .toString + "/docs"
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars")
+    graft.sources.Snapshots.commit(spark, path, docs)
+    graft.sources.Snapshots.commit(spark, path, docs.filter($"lang" === "en"))
+    def stats(v: Long) = graft.sources.Snapshots.read(spark, path, v)
+      .agg(count(lit(1)).as("n_docs"), dsum($"n_chars").as("sum_chars"))
+      .select(lit(v).as("version"), $"n_docs", $"sum_chars")
+    stats(1L).unionByName(stats(2L)).orderBy($"version")
+  }
+
+  val all: Seq[QueryDef] = Seq(pq01TrainingPrep, pq02Curriculum,
+    pq03SnapshotTimeTravel)
 }
