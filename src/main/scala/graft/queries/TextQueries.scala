@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.QueryDef.{rowsOnly, sqlChecked}
+import graft.multimodal.Decode
 import graft.sources.Tables
 import graft.util.Num._
 import org.apache.spark.sql.functions._
@@ -168,28 +169,41 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
-  /** Multimodal plumbing: text → opaque binary payload + typed metadata
-    * struct, "decoded" by a deterministic fake (first-bytes hash → fake
-    * width/height/frames). The real pipeline swaps the fake for an image
-    * decoder over mapInPandas/mapPartitions — schema, partitioning and
-    * batch shape are what this query locks in. rowsOnly: binary columns
-    * aren't DuckDB-hash portable. */
-  val tq06MultimodalDecode: QueryDef = rowsOnly("tq06_multimodal_decode") { (spark, dir) =>
+  /** Multimodal decode, END TO END REAL for images: per document, encode a
+    * solid-gray PNG whose dimensions and gray level derive in closed form
+    * from (doc_id, n_chars), then decode the actual PNG bytes on the
+    * executors with JDK `javax.imageio` (graft.multimodal.Decode) and emit
+    * the DECODED width/height/gray. The oracle recomputes the same closed
+    * forms arithmetically in DuckDB — a hash match proves the real
+    * encode→binary→ImageIO-decode round trip recovered every dimension and
+    * pixel level exactly. Batched mapPartitions keeps codec work
+    * per-executor with bounded memory (the 100 TB shape). */
+  val tq06MultimodalDecode: QueryDef = sqlChecked(
+    "tq06_multimodal_decode",
+    """SELECT doc_id,
+      |  CAST(doc_id % 7 + 1 AS INT) AS width,
+      |  CAST(doc_id % 5 + 1 AS INT) AS height,
+      |  CAST(n_chars % 256 AS INT) AS gray
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"text".cast("binary").as("payload"),
-        struct($"lang".as("modality_hint"), $"n_chars".as("payload_chars")).as("meta"))
-      .withColumn("payload_bytes", length($"payload"))
-      // deterministic fake decode: stable pseudo-dimensions from the content
-      .withColumn("fake_width", (abs(xxhash64($"payload")) % 1920 + 1).cast("int"))
-      .withColumn("fake_height", (abs(xxhash64($"payload", lit(1))) % 1080 + 1).cast("int"))
-      .groupBy($"meta.modality_hint".as("modality"))
-      .agg(
-        count(lit(1)).as("n_assets"),
-        sum($"payload_bytes").as("total_bytes"),
-        avg($"fake_width").as("avg_w"),
-        avg($"fake_height").as("avg_h"))
-      .orderBy($"modality")
+    implicit val assetEnc = org.apache.spark.sql.Encoders.product[Decode.Asset]
+    val assets = Tables.documents(spark, dir)
+      .filter($"doc_id" < 200)
+      .select($"doc_id",
+        ($"doc_id" % 7 + 1).cast("int").as("w"),
+        ($"doc_id" % 5 + 1).cast("int").as("h"),
+        ($"n_chars" % 256).cast("int").as("g"))
+      .as[(Long, Int, Int, Int)]
+      .map { case (id, w, h, g) =>
+        Decode.Asset(id, Decode.ImageCodec.encodeGray(w, h, g), "image")
+      }
+    Decode.decode(assets)
+      .select(
+        $"asset_id".as("doc_id"),
+        $"width",
+        $"height",
+        round($"brightness" * 255).cast("int").as("gray"))
+      .orderBy($"doc_id")
   }
 
   /** The deterministic half of the multimodal plumbing, oracle-checked:

@@ -1,38 +1,107 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
 import graft.TestSpark
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The multimodal plumbing contract: schema in/out, per-partition batch
-  * processing, determinism, and partition-count independence. */
+/** The multimodal decode contract: a REAL javax.imageio path for images
+  * (byte-exact on a hand-built PNG), the stubbed audio/video path, schema
+  * in/out, per-partition batch processing, determinism, and
+  * partition-count independence. */
 class DecodeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def assets = Tables.documents(spark, "/root/testdata/sf0.001")
-    .select(
-      $"doc_id".as("asset_id"),
-      $"text".cast("binary").as("payload"),
-      when($"lang" === "en", "image").otherwise("video").as("modality"))
+  // image modality carries REAL PNG payloads (solid gray, dims/level from
+  // doc metadata); video keeps opaque text bytes for the stub path.
+  private def assets = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Decode.Asset]
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text", $"lang", $"n_chars")
+      .as[(Long, String, String, Long)]
+      .map { case (id, text, lang, nChars) =>
+        if (lang == "en")
+          Decode.Asset(
+            id,
+            Decode.ImageCodec.encodeGray(
+              (id % 7 + 1).toInt, (id % 5 + 1).toInt, (nChars % 256).toInt),
+            "image")
+        else Decode.Asset(id, text.getBytes("UTF-8"), "video")
+      }
+  }
+
+  test("hand-built 2x2 PNG decodes byte-exactly: dims and per-pixel luminance") {
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000) // lum round(0.299*255) = 76
+    img.setRGB(1, 0, 0x00FF00) // lum round(0.587*255) = 150
+    img.setRGB(0, 1, 0x0000FF) // lum round(0.114*255) = 29
+    img.setRGB(1, 1, 0xFFFFFF) // lum 255
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    val bytes = out.toByteArray
+
+    val f = Decode.ImageCodec.decode(Decode.Asset(7L, bytes, "image"))
+    assert(f.width == 2 && f.height == 2 && f.n_frames == 1)
+    assert(f.n_bytes == bytes.length)
+    // (76 + 150 + 29 + 255) / 4 / 255 = 127.5 / 255 = 0.5 exactly
+    assert(f.brightness == 0.5)
+  }
+
+  test("solid-gray PNG round-trip recovers dims and gray level exactly") {
+    for (g <- Seq(0, 1, 127, 200, 255)) {
+      val f = Decode.ImageCodec.decode(
+        Decode.Asset(g.toLong, Decode.ImageCodec.encodeGray(3, 4, g), "image"))
+      assert(f.width == 3 && f.height == 4)
+      assert(Math.round(f.brightness * 255).toInt == g, s"gray $g")
+    }
+  }
+
+  test("JPEG decodes with correct dims; lossy gray within tolerance") {
+    val f = Decode.ImageCodec.decode(
+      Decode.Asset(1L, Decode.ImageCodec.encodeGray(5, 3, 128, "jpg"), "image"))
+    assert(f.width == 5 && f.height == 3)
+    assert(math.abs(f.brightness * 255 - 128) < 8.0)
+  }
+
+  test("corrupt payload yields sentinel row, not a job failure") {
+    val f = Decode.ImageCodec.decode(
+      Decode.Asset(9L, "not an image at all".getBytes("UTF-8"), "image"))
+    assert(f.width == 0 && f.height == 0 && f.n_frames == 0)
+    assert(f.brightness == -1.0)
+    assert(f.n_bytes == 19)
+  }
 
   test("batched mapPartitions decode produces one typed feature row per asset") {
-    val out = Decode.decodeFrame(assets, batchSize = 16)
+    val out = Decode.decode(assets, batchSize = 16)
     assert(out.count() == assets.count())
-    val row = out.filter($"asset_id" === 0).head()
-    assert(row.n_bytes > 0 && row.width >= 1 && row.width <= 1920)
-    assert(row.height >= 1 && row.height <= 1080)
-    // video modality fans frames, image is a single frame
+    // every image asset really decoded: dims follow the closed form
+    val imgs = out.filter($"modality" === "image")
+      .select($"asset_id", $"width", $"height").collect()
+    assert(imgs.nonEmpty)
+    imgs.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 7 + 1).toInt && r.getInt(2) == (id % 5 + 1).toInt)
+    }
+    // video modality fans frames via the stub, image is a single frame
     assert(out.filter($"modality" === "image" && $"n_frames" =!= 1).count() == 0)
   }
 
   test("decode is deterministic and partition-count independent") {
-    val a = Decode.decodeFrame(assets.repartition(2), batchSize = 7)
+    val a = Decode.decode(assets.repartition(2), batchSize = 7)
       .collect().map(f => f.asset_id -> f).toMap
-    val b = Decode.decodeFrame(assets.repartition(13), batchSize = 64)
+    val b = Decode.decode(assets.repartition(13), batchSize = 64)
       .collect().map(f => f.asset_id -> f).toMap
     assert(a.keySet == b.keySet)
-    a.foreach { case (id, f) => assert(f == b(id), s"asset $id differs") }
+    a.foreach { case (id, f) =>
+      val g = b(id)
+      assert(f.modality == g.modality && f.n_bytes == g.n_bytes &&
+        f.width == g.width && f.height == g.height &&
+        f.n_frames == g.n_frames && f.brightness == g.brightness, s"asset $id differs")
+    }
   }
 }
