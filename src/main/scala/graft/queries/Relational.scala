@@ -510,44 +510,77 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
-  /** q20's statistics made oracle-exact: variance and correlation from
-    * decimal-exact raw moments (Σx, Σx², Σxy are DECIMAL partial sums —
-    * shuffle-order independent and identical in both engines), with the
-    * final double formula written identically on both sides. This is also
-    * the one-pass shape for exact second moments at 100 TB: three decimal
-    * accumulators per group, no second scan, no streaming-moment drift. */
-  val q20bMomentStats: QueryDef = {
-    def sql(inner: String) =
-      s"CAST(SUM(CAST(($inner) AS DECIMAL(30,6))) AS DOUBLE)"
-    sqlChecked(
-      "q20b_moment_stats",
-      s"""SELECT l_returnflag,
-         |  round(sqrt((${sql("l_quantity * l_quantity")} - ${sql("l_quantity")} * ${sql("l_quantity")} / COUNT(*)) / (COUNT(*) - 1)), 4) AS sd_qty,
-         |  round((${sql("l_quantity * l_extendedprice")} - ${sql("l_quantity")} * ${sql("l_extendedprice")} / COUNT(*)) /
-         |    (sqrt(${sql("l_quantity * l_quantity")} - ${sql("l_quantity")} * ${sql("l_quantity")} / COUNT(*)) *
-         |     sqrt(${sql("l_extendedprice * l_extendedprice")} - ${sql("l_extendedprice")} * ${sql("l_extendedprice")} / COUNT(*))), 4) AS corr_qty_price,
-         |  COUNT(*) AS n
-         |FROM lineitem
-         |GROUP BY l_returnflag
-         |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      Tables.lineitem(spark, dir)
-        .groupBy($"l_returnflag")
-        .agg(
-          dsum($"l_quantity").as("sx"),
-          dsum($"l_extendedprice").as("sy"),
-          dsum($"l_quantity" * $"l_quantity").as("sxx"),
-          dsum($"l_extendedprice" * $"l_extendedprice").as("syy"),
-          dsum($"l_quantity" * $"l_extendedprice").as("sxy"),
-          count(lit(1)).as("n"))
-        .select($"l_returnflag",
-          round(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 4).as("sd_qty"),
-          round(($"sxy" - $"sx" * $"sy" / $"n") /
-            (sqrt($"sxx" - $"sx" * $"sx" / $"n") *
-             sqrt($"syy" - $"sy" * $"sy" / $"n")), 4).as("corr_qty_price"),
-          $"n")
-        .orderBy($"l_returnflag")
-    }
+  /** q20's statistics made oracle-exact AND cheap: one-pass raw moments in
+    * scaled-integer fixed point. l_quantity is integer-valued (1–50) and
+    * l_extendedprice has exactly 2 decimals, so every moment is an exact
+    * BIGINT sum — no Decimal128 accumulation anywhere (the r5 bench found
+    * the DECIMAL(30,6) version ~8× the float cost; long sums stay in
+    * whole-stage codegen). The quadratic cent moments overflow a single
+    * long at corpus scale, so each row's value is split into base-10^k
+    * limbs summed separately and recombined in the final 3-row projection.
+    * corr is scale-invariant, so it is computed directly in (qty, cents)
+    * units — no /100 fix-ups. Final double formulas are written
+    * identically on both sides → identical IEEE results → exact hash.
+    *
+    * Overflow budgets at 100 TB (~6e11 rows/group, qty ≤ 50,
+    * cents ≤ 1.05e7): Σq ≤ 3e13, Σq² ≤ 1.5e15, Σc ≤ 6.3e18 (1.5×
+    * headroom — promote to two limbs beyond ~10^12 rows/group),
+    * Σ(qc div 1e3) ≤ 3.2e17, Σ(qc mod 1e3) ≤ 6e14,
+    * Σ(c² div 1e10) ≤ 6.6e15, Σ limbs of c² mod 1e10 ≤ 6e16 — all inside
+    * long range. Per-row products: qc ≤ 5.25e8, c² ≤ 1.11e14 — no row
+    * overflow. */
+  val q20bMomentStats: QueryDef = sqlChecked(
+    "q20b_moment_stats",
+    """WITH t AS (
+      |  SELECT l_returnflag,
+      |    CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM lineitem
+      |), g AS (
+      |  SELECT l_returnflag,
+      |    SUM(q) AS sx, SUM(q * q) AS sxx, SUM(c) AS sy_c,
+      |    SUM((q * c) // 1000) AS sxy_hi, SUM((q * c) % 1000) AS sxy_lo,
+      |    SUM((c * c) // 10000000000) AS syy_hi,
+      |    SUM(((c * c) // 100000) % 100000) AS syy_mid,
+      |    SUM((c * c) % 100000) AS syy_lo,
+      |    COUNT(*) AS n
+      |  FROM t GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag,
+      |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 4) AS sd_qty,
+      |  round((CAST(sxy_hi AS DOUBLE) * 1000 + CAST(sxy_lo AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy_c AS DOUBLE) / n) /
+      |    (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
+      |     sqrt(CAST(syy_hi AS DOUBLE) * 1e10 + CAST(syy_mid AS DOUBLE) * 100000 + CAST(syy_lo AS DOUBLE) - CAST(sy_c AS DOUBLE) * CAST(sy_c AS DOUBLE) / n)), 4) AS corr_qty_price,
+      |  CAST(n AS BIGINT) AS n
+      |FROM g
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .selectExpr(
+        "l_returnflag",
+        "CAST(l_quantity AS BIGINT) AS q",
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c")
+      .selectExpr(
+        "l_returnflag", "q", "c",
+        "(q * c) div 1000 AS xy_hi", "(q * c) % 1000 AS xy_lo",
+        "(c * c) div 10000000000 AS yy_hi",
+        "((c * c) div 100000) % 100000 AS yy_mid",
+        "(c * c) % 100000 AS yy_lo")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum($"q").as("sx"), sum($"q" * $"q").as("sxx"), sum($"c").as("sy_c"),
+        sum($"xy_hi").as("sxy_hi"), sum($"xy_lo").as("sxy_lo"),
+        sum($"yy_hi").as("syy_hi"), sum($"yy_mid").as("syy_mid"),
+        sum($"yy_lo").as("syy_lo"),
+        count(lit(1)).as("n"))
+      .selectExpr(
+        "l_returnflag",
+        "round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 4) AS sd_qty",
+        """round((CAST(sxy_hi AS DOUBLE) * 1000 + CAST(sxy_lo AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy_c AS DOUBLE) / n) /
+          |  (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
+          |   sqrt(CAST(syy_hi AS DOUBLE) * 1e10 + CAST(syy_mid AS DOUBLE) * 100000 + CAST(syy_lo AS DOUBLE) - CAST(sy_c AS DOUBLE) * CAST(sy_c AS DOUBLE) / n)), 4) AS corr_qty_price""".stripMargin,
+        "n")
+      .orderBy($"l_returnflag")
   }
 
   /** Pivot (reference's per-city/per-cluster breakdown generalized):
@@ -611,7 +644,11 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+        // rsd 0.05 (the Spark default): 2^11 registers per partial sketch.
+        // The r5 bench showed rsd=0.01 (2^17 registers) made the "cheap"
+        // approximate path 17× slower than exact countDistinct at sf0.1 —
+        // the sketch's point is a small mergeable summary, so size it so.
+        approx_count_distinct($"l_partkey", 0.05).as("approx_parts"),
         count(lit(1)).as("n_rows"))
       .orderBy($"l_returnflag")
   }
