@@ -25,9 +25,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * `vacuum` deletes data files unreferenced by the retained manifests —
   * the storage-reclamation step, separated from commits exactly so
-  * that readers never race deletion. Single-writer by design (commit
-  * versions are not CAS'd); a production deployment would take a
-  * coordination lock around `commit`, which is orthogonal to the layout.
+  * that readers never race deletion.
+  *
+  * Commits are multi-writer safe: the manifest publish is a
+  * compare-and-swap on the version number. Data files are written first
+  * (under a writer-private uuid dir, conflict-free by construction);
+  * the manifest is then published fail-if-exists — on the local FS via
+  * a hard link (POSIX link(2) is atomic EEXIST), on HDFS-like stores
+  * via no-overwrite rename (atomic at the namenode). A loser re-reads
+  * the head, bumps the version, and retries the (tiny) manifest publish
+  * only — its data files need no rewrite. Two racing committers thus
+  * always produce two distinct consecutive versions; no manifest is
+  * ever silently replaced. Object stores without atomic no-clobber
+  * (raw S3) need a coordination layer, as every table format documents.
   */
 object Snapshots {
 
@@ -50,12 +60,41 @@ object Snapshots {
       .map(versionOf).sorted.toSeq
   }
 
-  /** Publish `df` as the next snapshot; returns the new version. */
-  def commit(spark: SparkSession, path: String, df: DataFrame): Long = {
+  /** Atomically publish `tmp` as `target` iff `target` does not exist.
+    * local FS: hard link — link(2) fails EEXIST atomically (Hadoop's
+    * local rename is POSIX rename(2), which silently REPLACES the target,
+    * so rename alone is not a CAS there). Other schemes: no-overwrite
+    * rename (atomic at the HDFS namenode; returns false if target
+    * appeared). Returns false iff a racing committer won this version. */
+  private def publishNoClobber(
+      f: org.apache.hadoop.fs.FileSystem, tmp: Path, target: Path): Boolean = {
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      if (f.exists(target)) false else f.rename(tmp, target)
+    }
+  }
+
+  /** Publish `df` as the next snapshot; returns the committed version.
+    *
+    * `beforePublish` is a deterministic race-injection seam (tests commit
+    * a competing version inside it); production callers leave the default.
+    */
+  def commit(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      beforePublish: Long => Unit = _ => ()): Long = {
     val root = new Path(path)
     val f = fs(spark, root)
-    val next = versions(spark, path).lastOption.getOrElse(0L) + 1
-    // 1. new data files under a fresh uuid dir — existing files untouched
+    // 1. new data files under a writer-private uuid dir — existing files
+    //    untouched, racing writers conflict-free by construction
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(root, s"data/$uuid")
     df.write.parquet(dataDir.toString)
@@ -63,16 +102,27 @@ object Snapshots {
       .filter(_.getName.endsWith(".parquet"))
       .map(p => s"data/$uuid/${p.getName}")
       .sorted
-    // 2. manifest published via temp + atomic rename
     val mDir = manifestDir(path)
     f.mkdirs(mDir)
-    val tmp = new Path(mDir, s".v$next.txt.tmp")
+    // 2. manifest body staged under a writer-private temp name, then
+    //    CAS-published onto the versioned name; losers retry with a
+    //    bumped version — only this tiny publish step repeats
+    val tmp = new Path(mDir, s".$uuid.txt.tmp")
     val out = f.create(tmp, false)
     try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
-    val target = new Path(mDir, manifestName(next))
-    if (!f.rename(tmp, target))
-      throw new IllegalStateException(s"manifest publish failed for v$next")
-    next
+    try {
+      val maxAttempts = 20
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        val next = versions(spark, path).lastOption.getOrElse(0L) + 1
+        beforePublish(next)
+        if (publishNoClobber(f, tmp, new Path(mDir, manifestName(next))))
+          return next
+        attempt += 1
+      }
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot commit at $path lost the version race $maxAttempts times")
+    } finally f.delete(tmp, false)
   }
 
   /** Read a specific snapshot (default: latest). */

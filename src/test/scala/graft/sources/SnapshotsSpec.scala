@@ -60,6 +60,44 @@ class SnapshotsSpec extends AnyFunSuite {
     deleted.foreach(rel => assert(!new java.io.File(root, rel).exists()))
   }
 
+  test("CAS commit: a deterministically-injected racer forces retry, no lost manifest") {
+    import spark.implicits._
+    val path = tbl()
+    Snapshots.commit(spark, path, Seq(0).toDF("x"))
+    // inside the loser's publish window, a competing committer lands v2
+    var raced = false
+    val won = Snapshots.commit(spark, path, Seq(99).toDF("x"),
+      beforePublish = { next =>
+        if (next == 2L && !raced) {
+          raced = true
+          assert(Snapshots.commit(spark, path, Seq(42).toDF("x")) == 2L)
+        }
+      })
+    assert(won == 3L, "loser must re-read the head and take the next slot")
+    assert(Snapshots.versions(spark, path) == Seq(1L, 2L, 3L))
+    assert(Snapshots.read(spark, path, 2L).as[Int].head() == 42)
+    assert(Snapshots.read(spark, path, 3L).as[Int].head() == 99)
+  }
+
+  test("CAS commit: concurrent threads produce distinct consecutive versions") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val path = tbl()
+    val payloads = (1 to 8).toList
+    val futures = payloads.map(i => Future {
+      i -> Snapshots.commit(spark, path, Seq(i).toDF("x"))
+    })
+    val got = Await.result(Future.sequence(futures), 120.seconds).toMap
+    assert(got.values.toSeq.sorted == (1L to 8L), s"versions must be 1..8, got $got")
+    assert(Snapshots.versions(spark, path) == (1L to 8L))
+    // every committed payload is readable at exactly its won version
+    payloads.foreach { i =>
+      assert(Snapshots.read(spark, path, got(i)).as[Int].head() == i)
+    }
+  }
+
   test("streaming publication: each micro-batch lands as one atomic version") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
