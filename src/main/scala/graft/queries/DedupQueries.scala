@@ -408,8 +408,9 @@ object DedupQueries {
     * of the 100 TB corpus's shingles die BEFORE the confirm join's
     * exchange. Bloom filters have no false negatives and the exact join
     * removes false positives, hence the oracle is dq07's verbatim. The
-    * probe is a scala UDF (two xxhash evaluations per row) guarding only
-    * a (long, string) projection — never wide rows; the confirm join is
+    * probe is a native codegen'd expression (functions/BloomProbe) over
+    * the broadcast filter — no ScalaUDF boxing in the corpus-scan hot
+    * path, whole-stage codegen stays fused; the confirm join is
     * deliberately NOT hint-broadcast: at scale it is a shuffle join whose
     * left input the Bloom filter has already decimated. */
   val dq07bDecontaminateBloom: QueryDef = QueryDef.sqlChecked(
@@ -421,9 +422,7 @@ object DedupQueries {
     val expected = math.max(distinctEval.count(), 1L)
     val bloom = distinctEval.stat.bloomFilter("sh", expected, 0.01)
     val bloomB = spark.sparkContext.broadcast(bloom)
-    val mightContain =
-      udf((s: String) => s != null && bloomB.value.mightContainString(s))
-    corpus.filter(mightContain($"sh"))
+    corpus.filter(graft.functions.BloomProbe.mightContain(bloomB, $"sh"))
       .join(ev, Seq("sh"))
       .agg(
         countDistinct($"corpus_doc").as("n_contaminated"),
