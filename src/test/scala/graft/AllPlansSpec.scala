@@ -47,4 +47,43 @@ class AllPlansSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"queries with degenerate plans: ${offenders.mkString(", ")}")
   }
+
+  /** A Window with an empty partition spec sorts its ENTIRE input into one
+    * task — the single-partition-sort trap the cartesian check can't see.
+    * Every allowlisted case is a global window over an ALREADY-AGGREGATED
+    * summary frame orders of magnitude below corpus size (where a
+    * single-partition frame is exactly right), never over data:
+    *   - tq11_token_packing / pq01_training_prep: PrefixSum's offsets
+    *     pass — an exclusive prefix over bucket-count-many (total, count)
+    *     partial-agg rows (~4× shuffle parallelism, a few hundred rows);
+    *     the data-sized running total is the operator's mapPartitions
+    *     accumulator, precisely to avoid the global-window sort;
+    *   - pq02_curriculum: ExactPercentile's cumulative-bucket-count
+    *     window over per-bucket aggregates; its partitionBy(g) folds away
+    *     because pq02's group column is a literal, leaving an empty spec
+    *     over the same tiny bucket summary;
+    *   - tq18_vocab_growth: running totals over the 10-row ingest-slice
+    *     summary (corpus exploded and aggregated upstream).
+    * Note the truly sequential oracle-mandated running total
+    * (q08_window_running_sum) does NOT need an entry: it partitions by
+    * supplier. Anything new that trips this either partitions its window
+    * or earns a documented line here. */
+  private val allowGlobalWindow: Set[String] = Set(
+    "tq11_token_packing", "pq01_training_prep", "pq02_curriculum",
+    "tq18_vocab_growth")
+
+  test("no registered query plans an unpartitioned Window over data-sized input") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !allowGlobalWindow(name) =>
+        val plan = fn(spark, dir).queryExecution.sparkPlan
+        val global = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        if (global.nonEmpty) Some(s"$name (${global.size} global Window)") else None
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      s"queries with unpartitioned windows: ${offenders.mkString(", ")}")
+  }
 }
