@@ -32,7 +32,12 @@ object PageRank {
 
   /** @param edges two-column DIRECTED edge frame; callers wanting the
     *              undirected semantics union the reversed edges first.
-    *              Duplicate edges are deduplicated.
+    *              Duplicate edges are deduplicated. Sink vertices (ones
+    *              appearing only as destinations) are first-class: they
+    *              receive and hold inbound rank, and their outbound mass
+    *              leaks out of the system each round (the same drop-not-
+    *              redistribute choice the truncation units make) rather
+    *              than teleporting — determinism over mass conservation.
     * @param iterations fixed round count (rank differences below the
     *              truncation floor make convergence tests meaningless in
     *              integer arithmetic; fixed rounds are also what an
@@ -46,17 +51,21 @@ object PageRank {
     val Array(sc, dc) = edges.columns
     val e0 = edges.select(col(sc).as("src"), col(dc).as("dst"))
       .distinct().cache()
-    val n0 = e0.select($"src").distinct().count()
-    require(n0 > 0, "PageRank needs a non-empty graph")
+    // vertex set = src ∪ dst: a sink (dst-only) vertex must exist in the
+    // output and keep the rank that flows into it — building verts from
+    // src alone silently dropped sinks and their inbound mass (r5 ADVICE)
+    val verts0 = e0.select($"src".as("vertex"))
+      .union(e0.select($"dst".as("vertex"))).distinct().cache()
+    val n = verts0.count()
+    require(n > 0, "PageRank needs a non-empty graph")
     // vocab/dedup-sized graphs (the common case) don't amortize 32-task
     // stages × 10 rounds of scheduler overhead — collapse small graphs to
     // a single partition, same adaptive call the tiny-frame ML fits make;
     // big graphs keep the cluster layout
-    val small = n0 < 100000
+    val small = n < 100000
     val e = (if (small) e0.coalesce(1) else e0).cache()
+    val verts = (if (small) verts0.coalesce(1) else verts0).cache()
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg")).cache()
-    val verts = e.select($"src".as("vertex")).distinct().cache()
-    val n = n0
     val r0 = units / n
     val base = (units * 15L / 100L) / n
     // localCheckpoint, not cache: cache short-circuits EXECUTION but the

@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   *   - an update identical to the prevailing version is a NO-OP (no
   *     version churn from idempotent re-deliveries);
   *   - several updates to one key in one batch chain correctly;
-  *   - keys absent from the batch are never touched.
+  *   - keys absent from the batch are never touched;
+  *   - an update EARLIER than the open version's valid_from fails the
+  *     merge at execution time: closed intervals are immutable history,
+  *     and silently splicing a late update before the open version would
+  *     overlap them. Out-of-order feeds must be repaired upstream (or the
+  *     key's history rebuilt); the guard runs distributed, costs one
+  *     window aggregate over the batch-sized merge frame, and names the
+  *     offending key in the error.
   *
   * Scale shape: the merge runs only over keys PRESENT in the batch (one
   * left-semi prune of the history), everything hashes on the key, and
@@ -54,10 +61,26 @@ object Scd2 {
     // candidate version stream per key: the open version (at its original
     // valid_from) then the batch updates, in time order; src breaks the
     // tie so the prevailing version sorts first at equal timestamps
-    val cand = open
+    val cand0 = open
       .select(key, attrStruct.as("a"), col("valid_from").as("ts"), lit(0).as("src"))
       .unionByName(updates
         .select(key, attrStruct.as("a"), col(tsCol).as("ts"), lit(1).as("src")))
+    // fail fast on late-arriving updates (ts before the open version):
+    // they would sort ahead of the open version and overlap immutable
+    // closed history. assert_true keeps the guard inside the lazy plan
+    // and the filter keeps it from being pruned away.
+    val wKey = Window.partitionBy(key)
+    val cand = cand0
+      .withColumn("__open_from",
+        max(when(col("src") === 0, col("ts"))).over(wKey))
+      .withColumn("__no_late", assert_true(
+        col("src") === 0 || col("__open_from").isNull ||
+          col("ts") >= col("__open_from"),
+        concat(lit(s"SCD2 late-arriving update: $keyCol="), key.cast("string"),
+          lit(" has ts before the open version's valid_from; "
+            + "repair the feed or rebuild this key's history"))))
+      .filter(col("__no_late").isNull)
+      .drop("__open_from", "__no_late")
     val wOrd = Window.partitionBy(key).orderBy(col("ts"), col("src"))
     // drop candidates equal to the version they would supersede; repeat
     // suppression must compare against the last SURVIVING version, which
@@ -85,7 +108,10 @@ object Scd2 {
     val empty = rows
       .select(Seq(col(keyCol)) ++ attrs.map(col) ++ Seq(
         col(tsCol).as("valid_from"),
-        col(tsCol).cast("timestamp").as("valid_to"),
+        // valid_to must take tsCol's own type (epoch longs, dates, ...):
+        // a hard-coded timestamp cast fails the unionByName with the
+        // merged frame, whose valid_to is lead(ts) in tsCol's native type
+        lit(null).cast(rows.schema(tsCol).dataType).as("valid_to"),
         lit(true).as("is_current")): _*)
       .limit(0)
     writeBucketed(path, merge(empty, rows, keyCol, tsCol, attrs), keyCol)

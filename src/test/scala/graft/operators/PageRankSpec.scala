@@ -46,6 +46,19 @@ class PageRankSpec extends AnyFunSuite {
     assert(total > 990000000000L, s"lost too much mass: $total")
   }
 
+  test("sink vertices appear in the output and hold their inbound rank") {
+    import spark.implicits._
+    // DIRECTED chain a→b→c: c is a pure sink (never a src). n=3.
+    val r = PageRank.ranks(Seq(("a", "b"), ("b", "c")).toDF("src", "dst"), 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set("a", "b", "c"), "sink c must exist in the output")
+    // n=3: r0 = 333333333333, base = 50000000000,
+    // contrib along each edge = (r0 * 85) DIV 100 = 283333333333
+    assert(r("a") == 50000000000L) // no inbound
+    assert(r("b") == 50000000000L + 283333333333L)
+    assert(r("c") == r("b"), "sink receives the same single contribution")
+  }
+
   test("bit-identical across partition counts") {
     val edges = (0 until 40).map(i => (s"n$i", s"n${(i * 7) % 40}"))
       .filter { case (a, b) => a != b }

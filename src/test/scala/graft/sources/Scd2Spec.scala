@@ -59,6 +59,40 @@ class Scd2Spec extends AnyFunSuite {
     assert(at("2023-12-31 00:00:00") == Seq.empty, "before first version: no row")
   }
 
+  test("a late-arriving update (ts before the open version) fails the merge") {
+    import spark.implicits._
+    val rows = Seq((1L, "gold", ts("2024-02-01 00:00:00"))).toDF("cust", "segment", "ts")
+    val hist = Scd2.merge(
+      rows.select($"cust", $"segment", $"ts".as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current")).limit(0),
+      rows, "cust", "ts", Seq("segment"))
+    val late = Seq((1L, "lead", ts("2024-01-01 00:00:00"))).toDF("cust", "segment", "ts")
+    val ex = intercept[Exception] {
+      Scd2.merge(hist, late, "cust", "ts", Seq("segment")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("late-arriving")), s"got: ${msgs(ex)}")
+    // at-or-after the open version is fine (equal ts supersedes in place)
+    val onTime = Seq((1L, "lead", ts("2024-02-01 00:00:00"))).toDF("cust", "segment", "ts")
+    assert(Scd2.merge(hist, onTime, "cust", "ts", Seq("segment")).count() >= 1)
+  }
+
+  test("init and merge accept a non-timestamp (epoch long) ts column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2-long").toString + "/t"
+    val rows = Seq((1L, "gold", 100L), (2L, "silver", 100L)).toDF("cust", "segment", "seq")
+    Scd2.init(spark, dir, rows, "cust", "seq", Seq("segment"))
+    Scd2.ingest(spark, dir,
+      Seq((1L, "platinum", 200L)).toDF("cust", "segment", "seq"),
+      "cust", "seq", Seq("segment"))
+    val t = spark.read.parquet(dir)
+    assert(t.schema("valid_to").dataType == org.apache.spark.sql.types.LongType)
+    val c1 = t.filter($"cust" === 1L).orderBy($"valid_from").collect()
+    assert(c1.map(_.getAs[String]("segment")).toSeq == Seq("gold", "platinum"))
+    assert(c1(0).getAs[Long]("valid_to") == 200L && c1(1).isNullAt(c1(1).fieldIndex("valid_to")))
+  }
+
   test("stored ingest rewrites only the touched buckets and keeps history queryable") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-scd2").toString + "/dim"
