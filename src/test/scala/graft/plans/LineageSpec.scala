@@ -53,4 +53,43 @@ class LineageSpec extends AnyFunSuite {
     // rank derives from the window spec's inputs
     assert(lin("rk").subsetOf(Set("orders.o_custkey", "orders.o_totalprice")), lin.toString)
   }
+
+  test("explode (Generate) outputs trace to the generator's inputs") {
+    import spark.implicits._
+    val q = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", "\\s+")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    val lin = Lineage.columnLineage(q)
+    assert(lin("tok") == Set("documents.text"), lin.toString)
+    assert(!lin.values.exists(_.exists(_.startsWith("?"))), s"no unknowns expected: $lin")
+  }
+
+  test("SQL surface: WITH-clause plan over a temp view traces through the CTE") {
+    Tables.orders(spark, dir).createOrReplaceTempView("lineage_orders")
+    val q = spark.sql(
+      """WITH big AS (
+        |  SELECT o_custkey, o_totalprice * 2 AS dbl
+        |  FROM lineage_orders WHERE o_totalprice > 1000)
+        |SELECT o_custkey, sum(dbl) AS s FROM big GROUP BY o_custkey""".stripMargin)
+    val lin = Lineage.columnLineage(q)
+    assert(lin("s") == Set("orders.o_totalprice"), lin.toString)
+    assert(lin("o_custkey") == Set("orders.o_custkey"))
+    // the CTE-internal predicate resolves from its own node
+    assert(Lineage.filterInputs(q).contains("orders.o_totalprice"))
+  }
+
+  test("SQL grouping sets (Expand) trace value columns; grouping id has no inputs") {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineage_lineitem")
+    val q = spark.sql(
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty,
+        |  grouping(l_returnflag) AS g
+        |FROM lineage_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
+    val lin = Lineage.columnLineage(q)
+    assert(lin("qty") == Set("lineitem.l_quantity"), lin.toString)
+    assert(lin("l_returnflag") == Set("lineitem.l_returnflag"))
+    assert(lin("l_linestatus") == Set("lineitem.l_linestatus"))
+    // grouping(...) derives from the synthetic grouping id — no source col
+    assert(lin("g") == Set.empty, lin.toString)
+  }
 }
