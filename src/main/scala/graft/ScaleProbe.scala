@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** 10× scale probe: measures whether the heaviest query plans scale
+  * LINEARLY in input size — the brief's "would this survive a 100×
+  * scale-up" question, measured instead of argued.
+  *
+  * Builds a key-shifted `factor`× replica of the tables the probed
+  * queries read (documents / lineitem / events at ~sf1-equivalent row
+  * counts for factor 10 over sf0.1): each copy shifts its unique keys by
+  * copy-index × (max+1), so key cardinality, join fan-outs, and dedup
+  * cluster structure scale with the data instead of degenerating into
+  * one giant key. Values (text, prices, timestamps) are untouched, so
+  * per-row work is representative.
+  *
+  * Prints one JSON line per probed query: seconds at 1×, seconds at
+  * `factor`×, and the time ratio. ratio ≈ factor means linear scaling
+  * (cost per row flat); ratio >> factor is a super-linear red flag the
+  * round writeup must explain or fix. Results are recorded in
+  * COVERAGE.md §scale-probe.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbe"
+  * Knobs: SPARK_GRAFT_SF_DIR (base, default sf0.1),
+  *        SPARK_GRAFT_SCALE_DIR (replica cache, default /tmp/graft_scale10),
+  *        SPARK_GRAFT_SCALE_FACTOR (default 10),
+  *        SPARK_GRAFT_PROBES (comma list, default the 5 heaviest shapes).
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
+      "q20b_moment_stats,q24_percentiles,dq03_minhash_lsh,eq02_range_join,dq09_dup_clusters")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val spark = Sessions.local("graft-scale-probe", cpus)
+
+    /** Write an n× key-shifted replica of `name` (cached across runs).
+      * The 1× baseline is ALSO written through this path so both sides
+      * share file count and layout — timing the raw single-row-group
+      * fixture against a 32-file replica would compare scan parallelism,
+      * not per-row scaling. */
+    def replicate(name: String, keyCols: Seq[String], n: Int, dir: String): Unit = {
+      val path = s"$dir/$name.parquet"
+      if (new java.io.File(path).exists()) return
+      val df = sources.Tables.load(spark, base, name)
+      val shift = keyCols.map(k =>
+        k -> (df.agg(max(col(k)).cast("long")).head().getLong(0) + 1L)).toMap
+      val copies = (0 until n).map { i =>
+        keyCols.foldLeft(df) { (d, k) =>
+          d.withColumn(k, (col(k) + lit(shift(k) * i)).cast(df.schema(k).dataType))
+        }
+      }
+      copies.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(path)
+    }
+    val base1 = s"$out/x1"
+    val baseN = s"$out/x$factor"
+    for ((n, dir) <- Seq((1, base1), (factor, baseN));
+         (t, ks) <- Seq(
+           "documents" -> Seq("doc_id"),
+           "lineitem" -> Seq("l_orderkey"),
+           "events" -> Seq("event_id", "user_id")))
+      replicate(t, ks, n, dir)
+
+    // JIT/codegen warm-up outside every timed region (see Bench)
+    try spark.range(1000000).agg(sum(col("id")))
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
+
+    def time(q: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = probes.map { q =>
+      val t1 = time(q, base1)
+      val tN = time(q, baseN)
+      val ratio = tN / t1
+      println(f"""{"probe":"$q","sec_1x":$t1%.2f,"sec_${factor}x":$tN%.2f,"ratio":$ratio%.2f}""")
+      (q, t1, tN, ratio)
+    }
+    val worst = results.maxBy(_._4)
+    println(f"""{"metric":"scale_probe","factor":$factor,"worst_ratio":${worst._4}%.2f,"worst_query":"${worst._1}"}""")
+    spark.stop()
+  }
+}

@@ -11,9 +11,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
   *
   * The image modality is REAL: [[ImageCodec]] decodes PNG/JPEG bytes with
   * JDK-only `javax.imageio` (no native libraries) and extracts width,
-  * height and mean-luminance brightness. Audio/video decoders would need
-  * native libraries this container doesn't ship — [[FakeCodec]] is a
-  * clearly-marked deterministic stand-in for those modalities only.
+  * height and mean-luminance brightness. The audio modality is REAL:
+  * [[AudioCodec]] decodes WAV/PCM bytes with JDK-only
+  * `javax.sound.sampled` and extracts sample rate, channel count, frame
+  * count and RMS loudness. Video decoders would need native libraries
+  * this container doesn't ship — [[FakeCodec]] is a clearly-marked
+  * deterministic stand-in for video only.
   * Everything AROUND the codecs is the engine surface DecodeSpec locks in:
   *   - schema: (asset_id, payload binary, modality) → typed
   *     [[AssetFeatures]] rows;
@@ -95,8 +98,71 @@ object Decode {
     }
   }
 
-  /** STUB codec for audio/video — deterministic fake features derived from
-    * content bytes. Replace with the real audio/video libraries at
+  /** Real JDK audio codec: WAV (any `javax.sound.sampled` reader, 16-bit
+    * PCM) in, features out mapped onto the uniform feature slots:
+    * width = sample rate (Hz), height = channel count, n_frames = sample
+    * frames, brightness = RMS amplitude normalized to [0,1]. Corrupt or
+    * unsupported payloads yield the same sentinel row as [[ImageCodec]]
+    * (all-zero dims, brightness = -1.0). */
+  object AudioCodec {
+    def decode(a: Asset): AssetFeatures = {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(a.payload))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16)
+            return AssetFeatures(a.asset_id, a.modality, a.payload.length, 0, 0, 0, -1.0)
+          val frames = in.getFrameLength.toInt
+          val data = in.readAllBytes()
+          var sumSq = 0.0
+          var n = 0
+          var i = 0
+          while (i + 1 < data.length) {
+            val s =
+              if (fmt.isBigEndian) (data(i) << 8) | (data(i + 1) & 0xff)
+              else (data(i + 1) << 8) | (data(i) & 0xff)
+            sumSq += s.toDouble * s
+            n += 1
+            i += 2
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n) / 32768.0
+          AssetFeatures(a.asset_id, a.modality, a.payload.length,
+            width = fmt.getSampleRate.toInt, height = fmt.getChannels,
+            n_frames = frames, brightness = rms)
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException =>
+          AssetFeatures(a.asset_id, a.modality, a.payload.length, 0, 0, 0, -1.0)
+      }
+    }
+
+    /** Encode a ±amplitude square wave as 16-bit mono little-endian PCM
+      * WAV — RMS of a square wave is exactly its amplitude, so decoded
+      * loudness is known in closed form (amplitude/32768). */
+    def encodeTone(sampleRate: Int, nFrames: Int, amplitude: Int): Array[Byte] = {
+      require(amplitude >= 0 && amplitude < 32768, s"amplitude $amplitude out of int16")
+      val data = new Array[Byte](nFrames * 2)
+      var i = 0
+      while (i < nFrames) {
+        val v = if (i % 2 == 0) amplitude else -amplitude
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val out = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+  }
+
+  /** STUB codec for video — deterministic fake features derived from
+    * content bytes. Replace with the real video libraries at
     * deployment; signature (batch in, batch out) is the contract. */
   object FakeCodec {
     def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] =
@@ -111,10 +177,13 @@ object Decode {
       }
   }
 
-  /** Modality dispatch: image → real ImageIO decode; audio/video → stub. */
+  /** Modality dispatch: image → real ImageIO decode; audio → real
+    * javax.sound decode; video → stub. */
   private def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] = {
-    val (images, rest) = batch.partition(_.modality == "image")
-    images.map(ImageCodec.decode) ++ FakeCodec.decodeBatch(rest)
+    val (real, rest) = batch.partition(a => a.modality == "image" || a.modality == "audio")
+    real.map(a =>
+      if (a.modality == "image") ImageCodec.decode(a) else AudioCodec.decode(a)) ++
+      FakeCodec.decodeBatch(rest)
   }
 
   /** Per-partition batched decode (batchSize bounds executor memory). */

@@ -206,6 +206,42 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Audio twin of tq06, END TO END REAL: per document, encode a
+    * ±amplitude square-wave WAV whose sample rate, frame count and
+    * amplitude derive in closed form from (doc_id, n_chars), then decode
+    * the actual PCM bytes with JDK `javax.sound.sampled` on the executors
+    * and emit the DECODED rate/frames/amplitude (a square wave's RMS is
+    * exactly its amplitude, so loudness round-trips exactly). The oracle
+    * recomputes the closed forms arithmetically — a hash match proves the
+    * WAV encode→binary→decode round trip bit-exact. */
+  val tq22AudioDecode: QueryDef = sqlChecked(
+    "tq22_audio_decode",
+    """SELECT doc_id,
+      |  CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+      |  CAST(doc_id % 50 + 10 AS INT) AS n_samples,
+      |  CAST((n_chars % 256) * 128 AS INT) AS amp
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    implicit val assetEnc = org.apache.spark.sql.Encoders.product[Decode.Asset]
+    val assets = Tables.documents(spark, dir)
+      .filter($"doc_id" < 200)
+      .select($"doc_id",
+        (lit(8000) + ($"doc_id" % 4) * 4000).cast("int").as("rate"),
+        ($"doc_id" % 50 + 10).cast("int").as("frames"),
+        (($"n_chars" % 256) * 128).cast("int").as("amp"))
+      .as[(Long, Int, Int, Int)]
+      .map { case (id, rate, frames, amp) =>
+        Decode.Asset(id, Decode.AudioCodec.encodeTone(rate, frames, amp), "audio")
+      }
+    Decode.decode(assets)
+      .select(
+        $"asset_id".as("doc_id"),
+        $"width".as("sample_rate"),
+        $"n_frames".as("n_samples"),
+        round($"brightness" * 32768).cast("int").as("amp"))
+      .orderBy($"doc_id")
+  }
+
   /** The deterministic half of the multimodal plumbing, oracle-checked:
     * payload byte counts survive the text→binary cast identically in both
     * engines (tq06 keeps the fake-decode part rows-only). */
@@ -798,5 +834,5 @@ object TextQueries {
     tq10BpeTokenCounts, tq11TokenPacking, tq12UnigramLogprob,
     tq13ContextChunks, tq14GlobalShuffle, tq15BigramPmi, tq16CdcBoundaries,
     tq17BigramLogprob, tq18VocabGrowth, tq20WeightedSample,
-    tq21CompressionRatio)
+    tq21CompressionRatio, tq22AudioDecode)
 }

@@ -68,6 +68,31 @@ class DecodeSpec extends AnyFunSuite {
     assert(math.abs(f.brightness * 255 - 128) < 8.0)
   }
 
+  test("hand-built WAV decodes exactly: rate, channels, frames, RMS") {
+    // ±8192 square wave: RMS = 8192 exactly → brightness = 8192/32768 = 0.25
+    val bytes = Decode.AudioCodec.encodeTone(16000, 64, 8192)
+    val f = Decode.AudioCodec.decode(Decode.Asset(3L, bytes, "audio"))
+    assert(f.width == 16000, "sample rate")
+    assert(f.height == 1, "mono")
+    assert(f.n_frames == 64, "frame count")
+    assert(f.n_bytes == bytes.length)
+    assert(f.brightness == 0.25, s"RMS of a square wave is its amplitude: ${f.brightness}")
+  }
+
+  test("audio round-trip recovers amplitude exactly across the int16 range") {
+    for (amp <- Seq(0, 1, 1000, 16384, 32767)) {
+      val f = Decode.AudioCodec.decode(
+        Decode.Asset(amp.toLong, Decode.AudioCodec.encodeTone(8000, 50, amp), "audio"))
+      assert(Math.round(f.brightness * 32768).toInt == amp, s"amp $amp")
+    }
+  }
+
+  test("corrupt audio payload yields sentinel row") {
+    val f = Decode.AudioCodec.decode(
+      Decode.Asset(9L, "definitely not a wav".getBytes("UTF-8"), "audio"))
+    assert(f.width == 0 && f.height == 0 && f.n_frames == 0 && f.brightness == -1.0)
+  }
+
   test("corrupt payload yields sentinel row, not a job failure") {
     val f = Decode.ImageCodec.decode(
       Decode.Asset(9L, "not an image at all".getBytes("UTF-8"), "image"))
