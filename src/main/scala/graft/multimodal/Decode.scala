@@ -14,9 +14,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
   * height and mean-luminance brightness. The audio modality is REAL:
   * [[AudioCodec]] decodes WAV/PCM bytes with JDK-only
   * `javax.sound.sampled` and extracts sample rate, channel count, frame
-  * count and RMS loudness. Video decoders would need native libraries
-  * this container doesn't ship — [[FakeCodec]] is a clearly-marked
-  * deterministic stand-in for video only.
+  * count and RMS loudness. The animated-GIF video container is REAL:
+  * [[VideoCodec]] multi-frame-decodes GIF bytes via `javax.imageio`
+  * (frame count, dims, mean luminance across frames). Non-GIF video
+  * containers (mp4/webm) would need native demuxers this container
+  * doesn't ship — [[FakeCodec]] is a clearly-marked deterministic
+  * stand-in for those only.
   * Everything AROUND the codecs is the engine surface DecodeSpec locks in:
   *   - schema: (asset_id, payload binary, modality) → typed
   *     [[AssetFeatures]] rows;
@@ -161,9 +164,95 @@ object Decode {
     }
   }
 
-  /** STUB codec for video — deterministic fake features derived from
-    * content bytes. Replace with the real video libraries at
-    * deployment; signature (batch in, batch out) is the contract. */
+  /** Real JDK video codec for the animated-GIF container: multi-frame
+    * decode via `javax.imageio`'s GIF reader — frame count, first-frame
+    * dims, mean luminance across ALL frames. Solid-color frames survive
+    * GIF's palette quantization exactly (one color → one palette entry),
+    * which is what makes the tq23 oracle bit-exact. Non-GIF video
+    * containers (mp4/webm) need native demuxers the JDK doesn't ship —
+    * [[FakeCodec]] remains the marked stand-in for those, reached via
+    * the `video` modality; `gif` routes here. */
+  object VideoCodec {
+    import javax.imageio.stream.MemoryCacheImageInputStream
+
+    def decode(a: Asset): AssetFeatures = {
+      val readers = ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext)
+        return AssetFeatures(a.asset_id, a.modality, a.payload.length, 0, 0, 0, -1.0)
+      val reader = readers.next()
+      try {
+        reader.setInput(new MemoryCacheImageInputStream(
+          new ByteArrayInputStream(a.payload)), false, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0)
+          return AssetFeatures(a.asset_id, a.modality, a.payload.length, 0, 0, 0, -1.0)
+        var lumSum = 0L
+        var px = 0L
+        var w = 0
+        var h = 0
+        var i = 0
+        while (i < n) {
+          val img = reader.read(i)
+          if (i == 0) { w = img.getWidth; h = img.getHeight }
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              lumSum += Math.round(0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff))
+              x += 1
+            }
+            y += 1
+          }
+          px += img.getWidth.toLong * img.getHeight
+          i += 1
+        }
+        AssetFeatures(a.asset_id, a.modality, a.payload.length,
+          width = w, height = h, n_frames = n,
+          brightness = lumSum.toDouble / px / 255.0)
+      } catch {
+        // the GIF reader throws assorted unchecked types on truncated or
+        // non-GIF bytes; any decode failure maps to the sentinel row
+        case scala.util.control.NonFatal(_) =>
+          AssetFeatures(a.asset_id, a.modality, a.payload.length, 0, 0, 0, -1.0)
+      } finally reader.dispose()
+    }
+
+    /** Encode an animated GIF of `nFrames` solid-gray frames. */
+    def encodeGrayFrames(width: Int, height: Int, gray: Int, nFrames: Int): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var i = 0
+        while (i < nFrames) {
+          val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+          val rgb = (gray << 16) | (gray << 8) | gray
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          i += 1
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      out.toByteArray
+    }
+  }
+
+  /** STUB codec for non-GIF video containers — deterministic fake
+    * features derived from content bytes. Replace with the real video
+    * libraries at deployment; signature (batch in, batch out) is the
+    * contract. */
   object FakeCodec {
     def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] =
       batch.map { a =>
@@ -178,12 +267,16 @@ object Decode {
   }
 
   /** Modality dispatch: image → real ImageIO decode; audio → real
-    * javax.sound decode; video → stub. */
+    * javax.sound decode; gif → real multi-frame GIF decode; video
+    * (non-GIF containers) → stub. */
   private def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] = {
-    val (real, rest) = batch.partition(a => a.modality == "image" || a.modality == "audio")
-    real.map(a =>
-      if (a.modality == "image") ImageCodec.decode(a) else AudioCodec.decode(a)) ++
-      FakeCodec.decodeBatch(rest)
+    val real = Set("image", "audio", "gif")
+    val (r, rest) = batch.partition(a => real(a.modality))
+    r.map(_ match {
+      case a if a.modality == "image" => ImageCodec.decode(a)
+      case a if a.modality == "audio" => AudioCodec.decode(a)
+      case a => VideoCodec.decode(a)
+    }) ++ FakeCodec.decodeBatch(rest)
   }
 
   /** Per-partition batched decode (batchSize bounds executor memory). */

@@ -242,6 +242,44 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Video (animated GIF) twin of tq06/tq22, END TO END REAL: per
+    * document, encode an animated GIF of solid-gray frames with
+    * closed-form dims/frame-count/gray, multi-frame-decode the actual
+    * container bytes with `javax.imageio` on the executors, and emit the
+    * DECODED width/height/frames/gray (solid frames survive GIF palette
+    * quantization exactly). Oracle recomputes the closed forms — hash
+    * match proves the whole container round trip. */
+  val tq23VideoDecode: QueryDef = sqlChecked(
+    "tq23_video_decode",
+    """SELECT doc_id,
+      |  CAST(doc_id % 6 + 2 AS INT) AS width,
+      |  CAST(doc_id % 3 + 2 AS INT) AS height,
+      |  CAST(doc_id % 4 + 1 AS INT) AS n_frames,
+      |  CAST(n_chars % 256 AS INT) AS gray
+      |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    implicit val assetEnc = org.apache.spark.sql.Encoders.product[Decode.Asset]
+    val assets = Tables.documents(spark, dir)
+      .filter($"doc_id" < 150)
+      .select($"doc_id",
+        ($"doc_id" % 6 + 2).cast("int").as("w"),
+        ($"doc_id" % 3 + 2).cast("int").as("h"),
+        ($"doc_id" % 4 + 1).cast("int").as("nf"),
+        ($"n_chars" % 256).cast("int").as("g"))
+      .as[(Long, Int, Int, Int, Int)]
+      .map { case (id, w, h, nf, g) =>
+        Decode.Asset(id, Decode.VideoCodec.encodeGrayFrames(w, h, g, nf), "gif")
+      }
+    Decode.decode(assets)
+      .select(
+        $"asset_id".as("doc_id"),
+        $"width",
+        $"height",
+        $"n_frames",
+        round($"brightness" * 255).cast("int").as("gray"))
+      .orderBy($"doc_id")
+  }
+
   /** The deterministic half of the multimodal plumbing, oracle-checked:
     * payload byte counts survive the text→binary cast identically in both
     * engines (tq06 keeps the fake-decode part rows-only). */
@@ -834,5 +872,5 @@ object TextQueries {
     tq10BpeTokenCounts, tq11TokenPacking, tq12UnigramLogprob,
     tq13ContextChunks, tq14GlobalShuffle, tq15BigramPmi, tq16CdcBoundaries,
     tq17BigramLogprob, tq18VocabGrowth, tq20WeightedSample,
-    tq21CompressionRatio, tq22AudioDecode)
+    tq21CompressionRatio, tq22AudioDecode, tq23VideoDecode)
 }

@@ -177,12 +177,12 @@ class PlanSpec extends AnyFunSuite {
   test("dq07b: Bloom probe filters the corpus BELOW the confirm join") {
     val p = plan(DedupQueries.dq07bDecontaminateBloom)
     assert(!p.contains("CartesianProduct"), p)
-    // the scala-UDF membership probe must appear as a Filter in the plan
-    // (map-side, ahead of the join) — that is the 100 TB point of dq07b
-    assert(p.contains("UDF"), "Bloom might-contain probe missing from plan:\n" + p)
-    // formatted mode lists node details separately: the probe shows up as a
-    // Filter node whose Condition argument carries the UDF
-    assert(p.linesIterator.exists(l => l.contains("Condition") && l.contains("UDF")),
+    // the membership probe is a NATIVE codegen'd expression (r5 advice
+    // replaced the scala UDF) appearing as a Filter condition — map-side,
+    // ahead of the join: that is the 100 TB point of dq07b
+    assert(!p.contains("UDF"), "plan must be ScalaUDF-free:\n" + p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Condition") && l.contains("graft_bloom_probe")),
       "Bloom probe is not a Filter condition:\n" + p)
   }
 

@@ -93,6 +93,21 @@ class DecodeSpec extends AnyFunSuite {
     assert(f.width == 0 && f.height == 0 && f.n_frames == 0 && f.brightness == -1.0)
   }
 
+  test("animated GIF decodes all frames: dims, count, cross-frame luminance") {
+    val bytes = Decode.VideoCodec.encodeGrayFrames(4, 3, 200, 5)
+    val f = Decode.VideoCodec.decode(Decode.Asset(11L, bytes, "gif"))
+    assert(f.width == 4 && f.height == 3)
+    assert(f.n_frames == 5, "all five frames found")
+    assert(Math.round(f.brightness * 255).toInt == 200,
+      s"solid gray survives palette quantization: ${f.brightness}")
+  }
+
+  test("corrupt GIF payload yields sentinel row") {
+    val f = Decode.VideoCodec.decode(
+      Decode.Asset(12L, "GIF89a-but-not-really".getBytes("UTF-8"), "gif"))
+    assert(f.n_frames == 0 && f.brightness == -1.0)
+  }
+
   test("corrupt payload yields sentinel row, not a job failure") {
     val f = Decode.ImageCodec.decode(
       Decode.Asset(9L, "not an image at all".getBytes("UTF-8"), "image"))
