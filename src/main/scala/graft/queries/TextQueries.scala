@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.QueryDef.{rowsOnly, sqlChecked}
-import graft.multimodal.Decode
+import graft.multimodal.{Decode, Mp4Probe}
 import graft.sources.Tables
 import graft.util.Num._
 import org.apache.spark.sql.functions._
@@ -277,6 +277,39 @@ object TextQueries {
         $"height",
         $"n_frames",
         round($"brightness" * 255).cast("int").as("gray"))
+      .orderBy($"doc_id")
+  }
+
+  /** MP4 metadata probe, END TO END REAL: per document, build a minimal
+    * ISO-BMFF container (ftyp+moov headers, exactly what a range-read of
+    * a real asset's first kilobytes returns) with closed-form dims and
+    * duration, then parse the actual box bytes on the executors
+    * (multimodal/Mp4Probe — pure JDK byte parsing) and emit the PROBED
+    * values. This is the 100 TB first pass over video assets: filter and
+    * route on header metadata BEFORE paying for demux+decode. Oracle
+    * recomputes the closed forms — hash match proves the box round trip. */
+  val tq24Mp4Probe: QueryDef = sqlChecked(
+    "tq24_mp4_probe",
+    """SELECT doc_id,
+      |  CAST(16 * (doc_id % 8 + 8) AS INT) AS width,
+      |  CAST(16 * (doc_id % 5 + 5) AS INT) AS height,
+      |  CAST((n_chars % 1000) * 100 + 100 AS BIGINT) AS duration_ms,
+      |  1 AS n_tracks
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 200)
+      .select($"doc_id",
+        (($"doc_id" % 8 + 8) * 16).cast("int").as("w"),
+        (($"doc_id" % 5 + 5) * 16).cast("int").as("h"),
+        (($"n_chars" % 1000) * 100 + 100).cast("long").as("dur"))
+      .as[(Long, Int, Int, Long)]
+      .mapPartitions(_.map { case (id, w, h, dur) =>
+        val meta = Mp4Probe.probe(Mp4Probe.encodeMeta(w, h, dur))
+          .getOrElse(Mp4Probe.Meta(0, 0, -1L, 0))
+        (id, meta.width, meta.height, meta.durationMs, meta.nTracks)
+      })
+      .toDF("doc_id", "width", "height", "duration_ms", "n_tracks")
       .orderBy($"doc_id")
   }
 
@@ -872,5 +905,5 @@ object TextQueries {
     tq10BpeTokenCounts, tq11TokenPacking, tq12UnigramLogprob,
     tq13ContextChunks, tq14GlobalShuffle, tq15BigramPmi, tq16CdcBoundaries,
     tq17BigramLogprob, tq18VocabGrowth, tq20WeightedSample,
-    tq21CompressionRatio, tq22AudioDecode, tq23VideoDecode)
+    tq21CompressionRatio, tq22AudioDecode, tq23VideoDecode, tq24Mp4Probe)
 }
