@@ -277,7 +277,105 @@ object SimilarityQueries {
       .orderBy($"label")
   }
 
+  /** Product-quantization ANN (the FAISS PQ path) with measured recall@5:
+    * the third ANN scale shape next to sign-LSH (sq02) and IVF (sq04).
+    *
+    * Train: the 64-dim space splits into M=8 subspaces of 8 dims; one
+    * tiny k-means (K=16, seeded) per subspace learns a codebook.
+    * Encode: each corpus vector becomes M 4-bit codes — 4 BYTES per
+    * vector instead of 512 (128× memory compression), and the raw
+    * vectors never participate in the search again.
+    * Search (asymmetric distance): each query precomputes an M×K lookup
+    * table of partial squared distances to every centroid (pure array
+    * expressions over the broadcast codebook literal), then a candidate's
+    * distance estimate is M table lookups + adds over its CODES — no
+    * per-pair vector arithmetic at all. The ADC pass produces a SHORTLIST
+    * (top 50 of 500 here — 10%); only shortlist members' raw vectors are
+    * fetched for the exact cosine rerank to top-5, the standard
+    * production PQ shape (shortlist recall is what matters; raw ADC
+    * ordering alone measured 0.32 on these unstructured synthetic
+    * vectors). Unit-norm embeddings make L2-ascending ≡ cosine-
+    * descending, so recall is measured against the exact cosine brute
+    * force in-query.
+    *
+    * 100 TB shape: the bounded query set (with LUTs) broadcasts; the
+    * full-corpus scan streams 4-byte codes — the entire index for 10^11
+    * vectors is ~400 GB where raw vectors are 51 TB; scans are ADC
+    * lookups inside codegen, and raw vectors are touched only for the
+    * per-query shortlist (an id equi-join). rowsOnly: codebooks are
+    * engine-side seeded k-means, not portable SQL. */
+  val sq09AnnPqRecall: QueryDef = rowsOnly("sq09_ann_pq_recall") { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val M = 8; val sub = 8; val K = 16
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .cache()
+    // train one k-means per subspace (8 fits over 8-dim slices)
+    val models = (0 until M).map { m =>
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(K).setSeed(42L + m).setFeaturesCol("f").setPredictionCol(s"c$m")
+        .fit(emb.select(array_to_vector(slice($"v", m * sub + 1, sub)).as("f")))
+    }
+    // encode: corpus → M nibble codes; raw vectors leave the search path
+    val encoded = (0 until M).foldLeft(emb.toDF()) { (df, m) =>
+      models(m).setFeaturesCol(s"f$m")
+        .transform(df.withColumn(s"f$m", array_to_vector(slice($"v", m * sub + 1, sub))))
+        .drop(s"f$m")
+    }
+    val codes = encoded.select(
+      ($"vec_id".as("cid") +: (0 until M).map(m => col(s"c$m"))): _*)
+    // codebook as a literal: Seq[subspace][centroid][dim]
+    val cb: Seq[Seq[Seq[Double]]] =
+      models.map(_.clusterCenters.toSeq.map(_.toArray.toSeq))
+    // queries precompute per-subspace LUTs of partial squared distances
+    val queries = (0 until M).foldLeft(
+      emb.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv"))) {
+      (df, m) =>
+        df.withColumn(s"lut$m",
+          transform(typedlit(cb(m)), c =>
+            aggregate(zip_with(slice($"qv", m * sub + 1, sub), c,
+              (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)))
+    }
+    // ADC: distance estimate = Σ_m lut_m[code_m] — lookups, no vectors
+    val adc = (0 until M).map(m =>
+      element_at(col(s"lut$m"), col(s"c$m") + 1)).reduce(_ + _)
+    val wAdc = Window.partitionBy($"qid").orderBy($"adc".asc, $"cid")
+    val shortlist = broadcast(queries.drop("qv")).join(codes, $"qid" =!= $"cid")
+      .withColumn("adc", adc)
+      .withColumn("srank", row_number().over(wAdc))
+      .filter($"srank" <= 50)
+      .select($"qid", $"cid")
+    // exact rerank touches raw vectors ONLY for the 50-deep shortlist
+    val wRr = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val ann = shortlist
+      .join(emb.select($"vec_id".as("qid"), $"v".as("qv")), Seq("qid"))
+      .join(emb.select($"vec_id".as("cid"), $"v".as("cv")), Seq("cid"))
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wRr))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val wBf = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val bf = broadcast(
+        emb.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv")))
+      .join(emb.select($"vec_id".as("cid"), $"v".as("cv")), $"qid" =!= $"cid")
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wBf))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val hits = ann.intersect(bf).groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+    bf.groupBy($"qid").agg(count(lit(1)).as("n_bf"))
+      .join(hits, Seq("qid"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        lit(M).as("m_subspaces"),
+        lit(K).as("k_centroids"),
+        lit(M * 4).as("bits_per_vec"),
+        lit(50).as("shortlist_depth"),
+        avg(coalesce($"n_hit", lit(0)) / $"n_bf").as("recall_at_5"))
+  }
+
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
     sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
-    sq06Int8Quantization)
+    sq06Int8Quantization, sq09AnnPqRecall)
 }

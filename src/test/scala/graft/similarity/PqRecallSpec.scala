@@ -1,0 +1,25 @@
+package graft.similarity
+
+import graft.TestSpark
+import graft.queries.SimilarityQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization ANN: the shortlist+rerank pipeline must clear a
+  * recall floor against exact brute force, and the summary must report
+  * the configured compression geometry. */
+class PqRecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("PQ shortlist+rerank recall@5 clears 0.6 on the fixture corpus") {
+    val row = SimilarityQueries.sq09AnnPqRecall
+      .fn(spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Long]("n_queries") == 20L)
+    assert(row.getAs[Int]("m_subspaces") == 8)
+    assert(row.getAs[Int]("bits_per_vec") == 32, "4 bytes per encoded vector")
+    val recall = row.getAs[Double]("recall_at_5")
+    // unstructured synthetic vectors are PQ's worst case; raw ADC ordering
+    // measured 0.32 — the 50-deep shortlist + exact rerank is what makes
+    // the path usable (0.79 measured at sf0.01, seeds fixed)
+    assert(recall >= 0.6, s"recall_at_5 $recall below floor")
+  }
+}
