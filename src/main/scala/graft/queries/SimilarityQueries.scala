@@ -306,28 +306,32 @@ object SimilarityQueries {
     * engine-side seeded k-means, not portable SQL. */
   val sq09AnnPqRecall: QueryDef = rowsOnly("sq09_ann_pq_recall") { (spark, dir) =>
     import spark.implicits._
-    import org.apache.spark.ml.functions.array_to_vector
     val M = 8; val sub = 8; val K = 16
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", toDouble($"embedding").as("v"))
       .cache()
-    // train one k-means per subspace (8 fits over 8-dim slices)
-    val models = (0 until M).map { m =>
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(K).setSeed(42L + m).setFeaturesCol("f").setPredictionCol(s"c$m")
-        .fit(emb.select(array_to_vector(slice($"v", m * sub + 1, sub)).as("f")))
-    }
-    // encode: corpus → M nibble codes; raw vectors leave the search path
-    val encoded = (0 until M).foldLeft(emb.toDF()) { (df, m) =>
-      models(m).setFeaturesCol(s"f$m")
-        .transform(df.withColumn(s"f$m", array_to_vector(slice($"v", m * sub + 1, sub))))
-        .drop(s"f$m")
-    }
-    val codes = encoded.select(
-      ($"vec_id".as("cid") +: (0 until M).map(m => col(s"c$m"))): _*)
-    // codebook as a literal: Seq[subspace][centroid][dim]
-    val cb: Seq[Seq[Seq[Double]]] =
-      models.map(_.clusterCenters.toSeq.map(_.toArray.toSeq))
+    // codebooks train DRIVER-SIDE on a bounded sample (the FAISS recipe:
+    // even a 10^11-vector corpus trains PQ on ~10^5 sampled vectors) —
+    // similarity/Pq.scala's seeded Lloyd's loop; the distributed
+    // alternative costs ~90 Spark jobs for 16×8-dim subproblems and
+    // forces ML UDFs into the encode path
+    val sample = emb.select($"v").limit(20000)
+      .collect().map(_.getSeq[Double](0).toArray).toIndexedSeq
+    val cb: Seq[Seq[Seq[Double]]] = graft.similarity.Pq
+      .trainSubspaces(sample, M, sub, K)
+    // encode: nearest centroid per subspace as PURE column expressions
+    // over the codebook literal — distances via transform/zip_with,
+    // argmin via array_position(d, array_min(d)); fully codegen, no UDFs
+    def subDist(vCol: org.apache.spark.sql.Column, m: Int) =
+      transform(typedlit(cb(m)), c =>
+        aggregate(zip_with(slice(vCol, m * sub + 1, sub), c,
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+    val codes = (0 until M).foldLeft(emb.toDF()) { (df, m) =>
+        df.withColumn(s"c$m",
+          (array_position(subDist($"v", m), array_min(subDist($"v", m))) - 1)
+            .cast("int"))
+      }
+      .select(($"vec_id".as("cid") +: (0 until M).map(m => col(s"c$m"))): _*)
     // queries precompute per-subspace LUTs of partial squared distances
     val queries = (0 until M).foldLeft(
       emb.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv"))) {
