@@ -371,4 +371,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!afterWindow.contains("Generate"),
       "window must consume the slice summary, not exploded tokens:\n" + p)
   }
+
+  test("multimodal decode queries are map-only: one scan, no join, no UDF") {
+    for (q <- Seq(TextQueries.tq06MultimodalDecode, TextQueries.tq22AudioDecode,
+        TextQueries.tq23VideoDecode, TextQueries.tq24Mp4Probe)) {
+      val p = plan(q)
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"${q.name}: expected 1 documents scan, got $scans")
+      assert(!p.contains("Join"), s"${q.name}: decode must not join:\n" + p)
+      // the codec runs inside mapPartitions/Dataset.map — a
+      // SerializeFromObject stage, not a per-column ScalaUDF
+      assert(!p.contains("ScalaUDF"), s"${q.name}: no UDFs in decode:\n" + p)
+    }
+  }
+
+  test("sq09: PQ encode and ADC search stay UDF-free; code side never broadcasts raw vectors") {
+    val p = plan(SimilarityQueries.sq09AnnPqRecall)
+    assert(!p.contains("ScalaUDF"),
+      "PQ encode/search must be pure column expressions:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
