@@ -176,9 +176,7 @@ object PipelineQueries {
       |ORDER BY version""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     import graft.util.Num.dsum
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-snap-q")
-    deleteOnExit(tmpRoot) // bench/verify loops must not leak scratch dirs
-    val path = tmpRoot.toString + "/docs"
+    val path = graft.util.Scratch.tempDir("graft-snap-q") + "/docs"
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"lang", $"n_chars")
     graft.sources.Snapshots.commit(spark, path, docs)
@@ -191,25 +189,4 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(pq01TrainingPrep, pq02Curriculum,
     pq03SnapshotTimeTravel)
-
-  /** Recursively delete `root` at JVM exit. The snapshot scratch space is
-    * written at plan-construction time and read lazily at execution time,
-    * so the earliest safe deletion point is process exit; one shutdown
-    * hook drains every registered root. */
-  private val exitRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-  private lazy val exitHookInstalled: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      exitRoots.forEach { root =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: java.io.IOException => () }
-      }
-    }))
-  private def deleteOnExit(root: java.nio.file.Path): Unit = {
-    exitHookInstalled
-    exitRoots.add(root): Unit
-  }
 }

@@ -323,7 +323,58 @@ object RelationalExt {
       .orderBy($"l_returnflag")
   }
 
+  /** JSONL source round trip (§2.1 source formats beyond parquet/CSV):
+    * write a documents projection as JSON Lines, read it back with an
+    * EXPLICIT schema (inference is a second full scan and a type-drift
+    * hazard at corpus scale — never infer in production), aggregate per
+    * lang. The oracle computes the same aggregate from the parquet
+    * directly, so a hash match proves the JSONL write→read path preserves
+    * every row and value exactly. */
+  val q40JsonlSource: QueryDef = sqlChecked(
+    "q40_jsonl_source",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+      |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val path = graft.util.Scratch.tempDir("graft-jsonl") + "/docs"
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"lang", $"n_chars")
+    docs.write.mode("overwrite").json(path)
+    spark.read.schema(docs.schema).json(path)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("sum_chars"),
+        min($"doc_id").cast("long").as("min_id"),
+        max($"doc_id").cast("long").as("max_id"))
+      .orderBy($"lang")
+  }
+
+  /** ORC source round trip: same proof shape as q40 for the other
+    * columnar format Spark ships built-in — including DOUBLE columns,
+    * which must survive the ORC round trip bit-exactly for the
+    * decimal-exact aggregate to hash-match the parquet-side oracle. */
+  val q41OrcSource: QueryDef = sqlChecked(
+    "q41_orc_source",
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${sqlDsum("l_extendedprice")} AS sum_price,
+       |  CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val path = graft.util.Scratch.tempDir("graft-orc") + "/li"
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_orderkey", $"l_extendedprice")
+    li.write.mode("overwrite").orc(path)
+    spark.read.schema(li.schema).orc(path)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum($"l_extendedprice").as("sum_price"),
+        max($"l_orderkey").cast("long").as("max_key"))
+      .orderBy($"l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt,
-    q35Variant, q36ExistsSubquery, q37Posexplode, q38JsonRoundtrip, q39Winsorize)
+    q35Variant, q36ExistsSubquery, q37Posexplode, q38JsonRoundtrip, q39Winsorize,
+    q40JsonlSource, q41OrcSource)
 }

@@ -1,0 +1,31 @@
+package graft.util
+
+/** Process-lifetime scratch directories for queries that must materialize
+  * an intermediate layout (snapshot tables, format round trips). The
+  * scratch space is written at plan-construction time and read lazily at
+  * execution time, so the earliest safe deletion point is process exit;
+  * one shutdown hook drains every registered root — bench/verify loops
+  * must not leak disk (r5 ADVICE on pq03). */
+object Scratch {
+
+  private val roots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      roots.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: java.io.IOException => () }
+      }
+    }))
+
+  /** A fresh temp dir, deleted recursively at JVM exit. */
+  def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    hookInstalled
+    roots.add(p)
+    p.toString
+  }
+}
