@@ -45,7 +45,9 @@ object ScaleProbe {
       * not per-row scaling. */
     def replicate(name: String, keyCols: Seq[String], n: Int, dir: String): Unit = {
       val path = s"$dir/$name.parquet"
-      if (new java.io.File(path).exists()) return
+      // cache-validity = the _SUCCESS marker, not bare existence: a prior
+      // run killed mid-write leaves a partial dir that must be rebuilt
+      if (new java.io.File(s"$path/_SUCCESS").exists()) return
       val df = sources.Tables.load(spark, base, name)
       val shift = keyCols.map(k =>
         k -> (df.agg(max(col(k)).cast("long")).head().getLong(0) + 1L)).toMap
@@ -79,6 +81,10 @@ object ScaleProbe {
     }
 
     val results = probes.map { q =>
+      // untimed warm run first: each query's whole-stage codegen compiles
+      // on its first execution (hundreds of ms), which would otherwise
+      // land inside t1 and bias the ratio toward "linear"
+      time(q, base1)
       val t1 = time(q, base1)
       val tN = time(q, baseN)
       val ratio = tN / t1

@@ -57,8 +57,12 @@ object Decode {
 
     def decode(a: Asset): AssetFeatures = {
       val img =
+        // NonFatal, not just IOException: ImageIO plugins throw unchecked
+        // types on hostile bytes (CMMException for malformed ICC profiles,
+        // NegativeArraySizeException from corrupt headers) — any decode
+        // failure must map to the sentinel, never kill the stage
         try ImageIO.read(new ByteArrayInputStream(a.payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null)
         AssetFeatures(a.asset_id, a.modality, a.payload.length, 0, 0, 0, -1.0)
       else {
@@ -135,8 +139,9 @@ object Decode {
             n_frames = frames, brightness = rms)
         } finally in.close()
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException |
-             _: java.io.IOException =>
+        // NonFatal for the same reason as ImageCodec: WAV parsers throw
+        // unchecked types on truncated/hostile headers
+        case scala.util.control.NonFatal(_) =>
           AssetFeatures(a.asset_id, a.modality, a.payload.length, 0, 0, 0, -1.0)
       }
     }
@@ -268,16 +273,17 @@ object Decode {
 
   /** Modality dispatch: image → real ImageIO decode; audio → real
     * javax.sound decode; gif → real multi-frame GIF decode; video
-    * (non-GIF containers) → stub. */
-  private def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] = {
-    val real = Set("image", "audio", "gif")
-    val (r, rest) = batch.partition(a => real(a.modality))
-    r.map(_ match {
-      case a if a.modality == "image" => ImageCodec.decode(a)
-      case a if a.modality == "audio" => AudioCodec.decode(a)
-      case a => VideoCodec.decode(a)
-    }) ++ FakeCodec.decodeBatch(rest)
-  }
+    * (non-GIF containers) → stub. Order-preserving: callers may rely on
+    * per-partition row order (zipWithIndex alignment downstream). */
+  private def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] =
+    batch.map { a =>
+      a.modality match {
+        case "image" => ImageCodec.decode(a)
+        case "audio" => AudioCodec.decode(a)
+        case "gif"   => VideoCodec.decode(a)
+        case _       => FakeCodec.decodeBatch(Seq(a)).head
+      }
+    }
 
   /** Per-partition batched decode (batchSize bounds executor memory). */
   def decode(assets: Dataset[Asset], batchSize: Int = 64): Dataset[AssetFeatures] = {

@@ -62,15 +62,21 @@ object Mp4Probe {
                 timescale = buf.getInt(body + 12).toLong & 0xffffffffL
                 duration = buf.getInt(body + 16).toLong & 0xffffffffL
               }
-            case "tkhd" if width == 0 =>
+            case "tkhd" if width == 0 && bodyEnd > body =>
+              // a valid v0 tkhd body is 84 bytes (v1: 96); an undersized
+              // box would alias the last-8-bytes read onto header bytes
+              // and yield garbage dims — require the minimum body size
               val version = bytes(body) & 0xff
-              // width/height are the LAST 8 bytes of the box, 16.16 fixed
-              val w = buf.getInt(bodyEnd - 8)
-              val h = buf.getInt(bodyEnd - 4)
-              // audio tracks carry zero dims — keep the first video track
-              if (version <= 1 && w > 0 && h > 0) {
-                width = w >>> 16
-                height = h >>> 16
+              val minBody = if (version == 1) 96 else 84
+              if (version <= 1 && bodyEnd - body >= minBody) {
+                // width/height are the LAST 8 bytes of the box, 16.16 fixed
+                val w = buf.getInt(bodyEnd - 8)
+                val h = buf.getInt(bodyEnd - 4)
+                // audio tracks carry zero dims — keep the first video track
+                if (w > 0 && h > 0) {
+                  width = w >>> 16
+                  height = h >>> 16
+                }
               }
             case _ => () // ftyp, mdat, udta, free... skipped
           }

@@ -321,15 +321,19 @@ object SimilarityQueries {
       .trainSubspaces(sample, M, sub, K)
     // encode: nearest centroid per subspace as PURE column expressions
     // over the codebook literal — distances via transform/zip_with,
-    // argmin via array_position(d, array_min(d)); fully codegen, no UDFs
+    // argmin via array_position(d, array_min(d)); fully codegen, no UDFs.
+    // The distance array materializes ONCE per subspace in its own
+    // projection — inlining it into both array_position and array_min
+    // would double the K×subdim arithmetic per corpus row
     def subDist(vCol: org.apache.spark.sql.Column, m: Int) =
       transform(typedlit(cb(m)), c =>
         aggregate(zip_with(slice(vCol, m * sub + 1, sub), c,
           (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
     val codes = (0 until M).foldLeft(emb.toDF()) { (df, m) =>
-        df.withColumn(s"c$m",
-          (array_position(subDist($"v", m), array_min(subDist($"v", m))) - 1)
-            .cast("int"))
+        df.withColumn(s"d$m", subDist($"v", m))
+          .withColumn(s"c$m",
+            (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1).cast("int"))
+          .drop(s"d$m")
       }
       .select(($"vec_id".as("cid") +: (0 until M).map(m => col(s"c$m"))): _*)
     // queries precompute per-subspace LUTs of partial squared distances

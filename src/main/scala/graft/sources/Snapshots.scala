@@ -110,19 +110,28 @@ object Snapshots {
     val tmp = new Path(mDir, s".$uuid.txt.tmp")
     val out = f.create(tmp, false)
     try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+    var published = false
     try {
       val maxAttempts = 20
       var attempt = 0
       while (attempt < maxAttempts) {
         val next = versions(spark, path).lastOption.getOrElse(0L) + 1
         beforePublish(next)
-        if (publishNoClobber(f, tmp, new Path(mDir, manifestName(next))))
+        if (publishNoClobber(f, tmp, new Path(mDir, manifestName(next)))) {
+          published = true
           return next
+        }
         attempt += 1
       }
       throw new java.util.ConcurrentModificationException(
         s"snapshot commit at $path lost the version race $maxAttempts times")
-    } finally f.delete(tmp, false)
+    } finally {
+      f.delete(tmp, false)
+      // an aborted commit's data files are referenced by no manifest and
+      // vacuum only reclaims files listed in DROPPED manifests — delete
+      // them here or they leak forever
+      if (!published) f.delete(dataDir, true): Unit
+    }
   }
 
   /** Read a specific snapshot (default: latest). */

@@ -32,6 +32,28 @@ class Mp4ProbeSpec extends AnyFunSuite {
     assert(Mp4Probe.probe(bytes).get.width == 33)
   }
 
+  test("an undersized tkhd box yields zero dims, never header bytes as garbage") {
+    def box(name: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(name.getBytes("ISO-8859-1")).put(body)
+      b.array()
+    }
+    // valid mvhd (timescale 1000, duration 2000) + trak holding an EMPTY
+    // tkhd (body size 0): the last-8-bytes read would alias the header
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(2000)
+      box("mvhd", b.array())
+    }
+    val bad = box("ftyp", "isom".getBytes("ISO-8859-1")) ++
+      box("moov", mvhd ++ box("trak", box("tkhd", Array.emptyByteArray)))
+    val m = Mp4Probe.probe(bad)
+    assert(m.isDefined, "moov/mvhd are valid — meta exists")
+    assert(m.get.width == 0 && m.get.height == 0,
+      s"undersized tkhd must not produce dims: ${m.get}")
+    assert(m.get.durationMs == 2000L && m.get.nTracks == 1)
+  }
+
   test("malformed, truncated, and non-mp4 payloads probe to None") {
     assert(Mp4Probe.probe("not an mp4 at all".getBytes("UTF-8")).isEmpty)
     assert(Mp4Probe.probe(Array.emptyByteArray).isEmpty)

@@ -98,6 +98,30 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("an aborted commit leaves no orphaned data files") {
+    import spark.implicits._
+    val path = tbl()
+    Snapshots.commit(spark, path, Seq(1).toDF("x"))
+    // force every publish attempt to lose: the hook lands a competing
+    // commit for whatever version the victim is about to take
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.commit(spark, path, Seq(99).toDF("x"),
+        beforePublish = { next =>
+          Snapshots.commit(spark, path, Seq(-next.toInt).toDF("x")): Unit
+        })
+    }
+    assert(ex.getMessage.contains("lost the version race"))
+    // every data dir on disk is referenced by some manifest — the
+    // aborted writer's uuid dir was cleaned up
+    val dataRoot = new java.io.File(path, "data")
+    val onDisk = Option(dataRoot.listFiles()).getOrElse(Array.empty).map(_.getName).toSet
+    val referenced = Snapshots.versions(spark, path).flatMap { v =>
+      Snapshots.read(spark, path, v).inputFiles.map(f =>
+        new java.io.File(f).getParentFile.getName)
+    }.toSet
+    assert(onDisk == referenced, s"orphans: ${onDisk -- referenced}")
+  }
+
   test("streaming publication: each micro-batch lands as one atomic version") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
