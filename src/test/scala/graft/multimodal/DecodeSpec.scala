@@ -131,6 +131,27 @@ class DecodeSpec extends AnyFunSuite {
     assert(out.filter($"modality" === "image" && $"n_frames" =!= 1).count() == 0)
   }
 
+  test("decode runs unchanged under Structured Streaming (ingest-time shape)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Decode.Asset]
+    val q = Decode.decode(stream.toDS(), batchSize = 4)
+      .writeStream.format("memory").queryName("decoded_assets")
+      .outputMode("append").start()
+    stream.addData(
+      Decode.Asset(1L, Decode.ImageCodec.encodeGray(3, 2, 100), "image"),
+      Decode.Asset(2L, Decode.AudioCodec.encodeTone(8000, 20, 4096), "audio"),
+      Decode.Asset(3L, Decode.VideoCodec.encodeGrayFrames(2, 2, 50, 3), "gif"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("decoded_assets")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    assert(rows(1L) == ((3, 2, 1)), "image dims + single frame")
+    assert(rows(2L)._1 == 8000 && rows(2L)._3 == 20, "audio rate + frames")
+    assert(rows(3L) == ((2, 2, 3)), "gif dims + frame count")
+  }
+
   test("decode is deterministic and partition-count independent") {
     val a = Decode.decode(assets.repartition(2), batchSize = 7)
       .collect().map(f => f.asset_id -> f).toMap
