@@ -81,10 +81,13 @@ object ScaleProbe {
     }
 
     val results = probes.map { q =>
-      // untimed warm run first: each query's whole-stage codegen compiles
-      // on its first execution (hundreds of ms), which would otherwise
-      // land inside t1 and bias the ratio toward "linear"
+      // untimed warm run on BOTH sides first: codegen compiles on the
+      // first execution of each plan (AQE can pick different strategies
+      // per size, so the two sides don't share generated classes), and
+      // file listings/page cache warm per replica — a one-sided warm-up
+      // biases the ratio in whichever direction it is applied
       time(q, base1)
+      time(q, baseN)
       val t1 = time(q, base1)
       val tN = time(q, baseN)
       val ratio = tN / t1

@@ -273,23 +273,35 @@ object Decode {
 
   /** Modality dispatch: image → real ImageIO decode; audio → real
     * javax.sound decode; gif → real multi-frame GIF decode; video
-    * (non-GIF containers) → stub. Order-preserving: callers may rely on
-    * per-partition row order (zipWithIndex alignment downstream). */
-  private def decodeBatch(batch: Seq[Asset]): Seq[AssetFeatures] =
-    batch.map { a =>
-      a.modality match {
-        case "image" => ImageCodec.decode(a)
-        case "audio" => AudioCodec.decode(a)
-        case "gif"   => VideoCodec.decode(a)
-        case _       => FakeCodec.decodeBatch(Seq(a)).head
-      }
+    * (non-GIF containers) → stub. Order-preserving AND batch-preserving:
+    * contiguous same-modality runs dispatch as one batch, so a real
+    * native codec swapped in for the stub still amortizes its setup per
+    * run instead of per asset, and per-partition row order survives
+    * (zipWithIndex alignment downstream). */
+  private def decodeBatch(batch: IndexedSeq[Asset]): Seq[AssetFeatures] = {
+    val out = Seq.newBuilder[AssetFeatures]
+    var i = 0
+    while (i < batch.length) {
+      val mod = batch(i).modality
+      var j = i + 1
+      while (j < batch.length && batch(j).modality == mod) j += 1
+      val run = batch.slice(i, j)
+      out ++= (mod match {
+        case "image" => run.map(ImageCodec.decode)
+        case "audio" => run.map(AudioCodec.decode)
+        case "gif"   => run.map(VideoCodec.decode)
+        case _       => FakeCodec.decodeBatch(run)
+      })
+      i = j
     }
+    out.result()
+  }
 
   /** Per-partition batched decode (batchSize bounds executor memory). */
   def decode(assets: Dataset[Asset], batchSize: Int = 64): Dataset[AssetFeatures] = {
     implicit val enc = Encoders.product[AssetFeatures]
     assets.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(b => decodeBatch(b.toSeq))
+      it.grouped(batchSize).flatMap(b => decodeBatch(b.toIndexedSeq))
     }
   }
 

@@ -97,11 +97,21 @@ object Snapshots {
     //    untouched, racing writers conflict-free by construction
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(root, s"data/$uuid")
-    df.write.parquet(dataDir.toString)
-    val files = f.listStatus(dataDir).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-      .map(p => s"data/$uuid/${p.getName}")
-      .sorted
+    // any failure between here and a successful publish must remove the
+    // uuid dir: no manifest references it and vacuum only reclaims files
+    // listed in DROPPED manifests, so a leaked dir is permanent
+    val files =
+      try {
+        df.write.parquet(dataDir.toString)
+        f.listStatus(dataDir).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(p => s"data/$uuid/${p.getName}")
+          .sorted
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          f.delete(dataDir, true)
+          throw e
+      }
     val mDir = manifestDir(path)
     f.mkdirs(mDir)
     // 2. manifest body staged under a writer-private temp name, then
