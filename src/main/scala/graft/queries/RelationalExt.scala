@@ -373,8 +373,36 @@ object RelationalExt {
       .orderBy($"l_returnflag")
   }
 
+  /** Salted skew join, oracle-proven equivalent to the plain join: the
+    * big (fact) side takes a random salt in [0,8), the supplier dimension
+    * replicates once per salt value, and the join runs on (key, salt) —
+    * the deterministic skew shield for when AQE can't split (its runtime
+    * complement is spec'd in AqeSkewSpec). DuckDB computes the PLAIN
+    * join; the hash match is the proof that salting changes the physical
+    * distribution and nothing else. Dimension-side replication ×8 is the
+    * entire cost — keep the replicated side the small one. */
+  val q42SaltedSkewJoin: QueryDef = sqlChecked(
+    "q42_salted_skew_join",
+    s"""SELECT n_name, COUNT(*) AS n_items,
+       |  ${sqlDsum("l_extendedprice")} AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_suppkey", $"l_extendedprice")
+    val sup = Tables.supplier(spark, dir)
+      .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+    graft.operators.SaltedJoin.join(li, sup, "l_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"n_name")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt,
     q35Variant, q36ExistsSubquery, q37Posexplode, q38JsonRoundtrip, q39Winsorize,
-    q40JsonlSource, q41OrcSource)
+    q40JsonlSource, q41OrcSource, q42SaltedSkewJoin)
 }
