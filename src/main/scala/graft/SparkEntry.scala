@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.RelationalExt.all ++
     graft.queries.FilterQueries.all ++
     graft.queries.PipelineQueries.all ++
-    graft.queries.RetrievalQueries.all
+    graft.queries.RetrievalQueries.all ++
+    graft.queries.MaintenanceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

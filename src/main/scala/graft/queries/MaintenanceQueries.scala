@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.sqlChecked
+import graft.sources.Tables
+import graft.util.Num._
+import org.apache.spark.sql.functions._
+
+/** Write-side table maintenance, oracle-checked END TO END (the pq03
+  * pattern): each query performs the real maintenance operation against
+  * a scratch table — upsert with partition relocation, small-file
+  * compaction, incremental aggregate rollup, Z-order rewrite — then
+  * reads the maintained table back and aggregates, while DuckDB computes
+  * the same result straight from the source parquet with the operation's
+  * SEMANTICS inlined as SQL. A hash match proves the physical operation
+  * (prune → stage → overwrite → drain/compact/cluster) preserved or
+  * transformed every row exactly as specified — upgrading these
+  * operators from spec-only to driver-contract-checked.
+  *
+  * Scratch tables build at plan-construction time (like pq03) under
+  * util/Scratch roots, reclaimed at JVM exit.
+  */
+object MaintenanceQueries {
+
+  /** Upsert with partition relocation: every 10th order doubles its price
+    * AND moves to status 'F' (a cross-partition move — the hard case:
+    * the old partition must drop the row, the new one must gain it, and
+    * untouched partitions' files stay byte-identical per UpsertSpec). */
+  val wq01UpsertRoundtrip: QueryDef = sqlChecked(
+    "wq01_upsert_roundtrip",
+    s"""WITH final AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN o_orderkey % 10 = 0 THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+       |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+       |  FROM orders)
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${sqlDsum("o_totalprice")} AS total
+       |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val path = graft.util.Scratch.tempDir("graft-upsert-q") + "/t"
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    graft.sources.PartitionedLayout.write(orders, path, "o_orderstatus")
+    val updates = orders.filter($"o_orderkey" % 10 === 0)
+      .withColumn("o_orderstatus", lit("F"))
+      .withColumn("o_totalprice", $"o_totalprice" * 2)
+    graft.sources.PartitionedLayout.upsert(spark, path, updates,
+      "o_orderkey", "o_orderstatus")
+    graft.sources.PartitionedLayout.read(spark, path)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Compaction: the table is written deliberately fragmented (32 files
+    * per partition), compacted to ~file-per-partition, and read back —
+    * rows must be preserved exactly; only layout may change
+    * (CompactionSpec pins the file-count and byte-identity claims). */
+  val wq02CompactionRoundtrip: QueryDef = sqlChecked(
+    "wq02_compaction_roundtrip",
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${sqlDsum("o_totalprice")} AS total,
+       |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val path = graft.util.Scratch.tempDir("graft-compact-q") + "/t"
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .repartition(32)
+      .write.partitionBy("o_orderstatus").parquet(path)
+    graft.sources.PartitionedLayout.compact(spark, path, "o_orderstatus"): Unit
+    graft.sources.PartitionedLayout.read(spark, path)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"),
+        min($"o_orderkey").cast("long").as("min_key"),
+        max($"o_orderkey").cast("long").as("max_key"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Incremental aggregate rollup: init from the first 80% of lineitem,
+    * ingest the rest as a batch (only touched key-hash buckets rewrite),
+    * serve the merged per-supplier totals — which must equal a one-shot
+    * aggregate over everything. l_quantity is integer-valued, so the
+    * long-accumulated rollup is exact. */
+  val wq03IncrementalAggRoundtrip: QueryDef = sqlChecked(
+    "wq03_incremental_agg_roundtrip",
+    """WITH b AS (SELECT CAST(FLOOR(max(l_orderkey) * 0.8) AS BIGINT) AS cut FROM lineitem)
+      |SELECT l_suppkey,
+      |  CAST(SUM(l_quantity) AS BIGINT) AS sum,
+      |  COUNT(l_quantity) AS cnt,
+      |  CAST(SUM(l_quantity) AS BIGINT) / COUNT(l_quantity) AS avg
+      |FROM lineitem, b
+      |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val path = graft.util.Scratch.tempDir("graft-incragg-q") + "/t"
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey", $"l_quantity")
+    val cut = li.agg(floor(max($"l_orderkey") * 0.8).cast("long")).head().getLong(0)
+    graft.sources.IncrementalAgg.init(spark, path,
+      li.filter($"l_orderkey" < cut), "l_suppkey", "l_quantity")
+    graft.sources.IncrementalAgg.ingest(spark, path,
+      li.filter($"l_orderkey" >= cut), "l_suppkey", "l_quantity")
+    graft.sources.IncrementalAgg.read(spark, path, "l_suppkey")
+      .orderBy($"l_suppkey")
+  }
+
+  /** Z-order rewrite: cluster lineitem on (l_partkey, l_suppkey) into
+    * compact z-range files (the two-dimensional file-skipping layout —
+    * ZOrderSpec proves the skipping bound), read the rewrite back and
+    * aggregate — clustering must preserve every row and value. */
+  val wq04ZorderRoundtrip: QueryDef = sqlChecked(
+    "wq04_zorder_roundtrip",
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${sqlDsum("l_extendedprice")} AS total,
+       |  CAST(SUM(l_partkey) AS BIGINT) AS sum_part,
+       |  CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val path = graft.util.Scratch.tempDir("graft-zorder-q") + "/t"
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_partkey", $"l_suppkey", $"l_extendedprice")
+    graft.operators.ZOrder.cluster(li, "l_partkey", "l_suppkey", nFiles = 16)
+      .write.parquet(path)
+    spark.read.parquet(path)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("total"),
+        sum($"l_partkey").cast("long").as("sum_part"),
+        sum($"l_suppkey").cast("long").as("sum_supp"))
+      .orderBy($"l_returnflag")
+  }
+
+  val all: Seq[QueryDef] = Seq(wq01UpsertRoundtrip, wq02CompactionRoundtrip,
+    wq03IncrementalAggRoundtrip, wq04ZorderRoundtrip)
+}
