@@ -85,12 +85,11 @@ object MaintenanceQueries {
     * long-accumulated rollup is exact. */
   val wq03IncrementalAggRoundtrip: QueryDef = sqlChecked(
     "wq03_incremental_agg_roundtrip",
-    """WITH b AS (SELECT CAST(FLOOR(max(l_orderkey) * 0.8) AS BIGINT) AS cut FROM lineitem)
-      |SELECT l_suppkey,
+    """SELECT l_suppkey,
       |  CAST(SUM(l_quantity) AS BIGINT) AS sum,
       |  COUNT(l_quantity) AS cnt,
       |  CAST(SUM(l_quantity) AS BIGINT) / COUNT(l_quantity) AS avg
-      |FROM lineitem, b
+      |FROM lineitem
       |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val path = graft.util.Scratch.tempDir("graft-incragg-q") + "/t"
