@@ -34,7 +34,9 @@ object ScaleProbe {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
-      "q20b_moment_stats,q24_percentiles,dq03_minhash_lsh,eq02_range_join,dq09_dup_clusters")
+      "q20b_moment_stats,q24_percentiles,dq03_minhash_lsh,eq02_range_join,dq09_dup_clusters," +
+        "sq07_bm25_topk,tq19_textrank_keywords,sq09_ann_pq_recall,wq01_upsert_roundtrip," +
+        "dq07b_decontaminate_bloom")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = Sessions.local("graft-scale-probe", cpus)
 
@@ -51,6 +53,23 @@ object ScaleProbe {
       val df = sources.Tables.load(spark, base, name)
       val shift = keyCols.map(k =>
         k -> (df.agg(max(col(k)).cast("long")).head().getLong(0) + 1L)).toMap
+      // the largest replica key is shift*n - 1; assert it fits the
+      // column's physical type — a 32-bit key that wraps would silently
+      // collapse the key space and invalidate the scaling measurement
+      for (k <- keyCols) {
+        import org.apache.spark.sql.types._
+        val bound: Long = df.schema(k).dataType match {
+          case LongType    => Long.MaxValue
+          case IntegerType => Int.MaxValue.toLong
+          case ShortType   => Short.MaxValue.toLong
+          case ByteType    => Byte.MaxValue.toLong
+          case dt => throw new IllegalArgumentException(
+            s"unsupported key type $dt for replica key $k")
+        }
+        require(BigInt(shift(k)) * n - 1 <= BigInt(bound),
+          s"replica keys for $name.$k overflow ${df.schema(k).dataType} " +
+            s"at factor $n; promote the key to long before probing")
+      }
       val copies = (0 until n).map { i =>
         keyCols.foldLeft(df) { (d, k) =>
           d.withColumn(k, (col(k) + lit(shift(k) * i)).cast(df.schema(k).dataType))
@@ -66,7 +85,9 @@ object ScaleProbe {
          (t, ks) <- Seq(
            "documents" -> Seq("doc_id"),
            "lineitem" -> Seq("l_orderkey"),
-           "events" -> Seq("event_id", "user_id")))
+           "events" -> Seq("event_id", "user_id"),
+           "embeddings" -> Seq("vec_id"),
+           "orders" -> Seq("o_orderkey")))
       replicate(t, ks, n, dir)
 
     // JIT/codegen warm-up outside every timed region (see Bench)

@@ -315,8 +315,12 @@ object SimilarityQueries {
     // similarity/Pq.scala's seeded Lloyd's loop; the distributed
     // alternative costs ~90 Spark jobs for 16×8-dim subproblems and
     // forces ML UDFs into the encode path
-    val sample = emb.select($"v").limit(20000)
-      .collect().map(_.getSeq[Double](0).toArray).toIndexedSeq
+    // orderBy before limit: LIMIT alone has no contractual row order, so
+    // codebooks (and the spec-gated recall) would depend on partition
+    // layout; TakeOrderedAndProject keeps the sample deterministic for a
+    // per-partition top-K + driver merge, never a global sort
+    val sample = emb.select($"vec_id", $"v").orderBy($"vec_id").limit(20000)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
     val cb: Seq[Seq[Seq[Double]]] = graft.similarity.Pq
       .trainSubspaces(sample, M, sub, K)
     // encode: nearest centroid per subspace as PURE column expressions

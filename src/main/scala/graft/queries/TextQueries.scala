@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.QueryDef.{rowsOnly, sqlChecked}
-import graft.multimodal.{Decode, Mp4Probe}
+import graft.multimodal.{Decode, EbmlProbe, Mp4Probe}
 import graft.sources.Tables
 import graft.util.Num._
 import org.apache.spark.sql.functions._
@@ -310,6 +310,84 @@ object TextQueries {
         (id, meta.width, meta.height, meta.durationMs, meta.nTracks)
       })
       .toDF("doc_id", "width", "height", "duration_ms", "n_tracks")
+      .orderBy($"doc_id")
+  }
+
+  /** WebM/Matroska twin of tq24, END TO END REAL: per document, build a
+    * minimal EBML container (header + Segment{Info,Tracks}, exactly what
+    * a range-read of a real webm's first kilobytes returns) with
+    * closed-form dims and duration, parse the actual EBML bytes on the
+    * executors (multimodal/EbmlProbe — pure JDK VINT walking), and emit
+    * the PROBED values. Together with tq24 this covers both dominant web
+    * video containers in the route-before-decode first pass. Oracle
+    * recomputes the closed forms — hash match proves the round trip. */
+  val tq25WebmProbe: QueryDef = sqlChecked(
+    "tq25_webm_probe",
+    """SELECT doc_id,
+      |  CAST(8 * (doc_id % 10 + 4) AS INT) AS width,
+      |  CAST(8 * (doc_id % 7 + 3) AS INT) AS height,
+      |  CAST((n_chars % 500) * 40 + 40 AS BIGINT) AS duration_ms,
+      |  1 AS n_tracks
+      |FROM documents WHERE doc_id < 180 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 180)
+      .select($"doc_id",
+        (($"doc_id" % 10 + 4) * 8).cast("int").as("w"),
+        (($"doc_id" % 7 + 3) * 8).cast("int").as("h"),
+        (($"n_chars" % 500) * 40 + 40).cast("long").as("dur"))
+      .as[(Long, Int, Int, Long)]
+      .mapPartitions(_.map { case (id, w, h, dur) =>
+        val meta = EbmlProbe.probe(EbmlProbe.encodeMeta(w, h, dur))
+          .getOrElse(EbmlProbe.Meta(0, 0, -1L, 0))
+        (id, meta.width, meta.height, meta.durationMs, meta.nTracks)
+      })
+      .toDF("doc_id", "width", "height", "duration_ms", "n_tracks")
+      .orderBy($"doc_id")
+  }
+
+  /** MP4 sample-table stats, END TO END REAL: the fixture container now
+    * carries a real `stbl` (uniform stsz + one-run stts + stss keyframe
+    * marks); the executors parse the actual box bytes
+    * (multimodal/Mp4Probe.probeSamples) and emit frame count, media
+    * bytes, keyframe count, and the derived bitrate. These are the
+    * route/filter signals of a 100 TB video pass — "drop < 200 kbps",
+    * "re-encode sparse-keyframe assets" — computed without touching one
+    * media byte. Oracle recomputes the closed forms arithmetically. */
+  val tq26Mp4Bitrate: QueryDef = sqlChecked(
+    "tq26_mp4_bitrate",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    doc_id % 24 + 1 AS nf,
+      |    (doc_id % 7 + 1) * 1000 AS fs,
+      |    doc_id % 5 + 1 AS k,
+      |    (n_chars % 1000) * 100 + 100 AS dur
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(nf * fs AS BIGINT) AS media_bytes,
+      |  CAST((nf - 1) // k + 1 AS BIGINT) AS n_keyframes,
+      |  CAST(nf * fs * 8000 // dur AS BIGINT) AS bitrate_bps
+      |FROM p ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 200)
+      .select($"doc_id",
+        ($"doc_id" % 24 + 1).cast("int").as("nf"),
+        (($"doc_id" % 7 + 1) * 1000).cast("int").as("fs"),
+        ($"doc_id" % 5 + 1).cast("int").as("k"),
+        (($"n_chars" % 1000) * 100 + 100).cast("long").as("dur"))
+      .as[(Long, Int, Int, Int, Long)]
+      .mapPartitions(_.map { case (id, nf, fs, k, dur) =>
+        val bytes = Mp4Probe.encodeMetaWithSamples(320, 240, dur, fs, nf, k)
+        val dm = Mp4Probe.probe(bytes).map(_.durationMs).getOrElse(-1L)
+        Mp4Probe.probeSamples(bytes) match {
+          case Some(s) if dm > 0 =>
+            (id, s.nFrames, s.mediaBytes, s.nKeyframes, s.mediaBytes * 8000L / dm)
+          case _ => (id, -1L, -1L, -1L, -1L) // sentinel, never a failed stage
+        }
+      })
+      .toDF("doc_id", "n_frames", "media_bytes", "n_keyframes", "bitrate_bps")
       .orderBy($"doc_id")
   }
 
@@ -905,5 +983,6 @@ object TextQueries {
     tq10BpeTokenCounts, tq11TokenPacking, tq12UnigramLogprob,
     tq13ContextChunks, tq14GlobalShuffle, tq15BigramPmi, tq16CdcBoundaries,
     tq17BigramLogprob, tq18VocabGrowth, tq20WeightedSample,
-    tq21CompressionRatio, tq22AudioDecode, tq23VideoDecode, tq24Mp4Probe)
+    tq21CompressionRatio, tq22AudioDecode, tq23VideoDecode, tq24Mp4Probe,
+    tq25WebmProbe, tq26Mp4Bitrate)
 }

@@ -61,4 +61,50 @@ class Mp4ProbeSpec extends AnyFunSuite {
     assert(Mp4Probe.probe(good.take(good.length / 2)).isEmpty,
       "moov truncated mid-box must not yield a meta")
   }
+
+  test("v0 duration overflow fails loudly instead of truncating") {
+    // ~6.6 h at 90 kHz exceeds the 32-bit mvhd duration field
+    assertThrows[IllegalArgumentException] {
+      Mp4Probe.encodeMeta(320, 240, 24L * 3600 * 1000, timescale = 90000)
+    }
+  }
+
+  test("sample-table round trip: frames, media bytes, keyframes") {
+    val bytes = Mp4Probe.encodeMetaWithSamples(
+      320, 240, durationMs = 4000L, frameBytes = 1500, nFrames = 96, keyInterval = 12)
+    // the spliced container still probes identically
+    val meta = Mp4Probe.probe(bytes).get
+    assert(meta.width == 320 && meta.height == 240 && meta.durationMs == 4000L)
+    val s = Mp4Probe.probeSamples(bytes).get
+    assert(s.nFrames == 96L)
+    assert(s.mediaBytes == 96L * 1500L)
+    assert(s.nKeyframes == 8L, "keyframes at 1, 13, ..., 85 = ceil(96/12)")
+  }
+
+  test("no stss box means every frame is a sync sample") {
+    val withStss = Mp4Probe.encodeMetaWithSamples(64, 64, 1000L, 100, 10, 3)
+    // strip the stss box: rebuild without its bytes and fix up lengths
+    val idx = withStss.sliding(4).indexWhere(_.sameElements("stss".getBytes("ISO-8859-1")))
+    assert(idx > 0)
+    val stssPos = idx - 4
+    val stssLen = java.nio.ByteBuffer.wrap(withStss, stssPos, 4).getInt
+    val stripped = withStss.take(stssPos) ++ withStss.drop(stssPos + stssLen)
+    // walk outer boxes whose span covered stss and shrink them
+    val buf = java.nio.ByteBuffer.wrap(stripped)
+    def shrink(pos: Int): Unit = if (pos + 8 <= stripped.length && pos < stssPos) {
+      val size = buf.getInt(pos)
+      if (pos + size > stssPos) { // box enclosed stss
+        buf.putInt(pos, size - stssLen)
+        shrink(pos + 8) // first child
+      } else shrink(pos + size) // next sibling
+    }
+    shrink(0)
+    val s = Mp4Probe.probeSamples(stripped).get
+    assert(s.nFrames == 10L && s.nKeyframes == 10L)
+  }
+
+  test("sample probe on a container without stbl is None, not a throw") {
+    assert(Mp4Probe.probeSamples(Mp4Probe.encodeMeta(320, 240, 1000L)).isEmpty)
+    assert(Mp4Probe.probeSamples("junk".getBytes("UTF-8")).isEmpty)
+  }
 }
