@@ -539,19 +539,55 @@ object DedupQueries {
       |  CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_cluster_size
       |FROM cl""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val base = shingled(spark, dir).cache()
-    val ex = base.select($"doc_id", explode($"shingles").as("sh"))
-    val sz = base.select($"doc_id", size($"shingles").as("sz"))
+    // Plan (semantics unchanged vs the oracle's all-pairs recursive CTE;
+    // measured on the 10× ScaleProbe replica, where the naive
+    // shingle-bucket self-join was 21 s of dq09's 25 s wall):
+    //  1. EXACT collapse first: identical shingle SETS are Jaccard-1
+    //     duplicates of each other and have identical Jaccard to every
+    //     other doc, so each set-class joins as ONE representative
+    //     carrying its multiplicity. Without this, k identical copies
+    //     inflate every candidate bucket k× and the pair join k²× — the
+    //     real-corpus version of the pathology is boilerplate/mirror
+    //     pages, and exact-dedup-before-near-dup is the standard
+    //     pipeline order for exactly this reason.
+    //  2. The exact shingle-bucket join + Jaccard filter then runs over
+    //     REPRESENTATIVES only (a prefix-filtered PPJoin variant was
+    //     measured slower here: its candidate set — 408k pairs for 5k
+    //     reps at the weak t=0.5 prefix bound — made the exact-verify
+    //     join cost more than the full bucket join it avoided).
+    //  3. Components over representative pairs, then multiplicity
+    //     expansion back to doc-level cluster stats.
+    val base = shingled(spark, dir)
+    val groups = base
+      // "\n" cannot occur inside a shingle (tokens split on \s+, joined
+      // with single spaces) so the key is collision-free set identity
+      .withColumn("gkey", sha2(concat_ws("\n", array_sort($"shingles")), 256))
+      .groupBy($"gkey")
+      .agg(min($"doc_id").as("rep"), count(lit(1)).as("gsz"),
+        first($"shingles").as("shingles"))
+      .drop("gkey")
+      .cache()
+    val ex = groups.select($"rep", explode($"shingles").as("sh"))
+    val szr = groups.select($"rep", size($"shingles").as("szv"))
     val pairs = ex.as("a")
-      .join(ex.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .join(ex.as("b"), $"a.sh" === $"b.sh" && $"a.rep" < $"b.rep")
+      .groupBy($"a.rep".as("rep_a"), $"b.rep".as("rep_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(sz.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), Seq("doc_a"))
-      .join(sz.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), Seq("doc_b"))
+      .join(szr.select($"rep".as("rep_a"), $"szv".as("sz_a")), Seq("rep_a"))
+      .join(szr.select($"rep".as("rep_b"), $"szv".as("sz_b")), Seq("rep_b"))
       .filter($"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter") >= 0.5)
-      .select($"doc_a", $"doc_b")
-    graft.operators.ConnectedComponents.components(pairs)
-      .groupBy($"component").agg(count(lit(1)).as("c"))
+      .select($"rep_a", $"rep_b")
+    val comps = graft.operators.ConnectedComponents.components(pairs)
+    // every member of a set-class lands in its representative's
+    // component; a class of ≥ 2 docs is a cluster even with no
+    // cross-class edge (its members are mutual exact dups), labeled by
+    // its min doc_id = rep, which is exactly the oracle's min-label
+    val labeled = groups
+      .join(comps, groups("rep") === comps("vertex"), "left")
+      .withColumn("cluster",
+        coalesce($"component", when($"gsz" >= 2, $"rep")))
+      .filter($"cluster".isNotNull)
+    labeled.groupBy($"cluster").agg(sum($"gsz").as("c"))
       .agg(
         count(lit(1)).as("n_clusters"),
         coalesce(sum($"c"), lit(0)).cast("long").as("n_docs_in_clusters"),

@@ -102,6 +102,34 @@ object Scd2 {
     untouched.unionByName(closed).unionByName(merged)
   }
 
+  /** Quarantining merge — the operational variant of [[merge]] for CDC
+    * feeds where occasional late updates are expected: instead of
+    * failing the whole merge job for one bad key, rows whose ts lands
+    * BEFORE the open version's valid_from are split to a side output
+    * (with every original update column intact, ready to write to a
+    * quarantine table for upstream repair) and the remaining rows merge
+    * normally. The fail-fast [[merge]] stays the default: quarantining
+    * must be an explicit operational decision, because a quarantined row
+    * is an update the dimension will never reflect until someone acts.
+    *
+    * @return (post-batch history, quarantined update rows) */
+  def mergeWithQuarantine(history: DataFrame, updates: DataFrame,
+      keyCol: String, tsCol: String, attrs: Seq[String]): (DataFrame, DataFrame) = {
+    val key = col(keyCol)
+    // one broadcast-ready frame of open-version anchors; a key with no
+    // open version (first sighting) can never be late
+    val openFrom = history.filter(col("is_current"))
+      .select(key, col("valid_from").as("__open_from"))
+    val flagged = updates.join(openFrom, Seq(keyCol), "left")
+      .withColumn("__late",
+        col("__open_from").isNotNull && col(tsCol) < col("__open_from"))
+    val quarantined = flagged.filter(col("__late"))
+      .drop("__open_from", "__late")
+    val ok = flagged.filter(!col("__late"))
+      .drop("__open_from", "__late")
+    (merge(history, ok, keyCol, tsCol, attrs), quarantined)
+  }
+
   /** First write: every batch row opens a version at its own ts. */
   def init(spark: SparkSession, path: String, rows: DataFrame,
       keyCol: String, tsCol: String, attrs: Seq[String]): Unit = {

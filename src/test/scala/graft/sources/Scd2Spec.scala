@@ -78,6 +78,62 @@ class Scd2Spec extends AnyFunSuite {
     assert(Scd2.merge(hist, onTime, "cust", "ts", Seq("segment")).count() >= 1)
   }
 
+  test("quarantining merge splits late rows to the side output and merges the rest") {
+    import spark.implicits._
+    // cust 1: closed gold + open platinum (from 2024-02-01); cust 2: open silver
+    val init = Seq(
+      (1L, "gold", ts("2024-01-01 00:00:00")),
+      (2L, "silver", ts("2024-01-01 00:00:00"))).toDF("cust", "segment", "ts")
+    val hist0 = Scd2.merge(
+      init.select($"cust", $"segment", $"ts".as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current")).limit(0),
+      init, "cust", "ts", Seq("segment"))
+    val hist = Scd2.merge(hist0,
+      Seq((1L, "platinum", ts("2024-02-01 00:00:00"))).toDF("cust", "segment", "ts"),
+      "cust", "ts", Seq("segment"))
+
+    // batch: one LATE row for cust 1 (before the open version), one valid
+    // row for cust 1, one valid row for the new key 3
+    val batch = Seq(
+      (1L, "lead", ts("2024-01-15 00:00:00")),
+      (1L, "diamond", ts("2024-03-01 00:00:00")),
+      (3L, "bronze", ts("2024-03-01 00:00:00"))).toDF("cust", "segment", "ts")
+    val (merged0, quarantined0) =
+      Scd2.mergeWithQuarantine(hist, batch, "cust", "ts", Seq("segment"))
+    val merged = merged0.localCheckpoint(true)
+    val quarantined = quarantined0.localCheckpoint(true)
+
+    // the quarantined row round-trips with all original columns intact
+    val q = quarantined.collect()
+    assert(q.length == 1)
+    assert(q(0).getAs[Long]("cust") == 1L && q(0).getAs[String]("segment") == "lead"
+      && q(0).getAs[java.sql.Timestamp]("ts") == ts("2024-01-15 00:00:00"))
+    assert(quarantined.columns.toSeq == batch.columns.toSeq,
+      "quarantine output must be writable as-is to a side table")
+    // ...and re-merging it through the fail-fast default still refuses
+    assertThrows[Exception] {
+      Scd2.merge(merged, quarantined, "cust", "ts", Seq("segment")).collect()
+    }
+
+    // the valid rows merged: cust 1 gained diamond, cust 3 appeared
+    val c1 = merged.filter($"cust" === 1L).orderBy($"valid_from").collect()
+    assert(c1.map(_.getAs[String]("segment")).toSeq == Seq("gold", "platinum", "diamond"))
+    assert(merged.filter($"cust" === 3L).count() == 1)
+    assert(merged.filter($"cust" === 2L && $"is_current").count() == 1, "untouched key intact")
+    // history stays non-overlapping per key: each version closes exactly
+    // where the next opens, with one open version per key
+    val rows = merged.orderBy($"cust", $"valid_from").collect()
+    rows.groupBy(_.getAs[Long]("cust")).foreach { case (_, vs) =>
+      assert(vs.count(_.getAs[Boolean]("is_current")) == 1)
+      vs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+            b.getAs[java.sql.Timestamp]("valid_from"), "no gap/overlap")
+        case _ => ()
+      }
+    }
+  }
+
   test("init and merge accept a non-timestamp (epoch long) ts column") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-scd2-long").toString + "/t"
