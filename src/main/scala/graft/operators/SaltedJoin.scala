@@ -24,7 +24,12 @@ object SaltedJoin {
   def join(bigSkewed: DataFrame, smallReplicated: DataFrame, key: String,
       saltFactor: Int = 8): DataFrame = {
     val salted = bigSkewed
-      // non-deterministic salt is fine: any distribution over [0,n) works
+      // correctness needs NO property of the salt beyond range: every
+      // row joins identically under any salt in [0, n) because the small
+      // side carries all n salt values — so the result SET is invariant
+      // under repartitioning even though rand(42)'s per-row draws are
+      // partition-layout-dependent (seeded rand is deterministic only
+      // for a fixed layout). SaltedJoinSpec pins both properties.
       .withColumn("__salt", (rand(42) * saltFactor).cast("int"))
     val replicated = smallReplicated
       .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))

@@ -77,8 +77,49 @@ object Snapshots {
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     } else {
-      if (f.exists(target)) false else f.rename(tmp, target)
+      // FileContext.rename(…, Rename.NONE) enforces no-overwrite AT THE
+      // FILESYSTEM LAYER (FileAlreadyExistsException) — on HDFS the
+      // check+rename is one atomic namenode op. A bare exists-then-
+      // rename would be a client-side TOCTOU on any store whose rename
+      // replaces (two racers both pass the exists check and one
+      // silently wins); stores with no FileContext binding fall back to
+      // that weaker path with the caveat documented above (raw S3-like
+      // stores need a coordination layer regardless).
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, f.getConf)
+        fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          if (f.exists(target)) false else f.rename(tmp, target)
+      }
     }
+  }
+
+  /** Stage + CAS-publish a manifest listing `files` as the next version;
+    * returns it. Retries the (tiny) publish on version races. */
+  private def publish(spark: SparkSession, f: org.apache.hadoop.fs.FileSystem,
+      path: String, files: Seq[String], beforePublish: Long => Unit): Long = {
+    val mDir = manifestDir(path)
+    f.mkdirs(mDir)
+    val tmp = new Path(mDir, s".${java.util.UUID.randomUUID()}.txt.tmp")
+    val out = f.create(tmp, false)
+    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
+    try {
+      val maxAttempts = 20
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        val next = versions(spark, path).lastOption.getOrElse(0L) + 1
+        beforePublish(next)
+        if (publishNoClobber(f, tmp, new Path(mDir, manifestName(next))))
+          return next
+        attempt += 1
+      }
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot commit at $path lost the version race $maxAttempts times")
+    } finally f.delete(tmp, false): Unit
   }
 
   /** Publish `df` as the next snapshot; returns the committed version.
@@ -112,36 +153,42 @@ object Snapshots {
           f.delete(dataDir, true)
           throw e
       }
-    val mDir = manifestDir(path)
-    f.mkdirs(mDir)
     // 2. manifest body staged under a writer-private temp name, then
     //    CAS-published onto the versioned name; losers retry with a
     //    bumped version — only this tiny publish step repeats
-    val tmp = new Path(mDir, s".$uuid.txt.tmp")
-    val out = f.create(tmp, false)
-    try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
     var published = false
     try {
-      val maxAttempts = 20
-      var attempt = 0
-      while (attempt < maxAttempts) {
-        val next = versions(spark, path).lastOption.getOrElse(0L) + 1
-        beforePublish(next)
-        if (publishNoClobber(f, tmp, new Path(mDir, manifestName(next)))) {
-          published = true
-          return next
-        }
-        attempt += 1
-      }
-      throw new java.util.ConcurrentModificationException(
-        s"snapshot commit at $path lost the version race $maxAttempts times")
+      val v = publish(spark, f, path, files.toSeq, beforePublish)
+      published = true
+      v
     } finally {
-      f.delete(tmp, false)
       // an aborted commit's data files are referenced by no manifest and
       // vacuum only reclaims files listed in DROPPED manifests — delete
       // them here or they leak forever
       if (!published) f.delete(dataDir, true): Unit
     }
+  }
+
+  /** Metadata-only commit: publish a manifest over data files some
+    * external writer already staged under `path` (paths relative to the
+    * table root). This is the rollback / REPLACE-maintenance / external-
+    * ingest shape — and the path the 10k-file manifest scale spec
+    * measures: no data moves, only the manifest CAS runs. The caller
+    * owns the claim that the listed files exist and are complete. */
+  def commitStaged(spark: SparkSession, path: String, relFiles: Seq[String],
+      beforePublish: Long => Unit = _ => ()): Long = {
+    val root = new Path(path)
+    publish(spark, fs(spark, root), path, relFiles, beforePublish)
+  }
+
+  /** The file list of a snapshot (relative paths, manifest order). */
+  def manifest(spark: SparkSession, path: String, version: Long): Seq[String] = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val mf = new Path(manifestDir(path), manifestName(version))
+    val in = f.open(mf)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
   }
 
   /** Read a specific snapshot (default: latest). */
@@ -150,12 +197,8 @@ object Snapshots {
     require(vs.nonEmpty, s"no snapshots at $path")
     val v = if (version < 0) vs.last
       else { require(vs.contains(version), s"version $version not in $vs"); version }
+    val files = manifest(spark, path, v)
     val root = new Path(path)
-    val f = fs(spark, root)
-    val mf = new Path(manifestDir(path), manifestName(v))
-    val in = f.open(mf)
-    val files = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
     spark.read.parquet(files.map(rel => new Path(root, rel).toString): _*)
   }
 

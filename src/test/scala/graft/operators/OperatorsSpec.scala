@@ -62,6 +62,13 @@ class OperatorsSpec extends AnyFunSuite {
     val a = plain.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
     val b = salted.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
     assert(a.sameElements(b))
+    // the property the seeded rand() actually needs: the result SET is
+    // stable under a different partition layout, even though per-row
+    // salt draws are layout-dependent
+    val reparted = SaltedJoin.join(skewed.repartition(7), dim, "pk", saltFactor = 8)
+      .groupBy($"p_brand").agg(count(lit(1)).as("n"), sum($"l_quantity").as("q"))
+    val c = reparted.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.sameElements(c), "salted join must be invariant to partitioning")
   }
 
   test("distributed prefix sum equals the single-partition window exactly") {

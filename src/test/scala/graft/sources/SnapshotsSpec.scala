@@ -98,6 +98,53 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest mechanics stay bounded at 10k data files and 40 retained versions") {
+    import spark.implicits._
+    val path = tbl()
+    Snapshots.commit(spark, path, Seq(1, 2, 3).toDF("x"))
+    // stage 10k data files as hard links of one real parquet part file
+    // (link(2) is instant; what matters is the MANIFEST carrying 10k
+    // entries, not the bytes behind them)
+    val root = java.nio.file.Paths.get(path)
+    val part = java.nio.file.Files.walk(root.resolve("data"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val bulk = root.resolve("data/bulk")
+    java.nio.file.Files.createDirectories(bulk)
+    val rels = (0 until 10000).map { i =>
+      val rel = f"data/bulk/f$i%05d.parquet"
+      java.nio.file.Files.createLink(root.resolve(rel), part)
+      rel
+    }
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // commit cost: a 10k-line manifest is ~500 KB — one small file write
+    // plus the CAS; this is the bound that holds at 100 TB (manifest
+    // size scales with file count, never data size)
+    val (v2, tCommit) = timed(Snapshots.commitStaged(spark, path, rels))
+    val (files, tParse) = timed(Snapshots.manifest(spark, path, v2))
+    assert(files.size == 10000)
+    // head-read cost: open+parse only; the subsequent scan cost is a
+    // property of file count/layout, not of the snapshot layer
+    // pile up 40 more versions referencing the same 10k files, then
+    // vacuum: reads every retained manifest (400k lines) and must delete
+    // exactly the files the surviving head no longer references
+    (1 to 40).foreach(_ => Snapshots.commitStaged(spark, path, rels))
+    val (_, tCommitDeep) = timed(Snapshots.commitStaged(spark, path, rels.take(5000)))
+    val v1Files = Snapshots.manifest(spark, path, 1L)
+    val rowsPerPart = spark.read.parquet(part.toString).count()
+    val (dead, tVacuum) = timed(Snapshots.vacuum(spark, path, keep = 1))
+    assert(dead.size == 5000 + v1Files.size,
+      "exactly the 5k dropped links plus v1's own part files")
+    assert(Snapshots.read(spark, path).count() == 5000L * rowsPerPart)
+    info(f"commit(10k files) ${tCommit}%.2f s; manifest parse ${tParse}%.3f s; " +
+      f"commit at depth 42 ${tCommitDeep}%.2f s; vacuum(42 versions) ${tVacuum}%.2f s")
+    // generous CI bounds — each of these is O(manifest bytes), and a
+    // regression to O(data) or O(versions × files) would blow them
+    assert(tCommit < 5 && tParse < 2 && tCommitDeep < 5 && tVacuum < 30)
+  }
+
   test("an aborted commit leaves no orphaned data files") {
     import spark.implicits._
     val path = tbl()
