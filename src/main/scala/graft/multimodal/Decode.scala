@@ -120,8 +120,16 @@ object Decode {
           val fmt = in.getFormat
           if (fmt.getSampleSizeInBits != 16)
             return AssetFeatures(a.asset_id, a.modality, a.payload.length, 0, 0, 0, -1.0)
-          val frames = in.getFrameLength.toInt
           val data = in.readAllBytes()
+          // stream-sourced WAVs can report NOT_SPECIFIED (-1) frames —
+          // derive the count from the decoded bytes instead of emitting
+          // a bogus negative value (frame size is bytes/frame across all
+          // channels, ≥ 2 here since we gated on 16-bit samples)
+          val declared = in.getFrameLength
+          val frames =
+            if (declared >= 0) declared.toInt
+            else if (fmt.getFrameSize > 0) data.length / fmt.getFrameSize
+            else return AssetFeatures(a.asset_id, a.modality, a.payload.length, 0, 0, 0, -1.0)
           var sumSq = 0.0
           var n = 0
           var i = 0

@@ -44,4 +44,66 @@ class ThroughputSpec extends AnyFunSuite {
       assert(rate > 2000, f"throughput $rate%.0f rows/s below floor")
     } finally query.stop()
   }
+
+  private def measure[A](n: Int, warm: Seq[A], timedRows: Seq[A],
+      mk: MemoryStream[A] => org.apache.spark.sql.streaming.DataStreamWriter[_])
+      (implicit enc: org.apache.spark.sql.Encoder[A]): Double = {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[A]
+    val query = mk(stream).start()
+    try {
+      stream.addData(warm: _*)
+      query.processAllAvailable()
+      val t0 = System.nanoTime()
+      stream.addData(timedRows: _*)
+      query.processAllAvailable()
+      n / ((System.nanoTime() - t0) / 1e9)
+    } finally query.stop()
+  }
+
+  test("stateful throughput: mapGroupsWithState and flatMapGroupsWithState paths") {
+    import spark.implicits._
+    val n = 40000
+    // 500 hot keys — state ops dominate, not key-space growth
+    val postings = (0 until n).map(i => (s"city${i % 500}", 10.0 + i % 30))
+    val profileRate = measure[(String, Double)](n,
+      postings.take(100), postings,
+      s => Sessionize.cityProfiles(s.toDF().toDF("city", "salary_avg"))
+        .writeStream.format("noop").outputMode(Sessionize.outputMode.toString))
+    info(f"mapGroupsWithState (cityProfiles): $profileRate%.0f rows/s over $n rows")
+    assert(profileRate > 2000, f"$profileRate%.0f rows/s below floor")
+
+    val base = java.sql.Timestamp.valueOf("2024-03-01 09:00:00").getTime
+    val events = (0 until n).map(i =>
+      Sessionize.SessionEvent(i % 500L, new java.sql.Timestamp(base + (i / 500) * 1000L)))
+    val sessionRate = measure[Sessionize.SessionEvent](n,
+      events.take(100), events,
+      s => Sessionize.closedSessions(s.toDS())
+        .writeStream.format("noop").outputMode("append"))
+    info(f"flatMapGroupsWithState (closedSessions): $sessionRate%.0f rows/s over $n rows")
+    assert(sessionRate > 2000, f"$sessionRate%.0f rows/s below floor")
+  }
+
+  test("stateful throughput: transformWithState (RocksDB provider) path") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val n = 40000
+      val base = java.sql.Timestamp.valueOf("2024-03-01 09:00:00").getTime
+      val events = (0 until n).map(i =>
+        Sessionize.SessionEvent(i % 500L, new java.sql.Timestamp(base + (i / 500) * 1000L)))
+      val rate = measure[Sessionize.SessionEvent](n,
+        events.take(100), events,
+        s => TwsSessionize.closedSessions(s.toDS())
+          .writeStream.format("noop").outputMode("append"))
+      info(f"transformWithState (TwsSessionize): $rate%.0f rows/s over $n rows")
+      assert(rate > 2000, f"$rate%.0f rows/s below floor")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
