@@ -558,14 +558,12 @@ object DedupQueries {
     //  3. Components over representative pairs, then multiplicity
     //     expansion back to doc-level cluster stats.
     val base = shingled(spark, dir)
+    // the SORTED shingle array is itself the set-identity group key (no
+    // hashing pass needed — Spark group-bys on array columns directly),
+    // and doubles as the per-group shingle set downstream
     val groups = base
-      // "\n" cannot occur inside a shingle (tokens split on \s+, joined
-      // with single spaces) so the key is collision-free set identity
-      .withColumn("gkey", sha2(concat_ws("\n", array_sort($"shingles")), 256))
-      .groupBy($"gkey")
-      .agg(min($"doc_id").as("rep"), count(lit(1)).as("gsz"),
-        first($"shingles").as("shingles"))
-      .drop("gkey")
+      .groupBy(array_sort($"shingles").as("shingles"))
+      .agg(min($"doc_id").as("rep"), count(lit(1)).as("gsz"))
       .cache()
     val ex = groups.select($"rep", explode($"shingles").as("sh"))
     val szr = groups.select($"rep", size($"shingles").as("szv"))

@@ -528,6 +528,95 @@ object TemporalQueries {
       .orderBy($"user_id", $"valid_from")
   }
 
+  /** SCD2 quarantining merge, ORACLE-CHECKED end to end: an 80%-of-range
+    * tier history is built first (every version before the cutoff), then
+    * the FULL update stream replays against it through
+    * Scd2.mergeWithQuarantine — updates before a user's open version are
+    * split to the quarantine side output (the operational late-arrival
+    * shape; the fail-fast merge stays the default), the rest merge.
+    * Output: the final version table plus each user's quarantined count.
+    *
+    * The oracle replays both halves declaratively: closed pre-cutoff
+    * versions pass through immutably; the open-version chain equals
+    * plain SCD2 derivation over the non-late rows (the batch row at the
+    * open version's valid_from IS the open version, and every
+    * re-delivered row between two kept versions carries the prevailing
+    * tier, so suppress-equal yields the identical chain); late = rows
+    * before the per-user max kept pre-cutoff ts. Distributed semi-prune
+    * + window merge vs pure window SQL must agree row-for-row. */
+  val eq13Scd2Quarantine: QueryDef = sqlChecked(
+    "eq13_scd2_quarantine",
+    """WITH p AS (
+      |  SELECT user_id, ts, max(value) AS v FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      |t AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN v < 50 THEN 'low' WHEN v < 200 THEN 'mid' ELSE 'high' END AS tier
+      |  FROM p),
+      |h AS (SELECT * FROM t WHERE ts < TIMESTAMP '2024-01-24 00:00:00'),
+      |hk AS (
+      |  SELECT user_id, ts, tier,
+      |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+      |  FROM h),
+      |hkept AS (SELECT user_id, ts, tier FROM hk WHERE pt IS NULL OR tier <> pt),
+      |open_v AS (SELECT user_id, max(ts) AS open_from FROM hkept GROUP BY user_id),
+      |late AS (
+      |  SELECT t.user_id FROM t JOIN open_v o ON t.user_id = o.user_id
+      |  WHERE t.ts < o.open_from),
+      |ok AS (
+      |  SELECT t.user_id, t.ts, t.tier FROM t
+      |  LEFT JOIN open_v o ON t.user_id = o.user_id
+      |  WHERE o.user_id IS NULL OR t.ts >= o.open_from),
+      |closedv AS (
+      |  SELECT user_id, tier, ts AS vf,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vt
+      |  FROM hkept),
+      |k AS (
+      |  SELECT user_id, ts, tier,
+      |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+      |  FROM ok),
+      |kept AS (SELECT user_id, ts, tier FROM k WHERE pt IS NULL OR tier <> pt),
+      |final AS (
+      |  SELECT user_id, tier, vf, vt, FALSE AS is_current
+      |  FROM closedv WHERE vt IS NOT NULL
+      |  UNION ALL
+      |  SELECT user_id, tier, ts AS vf,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vt,
+      |    (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
+      |  FROM kept),
+      |qc AS (SELECT user_id, COUNT(*) AS nq FROM late GROUP BY user_id)
+      |SELECT f.user_id, f.tier, CAST(f.vf AS TIMESTAMP) AS valid_from,
+      |  CAST(f.vt AS TIMESTAMP) AS valid_to, f.is_current,
+      |  CAST(COALESCE(qc.nq, 0) AS BIGINT) AS n_quarantined
+      |FROM final f LEFT JOIN qc ON f.user_id = qc.user_id
+      |ORDER BY f.user_id, valid_from""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    // checkpointed: the nested merges would otherwise re-derive the
+    // events aggregation once per self-reference (merge reads history
+    // and updates several times each)
+    val t = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("v"))
+      .select($"user_id", $"ts",
+        when($"v" < 50, "low").when($"v" < 200, "mid").otherwise("high").as("tier"))
+      .localCheckpoint(true)
+    val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-24 00:00:00"))
+    val empty = t
+      .select($"user_id", $"tier", $"ts".as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current"))
+      .limit(0)
+    val hist = graft.sources.Scd2
+      .merge(empty, t.filter($"ts" < cutoff), "user_id", "ts", Seq("tier"))
+      .localCheckpoint(true)
+    val (merged, quarantined) = graft.sources.Scd2
+      .mergeWithQuarantine(hist, t, "user_id", "ts", Seq("tier"))
+    val qc = quarantined.groupBy($"user_id").agg(count(lit(1)).as("nq"))
+    merged.join(qc, Seq("user_id"), "left")
+      .select($"user_id", $"tier", $"valid_from", $"valid_to", $"is_current",
+        coalesce($"nq", lit(0L)).cast("long").as("n_quarantined"))
+      .orderBy($"user_id", $"valid_from")
+  }
+
   /** Point-in-time join — the canonical consumer of SCD2 history: every
     * click event picks up the spending tier that was VALID at the
     * click's timestamp (valid_from ≤ ts < valid_to, open version
@@ -593,5 +682,5 @@ object TemporalQueries {
   val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq01bAsofExec, eq02RangeJoin,
     eq03Sessionize, eq04SessionWindow, eq05IntervalOverlap, eq06EventFunnel,
     eq07CohortRetention, eq08DailyAnomaly, eq09GapFill, eq10MovingWindow,
-    eq11Scd2Versions, eq12PitJoin)
+    eq11Scd2Versions, eq12PitJoin, eq13Scd2Quarantine)
 }

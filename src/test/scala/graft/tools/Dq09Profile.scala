@@ -23,11 +23,8 @@ object Dq09Profile {
       .filter(size($"toks") >= 3)
       .select($"doc_id", graft.dedup.Shingles.shingles3($"toks").as("shingles"))
     val groups = base
-      .withColumn("gkey", sha2(concat_ws("\n", array_sort($"shingles")), 256))
-      .groupBy($"gkey")
-      .agg(min($"doc_id").as("rep"), count(lit(1)).as("gsz"),
-        first($"shingles").as("shingles"))
-      .drop("gkey")
+      .groupBy(array_sort($"shingles").as("shingles"))
+      .agg(min($"doc_id").as("rep"), count(lit(1)).as("gsz"))
       .cache()
     t("collapse")(println("N_GROUPS " + groups.count()))
     val ex = groups.select($"rep", explode($"shingles").as("sh"))
@@ -72,6 +69,15 @@ object Dq09Profile {
       graft.operators.ConnectedComponents.components(p).localCheckpoint(true))
     t("final_agg")(cc.groupBy($"component").agg(count(lit(1)).as("c"))
       .agg(count(lit(1)), max($"c")).collect().foreach(println))
+    // fused end-to-end timing of the registered query (bench shape)
+    t("full_query_warm") {
+      graft.SparkEntry.queries("dq09_dup_clusters")(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+    }
+    t("full_query") {
+      graft.SparkEntry.queries("dq09_dup_clusters")(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+    }
     spark.stop()
   }
 }
