@@ -31,6 +31,9 @@ object EbmlProbe {
   private val Video = 0xE0L
   private val PixelWidth = 0xB0L
   private val PixelHeight = 0xBAL
+  private val Cluster = 0x1F43B675L
+  private val ClusterTimestamp = 0xE7L
+  private val SimpleBlock = 0xA3L
 
   /** (width, height, durationMillis, nTracks) of the first video track —
     * field-identical to [[Mp4Probe.Meta]] so downstream routing treats
@@ -111,6 +114,74 @@ object EbmlProbe {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Per-block statistics from the Segment's Clusters (first video pass
+    * signal, same role as [[Mp4Probe.probeSamples]]): SimpleBlock count,
+    * total media payload bytes, keyframe count (bit 7 of the SimpleBlock
+    * flags byte — RFC 9559 §9). */
+  final case class BlockStats(nBlocks: Long, mediaBytes: Long, nKeyframes: Long)
+
+  def probeBlocks(bytes: Array[Byte]): Option[BlockStats] = {
+    try {
+      var blocks = 0L
+      var media = 0L
+      var keys = 0L
+      var sawCluster = false
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        while (pos < end) {
+          val (id, idLen) = vint(bytes, pos, keepMarker = true).getOrElse(return)
+          val (sz, szLen) = vint(bytes, pos + idLen, keepMarker = false).getOrElse(return)
+          val body = pos + idLen + szLen
+          val bodyEnd = if (sz < 0) end else body + sz.toInt
+          if (sz >= 0 && (sz > Int.MaxValue || bodyEnd > end)) return // truncated
+          id match {
+            case Segment => walk(body, bodyEnd)
+            case Cluster => sawCluster = true; walk(body, bodyEnd)
+            case SimpleBlock =>
+              // block layout: track VINT, s16 relative timestamp, flags,
+              // then the frame payload
+              vint(bytes, body, keepMarker = false) match {
+                case Some((_, tLen)) if body + tLen + 3 <= bodyEnd =>
+                  blocks += 1
+                  media += bodyEnd - (body + tLen + 3)
+                  if ((bytes(body + tLen + 2) & 0x80) != 0) keys += 1
+                case _ => () // malformed block: skip, never throw
+              }
+            case _ => ()
+          }
+          pos = bodyEnd
+        }
+      }
+      walk(0, bytes.length)
+      if (!sawCluster) None else Some(BlockStats(blocks, media, keys))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  // ---- encoding helpers (fixture/oracle side) ----
+
+  private def vintSize(n: Long): Array[Byte] = {
+    // minimal-width size VINT: value must fit under the marker bit
+    var len = 1
+    while (len < 8 && n >= (1L << (7 * len)) - 1) len += 1
+    val out = new Array[Byte](len)
+    var v = n | (1L << (7 * len)) // set marker
+    var i = len - 1
+    while (i >= 0) { out(i) = (v & 0xff).toByte; v >>>= 8; i -= 1 }
+    out
+  }
+  private def idBytes(id: Long): Array[Byte] = {
+    var len = 1
+    while ((id >> (8 * len)) != 0) len += 1
+    (1 to len).map(i => ((id >> (8 * (len - i))) & 0xff).toByte).toArray
+  }
+  private def el(id: Long, body: Array[Byte]): Array[Byte] =
+    idBytes(id) ++ vintSize(body.length.toLong) ++ body
+  private def uintBytes(v: Long): Array[Byte] = {
+    var len = 1
+    while ((v >> (8 * len)) != 0) len += 1
+    (1 to len).map(i => ((v >> (8 * (len - i))) & 0xff).toByte).toArray
+  }
+
   /** Build a minimal valid EBML header + Segment{Info,Tracks} with the
     * given first-track dims and duration — the fixture/oracle side of
     * the probe round trip (headers only, no Clusters; exactly like a
@@ -119,28 +190,6 @@ object EbmlProbe {
       timestampScaleNs: Long = 1000000L): Array[Byte] = {
     require(durationMs >= 0 && width > 0 && height > 0,
       "encodeMeta needs positive dims and a non-negative duration")
-    def vintSize(n: Long): Array[Byte] = {
-      // minimal-width size VINT: value must fit under the marker bit
-      var len = 1
-      while (len < 8 && n >= (1L << (7 * len)) - 1) len += 1
-      val out = new Array[Byte](len)
-      var v = n | (1L << (7 * len)) // set marker
-      var i = len - 1
-      while (i >= 0) { out(i) = (v & 0xff).toByte; v >>>= 8; i -= 1 }
-      out
-    }
-    def idBytes(id: Long): Array[Byte] = {
-      var len = 1
-      while ((id >> (8 * len)) != 0) len += 1
-      (1 to len).map(i => ((id >> (8 * (len - i))) & 0xff).toByte).toArray
-    }
-    def el(id: Long, body: Array[Byte]): Array[Byte] =
-      idBytes(id) ++ vintSize(body.length.toLong) ++ body
-    def uintBytes(v: Long): Array[Byte] = {
-      var len = 1
-      while ((v >> (8 * len)) != 0) len += 1
-      (1 to len).map(i => ((v >> (8 * (len - i))) & 0xff).toByte).toArray
-    }
     val header = el(EbmlHeader,
       el(0x4282L, "webm".getBytes("ISO-8859-1"))) // DocType
     // duration is a float in timestamp-scale units; with the 1 ms default
@@ -159,5 +208,39 @@ object EbmlProbe {
             el(PixelHeight, uintBytes(height.toLong))))
     val segment = el(Segment, info ++ el(Tracks, trackEntry))
     header ++ segment
+  }
+
+  /** [[encodeMeta]] plus one Cluster of `nFrames` SimpleBlocks with
+    * `frameBytes`-byte payloads, every `keyInterval`-th block flagged as
+    * a keyframe — the fixture/oracle side of the [[probeBlocks]] round
+    * trip (payload bytes are zeros: the probe never decodes them). */
+  def encodeMetaWithBlocks(width: Int, height: Int, durationMs: Long,
+      frameBytes: Int, nFrames: Int, keyInterval: Int,
+      timestampScaleNs: Long = 1000000L): Array[Byte] = {
+    require(nFrames > 0 && frameBytes > 0 && keyInterval > 0,
+      "block run needs positive frame count/size/key interval")
+    val base = encodeMeta(width, height, durationMs, timestampScaleNs)
+    val blocks = (0 until nFrames).map { i =>
+      val hdr = Array[Byte](
+        0x81.toByte, // track 1 as a 1-byte VINT
+        0, 0,        // s16 relative timestamp
+        if (i % keyInterval == 0) 0x80.toByte else 0x00.toByte)
+      el(SimpleBlock, hdr ++ new Array[Byte](frameBytes))
+    }.reduce(_ ++ _)
+    val cluster = el(Cluster, el(ClusterTimestamp, uintBytes(0L)) ++ blocks)
+    // splice the Cluster into the Segment: the EBML header is the first
+    // top-level element, the Segment the second — rebuild the Segment
+    // element around (old body ++ cluster). Sizes are VINTs, so the
+    // Segment length prefix may grow; re-emitting the element is simpler
+    // and safer than patching bytes in place.
+    val (hdrId, hdrIdLen) = vint(base, 0, keepMarker = true).get
+    require(hdrId == EbmlHeader)
+    val (hdrSz, hdrSzLen) = vint(base, hdrIdLen, keepMarker = false).get
+    val segStart = hdrIdLen + hdrSzLen + hdrSz.toInt
+    val (segId, segIdLen) = vint(base, segStart, keepMarker = true).get
+    require(segId == Segment)
+    val (_, segSzLen) = vint(base, segStart + segIdLen, keepMarker = false).get
+    val segBody = base.drop(segStart + segIdLen + segSzLen)
+    base.take(segStart) ++ el(Segment, segBody ++ cluster)
   }
 }

@@ -35,10 +35,11 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Rounds of min-label propagation to attempt before escalating to
-    * the alternating algorithm. Dedup graphs converge in ≤ 4; anything
-    * still moving after 8 rounds has a long-diameter component that
-    * min-label would chase linearly. */
+  /** Double-hop rounds of min-label propagation to attempt before
+    * escalating to the alternating algorithm (each round propagates two
+    * hops, so this covers diameter ≤ 16). Dedup graphs converge in ≤ 2
+    * such rounds; anything still moving after 8 has a long-diameter
+    * component that min-label would chase linearly. */
   private val EscalationRounds = 8
 
   /** @param pairs two-column frame of undirected edges (src, dst)
@@ -77,22 +78,28 @@ object ConnectedComponents {
       df.agg(sum($"component".cast("decimal(38,0)"))).head.getDecimal(0)
     // labels only ever decrease, so the sum strictly decreases until the
     // fixpoint — equality IS convergence, no per-vertex compare join
+    def propagate(lbls: DataFrame): DataFrame = {
+      val lbl = lbls.withColumnRenamed("vertex", "a")
+      lbls.unionByName(
+          edges.join(broadcast(lbl), Seq("a"))
+            .select($"b".as("vertex"), $"component"))
+        .groupBy($"vertex")
+        .agg(min($"component").as("component"))
+    }
     var prevSum = checksum(labels)
     var converged = false
     var i = 0
     while (!converged && i < EscalationRounds) {
-      val lbl = labels.withColumnRenamed("vertex", "a")
-      val propagated = edges
-        .join(broadcast(lbl), Seq("a"))
-        .select($"b".as("vertex"), $"component")
-      // localCheckpoint, not cache: cached frames still carry the full
-      // logical lineage, so analyzer/optimizer cost compounds with round
-      // count (the pathology PageRank measured at ~3.7 s/round by round
-      // 10); checkpointing keeps every round planning against a flat scan
-      val next = labels.unionByName(propagated)
-        .groupBy($"vertex")
-        .agg(min($"component").as("component"))
-        .localCheckpoint(true)
+      // TWO propagation hops per materialization: labels only decrease,
+      // so checksum equality after a double-hop still means fixpoint,
+      // and the per-round fixed cost (checkpoint + checksum job) is paid
+      // half as often — dedup graphs (diameter ≤ ~3) now converge in
+      // two cycles. localCheckpoint, not cache: cached frames still
+      // carry the full logical lineage, so analyzer/optimizer cost
+      // compounds with round count (the pathology PageRank measured at
+      // ~3.7 s/round by round 10); checkpointing keeps every round
+      // planning against a flat scan
+      val next = propagate(propagate(labels)).localCheckpoint(true)
       val nextSum = checksum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

@@ -391,6 +391,50 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** WebM block-level stats, END TO END REAL — the EBML counterpart of
+    * tq26: the fixture Segment carries a real Cluster of SimpleBlocks
+    * (keyframes flagged per RFC 9559), the executors walk the actual
+    * container bytes (multimodal/EbmlProbe.probeBlocks) and emit block
+    * count, media bytes, keyframe count, and derived bitrate. Both
+    * dominant web video containers now yield identical routing signals
+    * without a decoder. Oracle recomputes the closed forms. */
+  val tq27WebmBitrate: QueryDef = sqlChecked(
+    "tq27_webm_bitrate",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    doc_id % 20 + 1 AS nf,
+      |    (doc_id % 6 + 1) * 800 AS fs,
+      |    doc_id % 4 + 1 AS k,
+      |    (n_chars % 800) * 50 + 50 AS dur
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id,
+      |  CAST(nf AS BIGINT) AS n_blocks,
+      |  CAST(nf * fs AS BIGINT) AS media_bytes,
+      |  CAST((nf - 1) // k + 1 AS BIGINT) AS n_keyframes,
+      |  CAST(nf * fs * 8000 // dur AS BIGINT) AS bitrate_bps
+      |FROM p ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 200)
+      .select($"doc_id",
+        ($"doc_id" % 20 + 1).cast("int").as("nf"),
+        (($"doc_id" % 6 + 1) * 800).cast("int").as("fs"),
+        ($"doc_id" % 4 + 1).cast("int").as("k"),
+        (($"n_chars" % 800) * 50 + 50).cast("long").as("dur"))
+      .as[(Long, Int, Int, Int, Long)]
+      .mapPartitions(_.map { case (id, nf, fs, k, dur) =>
+        val bytes = EbmlProbe.encodeMetaWithBlocks(640, 360, dur, fs, nf, k)
+        val dm = EbmlProbe.probe(bytes).map(_.durationMs).getOrElse(-1L)
+        EbmlProbe.probeBlocks(bytes) match {
+          case Some(s) if dm > 0 =>
+            (id, s.nBlocks, s.mediaBytes, s.nKeyframes, s.mediaBytes * 8000L / dm)
+          case _ => (id, -1L, -1L, -1L, -1L) // sentinel, never a failed stage
+        }
+      })
+      .toDF("doc_id", "n_blocks", "media_bytes", "n_keyframes", "bitrate_bps")
+      .orderBy($"doc_id")
+  }
+
   /** The deterministic half of the multimodal plumbing, oracle-checked:
     * payload byte counts survive the text→binary cast identically in both
     * engines (tq06 keeps the fake-decode part rows-only). */
@@ -984,5 +1028,5 @@ object TextQueries {
     tq13ContextChunks, tq14GlobalShuffle, tq15BigramPmi, tq16CdcBoundaries,
     tq17BigramLogprob, tq18VocabGrowth, tq20WeightedSample,
     tq21CompressionRatio, tq22AudioDecode, tq23VideoDecode, tq24Mp4Probe,
-    tq25WebmProbe, tq26Mp4Bitrate)
+    tq25WebmProbe, tq26Mp4Bitrate, tq27WebmBitrate)
 }

@@ -33,4 +33,25 @@ class EbmlProbeSpec extends AnyFunSuite {
   test("mp4 bytes are not mistaken for ebml") {
     assert(EbmlProbe.probe(Mp4Probe.encodeMeta(320, 240, 5000L)).isEmpty)
   }
+
+  test("block stats round trip: count, media bytes, keyframe density") {
+    val bytes = EbmlProbe.encodeMetaWithBlocks(
+      640, 360, durationMs = 4000L, frameBytes = 900, nFrames = 50, keyInterval = 12)
+    // metadata probe still works on the spliced container
+    val m = EbmlProbe.probe(bytes).get
+    assert(m == EbmlProbe.Meta(640, 360, 4000L, 1))
+    val s = EbmlProbe.probeBlocks(bytes).get
+    assert(s.nBlocks == 50L)
+    assert(s.mediaBytes == 50L * 900L)
+    assert(s.nKeyframes == 5L, "keyframes at blocks 0,12,24,36,48")
+  }
+
+  test("block stats on a headers-only container is None, not a throw") {
+    assert(EbmlProbe.probeBlocks(EbmlProbe.encodeMeta(320, 240, 1000L)).isEmpty)
+    assert(EbmlProbe.probeBlocks("junk".getBytes("UTF-8")).isEmpty)
+    val good = EbmlProbe.encodeMetaWithBlocks(320, 240, 1000L, 100, 10, 3)
+    // truncating inside the Cluster must degrade, never throw
+    assert(EbmlProbe.probeBlocks(good.take(good.length - 30)).toSeq
+      .forall(_.nBlocks <= 10L))
+  }
 }
