@@ -58,10 +58,17 @@ object ConnectedComponents {
       .filter($"a" =!= $"b")
       .distinct()
       .cache() // reused every round; edge list ≪ corpus (near-dups only)
-    var labels = edges.select($"a".as("vertex")).distinct()
-      .withColumn("component", $"vertex")
+    // initial labels fold in the FIRST propagation hop for free: before
+    // any round, every neighbor's label IS itself, so min(least(a, b))
+    // per vertex equals one hop of propagation without a join
+    var labels = edges.groupBy($"a".as("vertex"))
+      .agg(min(least($"a", $"b")).as("component"))
       .localCheckpoint(true)
-    val nVertices = labels.count()
+    // one job for both the empty/broadcast decision and the convergence
+    // baseline
+    val firstAgg = labels
+      .agg(count(lit(1)), sum($"component".cast("decimal(38,0)"))).head()
+    val nVertices = firstAgg.getLong(0)
     if (nVertices == 0) { edges.unpersist(); return labels }
     // Dedup graphs have few vertices relative to the corpus, so the label
     // frame usually fits a broadcast — propagation then runs map-side and
@@ -86,7 +93,7 @@ object ConnectedComponents {
         .groupBy($"vertex")
         .agg(min($"component").as("component"))
     }
-    var prevSum = checksum(labels)
+    var prevSum = firstAgg.getDecimal(1)
     var converged = false
     var i = 0
     while (!converged && i < EscalationRounds) {
