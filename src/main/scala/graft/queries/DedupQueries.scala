@@ -697,10 +697,58 @@ object DedupQueries {
       .orderBy($"i", $"j")
   }
 
+  /** Exact substring dedup (Lee et al. 2022 arXiv:2107.06499): maximal
+    * spans of >= 8 consecutive tokens occurring more than once anywhere
+    * in the corpus, summarized per document. The distributed shape is an
+    * n-gram inverted index + gaps-and-islands merge (see
+    * graft.dedup.SubstringDedup); the oracle replays it over gram TEXT
+    * (the Spark side shuffles 64-bit xxhash64 keys instead — identical
+    * up to hash collision, and a collision can only add a span, the
+    * conservative direction for dedup). */
+  val dq12SubstringDedup: QueryDef = sqlChecked(
+    "dq12_substring_dedup",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w,
+      |    unnest(generate_series(0, len(w) - 8)) AS pos
+      |  FROM t WHERE len(w) >= 8),
+      |grams AS (
+      |  SELECT doc_id, n_tokens, pos,
+      |    array_to_string(w[pos + 1 : pos + 8], ' ') AS gram
+      |  FROM occ),
+      |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+      |dp AS (SELECT g.doc_id, g.n_tokens, g.pos
+      |       FROM grams g JOIN dup USING (gram)),
+      |lagd AS (
+      |  SELECT doc_id, n_tokens, pos,
+      |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM dp),
+      |isl AS (
+      |  SELECT doc_id, n_tokens, pos,
+      |    SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM lagd),
+      |spans AS (
+      |  SELECT doc_id, n_tokens, island, MIN(pos) AS s, MAX(pos) + 7 AS e
+      |  FROM isl GROUP BY 1, 2, 3)
+      |SELECT doc_id, COUNT(*) AS n_spans,
+      |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+      |  CAST(MAX(e - s + 1) AS BIGINT) AS max_span,
+      |  n_tokens
+      |FROM spans GROUP BY doc_id, n_tokens
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.dedup.SubstringDedup.perDoc(
+      Tables.fanOut(spark, Tables.documents(spark, dir)), k = 8)
+  }
+
   val all: Seq[QueryDef] = Seq(
     dq01ExactDedup, dq02DedupKeepFirst, dq03MinhashLsh, dq03bMinhashPortable,
     dq04Simhash, dq04bSimhashPortable, dq06bWinnowPortable,
     dq05NgramJaccard, dq06WinnowFingerprints, dq07Decontaminate,
     dq07bDecontaminateBloom,
-    dq08IncrementalDedup, dq09DupClusters, dq10PassageDedup, dq11FuzzyJoin)
+    dq08IncrementalDedup, dq09DupClusters, dq10PassageDedup, dq11FuzzyJoin,
+    dq12SubstringDedup)
 }
