@@ -1020,6 +1020,67 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  /** Cross-source n-gram overlap matrix (the Dolma/RedPajama-style
+    * corpus-composition analysis): for every ordered source pair, how
+    * many distinct 8-token grams they share, next to each side's distinct
+    * gram total — the inputs to containment/Jaccard heatmaps that decide
+    * which sources are near-copies of each other before training mixes
+    * are weighted.
+    *
+    * 100 TB shape: grams are hashed IN-ROW (xxhash64) before the
+    * explode, deduped per source, and the pair join is keyed on the
+    * gram — per-gram fanout is bounded by the SOURCE count (tens), never
+    * document count, so there is no doc-pair quadratic anywhere. The
+    * oracle replays over gram text; identical up to 64-bit collision. */
+  val tq28SourceOverlap: QueryDef = sqlChecked(
+    "tq28_source_overlap",
+    """WITH t AS (
+      |  SELECT source, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |occ AS (
+      |  SELECT source, w, unnest(generate_series(0, len(w) - 8)) AS pos
+      |  FROM t WHERE len(w) >= 8),
+      |g AS (
+      |  SELECT DISTINCT source,
+      |    array_to_string(w[pos + 1 : pos + 8], ' ') AS gram
+      |  FROM occ),
+      |tot AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    COUNT(*) AS shared_grams
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, shared_grams,
+      |  ta.n_grams AS n_grams_a, tb.n_grams AS n_grams_b
+      |FROM pairs
+      |JOIN tot ta ON ta.source = pairs.src_a
+      |JOIN tot tb ON tb.source = pairs.src_b
+      |ORDER BY src_a, src_b""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val grams = Tables.fanOut(spark, Tables.documents(spark, dir))
+      .select($"source", split(lower($"text"), "\\s+").as("w"))
+      .filter(size($"w") >= 8)
+      .select($"source", explode(array_distinct(transform(
+        sequence(lit(0), size($"w") - 8),
+        i => xxhash64(concat_ws(" ", slice($"w", i + 1, lit(8))))))).as("g"))
+      .distinct()
+      .cache()
+    val tot = grams.groupBy($"source").agg(count(lit(1)).as("n_grams"))
+    val pairs = grams.select($"g", $"source".as("src_a"))
+      .join(grams.select($"g", $"source".as("src_b")), Seq("g"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(tot.select($"source".as("src_a"), $"n_grams".as("n_grams_a")),
+        Seq("src_a"))
+      .join(tot.select($"source".as("src_b"), $"n_grams".as("n_grams_b")),
+        Seq("src_b"))
+      .select($"src_a", $"src_b", $"shared_grams",
+        $"n_grams_a", $"n_grams_b")
+      .orderBy($"src_a", $"src_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
     tq05Fingerprints, tq06MultimodalDecode, tq07MultimodalStats,
@@ -1028,5 +1089,5 @@ object TextQueries {
     tq13ContextChunks, tq14GlobalShuffle, tq15BigramPmi, tq16CdcBoundaries,
     tq17BigramLogprob, tq18VocabGrowth, tq20WeightedSample,
     tq21CompressionRatio, tq22AudioDecode, tq23VideoDecode, tq24Mp4Probe,
-    tq25WebmProbe, tq26Mp4Bitrate, tq27WebmBitrate)
+    tq25WebmProbe, tq26Mp4Bitrate, tq27WebmBitrate, tq28SourceOverlap)
 }
