@@ -697,6 +697,42 @@ object DedupQueries {
       .orderBy($"i", $"j")
   }
 
+  /** Per-document duplicate-cluster label over the SAME graph dq09
+    * resolves (3-gram Jaccard >= 0.5 near-dup edges, exact dups
+    * collapsed to set-class representatives first): every doc maps to
+    * the min doc_id of its connected component, unclustered docs to
+    * themselves. This is the grouping key leakage-free splitting needs —
+    * any split keyed on it can never separate two near-duplicates. */
+  def dupClusterLabels(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .withColumn("toks", Shingles.tokens($"text"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", Shingles.shingles3($"toks").as("shingles"))
+    val groups = base
+      .groupBy(array_sort($"shingles").as("shingles"))
+      .agg(min($"doc_id").as("rep"), collect_list($"doc_id").as("members"))
+      .cache()
+    val ex = groups.select($"rep", explode($"shingles").as("sh"))
+    val szr = groups.select($"rep", size($"shingles").as("szv"))
+    val pairs = ex.as("a")
+      .join(ex.as("b"), $"a.sh" === $"b.sh" && $"a.rep" < $"b.rep")
+      .groupBy($"a.rep".as("rep_a"), $"b.rep".as("rep_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(szr.select($"rep".as("rep_a"), $"szv".as("sz_a")), Seq("rep_a"))
+      .join(szr.select($"rep".as("rep_b"), $"szv".as("sz_b")), Seq("rep_b"))
+      .filter($"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter") >= 0.5)
+      .select($"rep_a", $"rep_b")
+    val comps = graft.operators.ConnectedComponents.components(pairs)
+    // members of a set-class inherit their representative's component;
+    // min-over-reps = min-over-docs because every rep is already the min
+    // of its class
+    val mapping = groups.select($"rep", explode($"members").as("doc_id"))
+    mapping.join(comps, mapping("rep") === comps("vertex"), "left")
+      .select($"doc_id", coalesce($"component", $"rep").as("label"))
+  }
+
   /** Exact substring dedup (Lee et al. 2022 arXiv:2107.06499): maximal
     * spans of >= 8 consecutive tokens occurring more than once anywhere
     * in the corpus, summarized per document. The distributed shape is an

@@ -187,6 +187,94 @@ object PipelineQueries {
     stats(1L).unionByName(stats(2L)).orderBy($"version")
   }
 
+  /** Leakage-free train/val/test split: the split key is the
+    * duplicate-CLUSTER label (dq09's near-dup graph — exact dups
+    * collapsed, 3-gram Jaccard >= 0.5 edges, connected components), not
+    * the document id, so two near-duplicates can never land in
+    * different splits — the standard guard against eval contamination
+    * when a test set is carved out of a deduplicated-but-not-perfectly
+    * corpus. Assignment is an md5-prefix threshold on the label
+    * (80/10/10), the same partition-independent draw tq09 establishes:
+    * deterministic under any partitioning or cluster size, no shuffle
+    * beyond the label computation itself.
+    *
+    * The oracle recomputes the clusters with a doc-level recursive CTE
+    * and replays the identical hash split — a hash match proves both
+    * engines assign every document to the same split, which subsumes
+    * the zero-leakage property (same label → same split by
+    * construction). */
+  val pq04LeakageFreeSplit: QueryDef = sqlChecked(
+    "pq04_leakage_free_split",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(w) - 2),
+      |    i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))) AS shingles
+      |  FROM toks WHERE len(w) >= 3),
+      |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+      |sz AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |  JOIN sz sa ON sa.doc_id = doc_a
+      |  JOIN sz sb ON sb.doc_id = doc_b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM jac
+      |      UNION SELECT doc_b, doc_a FROM jac),
+      |reach AS (
+      |  SELECT a AS doc, a AS label FROM e
+      |  UNION
+      |  SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.doc),
+      |comp AS (SELECT doc, min(label) AS component FROM reach GROUP BY doc),
+      |lab AS (
+      |  SELECT d.doc_id, d.n_chars,
+      |    COALESCE(c.component, d.doc_id) AS label
+      |  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
+      |assigned AS (
+      |  SELECT doc_id, n_chars, label,
+      |    CASE WHEN substr(md5(CAST(label AS VARCHAR)), 1, 4) < 'cccc'
+      |           THEN 'train'
+      |         WHEN substr(md5(CAST(label AS VARCHAR)), 1, 4) < 'e666'
+      |           THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM lab),
+      |bylab AS (
+      |  SELECT split, label, COUNT(*) AS c, SUM(n_chars) AS chars
+      |  FROM assigned GROUP BY 1, 2)
+      |SELECT split,
+      |  CAST(SUM(c) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_groups,
+      |  COUNT(*) FILTER (c >= 2) AS n_clusters,
+      |  CAST(COALESCE(SUM(c) FILTER (c >= 2), 0) AS BIGINT) AS n_clustered_docs,
+      |  CAST(SUM(chars) AS BIGINT) AS sum_chars
+      |FROM bylab GROUP BY split
+      |ORDER BY split""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val labels = DedupQueries.dupClusterLabels(
+      Tables.fanOut(spark, Tables.documents(spark, dir)))
+    val lab = Tables.documents(spark, dir).select($"doc_id", $"n_chars")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("label", coalesce($"label", $"doc_id"))
+    val h = substring(md5($"label".cast("string")), 1, 4)
+    val byLabel = lab
+      .withColumn("split",
+        when(h < "cccc", "train").when(h < "e666", "val").otherwise("test"))
+      .groupBy($"split", $"label")
+      .agg(count(lit(1)).as("c"), sum($"n_chars").as("chars"))
+    byLabel.groupBy($"split")
+      .agg(
+        sum($"c").cast("long").as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        count(when($"c" >= 2, 1)).as("n_clusters"),
+        coalesce(sum(when($"c" >= 2, $"c")), lit(0)).cast("long")
+          .as("n_clustered_docs"),
+        sum($"chars").cast("long").as("sum_chars"))
+      .orderBy($"split")
+  }
+
   val all: Seq[QueryDef] = Seq(pq01TrainingPrep, pq02Curriculum,
-    pq03SnapshotTimeTravel)
+    pq03SnapshotTimeTravel, pq04LeakageFreeSplit)
 }
