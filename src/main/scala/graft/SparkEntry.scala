@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.FilterQueries.all ++
     graft.queries.PipelineQueries.all ++
     graft.queries.RetrievalQueries.all ++
-    graft.queries.MaintenanceQueries.all
+    graft.queries.MaintenanceQueries.all ++
+    graft.queries.TokenizerQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
