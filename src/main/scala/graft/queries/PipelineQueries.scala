@@ -275,6 +275,80 @@ object PipelineQueries {
       .orderBy($"split")
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    * select raw-corpus documents that look most like a target domain by
+    * hashed-n-gram log-likelihood ratio — the published data-selection
+    * method behind domain-matched pretraining mixes.
+    *
+    * Features are word uni+bigrams hashed into B=4096 buckets (md5-derived
+    * so the oracle replays the hash exactly). Bucket distributions of the
+    * target (lang='en' here) and the raw corpus get add-1 smoothing; the
+    * per-doc score is the sum of its gram occurrences' log-ratio weights.
+    *
+    * Scale shape: one corpus explode feeds bucket counting AND scoring
+    * (cached, vocab-bounded at 4096 buckets after the count); the weight
+    * table is a broadcast scalar-sized frame, so scoring is a map-side
+    * join + one groupBy(doc_id) — no data-sized shuffle beyond the gram
+    * count. Determinism: ln() is taken on identical int-ratio doubles in
+    * both engines and rounded to 9 dp (tq20's ulp shield); per-doc sums
+    * run in DECIMAL so association order can't move the score; final
+    * ranking tie-breaks on doc_id. */
+  val pq05DsirResample: QueryDef = sqlChecked(
+    "pq05_dsir_resample",
+    """WITH arr AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS a
+      |  FROM documents),
+      |uni AS (SELECT doc_id, lang, unnest(a) AS gr FROM arr),
+      |bi AS (SELECT doc_id, lang,
+      |         unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS gr
+      |       FROM arr WHERE len(a) >= 2),
+      |g AS (SELECT doc_id, lang,
+      |        CAST(('0x' || substring(md5(gr), 1, 8)) AS BIGINT) % 4096 AS b
+      |      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      |cr AS (SELECT b, COUNT(*) AS c_r FROM g GROUP BY b),
+      |ct AS (SELECT b, COUNT(*) AS c_t FROM g WHERE lang = 'en' GROUP BY b),
+      |tot AS (SELECT (SELECT COUNT(*) FROM g) AS n_r,
+      |               (SELECT COUNT(*) FROM g WHERE lang = 'en') AS n_t),
+      |w AS (SELECT cr.b,
+      |        round(ln((COALESCE(ct.c_t, 0) + 1) / (tot.n_t + 4096.0))
+      |            - ln((cr.c_r + 1) / (tot.n_r + 4096.0)), 9) AS wt
+      |      FROM cr LEFT JOIN ct ON cr.b = ct.b, tot)
+      |SELECT g.doc_id, g.lang,
+      |  CAST(SUM(CAST(wt AS DECIMAL(25,9))) AS DOUBLE) AS dsir_score
+      |FROM g JOIN w ON g.b = w.b
+      |GROUP BY g.doc_id, g.lang
+      |ORDER BY dsir_score DESC, doc_id
+      |LIMIT 50""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val B = 4096
+    val a = filter(split(lower($"text"), "\\s+"), w => w =!= "")
+    val docsA = Tables.documents(spark, dir).select($"doc_id", $"lang", a.as("a"))
+    val uni = docsA.select($"doc_id", $"lang", explode($"a").as("gr"))
+    val bi = docsA.filter(size($"a") >= 2).select($"doc_id", $"lang",
+      explode(transform(sequence(lit(1), size($"a") - 1),
+        i => concat(element_at($"a", i), lit(" "), element_at($"a", i + 1)))).as("gr"))
+    val g = uni.union(bi).select($"doc_id", $"lang",
+      (conv(substring(md5($"gr"), 1, 8), 16, 10).cast("long") % B).as("b"))
+      .cache()
+    val cr = g.groupBy($"b").agg(count(lit(1)).as("c_r"))
+    val ct = g.filter($"lang" === "en").groupBy($"b").agg(count(lit(1)).as("c_t"))
+    val tot = g.agg(count(lit(1)).as("n_r"),
+      coalesce(sum(when($"lang" === "en", 1L).otherwise(0L)), lit(0L)).as("n_t"))
+    val w = cr.join(ct, Seq("b"), "left").na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(tot))
+      .select($"b",
+        round(log(($"c_t" + 1).cast("double") / ($"n_t" + lit(B)).cast("double"))
+            - log(($"c_r" + 1).cast("double") / ($"n_r" + lit(B)).cast("double")), 9).as("wt"))
+    g.join(broadcast(w), Seq("b"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"wt".cast(DecimalType(25, 9))).cast("double").as("dsir_score"))
+      .orderBy($"dsir_score".desc, $"doc_id")
+      .limit(50)
+      .select($"doc_id", $"lang", $"dsir_score")
+  }
+
   val all: Seq[QueryDef] = Seq(pq01TrainingPrep, pq02Curriculum,
-    pq03SnapshotTimeTravel, pq04LeakageFreeSplit)
+    pq03SnapshotTimeTravel, pq04LeakageFreeSplit, pq05DsirResample)
 }
