@@ -780,11 +780,49 @@ object DedupQueries {
       Tables.fanOut(spark, Tables.documents(spark, dir)), k = 8)
   }
 
+  /** Semantic decontamination: the embedding-space sibling of dq07's exact
+    * n-gram check. A bounded held-out eval set (vec_id < 20 stands in for
+    * a benchmark's embeddings) is broadcast against the corpus; a corpus
+    * item whose max cosine to ANY eval vector clears 0.8 is contaminated —
+    * paraphrased leakage that exact n-gram overlap misses (per the SemDeDup
+    * / DataComp decontamination recipe).
+    *
+    * Scale shape: identical to sq01 — broadcast the BOUNDED eval side,
+    * stream the corpus (BroadcastNestedLoopJoin, never a shuffle of N);
+    * per-item max-aggregation collapses before any shuffle. Cosines are
+    * rounded to 6 dp BEFORE the max (ulp shield), so the oracle's floats
+    * can't flip the flag or the ranking. */
+  val dq13SemanticDecontam: QueryDef = sqlChecked(
+    "dq13_semantic_decontam",
+    """WITH ev AS (SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS evv
+      |           FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+      |      FROM embeddings WHERE vec_id >= 20),
+      |s AS (SELECT vec_id, MAX(round(list_cosine_similarity(cv, evv), 6)) AS max_cos
+      |      FROM c, ev GROUP BY vec_id)
+      |SELECT vec_id, max_cos, max_cos >= 0.8 AS contaminated
+      |FROM s
+      |ORDER BY max_cos DESC, vec_id
+      |LIMIT 100""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.similarity.VectorOps.{cosine, toDouble}
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    val ev = emb.filter($"vec_id" < 20).select($"vec_id".as("eid"), $"v".as("evv"))
+    emb.filter($"vec_id" >= 20).select($"vec_id", $"v".as("cv"))
+      .crossJoin(broadcast(ev))
+      .groupBy($"vec_id")
+      .agg(max(round(cosine($"cv", $"evv"), 6)).as("max_cos"))
+      .withColumn("contaminated", $"max_cos" >= 0.8)
+      .orderBy($"max_cos".desc, $"vec_id")
+      .limit(100)
+  }
+
   val all: Seq[QueryDef] = Seq(
     dq01ExactDedup, dq02DedupKeepFirst, dq03MinhashLsh, dq03bMinhashPortable,
     dq04Simhash, dq04bSimhashPortable, dq06bWinnowPortable,
     dq05NgramJaccard, dq06WinnowFingerprints, dq07Decontaminate,
     dq07bDecontaminateBloom,
     dq08IncrementalDedup, dq09DupClusters, dq10PassageDedup, dq11FuzzyJoin,
-    dq12SubstringDedup)
+    dq12SubstringDedup, dq13SemanticDecontam)
 }
