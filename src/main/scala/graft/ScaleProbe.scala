@@ -36,7 +36,8 @@ object ScaleProbe {
     val probes = sys.env.getOrElse("SPARK_GRAFT_PROBES",
       "q20b_moment_stats,q24_percentiles,dq03_minhash_lsh,eq02_range_join,dq09_dup_clusters," +
         "sq07_bm25_topk,tq19_textrank_keywords,sq09_ann_pq_recall,wq01_upsert_roundtrip," +
-        "dq07b_decontaminate_bloom,dq12_substring_dedup,tq28_source_overlap")
+        "dq07b_decontaminate_bloom,dq12_substring_dedup,tq28_source_overlap,tq30_bpe_merges," +
+        "tq31_bpe_encode,pq05_dsir_resample,dq13_semantic_decontam")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = Sessions.local("graft-scale-probe", cpus)
 

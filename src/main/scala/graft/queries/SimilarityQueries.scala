@@ -387,7 +387,125 @@ object SimilarityQueries {
         avg(coalesce($"n_hit", lit(0)) / $"n_bf").as("recall_at_5"))
   }
 
+  /** IVF-PQ with residual encoding — the composition production vector
+    * indexes actually ship (FAISS IndexIVFPQ): sq04's coarse router and
+    * sq09's PQ fused, with PQ trained on RESIDUALS (v − its list
+    * centroid), which concentrates the quantizer's budget on the
+    * within-cell distribution and is what makes 4 B/vector usable at
+    * billion scale.
+    *
+    * Search: route each query to its NPROBE nearest lists, build one
+    * LUT per (query, probed list) from the QUERY residual w.r.t. THAT
+    * list's centroid (the detail that distinguishes IVF-PQ from flat PQ),
+    * equi-join the LUT frame to codes ON list_id — so only probed lists'
+    * codes are ever touched (at 100 TB: codes bucketed by list_id make
+    * this partition pruning; 12/16 of the corpus is never scanned) —
+    * ADC-shortlist 50 deep, exact-rerank only the shortlist.
+    *
+    * rowsOnly: codebooks are engine-side seeded k-means, not portable
+    * SQL; the self-validating metric is recall@5 vs the in-query exact
+    * brute force (floor spec'd in PqRecallSpec). */
+  val sq10AnnIvfPqRecall: QueryDef = rowsOnly("sq10_ann_ivfpq_recall") { (spark, dir) =>
+    import spark.implicits._
+    val M = 8; val sub = 8; val K = 16; val L = 16; val NPROBE = 4
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .cache()
+    // bounded deterministic sample trains BOTH quantizers driver-side
+    // (sq09's FAISS recipe + its orderBy-before-limit determinism note)
+    val sample = emb.select($"vec_id", $"v").orderBy($"vec_id").limit(20000)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val coarse = graft.similarity.Pq.trainCodebook(sample, L, seed = 101L)
+    def nearestCoarse(p: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < L) {
+        var s = 0.0; var i = 0
+        while (i < p.length) { val d = p(i) - coarse(c)(i); s += d * d; i += 1 }
+        if (s < bd) { bd = s; best = c }
+        c += 1
+      }
+      best
+    }
+    val resSample = sample.map { p =>
+      val cc = coarse(nearestCoarse(p))
+      Array.tabulate(p.length)(i => p(i) - cc(i))
+    }
+    val cb: Seq[Seq[Seq[Double]]] = graft.similarity.Pq.trainSubspaces(resSample, M, sub, K)
+    val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
+    def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    // corpus: coarse-assign + residual, then sq09's codegen encode on the
+    // residual — everything is array built-ins over codebook literals
+    val assigned = emb
+      .withColumn("cd", transform(coarseLit, c => sqd($"v", c)))
+      .withColumn("list_id", (array_position($"cd", array_min($"cd")) - 1).cast("int"))
+      .drop("cd")
+      .withColumn("res", zip_with($"v", element_at(coarseLit, $"list_id" + 1), (x, y) => x - y))
+    def subDist(vCol: org.apache.spark.sql.Column, m: Int) =
+      transform(typedlit(cb(m)), c =>
+        aggregate(zip_with(slice(vCol, m * sub + 1, sub), c,
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+    val codes = (0 until M).foldLeft(assigned) { (df, m) =>
+        df.withColumn(s"d$m", subDist($"res", m))
+          .withColumn(s"c$m",
+            (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1).cast("int"))
+          .drop(s"d$m")
+      }
+      .select(($"vec_id".as("cid") +: $"list_id" +: (0 until M).map(m => col(s"c$m"))): _*)
+    // queries: NPROBE nearest lists, then one LUT per (query, list) from
+    // the query residual w.r.t. that list's centroid
+    val wProbe = Window.partitionBy($"qid").orderBy($"cdist".asc, $"list_id")
+    val centroidsDf = coarse.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("list_id", "centroid")
+    val probes = emb.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv"))
+      .crossJoin(broadcast(centroidsDf))
+      .withColumn("cdist", sqd($"qv", $"centroid"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter($"prank" <= NPROBE)
+      .withColumn("qres", zip_with($"qv", $"centroid", (x, y) => x - y))
+      .select($"qid", $"list_id", $"qres")
+    val luts = (0 until M).foldLeft(probes) { (df, m) =>
+      df.withColumn(s"lut$m", subDist($"qres", m))
+    }.drop("qres")
+    val adc = (0 until M).map(m =>
+      element_at(col(s"lut$m"), col(s"c$m") + 1)).reduce(_ + _)
+    // equi-join ON list_id: only probed lists' codes are touched
+    val wAdc = Window.partitionBy($"qid").orderBy($"adc".asc, $"cid")
+    val shortlist = broadcast(luts).join(codes, Seq("list_id"))
+      .filter($"qid" =!= $"cid")
+      .withColumn("adc", adc)
+      .withColumn("srank", row_number().over(wAdc))
+      .filter($"srank" <= 50)
+      .select($"qid", $"cid")
+    val wRr = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val ann = shortlist
+      .join(emb.select($"vec_id".as("qid"), $"v".as("qv")), Seq("qid"))
+      .join(emb.select($"vec_id".as("cid"), $"v".as("cv")), Seq("cid"))
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wRr))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val wBf = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val bf = broadcast(
+        emb.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv")))
+      .join(emb.select($"vec_id".as("cid"), $"v".as("cv")), $"qid" =!= $"cid")
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wBf))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val hits = ann.intersect(bf).groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+    bf.groupBy($"qid").agg(count(lit(1)).as("n_bf"))
+      .join(hits, Seq("qid"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        lit(L).as("n_lists"),
+        lit(NPROBE).as("n_probes"),
+        lit(M).as("m_subspaces"),
+        lit(M * 4).as("bits_per_vec"),
+        avg(coalesce($"n_hit", lit(0)) / $"n_bf").as("recall_at_5"))
+  }
+
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
     sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
-    sq06Int8Quantization, sq09AnnPqRecall)
+    sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall)
 }

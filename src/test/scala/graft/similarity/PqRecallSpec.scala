@@ -22,4 +22,18 @@ class PqRecallSpec extends AnyFunSuite {
     // the path usable (0.79 measured at sf0.01, seeds fixed)
     assert(recall >= 0.6, s"recall_at_5 $recall below floor")
   }
+
+  test("IVF-PQ residual shortlist+rerank recall@5 clears 0.5 at nprobe 4/16") {
+    val row = SimilarityQueries.sq10AnnIvfPqRecall
+      .fn(spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Long]("n_queries") == 20L)
+    assert(row.getAs[Int]("n_lists") == 16)
+    assert(row.getAs[Int]("n_probes") == 4)
+    assert(row.getAs[Int]("bits_per_vec") == 32, "4 bytes per encoded vector")
+    val recall = row.getAs[Double]("recall_at_5")
+    // probing 4/16 lists caps attainable recall below flat PQ (routing
+    // misses are unrecoverable); the floor reflects that trade — the win
+    // is that 12/16 of the corpus codes are never scanned
+    assert(recall >= 0.5, s"recall_at_5 $recall below floor")
+  }
 }
