@@ -84,13 +84,10 @@ object DedupQueries {
     import spark.implicits._
     val docs = Tables.fanOut(spark, Tables.documents(spark, dir))
       .select($"doc_id", $"text")
-    graft.dedup.MinHashLsh.candidatePairs(docs, numHashes = 16, numBands = 4)
-      .agg(
-        lit(16).as("num_hashes"),
-        lit(4).as("num_bands"),
-        count(lit(1)).as("n_candidate_pairs"),
-        count(when($"jaccard" >= 0.8, 1)).as("n_near_dups"),
-        max($"jaccard").as("max_jaccard"))
+    // adaptive exact-collapse: identical values to aggregating
+    // candidatePairs (spec-asserted), but clone-heavy corpora collapse to
+    // set-class representatives first — see MinHashLsh.pairStats
+    graft.dedup.MinHashLsh.pairStats(docs, numHashes = 16, numBands = 4)
   }
 
   /** dq03's machinery under an independent engine: the SAME MinHash+LSH

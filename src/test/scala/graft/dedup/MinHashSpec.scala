@@ -61,4 +61,69 @@ class MinHashSpec extends AnyFunSuite {
           s"pair ($a,$b) flagged at $j but ground truth is ${groundTruth(a, b)}")
     }
   }
+
+  /** Aggregate candidatePairs the way dq03 historically did — the ground
+    * truth pairStats' adaptive collapse must reproduce exactly. */
+  private def plainStats(corpus: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+    import spark.implicits._
+    val r = MinHashLsh.candidatePairs(corpus, numHashes = 16, numBands = 4)
+      .agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        count(when($"jaccard" >= 0.8, 1)).as("n_near_dups"),
+        max($"jaccard").as("max_jaccard"))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
+  private def adaptiveStats(corpus: org.apache.spark.sql.DataFrame,
+      threshold: Double): (Long, Long, Double, Double) = {
+    val r = MinHashLsh.pairStats(corpus, numHashes = 16, numBands = 4,
+      collapseThreshold = threshold).head()
+    (r.getAs[Long]("n_candidate_pairs"), r.getAs[Long]("n_near_dups"),
+      r.getAs[Double]("max_jaccard"), r.getAs[Double]("dup_factor"))
+  }
+
+  test("adaptive collapse reproduces plain pair stats on a clone-heavy corpus") {
+    import spark.implicits._
+    val originals = Tables.documents(spark, dir)
+      .filter($"doc_id" < 30)
+      .select($"doc_id", $"text")
+    // 3 extra exact copies of every doc (dup factor 4) + the near-dups
+    val clones = (1 to 3).map(k =>
+      originals.select(($"doc_id" + k * 10000).as("doc_id"), $"text"))
+    val nearDups = originals
+      .select(($"doc_id" + 90000).as("doc_id"),
+        array_join(slice(split($"text", " "), 4, 100000), " ").as("text"))
+    val corpus = clones.foldLeft(originals)(_ union _).union(nearDups)
+    val (np, nd, mj) = plainStats(corpus)
+    val (anp, and_, amj, df) = adaptiveStats(corpus, threshold = 1.5)
+    // 150 docs in 60 set-classes (30 cloned 4x + 30 singleton near-dups)
+    // = 2.5, up to the approx-distinct gate's ~2% HLL error
+    assert(df > 2.3 && df < 2.7, s"dup factor $df should reflect the 4x cloning")
+    assert((anp, and_, amj) == ((np, nd, mj)),
+      s"collapsed stats ($anp,${and_},$amj) != plain ($np,$nd,$mj)")
+  }
+
+  test("dup-free corpus stays on the plain path and stats agree") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, dir)
+      .filter($"doc_id" < 60)
+      .select($"doc_id", $"text")
+    val (np, nd, mj) = plainStats(corpus)
+    val (anp, and_, amj, df) = adaptiveStats(corpus, threshold = 1.5)
+    assert(df < 1.5, s"fixture corpus should be (nearly) dup-free, got $df")
+    assert((anp, and_, amj) == ((np, nd, mj)))
+  }
+
+  test("forced collapse on a dup-free corpus still reproduces plain stats") {
+    import spark.implicits._
+    // threshold 0 forces the collapsed path with all-singleton classes —
+    // the arithmetic expansion must degenerate to the identity
+    val corpus = Tables.documents(spark, dir)
+      .filter($"doc_id" < 60)
+      .select($"doc_id", $"text")
+    val (np, nd, mj) = plainStats(corpus)
+    val (anp, and_, amj, _) = adaptiveStats(corpus, threshold = 0.0)
+    assert((anp, and_, amj) == ((np, nd, mj)))
+  }
 }
