@@ -349,6 +349,53 @@ object PipelineQueries {
       .select($"doc_id", $"lang", $"dsir_score")
   }
 
+  /** Shard packing in REAL tokenizer units: pq01's funnel packs whitespace
+    * tokens, but training budgets are measured in subword tokens, and the
+    * two disagree exactly where it hurts (boilerplate compresses, code and
+    * rare words expand). This query packs shards by the frozen-vocab BPE
+    * token count (tq31's oracle-replayable encoder), composed with the
+    * distributed PrefixSum — so the manifest is in the units the training
+    * job actually consumes.
+    *
+    * Scale shape: one scan computes the encode chain in-row (bodies die at
+    * the projection); PrefixSum packs without a single-partition sort; the
+    * oracle replays encode + window sum + shard cut end to end. */
+  val pq06BpeShardPacking: QueryDef = sqlChecked(
+    "pq06_bpe_shard_packing",
+    s"""WITH n AS (SELECT doc_id, ${graft.tokenizer.Bpe.sqlNorm} AS norm FROM documents),
+       |e AS (SELECT doc_id, norm, ${graft.tokenizer.Bpe.sqlEncode(graft.tokenizer.Bpe.FixedMerges)} AS enc FROM n),
+       |t AS (SELECT doc_id,
+       |  CAST(len(enc) - len(replace(enc, chr(1), ''))
+       |       - (len(norm) - len(replace(norm, ' ', ''))) AS BIGINT) AS n_bpe
+       |  FROM e),
+       |s AS (SELECT doc_id, n_bpe FROM t WHERE n_bpe > 0),
+       |p AS (SELECT doc_id, n_bpe,
+       |  CAST(SUM(n_bpe) OVER (ORDER BY doc_id) AS BIGINT) AS running FROM s)
+       |SELECT CAST(FLOOR((running - n_bpe) / 8192.0) AS BIGINT) AS shard,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_bpe) AS BIGINT) AS shard_tokens,
+       |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+       |  CAST(max(doc_id) AS BIGINT) AS max_doc
+       |FROM p GROUP BY shard ORDER BY shard""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.tokenizer.Bpe
+    val sized = Tables.fanOut(spark, Tables.documents(spark, dir))
+      .withColumn("norm", Bpe.normText($"text"))
+      .withColumn("enc", Bpe.encode($"norm", Bpe.FixedMerges))
+      .select($"doc_id",
+        Bpe.subwordCount($"norm", $"enc").cast("long").as("n_bpe"))
+      .filter($"n_bpe" > 0)
+    graft.operators.PrefixSum.runningSum(sized, "doc_id", "n_bpe", "running")
+      .withColumn("shard", floor(($"running" - $"n_bpe") / 8192.0))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_bpe").cast("long").as("shard_tokens"),
+        min($"doc_id").cast("long").as("min_doc"),
+        max($"doc_id").cast("long").as("max_doc"))
+      .orderBy($"shard")
+  }
+
   val all: Seq[QueryDef] = Seq(pq01TrainingPrep, pq02Curriculum,
-    pq03SnapshotTimeTravel, pq04LeakageFreeSplit, pq05DsirResample)
+    pq03SnapshotTimeTravel, pq04LeakageFreeSplit, pq05DsirResample,
+    pq06BpeShardPacking)
 }

@@ -53,7 +53,8 @@ class AllPlansSpec extends AnyFunSuite {
     * Every allowlisted case is a global window over an ALREADY-AGGREGATED
     * summary frame orders of magnitude below corpus size (where a
     * single-partition frame is exactly right), never over data:
-    *   - tq11_token_packing / pq01_training_prep: PrefixSum's offsets
+    *   - tq11_token_packing / pq01_training_prep / pq06_bpe_shard_packing:
+    *     PrefixSum's offsets
     *     pass — an exclusive prefix over bucket-count-many (total, count)
     *     partial-agg rows (~4× shuffle parallelism, a few hundred rows);
     *     the data-sized running total is the operator's mapPartitions
@@ -70,7 +71,7 @@ class AllPlansSpec extends AnyFunSuite {
     * or earns a documented line here. */
   private val allowGlobalWindow: Set[String] = Set(
     "tq11_token_packing", "pq01_training_prep", "pq02_curriculum",
-    "tq18_vocab_growth")
+    "tq18_vocab_growth", "pq06_bpe_shard_packing")
 
   test("no registered query plans an unpartitioned Window over data-sized input") {
     import org.apache.spark.sql.execution.window.WindowExec
