@@ -281,7 +281,73 @@ object FilterQueries {
       .orderBy($"doc_id")
   }
 
+  /** The rest of the Gopher quality battery (Rae et al. 2021, arXiv:
+    * 2112.11446 §A1.1) — fq02 covers length / word-length / repetition /
+    * any-stopword; this adds the remaining word-level rules at the
+    * paper's thresholds, reported per lang so the breakdown shows WHERE
+    * each rule bites (an English stopword rule nukes non-English text —
+    * exactly what the per-lang funnel makes visible):
+    *   - alpha rule: ≥ 80% of words must contain an alphabetic character;
+    *   - symbol rule: (# + ellipsis) to word ratio ≤ 0.1;
+    *   - stopword rule: ≥ 2 DISTINCT of the canonical 8 stopwords
+    *     (the, be, to, of, and, that, have, with);
+    *   - Gopher's word-count gate [50, 100k] (fq02 uses a looser 30).
+    * Ratios are single exact int/int divisions compared to literal
+    * thresholds — no float accumulation anywhere, deterministic under any
+    * partitioning. One scan, all rules in-row, one tiny aggregate. */
+  val fq07GopherBattery: QueryDef = sqlChecked(
+    "fq07_gopher_battery",
+    """WITH f AS (
+      |  SELECT lang,
+      |    len(toks) AS n_words,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      |      / len(toks) AS alpha_frac,
+      |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+      |      / len(toks) AS symbol_ratio,
+      |    list_contains(toks, 'the')::INT + list_contains(toks, 'be')::INT
+      |      + list_contains(toks, 'to')::INT + list_contains(toks, 'of')::INT
+      |      + list_contains(toks, 'and')::INT + list_contains(toks, 'that')::INT
+      |      + list_contains(toks, 'have')::INT + list_contains(toks, 'with')::INT
+      |      AS n_stopwords
+      |  FROM (SELECT lang, text,
+      |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |        FROM documents))
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(*) FILTER (n_words < 50 OR n_words > 100000) AS fail_word_count,
+      |  COUNT(*) FILTER (alpha_frac < 0.8) AS fail_alpha,
+      |  COUNT(*) FILTER (symbol_ratio > 0.1) AS fail_symbol,
+      |  COUNT(*) FILTER (n_stopwords < 2) AS fail_stopwords,
+      |  COUNT(*) FILTER (n_words >= 50 AND n_words <= 100000
+      |    AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1
+      |    AND n_stopwords >= 2) AS n_pass
+      |FROM f GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val f = Tables.documents(spark, dir)
+      .select($"lang", $"text",
+        filter(split(lower($"text"), "\\s+"), x => x =!= "").as("toks"))
+      .select($"lang",
+        size($"toks").as("n_words"),
+        (size(filter($"toks", x => x.rlike("[A-Za-z]"))).cast("double") /
+          size($"toks")).as("alpha_frac"),
+        (regexp_count($"text", lit("#|\\.\\.\\.")).cast("double") /
+          size($"toks")).as("symbol_ratio"),
+        stops.map(s => array_contains($"toks", s).cast("int"))
+          .reduce(_ + _).as("n_stopwords"))
+    f.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when($"n_words" < 50 || $"n_words" > 100000, 1)).as("fail_word_count"),
+        count(when($"alpha_frac" < 0.8, 1)).as("fail_alpha"),
+        count(when($"symbol_ratio" > 0.1, 1)).as("fail_symbol"),
+        count(when($"n_stopwords" < 2, 1)).as("fail_stopwords"),
+        count(when($"n_words" >= 50 && $"n_words" <= 100000 &&
+          $"alpha_frac" >= 0.8 && $"symbol_ratio" <= 0.1 &&
+          $"n_stopwords" >= 2, 1)).as("n_pass"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     fq01TermRedaction, fq02FilterFunnel, fq03Repetition, fq04CorpusMixing,
-    fq05PiiScrub, fq06NfcNormalize)
+    fq05PiiScrub, fq06NfcNormalize, fq07GopherBattery)
 }

@@ -84,5 +84,54 @@ object TokenizerQueries {
       .orderBy($"lang")
   }
 
-  val all: Seq[QueryDef] = Seq(tq29BpePairCounts, tq30BpeMerges, tq31BpeEncode)
+  /** Tokenizer fertility — subwords emitted per word, the standard
+    * tokenizer-evaluation metric (a vocabulary trained on English pays
+    * 2-3× more tokens per word on unseen languages; fertility is how you
+    * see that before burning a training run). Computed per lang over the
+    * DISTINCT (lang, word) histogram: each distinct word is encoded ONCE
+    * with the frozen merge table and its subword count is weighted by
+    * corpus frequency — the same histogram compression as tq29/tq30, so
+    * the encode cost is bounded by vocabulary size, not corpus size
+    * (tq31 re-encodes every document; this is the cheap path when only
+    * counts are needed). All-integer aggregates plus one exact final
+    * division — deterministic under any partitioning. */
+  val tq32TokenizerFertility: QueryDef = sqlChecked(
+    "tq32_tokenizer_fertility",
+    s"""WITH n0 AS (SELECT lang, unnest(string_split(${Bpe.sqlNorm}, ' ')) AS norm
+       |           FROM documents),
+       |w AS (SELECT lang, norm, COUNT(*) AS freq FROM n0 WHERE norm <> ''
+       |      GROUP BY lang, norm),
+       |e AS (SELECT lang, freq, ${Bpe.sqlEncode(Bpe.FixedMerges)} AS enc FROM w),
+       |f AS (SELECT lang, freq,
+       |        len(enc) - len(replace(enc, chr(1), '')) AS fert FROM e)
+       |SELECT lang,
+       |  COUNT(*) AS n_distinct_words,
+       |  CAST(SUM(freq) AS BIGINT) AS total_words,
+       |  CAST(SUM(fert * freq) AS BIGINT) AS total_subwords,
+       |  CAST(SUM(fert * freq) AS DOUBLE) / CAST(SUM(freq) AS DOUBLE) AS fertility,
+       |  CAST(SUM(freq) FILTER (fert <= 2) AS BIGINT) AS words_le2_subwords,
+       |  CAST(MAX(fert) AS BIGINT) AS max_fertility
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val hist = Tables.documents(spark, dir)
+      .select($"lang", explode(split(Bpe.normText($"text"), " ")).as("norm"))
+      .filter($"norm" =!= "")
+      .groupBy($"lang", $"norm").agg(count(lit(1)).as("freq"))
+    hist
+      .select($"lang", $"freq",
+        Bpe.subwordCount($"norm", Bpe.encode($"norm", Bpe.FixedMerges)).as("fert"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_distinct_words"),
+        sum($"freq").cast("long").as("total_words"),
+        sum($"fert" * $"freq").cast("long").as("total_subwords"),
+        (sum($"fert" * $"freq").cast("double") / sum($"freq").cast("double"))
+          .as("fertility"),
+        sum(when($"fert" <= 2, $"freq")).cast("long").as("words_le2_subwords"),
+        max($"fert").cast("long").as("max_fertility"))
+      .orderBy($"lang")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(tq29BpePairCounts, tq30BpeMerges, tq31BpeEncode, tq32TokenizerFertility)
 }
