@@ -1081,6 +1081,90 @@ object TextQueries {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, arXiv:
+    * 1911.00359 §4.3) — split each language's corpus into head / middle /
+    * tail thirds by LM score, the standard quality-tiering step before
+    * mixing (train mostly on head, sample middle, drop or downweight
+    * tail). The LM is tq12's corpus unigram model; the per-doc score is
+    * the mean token log-probability (higher = more fluent = head).
+    * Buckets come from per-lang tertile CUT VALUES (ExactPercentile,
+    * quantile_cont semantics — q24's proven oracle pairing) broadcast and
+    * compared in-row — CCNet itself buckets against precomputed cutoffs,
+    * and at 100 TB that is the only shape that works: an ntile window
+    * partitioned by lang would sort billions of rows in ~5 tasks, while
+    * the cutoff join is one bounded selection pass over a skinny
+    * (lang, lp) projection plus a map-side compare. Determinism: token
+    * weights are ln() rounded to 9 dp on the distinct-vocab frame, per-doc
+    * sums run in DECIMAL(25,9) (association-order-proof), so every lp is
+    * the same double in both engines; thresholds are rounded to 6 dp
+    * before the compare and outputs to 6 dp (tq12's ulp shield). */
+  val tq33PerplexityBuckets: QueryDef = sqlChecked(
+    "tq33_perplexity_buckets",
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                       t -> t <> '')) AS tok
+      |  FROM documents),
+      |vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab),
+      |wt AS (SELECT tok, round(ln(c / n), 9) AS w FROM vocab, tot),
+      |doc AS (
+      |  SELECT doc_id, lang,
+      |    CAST(SUM(CAST(w AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*) AS lp
+      |  FROM toks JOIN wt USING (tok)
+      |  GROUP BY doc_id, lang),
+      |th AS (SELECT lang,
+      |         round(quantile_cont(lp, CAST(1 AS DOUBLE) / 3), 6) AS t1,
+      |         round(quantile_cont(lp, CAST(2 AS DOUBLE) / 3), 6) AS t2
+      |       FROM doc GROUP BY lang),
+      |b AS (SELECT doc.lang,
+      |        CASE WHEN lp >= t2 THEN 'head'
+      |             WHEN lp >= t1 THEN 'middle'
+      |             ELSE 'tail' END AS bucket, lp
+      |      FROM doc JOIN th ON doc.lang = th.lang)
+      |SELECT lang, bucket, COUNT(*) AS n_docs,
+      |  round(AVG(lp), 6) AS avg_lp,
+      |  round(MIN(lp), 6) AS min_lp,
+      |  round(MAX(lp), 6) AS max_lp
+      |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin) {
+    (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // two corpus scans (vocab build + score) instead of a cached token
+    // explosion — tq12's rationale; the broadcast vocab join sidesteps
+    // the "every doc contains 'the'" key skew
+    def toks = Tables.fanOut(spark, Tables.documents(spark, dir))
+      .select($"doc_id", $"lang",
+        explode(filter(split(lower($"text"), "\\s+"), t => t =!= ""))
+          .as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c")).cache()
+    val tot = vocab.agg(sum($"c").cast("double").as("n"))
+    val wt = vocab.crossJoin(broadcast(tot))
+      .select($"tok", round(log($"c" / $"n"), 9).as("w"))
+    // skinny (doc_id, lang, lp) frame — doc-count-sized, not token-sized;
+    // cached because both the selection pass and the bucket pass read it
+    val doc = toks.join(broadcast(wt), Seq("tok"))
+      .groupBy($"doc_id", $"lang")
+      .agg((sum($"w".cast(DecimalType(25, 9))).cast("double") /
+        count(lit(1))).as("lp"))
+      .cache()
+    val th = graft.operators.ExactPercentile
+      .quantiles(doc.select($"lang", $"lp"), "lang", "lp",
+        Seq(1.0 / 3, 2.0 / 3), Seq("t1", "t2"))
+      .select($"lang", round($"t1", 6).as("t1"), round($"t2", 6).as("t2"))
+    doc.join(broadcast(th), Seq("lang"))
+      .withColumn("bucket",
+        when($"lp" >= $"t2", "head")
+          .when($"lp" >= $"t1", "middle")
+          .otherwise("tail"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"lp"), 6).as("avg_lp"),
+        round(min($"lp"), 6).as("min_lp"),
+        round(max($"lp"), 6).as("max_lp"))
+      .orderBy($"lang", $"bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
     tq05Fingerprints, tq06MultimodalDecode, tq07MultimodalStats,
@@ -1089,5 +1173,6 @@ object TextQueries {
     tq13ContextChunks, tq14GlobalShuffle, tq15BigramPmi, tq16CdcBoundaries,
     tq17BigramLogprob, tq18VocabGrowth, tq20WeightedSample,
     tq21CompressionRatio, tq22AudioDecode, tq23VideoDecode, tq24Mp4Probe,
-    tq25WebmProbe, tq26Mp4Bitrate, tq27WebmBitrate, tq28SourceOverlap)
+    tq25WebmProbe, tq26Mp4Bitrate, tq27WebmBitrate, tq28SourceOverlap,
+    tq33PerplexityBuckets)
 }
