@@ -505,7 +505,52 @@ object SimilarityQueries {
         avg(coalesce($"n_hit", lit(0)) / $"n_bf").as("recall_at_5"))
   }
 
+  /** Hard-negative mining for contrastive / embedding training — per
+    * anchor, the top-3 most-similar vectors with a DIFFERENT label, capped
+    * at cos < 0.9 (the standard semi-hard band: a wrong-label neighbor
+    * above that is more likely label noise than a useful negative; Schroff
+    * et al. 2015's semi-hard selection is the same idea for triplet loss).
+    * The anchor set is bounded and broadcast, the corpus streams past it,
+    * and per-anchor top-3 runs through the K-bounded TopKPerGroup
+    * aggregator — the shuffle carries at most 3 rows per (task, anchor)
+    * instead of one sorted window partition per anchor, so the shape holds
+    * when the corpus is 100 TB and the anchor set is a training batch.
+    * Oracle recomputes the same double cosines brute-force (sq01's proven
+    * pairing); ranks tie-break on cid. */
+  val sq11HardNegatives: QueryDef = sqlChecked(
+    "sq11_hard_negatives",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+      |                  label AS ql
+      |           FROM embeddings WHERE vec_id < 50),
+      |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv,
+      |             label AS cl FROM embeddings),
+      |s AS (SELECT qid, cid, list_cosine_similarity(qv, cv) AS cos
+      |      FROM q, c WHERE ql <> cl),
+      |r AS (SELECT qid, cid, cos,
+      |        ROW_NUMBER() OVER (PARTITION BY qid
+      |                           ORDER BY cos DESC, cid) AS rnk
+      |      FROM s WHERE cos < 0.9)
+      |SELECT qid, cid, rnk, round(cos, 6) AS hard_cos
+      |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"), $"label")
+    val q = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"label".as("ql"))
+    val c = emb.select($"vec_id".as("cid"), $"v".as("cv"), $"label".as("cl"))
+    val pairs = broadcast(q).join(c, $"ql" =!= $"cl")
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .filter($"cos" < 0.9)
+      .select($"qid", $"cid", $"cos")
+    graft.operators.TopKPerGroup
+      .topK(spark, pairs, "qid", "cos", "cid", 3)
+      .select($"qid", $"cid", $"rnk".as("rnk"),
+        round($"cos", 6).as("hard_cos"))
+      .orderBy($"qid", $"rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
     sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
-    sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall)
+    sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall,
+    sq11HardNegatives)
 }
