@@ -549,8 +549,120 @@ object SimilarityQueries {
       .orderBy($"qid", $"rnk")
   }
 
+  /** MMR-diversified retrieval (Carbonell & Goldstein 1998) — rerank each
+    * anchor's relevance shortlist for diversity: greedily pick the
+    * candidate maximizing λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s),
+    * λ=0.7 — the standard de-redundancy step when retrieved context feeds
+    * a training batch or a RAG prompt (top-k alone returns five copies of
+    * the same fact). Scale shape: the expensive stage is the shortlist
+    * (broadcast bounded anchors, stream the corpus — sq01's shape); the
+    * greedy rerank then touches only K=8 rows per anchor (K² pair sims,
+    * corpus-size-independent), unrolled as THREE deterministic argmax
+    * rounds. Determinism: all cosines rounded 6 dp before any compare
+    * (sq11's proven pairing), λ-blend is one IEEE multiply-subtract on
+    * identical doubles, ties break on cid — so DuckDB replays the same
+    * unrolled recurrence hash-exactly. */
+  val sq12MmrRerank: QueryDef = sqlChecked(
+    "sq12_mmr_rerank",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |s AS (SELECT qid, cid, cv,
+      |        round(list_cosine_similarity(qv, cv), 6) AS rel
+      |      FROM q, c WHERE qid <> cid),
+      |short AS (SELECT qid, cid, cv, rel FROM (
+      |        SELECT qid, cid, cv, rel,
+      |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rk
+      |        FROM s) WHERE rk <= 8),
+      |pair AS (SELECT a.qid, a.cid AS c1, b.cid AS c2,
+      |           round(list_cosine_similarity(a.cv, b.cv), 6) AS sim
+      |         FROM short a JOIN short b
+      |           ON a.qid = b.qid AND a.cid <> b.cid),
+      |sel1 AS (SELECT qid, cid, rel, rel AS score FROM (
+      |        SELECT qid, cid, rel,
+      |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+      |        FROM short) WHERE rn = 1),
+      |u1 AS (SELECT qid, cid FROM sel1),
+      |sc2 AS (SELECT s.qid, s.cid, s.rel,
+      |          CAST(0.7 AS DOUBLE) * s.rel - CAST(0.3 AS DOUBLE) * MAX(p.sim) AS score
+      |        FROM short s
+      |        JOIN pair p ON p.qid = s.qid AND p.c1 = s.cid
+      |        JOIN u1 ON u1.qid = p.qid AND u1.cid = p.c2
+      |        WHERE NOT EXISTS (SELECT 1 FROM u1 x
+      |                          WHERE x.qid = s.qid AND x.cid = s.cid)
+      |        GROUP BY s.qid, s.cid, s.rel),
+      |sel2 AS (SELECT qid, cid, rel, score FROM (
+      |        SELECT qid, cid, rel, score,
+      |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+      |        FROM sc2) WHERE rn = 1),
+      |u2 AS (SELECT qid, cid FROM sel1 UNION ALL SELECT qid, cid FROM sel2),
+      |sc3 AS (SELECT s.qid, s.cid, s.rel,
+      |          CAST(0.7 AS DOUBLE) * s.rel - CAST(0.3 AS DOUBLE) * MAX(p.sim) AS score
+      |        FROM short s
+      |        JOIN pair p ON p.qid = s.qid AND p.c1 = s.cid
+      |        JOIN u2 ON u2.qid = p.qid AND u2.cid = p.c2
+      |        WHERE NOT EXISTS (SELECT 1 FROM u2 x
+      |                          WHERE x.qid = s.qid AND x.cid = s.cid)
+      |        GROUP BY s.qid, s.cid, s.rel),
+      |sel3 AS (SELECT qid, cid, rel, score FROM (
+      |        SELECT qid, cid, rel, score,
+      |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+      |        FROM sc3) WHERE rn = 1),
+      |out AS (SELECT qid, cid, rel, score, 1 AS step FROM sel1
+      |        UNION ALL SELECT qid, cid, rel, score, 2 FROM sel2
+      |        UNION ALL SELECT qid, cid, rel, score, 3 FROM sel3)
+      |SELECT qid, step, cid, rel, round(score, 6) AS mmr_score
+      |FROM out ORDER BY qid, step""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    val q = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    val wRel = Window.partitionBy($"qid").orderBy($"rel".desc, $"cid")
+    // shortlist: the only corpus-sized stage — bounded anchors broadcast,
+    // corpus streams past them (no shuffle of N)
+    val short = broadcast(q)
+      .join(emb.select($"vec_id".as("cid"), $"v".as("cv")), $"qid" =!= $"cid")
+      .withColumn("rel", round(cosine($"qv", $"cv"), 6))
+      .withColumn("rk", row_number().over(wRel))
+      .filter($"rk" <= 8)
+      .select($"qid", $"cid", $"cv", $"rel")
+      .localCheckpoint(true) // K-bounded: anchors × 8 rows from here on
+    val pair = short.select($"qid", $"cid".as("c1"), $"cv".as("v1"))
+      .join(short.select($"qid", $"cid".as("c2"), $"cv".as("v2")), Seq("qid"))
+      .filter($"c1" =!= $"c2")
+      .select($"qid", $"c1", $"c2", round(cosine($"v1", $"v2"), 6).as("sim"))
+    val cand = short.drop("cv")
+    val wSel = Window.partitionBy($"qid").orderBy($"score".desc, $"cid")
+    val sel1 = cand.withColumn("score", $"rel")
+      .withColumn("rn", row_number().over(wSel)).filter($"rn" === 1)
+      .select($"qid", $"cid", $"rel", $"score")
+    // greedy rounds 2..3: score survivors against the selected set
+    def nextSel(selected: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val u = selected.select($"qid", $"cid")
+      val ms = pair.join(u.select($"qid", $"cid".as("c2")), Seq("qid", "c2"))
+        .groupBy($"qid", $"c1").agg(max($"sim").as("ms"))
+        .select($"qid", $"c1".as("cid"), $"ms")
+      cand.join(u, Seq("qid", "cid"), "left_anti")
+        .join(ms, Seq("qid", "cid"))
+        .select($"qid", $"cid", $"rel",
+          (lit(0.7) * $"rel" - lit(0.3) * $"ms").as("score"))
+        .withColumn("rn", row_number().over(wSel)).filter($"rn" === 1)
+        .select($"qid", $"cid", $"rel", $"score")
+    }
+    val sel2 = nextSel(sel1)
+    val sel3 = nextSel(sel1.unionByName(sel2))
+    sel1.withColumn("step", lit(1))
+      .unionByName(sel2.withColumn("step", lit(2)))
+      .unionByName(sel3.withColumn("step", lit(3)))
+      .select($"qid", $"step", $"cid", $"rel",
+        round($"score", 6).as("mmr_score"))
+      .orderBy($"qid", $"step")
+  }
+
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
     sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
     sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall,
-    sq11HardNegatives)
+    sq11HardNegatives, sq12MmrRerank)
 }
