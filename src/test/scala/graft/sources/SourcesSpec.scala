@@ -133,6 +133,54 @@ class SourcesSpec extends AnyFunSuite {
     assert(bad.filter($"doc_id".isNull).count() == 1, "malformed row null-fills")
   }
 
+  test("events loader adapts to fixture ts encoding: micros-NTZ and nanos-long both normalize") {
+    // The fixture's physical encoding of events.ts has changed once under
+    // the repo (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)); the loader must
+    // dispatch on the scanned type and emit identical TimestampType values
+    // either way. Simulate both generations: a micros file written by
+    // Spark, and an epoch-nanos-long file (what a NANOS fixture scans as
+    // under the legacy conf).
+    import spark.implicits._
+    val real = Tables.events(spark, dir)
+    assert(real.schema("ts").dataType == TimestampType,
+      "current fixture must normalize to TimestampType")
+
+    val base = java.nio.file.Files.createTempDirectory("graft-events").toString
+    val rows = real.limit(50).cache()
+    // generation A: ts as timestamp micros (current fixture shape)
+    rows.write.mode("overwrite").parquet(s"$base/micros/events.parquet")
+    // generation B: ts as epoch-nanos BIGINT (legacy NANOS fixture scan shape)
+    rows.withColumn("ts", unix_micros($"ts") * lit(1000L))
+      .write.mode("overwrite").parquet(s"$base/nanos/events.parquet")
+
+    val a = Tables.events(spark, s"$base/micros")
+    val b = Tables.events(spark, s"$base/nanos")
+    assert(a.schema("ts").dataType == TimestampType)
+    assert(b.schema("ts").dataType == TimestampType)
+    val ka = a.select($"event_id", $"ts").as[(Long, java.sql.Timestamp)]
+      .collect().sortBy(_._1).toSeq
+    val kb = b.select($"event_id", $"ts").as[(Long, java.sql.Timestamp)]
+      .collect().sortBy(_._1).toSeq
+    assert(ka == kb, "both encodings must yield identical instants")
+    rows.unpersist()
+  }
+
+  test("assertSchema names every drifted column instead of failing downstream") {
+    import spark.implicits._
+    // green on the real fixture for all tables
+    Tables.names.foreach { n =>
+      val df = if (n == "events") Tables.events(spark, dir) else Tables.load(spark, dir, n)
+      Tables.assertSchema(n, df)
+    }
+    // a drifted frame fails with BOTH offending columns named
+    val drifted = Seq(("x", 1)).toDF("doc_id", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      Tables.assertSchema("documents", drifted)
+    }
+    assert(e.getMessage.contains("documents.doc_id"))
+    assert(e.getMessage.contains("documents.text: MISSING"))
+  }
+
   test("file-metadata columns: _metadata.file_name and input_file_name resolve per row") {
     // lakehouse lineage surface: every row knows its source file — the
     // hook audit/backfill tooling keys on (constant per scan task, no cost)
