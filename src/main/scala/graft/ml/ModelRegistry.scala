@@ -40,4 +40,24 @@ object ModelRegistry {
       .orderBy(col("training_date").desc, col("version").desc)
       .as[Entry].head(1).headOption
   }
+
+  /** Latest registered model BY NAME — the reference's serving lookup
+    * (pyc get_latest_model_from_cassandra@540: filter on model_name,
+    * newest training_date wins; version desc tie-breaks same-timestamp
+    * re-registrations). */
+  def latestByName(spark: SparkSession, registryPath: String, modelName: String): Option[Entry] = {
+    import spark.implicits._
+    all(spark, registryPath)
+      .filter(col("model_name") === modelName)
+      .orderBy(col("training_date").desc, col("version").desc)
+      .as[Entry].head(1).headOption
+  }
+
+  /** Registry-driven model selection end to end: resolve the newest
+    * version of `modelName` and load its persisted pipeline from
+    * model_path — the serving path never hard-codes a model location. */
+  def loadLatest(spark: SparkSession, registryPath: String,
+      modelName: String): Option[(Entry, org.apache.spark.ml.PipelineModel)] =
+    latestByName(spark, registryPath, modelName)
+      .map(e => (e, Pipelines.load(e.model_path)))
 }

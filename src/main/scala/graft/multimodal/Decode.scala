@@ -112,6 +112,15 @@ object Decode {
     * unsupported payloads yield the same sentinel row as [[ImageCodec]]
     * (all-zero dims, brightness = -1.0). */
   object AudioCodec {
+    /** Frame count resolution: trust a declared non-negative count;
+      * stream-sourced WAVs can report NOT_SPECIFIED (-1) frames, in which
+      * case derive from decoded bytes / frame size; None (→ sentinel row)
+      * only when the format declares neither. */
+    def frameCount(declared: Long, frameSize: Int, dataLen: Int): Option[Int] =
+      if (declared >= 0) Some(declared.toInt)
+      else if (frameSize > 0) Some(dataLen / frameSize)
+      else None
+
     def decode(a: Asset): AssetFeatures = {
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -121,15 +130,9 @@ object Decode {
           if (fmt.getSampleSizeInBits != 16)
             return AssetFeatures(a.asset_id, a.modality, a.payload.length, 0, 0, 0, -1.0)
           val data = in.readAllBytes()
-          // stream-sourced WAVs can report NOT_SPECIFIED (-1) frames —
-          // derive the count from the decoded bytes instead of emitting
-          // a bogus negative value (frame size is bytes/frame across all
-          // channels, ≥ 2 here since we gated on 16-bit samples)
-          val declared = in.getFrameLength
-          val frames =
-            if (declared >= 0) declared.toInt
-            else if (fmt.getFrameSize > 0) data.length / fmt.getFrameSize
-            else return AssetFeatures(a.asset_id, a.modality, a.payload.length, 0, 0, 0, -1.0)
+          val frames = frameCount(in.getFrameLength, fmt.getFrameSize, data.length)
+            .getOrElse(
+              return AssetFeatures(a.asset_id, a.modality, a.payload.length, 0, 0, 0, -1.0))
           var sumSq = 0.0
           var n = 0
           var i = 0

@@ -190,7 +190,78 @@ object JobEtlQueries {
         count(when($"ingested_at".isNull, 1)).as("n_null_ts"))
   }
 
+  /** Frozen serving-time centroids over (salary_final triệu, exp_final
+    * years) — at serving time a TRAINED model's parameters are published
+    * constants (the job_clusters lifecycle: train_kmeans.py trains, writes
+    * assignments; the dashboard only ever reads them), which is what makes
+    * the assignment replayable by the SQL oracle. Tiers mirror the
+    * reference's salary/experience banding (train_kmeans.py:247-260). */
+  private val clusterCentroids: Seq[(Double, Double)] =
+    Seq((8.0, 0.5), (15.0, 1.0), (25.0, 3.0), (40.0, 5.0), (60.0, 8.0))
+
+  /** First-min-wins argmin as a CASE chain: WHEN i fires iff d_i <= every
+    * LATER distance — reaches exactly the first index attaining the global
+    * min, identically in Spark and DuckDB (same IEEE arithmetic, same
+    * comparison order). */
+  private def sqlClusterCase: String = {
+    val d = clusterCentroids.map { case (s, e) =>
+      s"((salary_final - $s)*(salary_final - $s) + (exp_final - $e)*(exp_final - $e))" }
+    val whens = (0 until d.length - 1).map { i =>
+      s"WHEN ${(i + 1 until d.length).map(j => s"${d(i)} <= ${d(j)}").mkString(" AND ")} THEN $i" }
+    s"CASE ${whens.mkString(" ")} ELSE ${d.length - 1} END"
+  }
+
+  /** The per-cluster stats SERVING join (train_kmeans.py:200-213,275-278 +
+    * streamlit_app.py:269-276): the cluster-assignment result table —
+    * reference's job_analytics.job_clusters — equi-joined back to the
+    * postings by id, then per-cluster count / avg salary / avg experience.
+    * Assignment is a codegen'd argmin projection over the frozen centroid
+    * table (no model object in the serving path). 100 TB shape: both
+    * sides key on job_id, so the join co-partitions on the id (or prunes
+    * to a broadcast when the assignment table is one training run's
+    * output); the agg is 5 groups — partial map-side combine collapses it
+    * before the shuffle. */
+  val jq08ClusterStats: QueryDef = sqlChecked(
+    "jq08_cluster_stats",
+    s"""WITH $W,
+       |labeled AS (
+       |  SELECT job_id,
+       |    coalesce(salary_avg, (salary_min + salary_max) / 2, 0.0) AS salary_final,
+       |    coalesce(exp_avg_year, exp_min_year, 0.0) AS exp_final
+       |  FROM etl),
+       |postings AS (
+       |  SELECT * FROM labeled
+       |  WHERE salary_final > 0 AND salary_final <= 200
+       |    AND exp_final >= 0 AND exp_final <= 30),
+       |clusters AS (SELECT job_id, $sqlClusterCase AS cluster FROM postings)
+       |SELECT c.cluster, COUNT(*) AS n_jobs,
+       |  ${sqlDavg("p.salary_final")} AS avg_salary,
+       |  ${sqlDavg("p.exp_final")} AS avg_exp
+       |FROM clusters c JOIN postings p ON c.job_id = p.job_id
+       |GROUP BY c.cluster ORDER BY c.cluster""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val postings = JobFeatures.withLabels(cleanJobs(spark, dir))
+      .select($"job_id", $"salary_final", $"exp_final")
+    val d = clusterCentroids.map { case (s, e) =>
+      ($"salary_final" - s) * ($"salary_final" - s) +
+        ($"exp_final" - e) * ($"exp_final" - e) }
+    val cluster = (0 until d.length - 1).foldRight(lit(clusterCentroids.length - 1)) {
+      (i, els) =>
+        when((i + 1 until d.length).map(j => d(i) <= d(j)).reduce(_ && _), lit(i))
+          .otherwise(els)
+    }
+    // the assignment table (job_clusters) as its own frame, then the
+    // dashboard's id-equi-join back onto the postings
+    val assignments = postings.select($"job_id", cluster.as("cluster"))
+    assignments.join(postings, Seq("job_id"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_jobs"),
+        davg($"salary_final").as("avg_salary"),
+        davg($"exp_final").as("avg_exp"))
+      .orderBy($"cluster")
+  }
+
   val all: Seq[QueryDef] = Seq(
     jq01SalaryParse, jq02ExperienceParse, jq03TopCities, jq04FlagFeatures,
-    jq05SkillsExplode, jq06HotScore, jq07SurrogateKeys)
+    jq05SkillsExplode, jq06HotScore, jq07SurrogateKeys, jq08ClusterStats)
 }

@@ -130,4 +130,40 @@ class PipelinesSpec extends AnyFunSuite {
     assert(latest.exists(_.model_id == "id-2"))
     assert(ModelRegistry.all(spark, path).count() == 2)
   }
+
+  test("registry-driven serving: loadLatest resolves newest version by name and loads it") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-reg2").toString
+    val regPath = s"$base/registry"
+    // two REAL persisted models of the same name, trained on shifted
+    // labels so their predictions are distinguishable after load
+    val feats = MlQueries.featurizedJobs(spark, "/root/testdata/sf0.001")
+      .select(($"salary_final" +: MlQueries.jobFeatureCols.map(org.apache.spark.sql.functions.col)): _*)
+      .na.fill(0.0).cache()
+    val v1 = Pipelines.salaryForest(MlQueries.jobFeatureCols, 5, 3).fit(feats)
+    val v2 = Pipelines.salaryForest(MlQueries.jobFeatureCols, 5, 3).fit(
+      feats.withColumn("salary_final",
+        org.apache.spark.sql.functions.col("salary_final") + 100.0))
+    Pipelines.save(v1, s"$base/m1")
+    Pipelines.save(v2, s"$base/m2")
+    val now = System.currentTimeMillis()
+    ModelRegistry.append(spark, regPath, ModelRegistry.Entry(
+      "id-1", "salary_rf", "regression", new java.sql.Timestamp(now - 1000),
+      Some(7.9), Some(0.26), MlQueries.jobFeatureCols, s"$base/m1", 1))
+    ModelRegistry.append(spark, regPath, ModelRegistry.Entry(
+      "id-2", "salary_rf", "regression", new java.sql.Timestamp(now),
+      Some(7.1), Some(0.31), MlQueries.jobFeatureCols, s"$base/m2", 2))
+
+    val resolved = ModelRegistry.loadLatest(spark, regPath, "salary_rf")
+    assert(resolved.exists(_._1.model_id == "id-2"), "newest training_date wins")
+    assert(ModelRegistry.loadLatest(spark, regPath, "no_such_model").isEmpty)
+    val (_, served) = resolved.get
+    val row = feats.limit(1)
+    val p2 = served.transform(row).select("prediction").head.getDouble(0)
+    val p1 = Pipelines.load(s"$base/m1").transform(row)
+      .select("prediction").head.getDouble(0)
+    assert(p2 > p1 + 50.0,
+      s"loaded model must be v2 (shifted labels): v1=$p1 v2=$p2")
+    feats.unpersist()
+  }
 }

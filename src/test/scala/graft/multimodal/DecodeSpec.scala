@@ -87,6 +87,15 @@ class DecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("frame-count resolution: declared wins; NOT_SPECIFIED derives from bytes; neither → sentinel") {
+    // stream-sourced WAVs report getFrameLength == -1 (NOT_SPECIFIED)
+    assert(Decode.AudioCodec.frameCount(64, 2, 999) == Some(64), "declared count wins")
+    assert(Decode.AudioCodec.frameCount(-1, 2, 128) == Some(64), "-1 derives from data/frameSize")
+    assert(Decode.AudioCodec.frameCount(-1, 4, 128) == Some(32), "stereo 16-bit frame size")
+    assert(Decode.AudioCodec.frameCount(-1, -1, 128) == None, "no declared count, no frame size → sentinel")
+    assert(Decode.AudioCodec.frameCount(0, 2, 0) == Some(0), "empty stream is valid, not sentinel")
+  }
+
   test("corrupt audio payload yields sentinel row") {
     val f = Decode.AudioCodec.decode(
       Decode.Asset(9L, "definitely not a wav".getBytes("UTF-8"), "audio"))

@@ -61,4 +61,63 @@ class StreamingInferenceSpec extends AnyFunSuite {
       docs.unpersist()
     }
   }
+
+  test("ingest pipeline: filter -> BPE tokenize -> count inside foreachBatch matches batch encoder") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .withColumn("is_quality", ($"n_chars" >= 200).cast("double"))
+      .select($"text", $"is_quality")
+      .coalesce(4).cache()
+    val model = Pipelines.qualityFilterLr("is_quality").fit(docs)
+    val lr = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    org.apache.spark.ml.GraftMlBridge.dropTrainingSummary(lr)
+    val path = java.nio.file.Files.createTempDirectory("graft-qlr2").toString + "/m"
+    Pipelines.save(model, path)
+    val served = Pipelines.load(path)
+
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val stream = MemoryStream[String]
+    val query = IngestTokenize.start(
+      served, stream.toDF().withColumnRenamed("value", "text"),
+      s"$base/out", s"$base/ckpt")
+    try {
+      // long docs over fixture-corpus vocabulary (out-of-vocab tokens
+      // give the TF featurizer an all-zero vector, which the model
+      // rightly scores as junk — the first spec proves this phrase
+      // scores > 0.5 at this length)
+      val keepA = ("table scan row value part " * 60).trim
+      val keepB = ("value part table scan row " * 50).trim
+      val drop = "tiny"
+      stream.addData(keepA, drop)
+      query.processAllAvailable()
+      stream.addData(keepB)
+      query.processAllAvailable()
+
+      val out = spark.read.parquet(s"$base/out")
+        .select($"text", $"n_tokens", $"batch_id")
+        .as[(String, Long, Long)].collect().sortBy(_._3)
+      assert(out.map(_._1).toSet == Set(keepA, keepB),
+        "sub-threshold doc must be filtered at ingest; both quality docs kept")
+      assert(out.map(_._3).distinct.length == 2, "one parquet append per micro-batch")
+
+      // the streaming path's counts must equal the batch encoder run directly
+      val batchCounts = {
+        val norm = graft.tokenizer.Bpe.normText($"text")
+        Seq(keepA, keepB).toDF("text")
+          .withColumn("n_tokens", graft.tokenizer.Bpe.subwordCount(
+            norm, graft.tokenizer.Bpe.encode(norm, graft.tokenizer.Bpe.FixedMerges)))
+          .as[(String, Long)].collect().toMap
+      }
+      out.foreach { case (text, n, _) =>
+        assert(n == batchCounts(text), s"streaming count $n != batch ${batchCounts(text)}")
+        assert(n > 0)
+      }
+    } finally {
+      query.stop()
+      docs.unpersist()
+    }
+  }
 }
