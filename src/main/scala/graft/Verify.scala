@@ -20,6 +20,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q01,jq04 limits the run (dev iteration knob)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
@@ -27,6 +28,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       } finally spark.catalog.clearCache() // per-query isolation (see Bench)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +46,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failures must be first-class in the artifact: a query that ERRORs
+    // leaves no parquet dir, and a checker reading only the dump would
+    // see 100% of what remains passing (the round-7 lesson — 22 errors
+    // were invisible in the correctness artifact). Always write the
+    // file, empty map included, so "no errors" is a recorded fact.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

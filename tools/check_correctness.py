@@ -94,6 +94,14 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     n_pass = n_fail = n_rows_only = 0
+    # Queries that ERRORed in Verify leave no parquet dir — without this,
+    # a 22-query regression reads as "everything passing" (round 7). The
+    # dump records them in errors.json; surface each as an explicit FAIL.
+    err_path = f"{out_dir}/errors.json"
+    if os.path.exists(err_path):
+        for name, msg in sorted(json.load(open(err_path)).items()):
+            n_fail += 1
+            print(f"FAIL(spark-err)    {name}: {msg[:200]}")
     for name in sorted(os.listdir(out_dir)):
         if not os.path.isdir(f"{out_dir}/{name}"):
             continue
