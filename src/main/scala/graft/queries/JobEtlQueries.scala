@@ -240,8 +240,13 @@ object JobEtlQueries {
        |FROM clusters c JOIN postings p ON c.job_id = p.job_id
        |GROUP BY c.cluster ORDER BY c.cluster""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // cache: the postings frame feeds BOTH join sides; uncached, the
+    // regex-ETL cascade would evaluate twice (in production the
+    // assignment table is a STORED table — job_clusters — so the
+    // serving join never recomputes the ETL at all)
     val postings = JobFeatures.withLabels(cleanJobs(spark, dir))
       .select($"job_id", $"salary_final", $"exp_final")
+      .cache()
     val d = clusterCentroids.map { case (s, e) =>
       ($"salary_final" - s) * ($"salary_final" - s) +
         ($"exp_final" - e) * ($"exp_final" - e) }

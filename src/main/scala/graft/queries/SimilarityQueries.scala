@@ -669,8 +669,58 @@ object SimilarityQueries {
       .orderBy($"qid", $"step")
   }
 
+  /** Embedding-corpus QA audit — the pre-flight a vector corpus gets
+    * before any index is built over it: per label, vector count,
+    * dimensionality bounds (a ragged corpus breaks every ANN index),
+    * average squared L2 norm (unit-norm drift breaks the L2≡cosine
+    * equivalence sq09/sq10 rely on), and global element bounds (detects
+    * scaling/overflow corruption). One scan, per-vector work is a
+    * codegen'd fold, tiny per-label aggregate. Oracle replays the same
+    * decimal-exact squared norms via unnest — hash-green, so the audit
+    * itself is verified, not just executed. */
+  val sq13EmbeddingAudit: QueryDef = sqlChecked(
+    "sq13_embedding_audit",
+    s"""WITH el AS (
+       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, label, COUNT(*) AS dim,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sq_norm,
+       |    MIN(x) AS mn, MAX(x) AS mx
+       |  FROM el GROUP BY vec_id, label)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |  CAST(MIN(dim) AS BIGINT) AS dim_min,
+       |  CAST(MAX(dim) AS BIGINT) AS dim_max,
+       |  ${sqlDavg("sq_norm")} AS avg_sq_norm,
+       |  MIN(mn) AS min_element, MAX(mx) AS max_element
+       |FROM v GROUP BY label ORDER BY label""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val D = org.apache.spark.sql.types.DecimalType(30, 6)
+    val v = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", toDouble($"embedding").as("v"))
+      .select($"vec_id", $"label",
+        size($"v").cast("long").as("dim"),
+        // decimal-exact fold: each square rounds to 6 dp once, the sum
+        // is then order-independent — same associativity shield as
+        // Num.dsum, applied per vector
+        aggregate($"v", lit(java.math.BigDecimal.ZERO).cast(D),
+          // re-cast after the add: decimal + widens precision, and the
+          // fold's accumulator type must stay fixed at (30,6)
+          (acc, x) => (acc + (x * x).cast(D)).cast(D)).cast("double").as("sq_norm"),
+        array_min($"v").as("mn"), array_max($"v").as("mx"))
+    v.groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min($"dim").as("dim_min"),
+        max($"dim").as("dim_max"),
+        davg($"sq_norm").as("avg_sq_norm"),
+        min($"mn").as("min_element"),
+        max($"mx").as("max_element"))
+      .orderBy($"label")
+  }
+
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
     sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
     sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall,
-    sq11HardNegatives, sq12MmrRerank)
+    sq11HardNegatives, sq12MmrRerank, sq13EmbeddingAudit)
 }

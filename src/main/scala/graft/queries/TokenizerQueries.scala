@@ -132,6 +132,35 @@ object TokenizerQueries {
       .orderBy($"lang")
   }
 
+  /** Detokenization round trip — the lossless-ness contract of the frozen
+    * vocabulary, audited over the WHOLE corpus: encode then decode every
+    * document and count mismatches per lang (zero by construction; the
+    * oracle hash-verifies the zeros AND the decoded character totals, so
+    * a broken merge table or sentinel collision shows up as a value
+    * diff, not a silent pass). Same one-scan map-only shape as tq31 —
+    * the decode adds two codegen'd replaces to the chain. */
+  val tq34BpeDecode: QueryDef = sqlChecked(
+    "tq34_bpe_decode",
+    s"""WITH n AS (SELECT lang, ${Bpe.sqlNorm} AS norm FROM documents),
+       |e AS (SELECT lang, norm, ${Bpe.sqlEncode(Bpe.FixedMerges)} AS enc FROM n),
+       |d AS (SELECT lang, norm, ${Bpe.sqlDecode} AS dec FROM e)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN dec = norm THEN 0 ELSE 1 END) AS BIGINT) AS n_roundtrip_fail,
+       |  CAST(SUM(len(dec)) AS BIGINT) AS total_decoded_chars
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("norm", Bpe.normText($"text"))
+      .withColumn("dec", Bpe.decode(Bpe.encode($"norm", Bpe.FixedMerges)))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"dec" === $"norm", 0).otherwise(1)).cast("long").as("n_roundtrip_fail"),
+        sum(length($"dec")).cast("long").as("total_decoded_chars"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(tq29BpePairCounts, tq30BpeMerges, tq31BpeEncode, tq32TokenizerFertility)
+    Seq(tq29BpePairCounts, tq30BpeMerges, tq31BpeEncode, tq32TokenizerFertility,
+      tq34BpeDecode)
 }

@@ -163,6 +163,18 @@ object Bpe {
     (length(enc) - length(replace(enc, lit(O), lit("")))) -
       (length(norm) - length(replace(norm, lit(" "), lit(""))))
 
+  /** Inverse of [[encode]] — detokenization. BPE merges only ever
+    * CONCATENATE adjacent symbols (no symbol is rewritten), so decoding a
+    * frozen-vocab encoding is pure sentinel removal: lossless by
+    * construction, `decode(encode(norm, m)) == norm` for every merge
+    * table over sentinel-free input. One codegen'd replace pair — the
+    * detokenize side of the tokenizer surface every serving path needs. */
+  def decode(enc: Column): Column =
+    replace(replace(enc, lit(O), lit("")), lit(C), lit(""))
+
+  /** DuckDB fragment equivalent to [[decode]] over a column named `enc`. */
+  def sqlDecode: String = "replace(replace(enc, chr(1), ''), chr(2), '')"
+
   /** DuckDB fragment equivalent to [[normText]] over column `text`. */
   def sqlNorm: String =
     "trim(regexp_replace(replace(replace(text, chr(1), ''), chr(2), ''), '\\s+', ' ', 'g'))"

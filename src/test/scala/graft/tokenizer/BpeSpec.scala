@@ -137,6 +137,23 @@ class BpeSpec extends AnyFunSuite {
     assert(tokensOf(enc) == Seq("s", "ing", "ing"))
   }
 
+  test("decode inverts encode on the corpus: lossless for every document") {
+    import spark.implicits._
+    // whole-corpus identity, plus targeted awkward strings (unicode,
+    // merge-heavy, whitespace runs) — BPE merges only concatenate, so
+    // decode is sentinel removal and the round trip must be exact
+    val awkward = Seq("the thin then singing", "đà nẵng ✓ →λ", "a", "",
+      "th th th the the", "  spaced   out  ")
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").select($"text")
+      .unionByName(awkward.toDF("text"))
+    val n = corpus
+      .withColumn("norm", Bpe.normText($"text"))
+      .withColumn("dec", Bpe.decode(Bpe.encode($"norm", Bpe.FixedMerges)))
+      .filter($"dec" =!= $"norm")
+      .count()
+    assert(n == 0, s"$n documents failed the decode(encode(x)) == x round trip")
+  }
+
   test("sentinel bytes in input are stripped; empty text yields zero tokens") {
     import spark.implicits._
     val df = Seq("a\u0001b\u0002c", "   ", "").toDF("text")
