@@ -32,6 +32,43 @@ object MinHashLsh {
       portable: Boolean = false): DataFrame =
     pairsFromBase(shingled(docs).cache(), numHashes, numBands, portable)
 
+  /** Stateless (doc_id, band_key) projection of a (doc_id, text) frame —
+    * the per-document half of the LSH pipeline factored out so the
+    * STREAMING ingest path (streaming/StreamingNearDup) can share the
+    * exact signature/banding arithmetic with the batch candidate join
+    * (dq03). Every doc emits exactly `numBands` keys; documents too short
+    * to shingle (< 3 tokens — batch LSH filters them out pre-join) emit
+    * ONE exact-content fallback key instead, so short docs still dedup
+    * exactly and no document vanishes from the ingest filter. Key format
+    * prefixes the band index / short marker, so bands never collide
+    * across families. Production hash path (xxhash64) only: streaming
+    * ingest has no DuckDB twin — batch dq03b carries the portable
+    * oracle. */
+  def bandKeys(docs: DataFrame, numHashes: Int = 16, numBands: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(numHashes % numBands == 0, "bands must evenly divide hashes")
+    val rowsPerBand = numHashes / numBands
+    // per-ROW signature: min over the doc's own shingle array via
+    // array_min(transform(...)) — no explode, no groupBy. Equivalent to
+    // the batch explode+min-agg (same min over the same hashes) but a
+    // pure projection: streaming-legal (no un-watermarked aggregation)
+    // and shuffle-free at any scale
+    def permHash(i: Int) = array_min(
+      transform($"shingles", sh => xxhash64(lit(i), sh)))
+    val toks = docs.withColumn("toks", Shingles.tokens($"text"))
+    val long = toks.filter(size($"toks") >= 3)
+      .withColumn("shingles", Shingles.shingles3($"toks"))
+      .select($"doc_id" +: (0 until numHashes).map(i => permHash(i).as(s"h$i")): _*)
+      .select($"doc_id", explode(array((0 until numBands).map { b =>
+        val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+        concat_ws(":", lit(s"b$b"), xxhash64(cols: _*)): org.apache.spark.sql.Column
+      }: _*)).as("band_key"))
+    val short = toks.filter(size($"toks") < 3)
+      .select($"doc_id",
+        concat_ws(":", lit("short"), xxhash64(concat_ws(" ", $"toks"))).as("band_key"))
+    long.unionByName(short)
+  }
+
   /** (doc_id, shingles) projection of a (doc_id, text) frame. */
   private def shingled(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._

@@ -126,4 +126,26 @@ class MinHashSpec extends AnyFunSuite {
     val (anp, and_, amj, _) = adaptiveStats(corpus, threshold = 0.0)
     assert((anp, and_, amj) == ((np, nd, mj)))
   }
+
+  test("bandKeys (streaming-shape, per-row signature) yields the batch candidate pairs") {
+    import spark.implicits._
+    // the per-row array_min(transform(...)) signature must be the SAME
+    // arithmetic as the batch explode+min-agg path: docs sharing any
+    // band key == candidatePairs' candidate set on the same corpus
+    val corpus = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val keys = MinHashLsh.bandKeys(corpus)
+    val fromKeys = keys.as("a").join(keys.as("b"),
+        $"a.band_key" === $"b.band_key" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val fromBatch = MinHashLsh.candidatePairs(corpus)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(fromKeys == fromBatch,
+      s"streaming band keys diverge from batch candidates: " +
+        s"only-keys=${(fromKeys -- fromBatch).take(3)} only-batch=${(fromBatch -- fromKeys).take(3)}")
+    // every shingleable doc emits exactly numBands keys; short docs one
+    val perDoc = keys.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .select($"n").distinct().as[Long].collect().toSet
+    assert(perDoc.subsetOf(Set(1L, 4L)), s"unexpected per-doc key counts $perDoc")
+  }
 }
