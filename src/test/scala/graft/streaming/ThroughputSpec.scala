@@ -84,6 +84,35 @@ class ThroughputSpec extends AnyFunSuite {
     assert(sessionRate > 2000, f"$sessionRate%.0f rows/s below floor")
   }
 
+  test("ingest near-dup filter throughput: shingle+minhash+band claims at >1k docs/s") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val n = 10000
+      // ~30-token docs, 20% exact clones — per-doc work is the real cost
+      // (16 hashes × shingles + 4 band claims), so the floor is docs/s
+      val vocab = Array("key", "agg", "row", "scan", "slow", "fast", "table",
+        "value", "part", "hash", "merge", "batch", "spark", "window", "sort")
+      def docText(i: Int) = {
+        val seed = if (i % 5 == 0) i - (i % 5) else i // every 5th is a clone
+        (0 until 30).map(j => vocab((seed * 31 + j * 7) % vocab.length)).mkString(" ")
+      }
+      val docs = (0 until n).map(i => (i.toLong, docText(i)))
+      val rate = measure[(Long, String)](n,
+        docs.take(100), docs,
+        s => StreamingNearDup.verdicts(s.toDF().toDF("doc_id", "text"))
+          .writeStream.format("noop").outputMode("append"))
+      info(f"StreamingNearDup (16 hashes, 4 bands): $rate%.0f docs/s over $n docs")
+      assert(rate > 1000, f"$rate%.0f docs/s below floor")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("stateful throughput: transformWithState (RocksDB provider) path") {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"

@@ -154,6 +154,27 @@ class BpeSpec extends AnyFunSuite {
     assert(n == 0, s"$n documents failed the decode(encode(x)) == x round trip")
   }
 
+  test("property: decode inverts encode for arbitrary unicode strings") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop}
+    // arbitrary printable-unicode strings (normText strips the two
+    // sentinel code points first, so even hostile input is safe); one
+    // Spark pass per trial batch, driver-side identity check
+    val gen = Gen.listOfN(200, Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\n', 'đ', 'ẵ', '✓', 'λ', '\u0001', '\u0002')))
+      .map(_.mkString))
+    val prop = Prop.forAllNoShrink(gen) { texts =>
+      val rows = texts.toDF("text")
+        .withColumn("norm", Bpe.normText(col("text")))
+        .withColumn("dec", Bpe.decode(Bpe.encode(col("norm"), Bpe.FixedMerges)))
+        .select(col("norm"), col("dec")).collect()
+      rows.forall(r => r.getString(0) == r.getString(1))
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sentinel bytes in input are stripped; empty text yields zero tokens") {
     import spark.implicits._
     val df = Seq("a\u0001b\u0002c", "   ", "").toDF("text")
