@@ -105,6 +105,35 @@ object Decode {
     }
   }
 
+  /** Bilinear resize — the standard vision-preprocessing step (every
+    * image tower takes a fixed input size, e.g. 224×224; the corpus
+    * arrives at arbitrary dims). Real JDK implementation: decode, one
+    * Graphics2D pass with BILINEAR interpolation, re-encode. Returns
+    * None for undecodable payloads (callers map that to the sentinel
+    * row, same contract as decode). Solid-color images resize to the
+    * same color exactly (interpolation of equal values), which is what
+    * makes the operation oracle-checkable end to end. */
+  def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int,
+      format: String = "png"): Option[Array[Byte]] = {
+    try {
+      val src = ImageIO.read(new ByteArrayInputStream(payload))
+      if (src == null) return None
+      val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(dst, format, out)
+      Some(out.toByteArray)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
   /** Real JDK audio codec: WAV (any `javax.sound.sampled` reader, 16-bit
     * PCM) in, features out mapped onto the uniform feature slots:
     * width = sample rate (Hz), height = channel count, n_frames = sample
@@ -236,15 +265,20 @@ object Decode {
     }
 
     /** Encode an animated GIF of `nFrames` solid-gray frames. */
-    def encodeGrayFrames(width: Int, height: Int, gray: Int, nFrames: Int): Array[Byte] = {
+    def encodeGrayFrames(width: Int, height: Int, gray: Int, nFrames: Int): Array[Byte] =
+      encodeFrames(width, height, Seq.fill(nFrames)(gray))
+
+    /** Encode an animated GIF with one solid frame PER gray value — the
+      * per-frame-distinct fixture frame sampling needs (each frame gets
+      * its own local color table, so grays round-trip exactly). */
+    def encodeFrames(width: Int, height: Int, grays: Seq[Int]): Array[Byte] = {
       val writer = ImageIO.getImageWritersByFormatName("gif").next()
       val out = new ByteArrayOutputStream()
       val ios = ImageIO.createImageOutputStream(out)
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
-        var i = 0
-        while (i < nFrames) {
+        grays.foreach { gray =>
           val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
           val rgb = (gray << 16) | (gray << 8) | gray
           var y = 0
@@ -254,7 +288,6 @@ object Decode {
             y += 1
           }
           writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-          i += 1
         }
         writer.endWriteSequence()
       } finally {
@@ -262,6 +295,47 @@ object Decode {
         ios.close()
       }
       out.toByteArray
+    }
+
+    /** Uniform frame sampling — a video tower never ingests every frame;
+      * it takes k frames spread across the clip. Indices are the standard
+      * round(i·(n−1)/(k−1)) lattice (first and last always included;
+      * k ≥ n degenerates to all frames), deduplicated and ascending.
+      * Returns (frame_idx, mean luminance ∈ [0,1]) per sampled frame;
+      * empty for undecodable payloads. Only the SAMPLED frames are
+      * decoded — at corpus scale that is the entire point. */
+    def sampleFrames(payload: Array[Byte], k: Int): Seq[(Int, Double)] = {
+      require(k >= 1, "k frames to sample")
+      val readers = ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) return Seq.empty
+      val reader = readers.next()
+      try {
+        reader.setInput(new MemoryCacheImageInputStream(
+          new ByteArrayInputStream(payload)), false, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return Seq.empty
+        val idxs =
+          if (k == 1) Seq(0)
+          else (0 until k).map(i => math.round(i.toDouble * (n - 1) / (k - 1)).toInt)
+        idxs.distinct.sorted.map { i =>
+          val img = reader.read(i)
+          var lumSum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              lumSum += Math.round(0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff))
+              x += 1
+            }
+            y += 1
+          }
+          (i, lumSum.toDouble / (img.getWidth.toLong * img.getHeight) / 255.0)
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => Seq.empty
+      } finally reader.dispose()
     }
   }
 

@@ -1165,6 +1165,85 @@ object TextQueries {
       .orderBy($"lang", $"bucket")
   }
 
+  /** Image RESIZE, END TO END REAL (the vision-preprocessing step every
+    * image tower needs — arbitrary corpus dims → fixed model input): per
+    * document, encode a solid-gray PNG at closed-form dims, bilinear-
+    * resize it to 8×8 with the real JDK Graphics2D path
+    * (multimodal/Decode.resizeImage), then DECODE BOTH payloads on the
+    * executors and emit the decoded original dims next to the decoded
+    * resized dims + gray. Solid-color images resize to the same color
+    * exactly (interpolation of equal values), so the oracle recomputes
+    * everything in closed form — a hash match proves the decode →
+    * resize → re-encode → decode chain end to end. Map-only, one scan,
+    * sampled frames of work per row. */
+  val tq35ImageResize: QueryDef = sqlChecked(
+    "tq35_image_resize",
+    """SELECT doc_id,
+      |  CAST(doc_id % 24 + 8 AS INT) AS orig_w,
+      |  CAST(doc_id % 16 + 8 AS INT) AS orig_h,
+      |  8 AS width, 8 AS height,
+      |  CAST(n_chars % 256 AS INT) AS gray
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 200)
+      .select($"doc_id",
+        ($"doc_id" % 24 + 8).cast("int").as("w"),
+        ($"doc_id" % 16 + 8).cast("int").as("h"),
+        ($"n_chars" % 256).cast("int").as("g"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h, g) =>
+        val orig = Decode.ImageCodec.encodeGray(w, h, g)
+        val resized = Decode.resizeImage(orig, 8, 8)
+          .getOrElse(Array.emptyByteArray)
+        val of = Decode.ImageCodec.decode(Decode.Asset(id, orig, "image"))
+        val rf = Decode.ImageCodec.decode(Decode.Asset(id, resized, "image"))
+        (id, of.width, of.height, rf.width, rf.height,
+          Math.round(rf.brightness * 255).toInt)
+      })
+      .toDF("doc_id", "orig_w", "orig_h", "width", "height", "gray")
+      .orderBy($"doc_id")
+  }
+
+  /** Uniform FRAME SAMPLING, END TO END REAL (a video tower ingests k
+    * frames spread across the clip, never all of them): per document,
+    * encode an animated GIF whose frame j is solid gray (g + 17·j) % 256,
+    * sample k=3 frames on the round(i·(n−1)/(k−1)) lattice decoding ONLY
+    * those frames (multimodal/Decode.sampleFrames), and emit one row per
+    * sampled frame with its decoded luminance. The oracle joins a
+    * literal nf → sampled-index lattice and recomputes each frame's gray
+    * arithmetically — hash match proves index selection AND per-frame
+    * decode. */
+  val tq36FrameSample: QueryDef = sqlChecked(
+    "tq36_frame_sample",
+    """WITH docs AS (
+      |  SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS nf,
+      |    CAST(n_chars % 256 AS INT) AS g
+      |  FROM documents WHERE doc_id < 120),
+      |lattice(nf, idx) AS (VALUES
+      |  (1, 0), (2, 0), (2, 1), (3, 0), (3, 1), (3, 2), (4, 0), (4, 2), (4, 3))
+      |SELECT d.doc_id, CAST(l.idx AS INT) AS frame_idx,
+      |  CAST((d.g + 17 * l.idx) % 256 AS INT) AS gray
+      |FROM docs d JOIN lattice l ON d.nf = l.nf
+      |ORDER BY d.doc_id, frame_idx""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 120)
+      .select($"doc_id",
+        ($"doc_id" % 4 + 1).cast("int").as("nf"),
+        ($"n_chars" % 256).cast("int").as("g"))
+      .as[(Long, Int, Int)]
+      .flatMap { case (id, nf, g) =>
+        val gif = Decode.VideoCodec.encodeFrames(
+          4, 3, (0 until nf).map(j => (g + 17 * j) % 256))
+        Decode.VideoCodec.sampleFrames(gif, 3).map { case (idx, lum) =>
+          (id, idx, Math.round(lum * 255).toInt)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "gray")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
     tq05Fingerprints, tq06MultimodalDecode, tq07MultimodalStats,
@@ -1174,5 +1253,5 @@ object TextQueries {
     tq17BigramLogprob, tq18VocabGrowth, tq20WeightedSample,
     tq21CompressionRatio, tq22AudioDecode, tq23VideoDecode, tq24Mp4Probe,
     tq25WebmProbe, tq26Mp4Bitrate, tq27WebmBitrate, tq28SourceOverlap,
-    tq33PerplexityBuckets)
+    tq33PerplexityBuckets, tq35ImageResize, tq36FrameSample)
 }

@@ -68,6 +68,34 @@ class DecodeSpec extends AnyFunSuite {
     assert(math.abs(f.brightness * 255 - 128) < 8.0)
   }
 
+  test("bilinear resize: dims land exactly; solid color is preserved; corrupt -> None") {
+    val solid = Decode.ImageCodec.encodeGray(20, 14, 97, "png")
+    val r = Decode.resizeImage(solid, 8, 8).get
+    val f = Decode.ImageCodec.decode(Decode.Asset(1L, r, "image"))
+    assert(f.width == 8 && f.height == 8)
+    assert(Math.round(f.brightness * 255).toInt == 97,
+      "solid color must survive interpolation exactly")
+    // upscale too
+    val up = Decode.resizeImage(solid, 64, 64).get
+    val fu = Decode.ImageCodec.decode(Decode.Asset(2L, up, "image"))
+    assert(fu.width == 64 && fu.height == 64)
+    assert(Math.round(fu.brightness * 255).toInt == 97)
+    assert(Decode.resizeImage("not an image".getBytes("UTF-8"), 8, 8).isEmpty)
+  }
+
+  test("frame sampling: lattice indices, k>=n degenerates to all frames, corrupt -> empty") {
+    // frames at grays 10, 60, 110, 160 — distinct per frame
+    val gif = Decode.VideoCodec.encodeFrames(4, 3, Seq(10, 60, 110, 160))
+    def grays(k: Int) = Decode.VideoCodec.sampleFrames(gif, k)
+      .map { case (i, l) => (i, Math.round(l * 255).toInt) }
+    assert(grays(3) == Seq((0, 10), (2, 110), (3, 160)),
+      "k=3 over 4 frames samples the round(i*(n-1)/(k-1)) lattice")
+    assert(grays(1) == Seq((0, 10)), "k=1 takes the first frame")
+    assert(grays(9) == Seq((0, 10), (1, 60), (2, 110), (3, 160)),
+      "k >= n decodes every frame once")
+    assert(Decode.VideoCodec.sampleFrames("junk".getBytes("UTF-8"), 3).isEmpty)
+  }
+
   test("hand-built WAV decodes exactly: rate, channels, frames, RMS") {
     // ±8192 square wave: RMS = 8192 exactly → brightness = 8192/32768 = 0.25
     val bytes = Decode.AudioCodec.encodeTone(16000, 64, 8192)
