@@ -24,6 +24,74 @@ case class StreamDoc(doc_id: Long, text: String, event_ts: java.sql.Timestamp)
 class StreamingDedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("decontamination at ingest: broadcast Bloom probe flags eval overlap on the stream") {
+    // the streaming half of dq07b: the eval-set Bloom filter is built
+    // ONCE in batch (driver-side, broadcast), then applied to arriving
+    // docs as the same codegen'd BloomProbe expression — stateless, so
+    // it composes with checkpointing like any projection. No false
+    // negatives: every doc sharing an 8-shingle with the eval set MUST
+    // be flagged; clean docs may only false-positive at the configured
+    // fpp (none here, asserted exactly against the batch join).
+    import spark.implicits._
+    import graft.dedup.Shingles
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .withColumn("toks", Shingles.tokens($"text")).filter(size($"toks") >= 8)
+    val evalSet = docs.filter($"doc_id" % 7 === 3)
+      .select(explode(Shingles.shinglesN($"toks", 8)).as("sh")).distinct().cache()
+    val bloom = evalSet.stat.bloomFilter("sh", math.max(evalSet.count(), 1L), 0.01)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+
+    // ground truth from the exact batch join
+    val corpus = docs.filter($"doc_id" % 7 =!= 3).limit(60)
+      .select($"doc_id", $"text").cache()
+    val truth = corpus
+      .withColumn("toks", Shingles.tokens($"text"))
+      .select($"doc_id", explode(Shingles.shinglesN($"toks", 8)).as("sh"))
+      .join(broadcast(evalSet), Seq("sh"))
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(truth.nonEmpty, "fixture must contain planted contamination")
+
+    // production shape (dq07b on the stream): Bloom DECIMATES the
+    // exploded shingles map-side (fpp is per PROBE — a doc with 100
+    // shingles would false-positive at ~1-(0.99^100)≈63% doc-level, so
+    // the Bloom alone is never the verdict), then the exact broadcast
+    // confirm join inside foreachBatch yields exact flags
+    val out = java.nio.file.Files.createTempDirectory("graft-decontam").toString
+    val stream = MemoryStream[(Long, String)]
+    val query = stream.toDF().toDF("doc_id", "text")
+      .withColumn("toks", Shingles.tokens($"text"))
+      .select($"doc_id", explode(Shingles.shinglesN($"toks", 8)).as("sh"))
+      .filter(graft.functions.BloomProbe.mightContain(bloomB, $"sh"))
+      .writeStream
+      .option("checkpointLocation", s"$out/ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batch.join(broadcast(evalSet), Seq("sh"))
+            .select($"doc_id").distinct()
+            .write.mode("append").parquet(s"$out/flags")
+          ()
+      }
+      .start()
+    try {
+      val rows = corpus.as[(Long, String)].collect()
+      stream.addData(rows.take(30).toSeq)
+      query.processAllAvailable()
+      stream.addData(rows.drop(30).toSeq)
+      query.processAllAvailable()
+      val streamFlagged = spark.read.parquet(s"$out/flags")
+        .as[Long].collect().toSet
+      assert(streamFlagged == truth,
+        s"streaming decontam must equal the exact batch join: " +
+          s"missed=${truth -- streamFlagged} extra=${streamFlagged -- truth}")
+    } finally {
+      query.stop()
+      corpus.unpersist(); evalSet.unpersist()
+    }
+  }
+
   test("duplicate payloads are dropped across micro-batches within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
