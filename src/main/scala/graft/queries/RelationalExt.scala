@@ -401,8 +401,32 @@ object RelationalExt {
       .orderBy($"n_name")
   }
 
+  /** XML source round trip — the third interchange format, using the
+    * XML reader Spark 4 ships natively (the spark-xml package merged
+    * into core): write a projection with a rowTag, read it back with an
+    * EXPLICIT schema (inference is a full extra pass at corpus scale),
+    * aggregate, hash-match the parquet-side oracle. Same proof shape as
+    * q40 (JSONL) / q41 (ORC). */
+  val q43XmlSource: QueryDef = sqlChecked(
+    "q43_xml_source",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val path = graft.util.Scratch.tempDir("graft-xml") + "/docs"
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"lang", $"n_chars")
+    docs.write.mode("overwrite").option("rowTag", "doc").xml(path)
+    spark.read.schema(docs.schema).option("rowTag", "doc").xml(path)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("sum_chars"),
+        max($"doc_id").cast("long").as("max_id"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt,
     q35Variant, q36ExistsSubquery, q37Posexplode, q38JsonRoundtrip, q39Winsorize,
-    q40JsonlSource, q41OrcSource, q42SaltedSkewJoin)
+    q40JsonlSource, q41OrcSource, q42SaltedSkewJoin, q43XmlSource)
 }
