@@ -438,27 +438,19 @@ object SimilarityQueries {
       Array.tabulate(p.length)(i => p(i) - cc(i))
     }
     val cb: Seq[Seq[Seq[Double]]] = graft.similarity.Pq.trainSubspaces(resSample, M, sub, K)
-    val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
     def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
-    // corpus: coarse-assign + residual, then sq09's codegen encode on the
-    // residual — everything is array built-ins over codebook literals
-    val assigned = emb
-      .withColumn("cd", transform(coarseLit, c => sqd($"v", c)))
-      .withColumn("list_id", (array_position($"cd", array_min($"cd")) - 1).cast("int"))
-      .drop("cd")
-      .withColumn("res", zip_with($"v", element_at(coarseLit, $"list_id" + 1), (x, y) => x - y))
+    // corpus: coarse-assign + residual + per-subspace encode — the
+    // SHARED frozen-quantizer projection (similarity/Pq.ivfPqEncode),
+    // identical on the batch index build here and the streaming
+    // incremental maintenance path (streaming/StreamingIndexIngest)
+    val codes = graft.similarity.Pq
+      .ivfPqEncode(emb, coarse.map(_.toSeq).toSeq, cb, sub)
+      .select(($"vec_id".as("cid") +: $"list_id" +: (0 until M).map(m => col(s"c$m"))): _*)
     def subDist(vCol: org.apache.spark.sql.Column, m: Int) =
       transform(typedlit(cb(m)), c =>
         aggregate(zip_with(slice(vCol, m * sub + 1, sub), c,
           (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
-    val codes = (0 until M).foldLeft(assigned) { (df, m) =>
-        df.withColumn(s"d$m", subDist($"res", m))
-          .withColumn(s"c$m",
-            (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1).cast("int"))
-          .drop(s"d$m")
-      }
-      .select(($"vec_id".as("cid") +: $"list_id" +: (0 until M).map(m => col(s"c$m"))): _*)
     // queries: NPROBE nearest lists, then one LUT per (query, list) from
     // the query residual w.r.t. that list's centroid
     val wProbe = Window.partitionBy($"qid").orderBy($"cdist".asc, $"list_id")

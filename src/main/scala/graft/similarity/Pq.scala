@@ -63,4 +63,41 @@ object Pq {
       trainCodebook(sample.map(_.slice(mi * sub, (mi + 1) * sub)), k, iters, seed + mi)
         .map(_.toSeq).toSeq
     }
+
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  private def sqd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** IVF-PQ encode as a pure COLUMN projection over frozen quantizers —
+    * the shared arithmetic of the batch index build (sq10) and the
+    * streaming incremental maintenance path: coarse-assign each vector
+    * (`v`: array<double>) to its nearest `coarse` centroid → `list_id`,
+    * subtract that centroid (residual), then per subspace emit the
+    * nearest `cb` codebook entry index → `c0..c{M-1}`. Everything is
+    * array built-ins over codebook literals, fully codegen, no UDFs —
+    * and therefore stateless, so it runs unchanged on a stream. Each
+    * per-subspace distance array materializes once in its own
+    * projection (inlining it into both array_position and array_min
+    * would double the K×subdim arithmetic per row). */
+  def ivfPqEncode(vecs: DataFrame, coarse: Seq[Seq[Double]],
+      cb: Seq[Seq[Seq[Double]]], sub: Int): DataFrame = {
+    val m = cb.length
+    val coarseLit = typedlit(coarse)
+    def subDist(vCol: Column, mi: Int) =
+      transform(typedlit(cb(mi)), c => sqd(slice(vCol, mi * sub + 1, sub), c))
+    val assigned = vecs
+      .withColumn("cd", transform(coarseLit, c => sqd(col("v"), c)))
+      .withColumn("list_id", (array_position(col("cd"), array_min(col("cd"))) - 1).cast("int"))
+      .drop("cd")
+      .withColumn("res", zip_with(col("v"), element_at(coarseLit, col("list_id") + 1), (x, y) => x - y))
+    (0 until m).foldLeft(assigned) { (df, mi) =>
+        df.withColumn(s"d$mi", subDist(col("res"), mi))
+          .withColumn(s"c$mi",
+            (array_position(col(s"d$mi"), array_min(col(s"d$mi"))) - 1).cast("int"))
+          .drop(s"d$mi")
+      }
+      .drop("res")
+  }
 }
