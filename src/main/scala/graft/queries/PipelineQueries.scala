@@ -395,7 +395,61 @@ object PipelineQueries {
       .orderBy($"shard")
   }
 
+  /** Sequence-length bucketing — the padding-waste side of batching that
+    * pq06's token-budget packing does not address: a training batch pads
+    * every sequence to its bucket's length, so the efficiency metric is
+    * wasted-pad-tokens per bucket. Docs are assigned to power-of-two
+    * length buckets (the standard bucketed-batching scheme; the final
+    * bucket also CAPS — longer docs truncate to it, reported as
+    * truncated tokens, the other half of the trade). All-integer
+    * arithmetic, so the oracle replays the whole accounting; waste_pct
+    * is one exact division at the end.
+    *
+    * Scale shape: one scan, per-row bucket CASE, tiny 7-group agg with
+    * map-side partials — the measurement that decides a real pipeline's
+    * bucket boundaries before a single batch is built. */
+  val pq07LengthBuckets: QueryDef = {
+    val buckets = Seq(32, 64, 128, 256, 512, 1024, 2048)
+    val cap = buckets.last
+    val sqlBucket = {
+      val whens = buckets.init.map(b => s"WHEN n_tokens <= $b THEN $b").mkString(" ")
+      s"CASE $whens ELSE $cap END"
+    }
+    sqlChecked(
+      "pq07_length_buckets",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT doc_id, n_tokens, CAST($sqlBucket AS BIGINT) AS bucket FROM t)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(LEAST(n_tokens, bucket)) AS BIGINT) AS kept_tokens,
+         |  CAST(SUM(bucket - LEAST(n_tokens, bucket)) AS BIGINT) AS pad_tokens,
+         |  CAST(SUM(GREATEST(n_tokens - bucket, 0)) AS BIGINT) AS truncated_tokens,
+         |  CAST(SUM(bucket - LEAST(n_tokens, bucket)) AS DOUBLE)
+         |    / CAST(COUNT(*) * bucket AS DOUBLE) AS waste_pct
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables.documents(spark, dir)
+        .select($"doc_id",
+          size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+      val bucket = buckets.init.foldRight(lit(cap.toLong)) { (b, els) =>
+        when($"n_tokens" <= b, lit(b.toLong)).otherwise(els)
+      }
+      t.withColumn("bucket", bucket)
+        .groupBy($"bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(least($"n_tokens", $"bucket")).cast("long").as("kept_tokens"),
+          sum($"bucket" - least($"n_tokens", $"bucket")).cast("long").as("pad_tokens"),
+          sum(greatest($"n_tokens" - $"bucket", lit(0L))).cast("long").as("truncated_tokens"),
+          (sum($"bucket" - least($"n_tokens", $"bucket")).cast("double")
+            / (count(lit(1)) * $"bucket").cast("double")).as("waste_pct"))
+        .orderBy($"bucket")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(pq01TrainingPrep, pq02Curriculum,
     pq03SnapshotTimeTravel, pq04LeakageFreeSplit, pq05DsirResample,
-    pq06BpeShardPacking)
+    pq06BpeShardPacking, pq07LengthBuckets)
 }
