@@ -20,8 +20,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * the per-batch plan composes with checkpointing, carries no state
   * store, and scales with input partitions like any batch projection.
   * foreachBatch (vs a direct sink) is deliberate: real ingest writes to
-  * a table AND bumps token-accounting counters in the same transaction —
-  * batchId-keyed idempotence gives exactly-once for both.
+  * a table AND bumps token-accounting counters in the same transaction.
+  * The batchId column is the replay key — a transactional sink upserts
+  * on it for exactly-once; the parquet append here demonstrates the
+  * shape (a replayed batch would re-append and dedupe on read by
+  * batch_id).
   */
 object IngestTokenize {
 

@@ -88,9 +88,12 @@ object StreamingNearDup {
         min(when(col("owner") =!= col("doc_id"), col("owner"))).as("dup_of"))
 
   /** Start the ingest filter end to end: admitted docs (and a dup audit
-    * trail) appended to `outDir` per micro-batch. Default trigger is the
-    * continuous micro-batch loop (the ingest shape); pass
-    * `Trigger.AvailableNow()` for drain-and-stop runs. */
+    * trail) appended to `outDir` per micro-batch, stamped with batchId —
+    * the replay key a transactional sink would upsert on for
+    * exactly-once (plain parquet append re-appends on replay; dedupe on
+    * read by batch_id). Default trigger is the continuous micro-batch
+    * loop (the ingest shape); pass `Trigger.AvailableNow()` for
+    * drain-and-stop runs. */
   def start(docs: DataFrame, outDir: String, checkpointDir: String,
       numHashes: Int = 16, numBands: Int = 4,
       trigger: Option[Trigger] = None): StreamingQuery = {
