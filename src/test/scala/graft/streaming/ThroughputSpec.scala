@@ -113,6 +113,27 @@ class ThroughputSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental index maintenance throughput: IVF-PQ encode at >2k vectors/s") {
+    import spark.implicits._
+    import graft.similarity.Pq
+    // frozen quantizers (bounded sample, the batch recipe), then a pure
+    // codegen projection per arriving vector — no state store, so the
+    // floor is the encode arithmetic itself
+    val dim = 16; val L = 8; val M = 4; val sub = 4; val K = 16
+    def vec(i: Int) = (0 until dim).map(j => ((i * 31 + j * 7) % 97) / 97.0)
+    val sample = (0 until 500).map(i => vec(i).toArray).toIndexedSeq
+    val coarse = Pq.trainCodebook(sample, L, seed = 101L).map(_.toSeq).toSeq
+    val cb = Pq.trainSubspaces(sample, M, sub, K)
+    val n = 20000
+    val vecs = (0 until n).map(i => (i.toLong, vec(i)))
+    val rate = measure[(Long, Seq[Double])](n,
+      vecs.take(100), vecs,
+      s => Pq.ivfPqEncode(s.toDF().toDF("vec_id", "v"), coarse, cb, sub)
+        .writeStream.format("noop").outputMode("append"))
+    info(f"StreamingIndexIngest encode (L=$L%d, M=$M%d): $rate%.0f vectors/s over $n vectors")
+    assert(rate > 2000, f"$rate%.0f vectors/s below floor")
+  }
+
   test("stateful throughput: transformWithState (RocksDB provider) path") {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
