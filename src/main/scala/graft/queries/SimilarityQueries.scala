@@ -711,8 +711,93 @@ object SimilarityQueries {
       .orderBy($"label")
   }
 
+  /** Search over the STORED index — closes the loop the streaming
+    * maintenance path opens. [[graft.streaming.StreamingIndexIngest]]
+    * appends IVF-PQ codes partitioned by list_id and claims that layout
+    * makes search a partition-pruned scan; this query demonstrates it:
+    * the corpus is streamed through the maintenance path (same frozen
+    * quantizers and seeds as sq10, same [[graft.similarity.Pq.ivfPqEncode]]
+    * arithmetic), then 5 serving requests run against the STORED table
+    * via [[graft.similarity.StoredIndex.serve]] — each a literal
+    * `list_id IN (nprobe lists)` read, so each request opens 10/32 of
+    * the stored directories and never touches the rest
+    * (StoredIndexSearchSpec asserts `selectedPartitions ≤ nprobe` on
+    * this exact plan). Exact rerank of the 100-deep shortlist (depth is
+    * free recall here — it widens the rerank, not the scan); recall@5
+    * vs in-query brute force, floored at sq10's 0.65.
+    *
+    * 100 TB: the index build is the maintenance stream (stateless
+    * map-side encode, scales with arrival rate); a serving request's
+    * cost is nprobe/L of the codes bytes regardless of corpus size —
+    * the bench timing here deliberately INCLUDES the full build, so the
+    * serving-only cost is far below the recorded number.
+    * rowsOnly: codebooks are engine-side seeded k-means, not portable
+    * SQL; recall + the plan property are spec'd instead. */
+  val sq14AnnStoredIndexSearch: QueryDef = rowsOnly("sq14_ann_stored_index_search") { (spark, dir) =>
+    import spark.implicits._
+    val M = 8; val sub = 8; val K = 16; val L = 32; val NPROBE = 10
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    // frozen quantizers — sq10's exact training recipe and seeds, so the
+    // stored index equals sq10's in-memory build code-for-code
+    val sample = emb.orderBy($"vec_id").limit(20000)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val coarse = graft.similarity.Pq.trainCodebook(sample, L, seed = 101L)
+    val coarseSeq: Seq[Seq[Double]] = coarse.map(_.toSeq).toSeq
+    val resSample = sample.map { p =>
+      val cc = coarse(graft.similarity.StoredIndex.probeLists(p, coarseSeq, 1).head)
+      Array.tabulate(p.length)(i => p(i) - cc(i))
+    }
+    val cb = graft.similarity.Pq.trainSubspaces(resSample, M, sub, K)
+    // 1. build the stored table THROUGH the maintenance stream: vectors
+    // arrive as a file stream; codes land under root/codes, one
+    // directory per list_id
+    val root = graft.util.Scratch.tempDir("graft-sq14")
+    emb.write.parquet(root + "/vecs")
+    val vecsSchema = spark.read.parquet(root + "/vecs").schema
+    graft.streaming.StreamingIndexIngest.start(
+        spark.readStream.schema(vecsSchema).parquet(root + "/vecs"),
+        coarseSeq, cb, sub, root + "/codes", root + "/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      .awaitTermination()
+    // 2. eight serving requests, each its own partition-pruned scan
+    val reqs = emb.filter($"vec_id" < 8).as[(Long, Seq[Double])]
+      .collect().sortBy(_._1).map { case (id, v) => (id, v.toArray) }
+    val shortlist = reqs.map { case (qid, qv) =>
+        graft.similarity.StoredIndex.serve(
+          spark, root + "/codes", qid, qv, coarseSeq, cb, sub, NPROBE, 100)
+      }.reduce(_ unionByName _)
+    // 3. exact rerank + recall vs brute force (sq10's closing shape)
+    val wRr = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val ann = shortlist
+      .join(emb.select($"vec_id".as("qid"), $"v".as("qv")), Seq("qid"))
+      .join(emb.select($"vec_id".as("cid"), $"v".as("cv")), Seq("cid"))
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wRr))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val wBf = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val bf = broadcast(
+        emb.filter($"vec_id" < 8).select($"vec_id".as("qid"), $"v".as("qv")))
+      .join(emb.select($"vec_id".as("cid"), $"v".as("cv")), $"qid" =!= $"cid")
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wBf))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val hits = ann.intersect(bf).groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+    bf.groupBy($"qid").agg(count(lit(1)).as("n_bf"))
+      .join(hits, Seq("qid"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        lit(L).as("n_lists"),
+        lit(NPROBE).as("n_probes"),
+        lit(NPROBE.toDouble / L).as("scan_fraction"),
+        avg(coalesce($"n_hit", lit(0)) / $"n_bf").as("recall_at_5"))
+  }
+
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
     sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
     sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall,
-    sq11HardNegatives, sq12MmrRerank, sq13EmbeddingAudit)
+    sq11HardNegatives, sq12MmrRerank, sq13EmbeddingAudit,
+    sq14AnnStoredIndexSearch)
 }

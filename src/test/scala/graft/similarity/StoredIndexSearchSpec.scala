@@ -1,0 +1,92 @@
+package graft.similarity
+
+import graft.TestSpark
+import graft.queries.SimilarityQueries
+import org.apache.spark.sql.execution.{ExplainMode, FileSourceScanExec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The stored-index search loop: StreamingIndexIngest writes IVF-PQ
+  * codes partitioned by list_id SO THAT serving becomes a
+  * partition-pruned scan. These specs turn that claim into measured
+  * plan properties: `selectedPartitions ≤ nprobe` on the exact serving
+  * plan, and end-to-end recall through the stored table at sq10's
+  * floor. */
+class StoredIndexSearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("serving scan is partition-pruned to <= nprobe of the stored list dirs") {
+    import spark.implicits._
+    import graft.similarity.VectorOps.toDouble
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val sample = emb.orderBy($"vec_id").limit(500)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val L = 8; val M = 4; val sub = 16; val K = 16; val NPROBE = 2
+    val coarse = Pq.trainCodebook(sample, L, seed = 101L).map(_.toSeq).toSeq
+    val cb = Pq.trainSubspaces(sample, M, sub, K)
+
+    // stored table built through the streaming maintenance path
+    val root = java.nio.file.Files.createTempDirectory("graft-sidx").toString
+    emb.write.parquet(s"$root/vecs")
+    val schema = spark.read.parquet(s"$root/vecs").schema
+    StreamingIndexIngestSpecHelpers.runAvailableNow(
+      spark, schema, s"$root/vecs", coarse, cb, sub, s"$root/codes", s"$root/ckpt")
+
+    val occupied = new java.io.File(s"$root/codes").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("list_id="))
+    assert(occupied > NPROBE, s"fixture must occupy more lists than nprobe ($occupied)")
+
+    val qv = sample.head
+    val shortlist = StoredIndex.serve(
+      spark, s"$root/codes", qid = -1L, qv, coarse, cb, sub, NPROBE, depth = 10)
+
+    // the literal IN over the partition column must reach the scan as a
+    // PartitionFilter...
+    val plan = shortlist.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("list_id")),
+      "list_id IN did not become a partition filter:\n" + plan)
+    // ...and the scan must SELECT at most nprobe of the stored
+    // directories — the 100 TB property itself, not a proxy for it
+    val selected = shortlist.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("codes")) => f.selectedPartitions.partitionCount
+    }
+    assert(selected.nonEmpty, "no file scan over the codes table found")
+    assert(selected.forall(_ <= NPROBE),
+      s"scan selected $selected partitions, nprobe=$NPROBE of $occupied occupied")
+
+    // and the pruned search still returns a full shortlist
+    assert(shortlist.count() == 10)
+    emb.unpersist()
+  }
+
+  test("sq14: end-to-end search through the STORED table clears sq10's recall floor") {
+    val row = SimilarityQueries.sq14AnnStoredIndexSearch
+      .fn(spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Long]("n_queries") == 8L)
+    assert(row.getAs[Int]("n_lists") == 32)
+    assert(row.getAs[Int]("n_probes") == 10)
+    assert(row.getAs[Double]("scan_fraction") == 0.3125,
+      "over 2/3 of the stored index must never be opened per request")
+    val recall = row.getAs[Double]("recall_at_5")
+    // same quantizers, seeds, and encode arithmetic as sq10: the stored
+    // round trip must not cost recall (floor matches PqRecallSpec's)
+    assert(recall >= 0.65, s"recall_at_5 $recall below floor")
+  }
+}
+
+/** Shared with the pruning spec: run the maintenance stream to
+  * completion over a file source. */
+object StreamingIndexIngestSpecHelpers {
+  def runAvailableNow(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType, vecsPath: String,
+      coarse: Seq[Seq[Double]], cb: Seq[Seq[Seq[Double]]], sub: Int,
+      outDir: String, ckptDir: String): Unit =
+    graft.streaming.StreamingIndexIngest.start(
+        spark.readStream.schema(schema).parquet(vecsPath),
+        coarse, cb, sub, outDir, ckptDir, Some(Trigger.AvailableNow()))
+      .awaitTermination()
+}
