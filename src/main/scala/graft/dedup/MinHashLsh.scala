@@ -44,7 +44,23 @@ object MinHashLsh {
     * across families. Production hash path (xxhash64) only: streaming
     * ingest has no DuckDB twin — batch dq03b carries the portable
     * oracle. */
-  def bandKeys(docs: DataFrame, numHashes: Int = 16, numBands: Int = 4): DataFrame = {
+  def bandKeys(docs: DataFrame, numHashes: Int = 16, numBands: Int = 4): DataFrame =
+    bandKeysImpl(docs, numHashes, numBands, carryShingles = false)
+
+  /** [[bandKeys]] plus a `sh` column: the doc's distinct shingle set as
+    * 64-bit hashes (8 B/shingle — what the VERIFIED ingest filter carries
+    * so band collisions can be reranked by exact Jaccard, batch dq03's
+    * semantics on the streaming path). Jaccard over the hash sets equals
+    * Jaccard over the shingle strings up to 64-bit collision probability
+    * (~0 — the same argument the band keys already rest on). Short docs
+    * carry an empty set: their fallback key IS exact content, so any
+    * collision is Jaccard 1 by construction. */
+  def bandKeysWithShingles(docs: DataFrame, numHashes: Int = 16,
+      numBands: Int = 4): DataFrame =
+    bandKeysImpl(docs, numHashes, numBands, carryShingles = true)
+
+  private def bandKeysImpl(docs: DataFrame, numHashes: Int, numBands: Int,
+      carryShingles: Boolean): DataFrame = {
     import docs.sparkSession.implicits._
     require(numHashes % numBands == 0, "bands must evenly divide hashes")
     val rowsPerBand = numHashes / numBands
@@ -55,17 +71,24 @@ object MinHashLsh {
     // and shuffle-free at any scale
     def permHash(i: Int) = array_min(
       transform($"shingles", sh => xxhash64(lit(i), sh)))
-    val toks = docs.withColumn("toks", Shingles.tokens($"text"))
+    // null text must not vanish (r8 ADVICE): tokens(null) is null, which
+    // BOTH branch filters reject — coalesce to the empty token list so
+    // null-text docs take the short fallback and still get a verdict
+    val toks = docs.withColumn("toks",
+      coalesce(Shingles.tokens($"text"), typedlit(Seq.empty[String])))
+    def shCols(sh: org.apache.spark.sql.Column) =
+      if (carryShingles) Seq(sh.as("sh")) else Nil
     val long = toks.filter(size($"toks") >= 3)
       .withColumn("shingles", Shingles.shingles3($"toks"))
-      .select($"doc_id" +: (0 until numHashes).map(i => permHash(i).as(s"h$i")): _*)
-      .select($"doc_id", explode(array((0 until numBands).map { b =>
+      .select($"doc_id" +: (shCols(transform($"shingles", s => xxhash64(s))) ++
+        (0 until numHashes).map(i => permHash(i).as(s"h$i"))): _*)
+      .select($"doc_id" +: (shCols($"sh") :+ explode(array((0 until numBands).map { b =>
         val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
         concat_ws(":", lit(s"b$b"), xxhash64(cols: _*)): org.apache.spark.sql.Column
-      }: _*)).as("band_key"))
+      }: _*)).as("band_key")): _*)
     val short = toks.filter(size($"toks") < 3)
-      .select($"doc_id",
-        concat_ws(":", lit("short"), xxhash64(concat_ws(" ", $"toks"))).as("band_key"))
+      .select($"doc_id" +: (shCols(typedlit(Seq.empty[Long])) :+
+        concat_ws(":", lit("short"), xxhash64(concat_ws(" ", $"toks"))).as("band_key")): _*)
     long.unionByName(short)
   }
 

@@ -107,6 +107,15 @@ class ThroughputSpec extends AnyFunSuite {
           .writeStream.format("noop").outputMode("append"))
       info(f"StreamingNearDup (16 hashes, 4 bands): $rate%.0f docs/s over $n docs")
       assert(rate > 1000, f"$rate%.0f docs/s below floor")
+      // verified mode on the SAME corpus: shingle sets ride the band
+      // exchange and state, exact Jaccard per collision — measure the
+      // price of rerank semantics at ingest next to the candidate number
+      val vRate = measure[(Long, String)](n,
+        docs.take(100), docs,
+        s => StreamingNearDup.verdictsVerified(s.toDF().toDF("doc_id", "text"))
+          .writeStream.format("noop").outputMode("append"))
+      info(f"StreamingNearDup VERIFIED: $vRate%.0f docs/s (${rate / vRate}%.2fx slower than candidate)")
+      assert(vRate > 1000, f"verified $vRate%.0f docs/s below floor")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
