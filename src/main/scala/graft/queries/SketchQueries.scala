@@ -106,6 +106,54 @@ object SketchQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** kq03's portable twin — the dq03b pattern applied to an estimator:
+    * the KLL estimate itself cannot hash-match any SQL engine, but its
+    * PUBLISHED GUARANTEE can. KLL k=200 bounds normalized RANK error at
+    * ≈1.65% (99% confidence); we take double that (ε=0.033) and assert
+    * the sketch's p50/p95 land between the EXACT values at ranks q±ε —
+    * computed by the engine's own distributed [[graft.operators.ExactPercentile]],
+    * whose interpolation is quantile_cont-identical (q24's hash-green
+    * precedent). The oracle replays the exact quantiles and expects the
+    * band predicates to be 1, so a sketch drifting outside its error
+    * bound — or a broken exact-percentile operator — both surface as a
+    * hash mismatch. Same two-level partial/merge sketch shape as kq03. */
+  val kq03bKllErrorBound: QueryDef = sqlChecked(
+    "kq03b_kll_error_bound",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50_exact,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+      |  CAST(1 AS BIGINT) AS p50_in_rank_band,
+      |  CAST(1 AS BIGINT) AS p95_in_rank_band
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val est = li
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(kll_sketch_agg_double($"l_extendedprice", 200).as("sk"))
+      .groupBy($"l_returnflag")
+      .agg(kll_merge_agg_double($"sk").as("sk"))
+      .select($"l_returnflag",
+        kll_sketch_get_quantile_double($"sk", lit(0.5)).as("p50_est"),
+        kll_sketch_get_quantile_double($"sk", lit(0.95)).as("p95_est"))
+    val eps = 0.033 // 2× the k=200 rank-error bound: flake-proof margin
+    val bands = graft.operators.ExactPercentile.quantiles(
+      li.select($"l_returnflag", $"l_extendedprice"),
+      "l_returnflag", "l_extendedprice",
+      Seq(0.5 - eps, 0.5, 0.5 + eps, 0.95 - eps, 0.95, 0.95 + eps),
+      Seq("p50_lo", "p50", "p50_hi", "p95_lo", "p95", "p95_hi"))
+    est.join(bands, "l_returnflag")
+      .select($"l_returnflag",
+        round($"p50", 4).as("p50_exact"),
+        round($"p95", 4).as("p95_exact"),
+        ($"p50_est" >= $"p50_lo" && $"p50_est" <= $"p50_hi")
+          .cast("long").as("p50_in_rank_band"),
+        ($"p95_est" >= $"p95_lo" && $"p95_est" <= $"p95_hi")
+          .cast("long").as("p95_in_rank_band"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Theta sketches: set algebra over customer populations without
     * materializing the sets. A = customers with an urgent order, B =
     * customers with a high-value order; union/intersection/difference
@@ -186,6 +234,6 @@ object SketchQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    kq01BitmapDistinct, kq02HllRollup, kq03KllQuantiles, kq04ThetaSetAlgebra,
-    kq05HeavyHitters)
+    kq01BitmapDistinct, kq02HllRollup, kq03KllQuantiles, kq03bKllErrorBound,
+    kq04ThetaSetAlgebra, kq05HeavyHitters)
 }

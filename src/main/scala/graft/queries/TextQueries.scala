@@ -1020,6 +1020,53 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  /** tq21's portable twin — the frozen-fixture pattern the codec queries
+    * use: DEFLATE has no SQL replay, but over a FROZEN in-query corpus
+    * the compressed lengths are deterministic constants (java.util.zip
+    * Deflater, fixed level, fixed inputs), so the oracle can carry them
+    * literally. Each fixture row is a distinct compressibility regime —
+    * empty, single-char, pure run, template spam, hex noise, multi-byte
+    * UTF-8, digits — and the query emits raw length, deflate length, and
+    * the band tq21's quality gate would assign. A drift in the
+    * expression (wrong level, wrong header accounting, codegen path
+    * diverging from interpreted) breaks the hash. Octet (not char)
+    * lengths: the UTF-8 row ensures byte accounting is what's frozen. */
+  val tq21bDeflatePortable: QueryDef = sqlChecked(
+    "tq21b_deflate_portable",
+    """SELECT * FROM (VALUES
+      |  ('digits_cycle', CAST(1000 AS BIGINT), CAST(21 AS BIGINT), 'repetitive'),
+      |  ('empty', CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'empty'),
+      |  ('hex_noise', CAST(4364 AS BIGINT), CAST(2399 AS BIGINT), 'prose'),
+      |  ('single_char', CAST(1 AS BIGINT), CAST(3 AS BIGINT), 'incompressible'),
+      |  ('single_run', CAST(1000 AS BIGINT), CAST(11 AS BIGINT), 'repetitive'),
+      |  ('template_spam', CAST(1999 AS BIGINT), CAST(22 AS BIGINT), 'repetitive'),
+      |  ('utf8_prose', CAST(1320 AS BIGINT), CAST(49 AS BIGINT), 'repetitive')
+      |) AS t(case_name, raw_len, deflate_len, ratio_band)
+      |ORDER BY case_name""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.DeflateLength.deflateLen
+    val fixture = Seq(
+      ("empty", ""),
+      ("single_char", "a"),
+      ("single_run", "a" * 1000),
+      ("template_spam", ("spam " * 400).trim),
+      ("hex_noise", Seq.tabulate(400)(i =>
+        java.lang.Long.toHexString(i * 2654435761L)).mkString(" ")),
+      ("utf8_prose", "Hà Nội xin chào thế giới " * 40),
+      ("digits_cycle", "0123456789" * 100))
+      .toDF("case_name", "text")
+    val r = deflateLen($"text").cast("double") / octet_length($"text")
+    fixture.select(
+        $"case_name",
+        octet_length($"text").cast("long").as("raw_len"),
+        deflateLen($"text").cast("long").as("deflate_len"),
+        when(octet_length($"text") === 0, "empty")
+          .when(r < 0.2, "repetitive")
+          .when(r > 0.9, "incompressible")
+          .otherwise("prose").as("ratio_band"))
+      .orderBy($"case_name")
+  }
+
   /** Cross-source n-gram overlap matrix (the Dolma/RedPajama-style
     * corpus-composition analysis): for every ordered source pair, how
     * many distinct 8-token grams they share, next to each side's distinct
@@ -1251,7 +1298,7 @@ object TextQueries {
     tq10BpeTokenCounts, tq11TokenPacking, tq12UnigramLogprob,
     tq13ContextChunks, tq14GlobalShuffle, tq15BigramPmi, tq16CdcBoundaries,
     tq17BigramLogprob, tq18VocabGrowth, tq20WeightedSample,
-    tq21CompressionRatio, tq22AudioDecode, tq23VideoDecode, tq24Mp4Probe,
+    tq21CompressionRatio, tq21bDeflatePortable, tq22AudioDecode, tq23VideoDecode, tq24Mp4Probe,
     tq25WebmProbe, tq26Mp4Bitrate, tq27WebmBitrate, tq28SourceOverlap,
     tq33PerplexityBuckets, tq35ImageResize, tq36FrameSample)
 }
