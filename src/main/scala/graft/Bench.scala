@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   * would let Catalyst prune all columns (and collapse projections under the
   * count), so it measures plan skeletons, not query cost (VERDICT r1 #2).
   * Failures are surfaced in an `errors` object instead of being folded into
-  * a fake timing.
+  * a fake timing. After the full pass the slowest `SPARK_GRAFT_RERUN`
+  * (default 8) queries are re-run back-to-back and recorded under
+  * `isolated_rerun` — contention forensics baked into the artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -68,12 +70,30 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
+    // Contention self-defense (three rounds of driver benches poisoned by
+    // co-tenant load): after the full pass, re-run the slowest queries
+    // back-to-back and record BOTH numbers. A genuine regression stays
+    // slow on the re-run; a contention artifact collapses toward the
+    // quiet figure — the artifact itself now carries the evidence instead
+    // of needing a by-hand SPARK_GRAFT_ONLY re-measure next session.
+    val rerunN = sys.env.getOrElse("SPARK_GRAFT_RERUN", "8").toInt
+    val isolated = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (only.isEmpty && rerunN > 0)
+      timings.toSeq.sortBy(-_._2).take(rerunN).foreach { case (name, _) =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          isolated(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => () }
+        finally spark.catalog.clearCache()
+      }
     def jnum(m: collection.Map[String, Double]) =
       m.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     def jstr(m: collection.Map[String, String]) =
       m.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    val line = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${jnum(timings)},"errors":${jstr(errors)},"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${jnum(timings)},"isolated_rerun":${jnum(isolated)},"errors":${jstr(errors)},"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // Also persist the line: the driver captures stdout, which has been
     // observed truncated at the head for long runs (BENCH_r03 lost the

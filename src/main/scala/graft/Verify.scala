@@ -54,10 +54,12 @@ object Verify {
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // orderly shutdown on BOTH paths before any exit (r8 ADVICE: the
+    // error path used to lean on the SparkContext shutdown hook)
+    spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
       sys.exit(1)
     }
-    spark.stop()
   }
 }

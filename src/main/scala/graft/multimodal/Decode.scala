@@ -144,9 +144,14 @@ object Decode {
     /** Frame count resolution: trust a declared non-negative count;
       * stream-sourced WAVs can report NOT_SPECIFIED (-1) frames, in which
       * case derive from decoded bytes / frame size; None (→ sentinel row)
-      * only when the format declares neither. */
+      * when the format declares neither, or when a declared count
+      * exceeds Int.MaxValue (r8 ADVICE: .toInt used to wrap such a
+      * header silently negative — a >2^31-frame declaration on an
+      * in-memory payload is corrupt metadata, so it takes the sentinel
+      * path rather than saturating). */
     def frameCount(declared: Long, frameSize: Int, dataLen: Int): Option[Int] =
-      if (declared >= 0) Some(declared.toInt)
+      if (declared >= 0 && declared <= Int.MaxValue) Some(declared.toInt)
+      else if (declared > Int.MaxValue) None
       else if (frameSize > 0) Some(dataLen / frameSize)
       else None
 

@@ -31,12 +31,17 @@ object IngestTokenize {
   /** Batch-or-micro-batch transform: score `text`, keep docs at or above
     * `threshold`, append the frozen-vocab subword token count. Identical
     * semantics on a batch frame and inside foreachBatch — the spec
-    * asserts the streaming path reproduces this function run in batch. */
+    * asserts the streaming path reproduces this function run in batch.
+    * Every caller column rides through untouched (r8 ADVICE: replay
+    * dedup needs a stable (batch_id, doc_id) key and downstream joins
+    * back to the raw corpus need the id — only the scorer's scratch
+    * columns are dropped). */
   def transform(served: PipelineModel, docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val carried = docs.columns.map(col).toSeq
     val scored = served.transform(docs)
       .withColumn("p_quality", element_at(vector_to_array(col("probability")), 2))
       .filter(col("p_quality") >= threshold)
-      .select(col("text"), col("p_quality"))
+      .select(carried :+ col("p_quality"): _*)
     val norm = Bpe.normText(col("text"))
     scored.withColumn("n_tokens",
       Bpe.subwordCount(norm, Bpe.encode(norm, Bpe.FixedMerges)))

@@ -166,4 +166,41 @@ class PipelinesSpec extends AnyFunSuite {
       s"loaded model must be v2 (shifted labels): v1=$p1 v2=$p2")
     feats.unpersist()
   }
+
+  test("pointer lifecycle: promote gates serving; rollback restores the previous pin") {
+    val base = java.nio.file.Files.createTempDirectory("graft-reg3").toString
+    val regPath = s"$base/registry"
+    val now = System.currentTimeMillis()
+    ModelRegistry.append(spark, regPath, ModelRegistry.Entry(
+      "id-1", "salary_rf", "regression", new java.sql.Timestamp(now - 1000),
+      Some(7.9), Some(0.26), MlQueries.jobFeatureCols, s"$base/m1", 1))
+    ModelRegistry.append(spark, regPath, ModelRegistry.Entry(
+      "id-2", "salary_rf", "regression", new java.sql.Timestamp(now),
+      Some(7.1), Some(0.31), MlQueries.jobFeatureCols, s"$base/m2", 2))
+
+    // newest-trained is NOT served until someone promotes it
+    assert(ModelRegistry.pinned(spark, regPath, "salary_rf").isEmpty,
+      "an unpromoted registry serves nothing")
+    assert(ModelRegistry.rollback(spark, regPath, "salary_rf").isEmpty,
+      "rollback with no prior pin is a no-op")
+    intercept[IllegalArgumentException] {
+      ModelRegistry.promote(spark, regPath, "salary_rf", "id-404")
+    }
+
+    ModelRegistry.promote(spark, regPath, "salary_rf", "id-1")
+    assert(ModelRegistry.pinned(spark, regPath, "salary_rf").exists(_.model_id == "id-1"),
+      "serving pins the PROMOTED model even though id-2 is newer")
+    ModelRegistry.promote(spark, regPath, "salary_rf", "id-2")
+    assert(ModelRegistry.pinned(spark, regPath, "salary_rf").exists(_.model_id == "id-2"))
+
+    // the bad-deploy path: one call re-points at the previous pin
+    assert(ModelRegistry.rollback(spark, regPath, "salary_rf") == Some("id-1"))
+    assert(ModelRegistry.pinned(spark, regPath, "salary_rf").exists(_.model_id == "id-1"))
+    // rollback from the first promotion stays a no-op boundary: the log
+    // now has [p1, p2, rb->1]; one more step back restores id-2 (undo
+    // stack semantics, audit trail append-only throughout)
+    assert(ModelRegistry.rollback(spark, regPath, "salary_rf") == Some("id-2"))
+    assert(ModelRegistry.all(spark, regPath).count() == 2,
+      "pointer events never touch the entry log")
+  }
 }

@@ -122,6 +122,10 @@ class DecodeSpec extends AnyFunSuite {
     assert(Decode.AudioCodec.frameCount(-1, 4, 128) == Some(32), "stereo 16-bit frame size")
     assert(Decode.AudioCodec.frameCount(-1, -1, 128) == None, "no declared count, no frame size → sentinel")
     assert(Decode.AudioCodec.frameCount(0, 2, 0) == Some(0), "empty stream is valid, not sentinel")
+    assert(Decode.AudioCodec.frameCount(Int.MaxValue.toLong + 1, 2, 128) == None,
+      "a > 2^31 declared count is corrupt metadata → sentinel, never a negative wrap")
+    assert(Decode.AudioCodec.frameCount(Int.MaxValue.toLong, 2, 128) == Some(Int.MaxValue),
+      "the boundary itself still resolves")
   }
 
   test("corrupt audio payload yields sentinel row") {

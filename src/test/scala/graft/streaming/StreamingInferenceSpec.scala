@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.TestSpark
-import graft.ml.Pipelines
+import graft.ml.{ModelRegistry, Pipelines}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -74,14 +74,22 @@ class StreamingInferenceSpec extends AnyFunSuite {
     val lr = model.stages.last
       .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
     org.apache.spark.ml.GraftMlBridge.dropTrainingSummary(lr)
-    val path = java.nio.file.Files.createTempDirectory("graft-qlr2").toString + "/m"
+    val regBase = java.nio.file.Files.createTempDirectory("graft-qlr2").toString
+    val path = s"$regBase/m"
     Pipelines.save(model, path)
-    val served = Pipelines.load(path)
+    // the ingest node resolves its scorer through the registry PIN —
+    // register, promote, loadPinned — never a hard-coded model path
+    ModelRegistry.append(spark, s"$regBase/registry", ModelRegistry.Entry(
+      "q-1", "quality_lr", "classification",
+      new java.sql.Timestamp(System.currentTimeMillis()),
+      None, None, Seq("text"), path, 1))
+    ModelRegistry.promote(spark, s"$regBase/registry", "quality_lr", "q-1")
+    val served = ModelRegistry.loadPinned(spark, s"$regBase/registry", "quality_lr").get._2
 
     val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
-    val stream = MemoryStream[String]
+    val stream = MemoryStream[(Long, String)]
     val query = IngestTokenize.start(
-      served, stream.toDF().withColumnRenamed("value", "text"),
+      served, stream.toDF().toDF("doc_id", "text"),
       s"$base/out", s"$base/ckpt")
     try {
       // long docs over fixture-corpus vocabulary (out-of-vocab tokens
@@ -91,9 +99,9 @@ class StreamingInferenceSpec extends AnyFunSuite {
       val keepA = ("table scan row value part " * 60).trim
       val keepB = ("value part table scan row " * 50).trim
       val drop = "tiny"
-      stream.addData(keepA, drop)
+      stream.addData((11L, keepA), (12L, drop))
       query.processAllAvailable()
-      stream.addData(keepB)
+      stream.addData((13L, keepB))
       query.processAllAvailable()
 
       val out = spark.read.parquet(s"$base/out")
@@ -102,6 +110,12 @@ class StreamingInferenceSpec extends AnyFunSuite {
       assert(out.map(_._1).toSet == Set(keepA, keepB),
         "sub-threshold doc must be filtered at ingest; both quality docs kept")
       assert(out.map(_._3).distinct.length == 2, "one parquet append per micro-batch")
+      // the caller's id column must survive to the sink (r8 ADVICE: the
+      // replay-dedup key is (batch_id, doc_id), not batch_id alone)
+      val ids = spark.read.parquet(s"$base/out")
+        .select($"doc_id", $"batch_id").as[(Long, Long)].collect().toSet
+      assert(ids == Set((11L, 0L), (13L, 1L)),
+        s"doc ids must ride through the ingest transform: $ids")
 
       // the streaming path's counts must equal the batch encoder run directly
       val batchCounts = {

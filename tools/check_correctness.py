@@ -98,12 +98,19 @@ def main():
     # a 22-query regression reads as "everything passing" (round 7). The
     # dump records them in errors.json; surface each as an explicit FAIL.
     err_path = f"{out_dir}/errors.json"
+    errored = {}
     if os.path.exists(err_path):
-        for name, msg in sorted(json.load(open(err_path)).items()):
+        errored = json.load(open(err_path))
+        for name, msg in sorted(errored.items()):
             n_fail += 1
             print(f"FAIL(spark-err)    {name}: {msg[:200]}")
     for name in sorted(os.listdir(out_dir)):
         if not os.path.isdir(f"{out_dir}/{name}"):
+            continue
+        # an errored query can still leave a dir (stale prior dump, or a
+        # failure after partial write) — it is already counted above;
+        # re-judging the leftover would double-count or mask it (r8 ADVICE)
+        if name in errored:
             continue
         sp_df = con.execute(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
