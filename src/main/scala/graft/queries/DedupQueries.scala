@@ -815,11 +815,87 @@ object DedupQueries {
       .limit(100)
   }
 
+  /** CCNet-style cross-document line deduplication (Wenzek et al. 2020,
+    * arXiv:1911.00359 §3.1): a line appearing in ≥ 10 DISTINCT documents
+    * is boilerplate (navigation, cookie banners, newsletter prompts) and
+    * is removed from every document, with per-lang accounting of what the
+    * pass removed. Runs over the shared webified corpus (WebCorpus) whose
+    * planted newsletter line 1 doc in 4 carries — and also catches the
+    * corpus's REAL cross-doc boilerplate (clone-heavy 8-token chunks).
+    *
+    * 100 TB shape (CCNet's own): the exchange carries md5 DIGESTS (16
+    * bytes) + doc_id, never line bodies; the doc-frequency table shrinks
+    * to heavy hitters after the HAVING, so the verdict join's build side
+    * is boilerplate-sized and broadcasts. Per-doc rollup happens before
+    * the per-lang rollup, so no multi-countDistinct EXPAND touches the
+    * exploded lines. */
+  val dq14LineDedup: QueryDef = sqlChecked(
+    "dq14_line_dedup",
+    s"""WITH ${WebCorpus.linesSql},
+       |ex AS (SELECT doc_id, lang, unnest(lines) AS line FROM webl),
+       |freq AS (SELECT md5(line) AS dig, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+       |boiler AS (SELECT dig FROM freq WHERE df >= 10),
+       |v AS (SELECT doc_id, lang, line,
+       |  md5(line) IN (SELECT dig FROM boiler) AS is_boiler FROM ex),
+       |perdoc AS (
+       |  SELECT lang, doc_id, COUNT(*) AS n_lines,
+       |    COUNT(*) FILTER (is_boiler) AS n_drop,
+       |    CAST(SUM(CASE WHEN is_boiler THEN len(line) ELSE 0 END) AS BIGINT) AS chars_drop
+       |  FROM v GROUP BY lang, doc_id),
+       |langagg AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_lines) AS BIGINT) AS lines_total,
+       |    CAST(SUM(n_drop) AS BIGINT) AS lines_dropped,
+       |    CAST(SUM(chars_drop) AS BIGINT) AS chars_dropped,
+       |    CAST(SUM(n_lines - n_drop) AS BIGINT) AS lines_kept,
+       |    COUNT(*) FILTER (n_drop > 0) AS docs_affected
+       |  FROM perdoc GROUP BY lang),
+       |bdist AS (
+       |  SELECT lang, COUNT(DISTINCT md5(line)) AS boiler_lines_distinct
+       |  FROM v WHERE is_boiler GROUP BY lang)
+       |SELECT l.lang, n_docs, lines_total, lines_dropped, chars_dropped, lines_kept,
+       |  docs_affected, COALESCE(boiler_lines_distinct, 0) AS boiler_lines_distinct
+       |FROM langagg l LEFT JOIN bdist b ON l.lang = b.lang
+       |ORDER BY l.lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ex = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        explode(WebCorpus.webLines($"doc_id", $"text")).as("line"))
+      .withColumn("dig", md5($"line"))
+    // line bodies are pruned before the doc-frequency shuffle: only
+    // (dig, doc_id) reaches the exchange, and only heavy hitters survive
+    val boiler = ex.select($"dig", $"doc_id").distinct()
+      .groupBy($"dig").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 10)
+      .select($"dig".as("bdig"))
+    val v = ex.join(broadcast(boiler), $"dig" === $"bdig", "left")
+      .withColumn("is_boiler", $"bdig".isNotNull)
+    val perDoc = v.groupBy($"lang", $"doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when($"is_boiler", 1)).as("n_drop"),
+        sum(when($"is_boiler", length($"line")).otherwise(0)).cast("long").as("chars_drop"))
+    val langAgg = perDoc.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_lines").cast("long").as("lines_total"),
+        sum($"n_drop").cast("long").as("lines_dropped"),
+        sum($"chars_drop").cast("long").as("chars_dropped"),
+        sum($"n_lines" - $"n_drop").cast("long").as("lines_kept"),
+        count(when($"n_drop" > 0, 1)).as("docs_affected"))
+    val bDist = v.filter($"is_boiler")
+      .groupBy($"lang").agg(countDistinct($"dig").as("bld"))
+    langAgg.join(bDist, Seq("lang"), "left")
+      .withColumn("boiler_lines_distinct", coalesce($"bld", lit(0L)))
+      .drop("bld")
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dq01ExactDedup, dq02DedupKeepFirst, dq03MinhashLsh, dq03bMinhashPortable,
     dq04Simhash, dq04bSimhashPortable, dq06bWinnowPortable,
     dq05NgramJaccard, dq06WinnowFingerprints, dq07Decontaminate,
     dq07bDecontaminateBloom,
     dq08IncrementalDedup, dq09DupClusters, dq10PassageDedup, dq11FuzzyJoin,
-    dq12SubstringDedup, dq13SemanticDecontam)
+    dq12SubstringDedup, dq13SemanticDecontam, dq14LineDedup)
 }

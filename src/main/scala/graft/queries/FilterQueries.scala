@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.QueryDef.sqlChecked
 import graft.sources.Tables
 import graft.util.Num._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Corpus filtering / cleaning battery — the quality-and-safety passes a
@@ -347,7 +348,86 @@ object FilterQueries {
       .orderBy($"lang")
   }
 
+  /** C4's line/page cleaning battery (Raffel et al. 2020, arXiv:
+    * 1910.10683 §2.2) over the shared webified corpus (WebCorpus):
+    *   - line rules, counted independently so the funnel shows where
+    *     each bites: keep only lines ending in terminal punctuation,
+    *     with ≥ 5 words, and not mentioning javascript;
+    *   - page rules: drop docs containing "lorem ipsum" or a curly
+    *     brace, and docs with fewer than 3 surviving lines.
+    * Everything is in-row (split/transform/filter HOFs inside codegen)
+    * feeding one per-lang aggregate — a single scan with no shuffle of
+    * text, the only shape that survives 100 TB. chars_kept is the size
+    * of the actual cleaned output (kept lines of kept docs rejoined), so
+    * the battery's REBUILD path is value-checked, not just its counts. */
+  val fq08C4Battery: QueryDef = sqlChecked(
+    "fq08_c4_battery",
+    s"""WITH ${WebCorpus.linesSql},
+       |per AS (
+       |  SELECT lang,
+       |    len(lines) AS lines_total,
+       |    len(list_filter(lines, l -> NOT ends_with(l, '.'))) AS f_punct,
+       |    len(list_filter(lines, l -> len(list_filter(string_split(l, ' '), x -> x <> '')) < 5)) AS f_words,
+       |    len(list_filter(lines, l -> contains(l, 'javascript'))) AS f_js,
+       |    list_filter(lines, l -> ends_with(l, '.')
+       |      AND len(list_filter(string_split(l, ' '), x -> x <> '')) >= 5
+       |      AND NOT contains(l, 'javascript')) AS kept,
+       |    len(list_filter(lines, l -> contains(l, 'lorem ipsum'))) > 0 AS has_lorem,
+       |    len(list_filter(lines, l -> contains(l, '{'))) > 0 AS has_brace
+       |  FROM webl),
+       |per2 AS (
+       |  SELECT lang, lines_total, f_punct, f_words, f_js, has_lorem, has_brace,
+       |    len(kept) AS n_kept,
+       |    (NOT has_lorem AND NOT has_brace AND len(kept) >= 3) AS doc_kept,
+       |    len(array_to_string(kept, chr(10))) AS kept_chars
+       |  FROM per)
+       |SELECT lang,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(lines_total) AS BIGINT) AS lines_total,
+       |  CAST(SUM(f_punct) AS BIGINT) AS lines_fail_punct,
+       |  CAST(SUM(f_words) AS BIGINT) AS lines_fail_words,
+       |  CAST(SUM(f_js) AS BIGINT) AS lines_fail_js,
+       |  CAST(SUM(n_kept) AS BIGINT) AS lines_kept,
+       |  COUNT(*) FILTER (has_lorem) AS docs_lorem,
+       |  COUNT(*) FILTER (has_brace) AS docs_brace,
+       |  COUNT(*) FILTER (n_kept < 3) AS docs_minlines,
+       |  COUNT(*) FILTER (doc_kept) AS n_docs_kept,
+       |  CAST(SUM(CASE WHEN doc_kept THEN kept_chars ELSE 0 END) AS BIGINT) AS chars_kept
+       |FROM per2 GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    def nWords(l: Column) = size(filter(split(l, " "), x => x =!= ""))
+    val lineKept = (l: Column) =>
+      l.endsWith(".") && nWords(l) >= 5 && !l.contains("javascript")
+    val per = Tables.documents(spark, dir)
+      .select($"lang", WebCorpus.webLines($"doc_id", $"text").as("lines"))
+      .select($"lang",
+        size($"lines").as("lines_total"),
+        size(filter($"lines", l => !l.endsWith("."))).as("f_punct"),
+        size(filter($"lines", l => nWords(l) < 5)).as("f_words"),
+        size(filter($"lines", l => l.contains("javascript"))).as("f_js"),
+        filter($"lines", lineKept).as("kept"),
+        (size(filter($"lines", l => l.contains("lorem ipsum"))) > 0).as("has_lorem"),
+        (size(filter($"lines", l => l.contains("{"))) > 0).as("has_brace"))
+      .withColumn("n_kept", size($"kept"))
+      .withColumn("doc_kept", !$"has_lorem" && !$"has_brace" && $"n_kept" >= 3)
+      .withColumn("kept_chars", length(concat_ws("\n", $"kept")))
+    per.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"lines_total").cast("long").as("lines_total"),
+        sum($"f_punct").cast("long").as("lines_fail_punct"),
+        sum($"f_words").cast("long").as("lines_fail_words"),
+        sum($"f_js").cast("long").as("lines_fail_js"),
+        sum($"n_kept").cast("long").as("lines_kept"),
+        count(when($"has_lorem", 1)).as("docs_lorem"),
+        count(when($"has_brace", 1)).as("docs_brace"),
+        count(when($"n_kept" < 3, 1)).as("docs_minlines"),
+        count(when($"doc_kept", 1)).as("n_docs_kept"),
+        sum(when($"doc_kept", $"kept_chars").otherwise(0)).cast("long").as("chars_kept"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     fq01TermRedaction, fq02FilterFunnel, fq03Repetition, fq04CorpusMixing,
-    fq05PiiScrub, fq06NfcNormalize, fq07GopherBattery)
+    fq05PiiScrub, fq06NfcNormalize, fq07GopherBattery, fq08C4Battery)
 }
