@@ -143,6 +143,34 @@ class ThroughputSpec extends AnyFunSuite {
     assert(rate > 2000, f"$rate%.0f vectors/s below floor")
   }
 
+  test("ingest decontamination throughput: Bloom probe + confirm at >1k docs/s") {
+    import spark.implicits._
+    import org.apache.spark.sql.{Dataset, Row}
+    // per-doc cost is shingling (≈23 8-grams on a 30-token doc) + Bloom
+    // probe; ~10% of docs are planted eval clones so the confirm join
+    // genuinely fires inside the timed window
+    val vocab = Array("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "spark", "window", "sort")
+    def docText(seed: Int) =
+      (0 until 30).map(j => vocab((seed * 31 + j * 7) % vocab.length)).mkString(" ")
+    val evalDocs = (100000 until 100200).map(i => (i.toLong, docText(i)))
+      .toDF("doc_id", "text")
+    val idx = StreamingDecontam.buildIndex(spark, evalDocs)
+    val n = 10000
+    val docs = (0 until n).map(i =>
+      (i.toLong, docText(if (i % 10 == 0) 100000 + i % 200 else i)))
+    val rate = measure[(Long, String)](n,
+      docs.take(100), docs,
+      s => s.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          StreamingDecontam.transform(idx, b.toDF())
+            .write.mode("overwrite").format("noop").save()
+          ()
+        })
+    info(f"StreamingDecontam (8-gram Bloom + confirm): $rate%.0f docs/s over $n docs")
+    assert(rate > 1000, f"$rate%.0f docs/s below floor")
+  }
+
   test("stateful throughput: transformWithState (RocksDB provider) path") {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
