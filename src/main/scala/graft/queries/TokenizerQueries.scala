@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.QueryDef.{rowsOnly, sqlChecked}
 import graft.sources.Tables
-import graft.tokenizer.Bpe
+import graft.tokenizer.{Bpe, Unigram}
 import org.apache.spark.sql.functions._
 
 /** Tokenizer-training operators — the step between raw text and the token
@@ -160,7 +160,127 @@ object TokenizerQueries {
       .orderBy($"lang")
   }
 
+  /** Unigram-LM seed-vocabulary statistics (Kudo 2018 §3.2's starting
+    * point): every substring up to 6 chars of every distinct word,
+    * frequency-weighted, with its fixed-point ln(freq/total) score — the
+    * statistics the EM loop consumes, fully oracle-checked (the anchor
+    * for tq38's rows-only trained vocab, exactly the tq29↔tq30 pattern).
+    * One in-row substring flatten over the vocab-bounded histogram; the
+    * top-100 cut is total-ordered (freq DESC, piece ASC). */
+  val tq37UnigramSeed: QueryDef = sqlChecked(
+    "tq37_unigram_seed",
+    s"""WITH w0 AS (SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents),
+       |words AS (SELECT word, COUNT(*) AS freq FROM w0 WHERE word <> '' GROUP BY word),
+       |subs AS (SELECT unnest(flatten(list_transform(range(1, len(word) + 1),
+       |    s -> list_transform(range(1, least(${Unigram.MaxPiece}, len(word) - s + 1) + 1),
+       |      l -> substr(word, s, l))))) AS piece, freq
+       |  FROM words),
+       |g AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS piece_freq FROM subs GROUP BY piece),
+       |tot AS (SELECT SUM(piece_freq) AS n FROM g)
+       |SELECT piece, piece_freq,
+       |  CAST(round(ln(CAST(piece_freq AS DOUBLE) / n) * 1e9) AS BIGINT) AS score_fp
+       |FROM g, tot
+       |ORDER BY piece_freq DESC, piece
+       |LIMIT 100""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val g = Bpe.wordHistogram(Tables.documents(spark, dir))
+      .select(explode(Unigram.allSubstrings($"word")).as("piece"), $"freq")
+      .groupBy($"piece").agg(sum($"freq").cast("long").as("piece_freq"))
+    val tot = g.agg(sum($"piece_freq").as("n"))
+    g.crossJoin(broadcast(tot))
+      .select($"piece", $"piece_freq",
+        round(log($"piece_freq".cast("double") / $"n") * 1e9)
+          .cast("long").as("score_fp"))
+      .orderBy($"piece_freq".desc, $"piece")
+      .limit(100)
+  }
+
+  /** Train the unigram vocabulary: seed from substring statistics, then
+    * 3 hard-EM rounds (Viterbi counts, integer fixed-point scores) over
+    * the word histogram. rowsOnly: the EM recurrence has no SQL
+    * equivalent, but UnigramSpec asserts the result equals an independent
+    * driver-side reference implementation on this corpus and is
+    * partition-invariant, and tq37 oracle-checks the statistics the seed
+    * is cut from — the tq29↔tq30 anchoring, applied to the second
+    * tokenizer family. */
+  val tq38UnigramTrain: QueryDef = rowsOnly("tq38_unigram_train") { (spark, dir) =>
+    import spark.implicits._
+    val hist = Bpe.wordHistogram(Tables.documents(spark, dir))
+      .filter(length($"word") <= Unigram.MaxUnroll)
+    val seed = Unigram.seedVocab(hist, seedSize = 60)
+    val vocab = Unigram.trainEm(hist, seed, rounds = 3, targetVocab = 50,
+      maxLen = Unigram.MaxUnroll)
+    spark.createDataFrame(vocab)
+      .select($"piece", $"scoreFp".as("score_fp"))
+      .orderBy($"piece")
+  }
+
+  /** Viterbi-encode the corpus with the frozen published piece table
+    * ([[Unigram.FixedPieces]], the unigram analogue of tq31): per lang,
+    * exact token totals, the fixed-point corpus log-probability, and an
+    * md5 digest over every distinct word's actual SEGMENTATION — so the
+    * oracle hash proves DuckDB's replay of the unrolled DP lattice picks
+    * the identical parse for every word, not merely the same counts.
+    * Encode cost is bounded by VOCABULARY (each distinct word parsed
+    * once, weighted by corpus freq — tq32's histogram shape); the DP is
+    * ~12 codegen'd projections, no UDF anywhere. Words longer than the
+    * unroll bound are excluded WITH accounting (zero here; the column
+    * keeps the cap loud). */
+  val tq39UnigramEncode: QueryDef = sqlChecked(
+    "tq39_unigram_encode",
+    s"""WITH w0 AS (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS word FROM documents),
+       |words0 AS (SELECT lang, word, COUNT(*) AS freq FROM w0 WHERE word <> '' GROUP BY lang, word),
+       |longw AS (SELECT lang, CAST(COALESCE(SUM(CASE WHEN len(word) > ${Unigram.MaxUnroll}
+       |    THEN freq END), 0) AS BIGINT) AS long_words_excluded
+       |  FROM words0 GROUP BY lang),
+       |words AS (SELECT * FROM words0 WHERE len(word) <= ${Unigram.MaxUnroll}),
+       |${Unigram.viterbiSql(Unigram.FixedPieces, Unigram.MaxUnroll)},
+       |x AS (SELECT lang, word, freq,
+       |    CAST(substr(vit_key, 1, ${Unigram.KeyWidth}) AS BIGINT) - ${Unigram.KeyBias} AS sfp,
+       |    substr(vit_key, ${Unigram.KeyWidth + 2}, 100000) AS seg
+       |  FROM vit),
+       |agg AS (SELECT lang,
+       |    COUNT(*) AS distinct_words,
+       |    CAST(SUM(freq) AS BIGINT) AS word_occurrences,
+       |    CAST(SUM(len(string_split(seg, ' ')) * freq) AS BIGINT) AS token_count,
+       |    CAST(SUM(sfp * freq) AS BIGINT) AS corpus_logprob_fp,
+       |    md5(string_agg(word || ':' || seg, '|' ORDER BY word)) AS seg_digest
+       |  FROM x GROUP BY lang)
+       |SELECT a.lang, distinct_words, word_occurrences, token_count,
+       |  corpus_logprob_fp, seg_digest,
+       |  CAST(token_count AS DOUBLE) / word_occurrences AS tokens_per_word,
+       |  long_words_excluded
+       |FROM agg a JOIN longw l ON a.lang = l.lang
+       |ORDER BY a.lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val words0 = Tables.documents(spark, dir)
+      .select($"lang", explode(split($"text", "\\s+")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("freq"))
+    val longW = words0.groupBy($"lang")
+      .agg(coalesce(sum(when(length($"word") > Unigram.MaxUnroll, $"freq")), lit(0L))
+        .cast("long").as("long_words_excluded"))
+    val vit = Unigram.viterbiFrame(
+      words0.filter(length($"word") <= Unigram.MaxUnroll),
+      Unigram.FixedPieces, Unigram.MaxUnroll)
+    val x = vit.select($"lang", $"word", $"freq",
+      Unigram.vitScoreFp($"vit_key").as("sfp"),
+      Unigram.vitSeg($"vit_key").as("seg"))
+    val agg = x.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("distinct_words"),
+        sum($"freq").cast("long").as("word_occurrences"),
+        sum(size(split($"seg", " ")) * $"freq").cast("long").as("token_count"),
+        sum($"sfp" * $"freq").cast("long").as("corpus_logprob_fp"),
+        md5(concat_ws("|",
+          array_sort(collect_list(concat($"word", lit(":"), $"seg"))))).as("seg_digest"))
+    agg.join(longW, Seq("lang"))
+      .withColumn("tokens_per_word",
+        $"token_count".cast("double") / $"word_occurrences")
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] =
     Seq(tq29BpePairCounts, tq30BpeMerges, tq31BpeEncode, tq32TokenizerFertility,
-      tq34BpeDecode)
+      tq34BpeDecode, tq37UnigramSeed, tq38UnigramTrain, tq39UnigramEncode)
 }
