@@ -795,9 +795,140 @@ object SimilarityQueries {
         avg(coalesce($"n_hit", lit(0)) / $"n_bf").as("recall_at_5"))
   }
 
+  /** Power-iteration rounds for sq15's oracle: the same fixed-point
+    * matvec recurrence, mechanically unrolled for DuckDB (tq19's
+    * PageRank-unroll move, applied to an eigensolve). Reads CTEs
+    * `q(i, j, q)` and `dims(i)`, ends in CTE `vT`. */
+  private def powerIterSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT q.i, SUM(CAST(q.q AS HUGEINT) * v.v) AS w
+         |  FROM q JOIN v${t - 1} v ON q.j = v.i GROUP BY q.i),
+         |x$t AS (SELECT GREATEST(MAX(abs(w)) // 1000, 1) AS mxd FROM w$t),
+         |v$t AS MATERIALIZED (SELECT i, CASE WHEN w < 0 THEN -(abs(w) // mxd)
+         |  ELSE abs(w) // mxd END AS v FROM w$t, x$t)""".stripMargin
+    }
+    s"""v0 AS (SELECT i, CAST(1000 AS HUGEINT) AS v FROM dims),
+       |${steps.mkString(",\n")},
+       |vT AS MATERIALIZED (SELECT i, CAST(v AS BIGINT) AS v FROM v$rounds)""".stripMargin
+  }
+
+  /** PCA prep over the embedding corpus — the whitening/rotation
+    * statistics an OPQ-style index (Ge et al. 2014, "Optimized Product
+    * Quantization") or a mean-centering pass needs before sq09/sq10's
+    * codebooks are trained: per-dimension means, the full scaled
+    * covariance Q = n·Σxxᵀ − (Σx)(Σx)ᵀ, and the top principal component
+    * by 12 fixed-point power-iteration rounds — with the eigenvector,
+    * its Rayleigh eigenvalue, and the variance-explained share all
+    * computed IN-QUERY and oracle-hash-checked.
+    *
+    * Determinism is the whole design: elements quantize once to integer
+    * milli-units (a float32 × 1000 can never land exactly on .5, so the
+    * rounding is unambiguous), every moment is an exact BIGINT sum, the
+    * matvec runs in HUGEINT/DECIMAL(38,0), and each round renormalizes
+    * by integer division of ABSOLUTE values (floor ≡ truncate on
+    * non-negatives — the portable subset; Spark DIV truncates toward
+    * zero, DuckDB // floors, they only agree above zero). Fixed 12
+    * rounds — no convergence test, no floats until the single final
+    * variance division.
+    *
+    * 100 TB shape: the corpus is touched ONCE (the in-row upper-triangle
+    * outer product explodes d(d+1)/2 terms per row and map-side partial
+    * aggregation collapses them to 4096·P before the only data-sized
+    * shuffle). Everything after is bounded model state: Q is d², the
+    * iteration frames are d rows, each matvec a broadcast join. At
+    * vision-scale d the per-row d² fanout is the standard cost of a
+    * one-pass Gram — you shrink it by blocking dims, not by more passes. */
+  val sq15PcaPower: QueryDef = sqlChecked(
+    "sq15_pca_power",
+    s"""WITH el0 AS (SELECT vec_id, embedding,
+       |    unnest(range(1, len(embedding) + 1)) AS i0 FROM embeddings),
+       |el AS MATERIALIZED (SELECT vec_id, CAST(i0 AS INT) AS i,
+       |    CAST(round(CAST(embedding[i0] AS DOUBLE) * 1000) AS BIGINT) AS xq
+       |  FROM el0),
+       |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |m AS MATERIALIZED (SELECT i, CAST(SUM(xq) AS BIGINT) AS m FROM el GROUP BY i),
+       |s AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(SUM(a.xq * b.xq) AS BIGINT) AS s
+       |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY a.i, b.i),
+       |qu AS (SELECT s.i, s.j, nn.n * s.s - mi.m * mj.m AS q
+       |  FROM s
+       |  JOIN m mi ON s.i = mi.i
+       |  JOIN m mj ON s.j = mj.i
+       |  CROSS JOIN nn),
+       |q AS MATERIALIZED (SELECT i, j, q FROM qu
+       |  UNION ALL SELECT j AS i, i AS j, q FROM qu WHERE i <> j),
+       |dims AS (SELECT i FROM m),
+       |${powerIterSql(12)},
+       |vqv AS (SELECT SUM(CAST(q.q AS HUGEINT) * va.v * vb.v) AS vqv
+       |  FROM q JOIN vT va ON q.i = va.i JOIN vT vb ON q.j = vb.i),
+       |vv AS (SELECT SUM(CAST(v AS HUGEINT) * v) AS vv FROM vT),
+       |lam AS (SELECT CAST(vqv // vv AS BIGINT) AS lambda_fp FROM vqv, vv),
+       |tr AS (SELECT CAST(SUM(q) AS BIGINT) AS trace_q FROM q WHERE i = j)
+       |SELECT m.i AS dim_idx, m.m AS m_sum, d.q AS q_diag, vT.v AS v_fp,
+       |  lambda_fp, trace_q,
+       |  CAST(lambda_fp AS DOUBLE) / trace_q AS var_explained
+       |FROM m
+       |JOIN (SELECT i, q FROM q WHERE i = j) d ON m.i = d.i
+       |JOIN vT ON m.i = vT.i, lam, tr
+       |ORDER BY dim_idx""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        transform(toDouble($"embedding"), e => round(e * 1000).cast("long")).as("xq"))
+      .cache() // two moment scans (means + outer products) of one projection
+    val el = x.select($"vec_id", posexplode($"xq").as(Seq("i0", "xq")))
+      .select(($"i0" + 1).cast("int").as("i"), $"xq")
+    val m = el.groupBy($"i").agg(sum($"xq").cast("long").as("m"))
+    val pairs = flatten(transform(sequence(lit(1), size($"xq")), i =>
+      transform(sequence(i, size($"xq")), j =>
+        struct(i.cast("int").as("i"), j.cast("int").as("j"),
+          (element_at($"xq", i) * element_at($"xq", j)).as("p")))))
+    val s = x.select(explode(pairs).as("c"))
+      .groupBy($"c.i".as("i"), $"c.j".as("j"))
+      .agg(sum($"c.p").cast("long").as("s"))
+    val nF = x.agg(count(lit(1)).as("n"))
+    val qu = s
+      .join(m.select($"i".as("mi_i"), $"m".as("mi")), $"i" === $"mi_i")
+      .join(m.select($"i".as("mj_i"), $"m".as("mj")), $"j" === $"mj_i")
+      .crossJoin(broadcast(nF))
+      .select($"i", $"j", ($"n" * $"s" - $"mi" * $"mj").as("q"))
+    val q = qu.union(
+        qu.filter($"i" =!= $"j").select($"j".as("i"), $"i".as("j"), $"q"))
+      .localCheckpoint()
+    var v = m.select($"i", lit(1000L).cast(Dec).as("v")).localCheckpoint()
+    for (_ <- 1 to 12) {
+      val w = q.join(broadcast(v.select($"i".as("vi"), $"v")), $"j" === $"vi")
+        .groupBy($"i").agg(sum($"q".cast(Dec) * $"v").as("w"))
+      val mxd = w.agg(greatest(expr("max(abs(w)) DIV 1000"), lit(1L)).as("mxd"))
+      v = w.crossJoin(broadcast(mxd))
+        .select($"i",
+          when($"w" < 0, -expr("abs(w) DIV mxd")).otherwise(expr("abs(w) DIV mxd"))
+            .cast(Dec).as("v"))
+        .localCheckpoint()
+    }
+    val vT = v.select($"i", $"v".cast("long").as("v"))
+    val vqv = q
+      .join(broadcast(vT.select($"i".as("ai"), $"v".as("va"))), $"i" === $"ai")
+      .join(broadcast(vT.select($"i".as("bi"), $"v".as("vb"))), $"j" === $"bi")
+      .agg(sum($"q".cast(Dec) * $"va" * $"vb").as("vqv"))
+    val vv = vT.agg(sum($"v" * $"v").as("vv"))
+    val lam = vqv.crossJoin(broadcast(vv))
+      .select(expr("vqv DIV vv").cast("long").as("lambda_fp"))
+    val tr = q.filter($"i" === $"j").agg(sum($"q").cast("long").as("trace_q"))
+    m.join(q.filter($"i" === $"j").select($"i".as("di"), $"q".as("q_diag")), $"i" === $"di")
+      .join(vT.select($"i".as("vti"), $"v".as("v_fp")), $"i" === $"vti")
+      .crossJoin(broadcast(lam))
+      .crossJoin(broadcast(tr))
+      .select($"i".as("dim_idx"), $"m".as("m_sum"), $"q_diag", $"v_fp",
+        $"lambda_fp", $"trace_q",
+        ($"lambda_fp".cast("double") / $"trace_q").as("var_explained"))
+      .orderBy($"dim_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
     sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
     sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall,
     sq11HardNegatives, sq12MmrRerank, sq13EmbeddingAudit,
-    sq14AnnStoredIndexSearch)
+    sq14AnnStoredIndexSearch, sq15PcaPower)
 }
