@@ -233,7 +233,86 @@ object SketchQueries {
       .orderBy($"cnt".desc, $"tok")
   }
 
+  /** kq02's portable twin (the kq03b pattern): the HLL estimates are
+    * engine-binary, but the sketch's PUBLISHED guarantee is checkable in
+    * SQL — lgK=14 has standard error 1.04/√2¹⁴ ≈ 0.81%, so a merged
+    * estimate outside ±3% (well past 3σ) means the sketch or the daily
+    * partial→union merge path is broken. The oracle carries the exact
+    * distincts and the literal all-within-bound flags; a broken merge
+    * hash-mismatches. */
+  val kq02bHllErrorBound: QueryDef = sqlChecked(
+    "kq02b_hll_error_bound",
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS exact_distinct,
+      |  CAST(1 AS BIGINT) AS hll_in_bound
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val est = orders
+      .groupBy($"o_orderstatus", $"o_orderdate")
+      .agg(hll_sketch_agg($"o_custkey", 14).as("sk"))
+      .groupBy($"o_orderstatus")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+    val exact = orders
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("exact_distinct"))
+    est.join(exact, "o_orderstatus")
+      .select($"o_orderstatus", $"exact_distinct",
+        (abs($"est" - $"exact_distinct") / $"exact_distinct" <= 0.03)
+          .cast("long").as("hll_in_bound"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** kq04's portable twin: exact set-algebra cardinalities (per-customer
+    * flag reduction — replayable SQL) plus literal within-bound flags
+    * for every theta estimate. Below the sketch's nominal-entries
+    * threshold theta is EXACT, so the 5% band is generous at every test
+    * SF while still catching a broken union/intersection operator. */
+  val kq04bThetaErrorBound: QueryDef = sqlChecked(
+    "kq04b_theta_error_bound",
+    """WITH f AS (
+      |  SELECT o_custkey,
+      |    MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS a,
+      |    MAX(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS b
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT
+      |  CAST(SUM(a) AS BIGINT) AS exact_a,
+      |  CAST(SUM(b) AS BIGINT) AS exact_b,
+      |  CAST(SUM(GREATEST(a, b)) AS BIGINT) AS exact_union,
+      |  CAST(SUM(LEAST(a, b)) AS BIGINT) AS exact_intersect,
+      |  CAST(1 AS BIGINT) AS a_in_bound,
+      |  CAST(1 AS BIGINT) AS b_in_bound,
+      |  CAST(1 AS BIGINT) AS union_in_bound
+      |FROM f""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val urgent = $"o_orderpriority" === "1-URGENT"
+    val bigspend = $"o_totalprice" > 200000.0
+    val sketches = orders.agg(
+      theta_sketch_agg(when(urgent, $"o_custkey")).as("sk_a"),
+      theta_sketch_agg(when(bigspend, $"o_custkey")).as("sk_b"))
+    val exact = orders
+      .groupBy($"o_custkey")
+      .agg(max(urgent.cast("int")).as("a"), max(bigspend.cast("int")).as("b"))
+      .agg(
+        sum($"a").cast("long").as("exact_a"),
+        sum($"b").cast("long").as("exact_b"),
+        sum(greatest($"a", $"b")).cast("long").as("exact_union"),
+        sum(least($"a", $"b")).cast("long").as("exact_intersect"))
+    def inBound(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      (abs(est - exact) <= greatest(exact * 0.05, lit(1.0))).cast("long")
+    sketches.crossJoin(broadcast(exact))
+      .select($"exact_a", $"exact_b", $"exact_union", $"exact_intersect",
+        inBound(theta_sketch_estimate($"sk_a"), $"exact_a").as("a_in_bound"),
+        inBound(theta_sketch_estimate($"sk_b"), $"exact_b").as("b_in_bound"),
+        inBound(theta_sketch_estimate(theta_union($"sk_a", $"sk_b")), $"exact_union")
+          .as("union_in_bound"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    kq01BitmapDistinct, kq02HllRollup, kq03KllQuantiles, kq03bKllErrorBound,
-    kq04ThetaSetAlgebra, kq05HeavyHitters)
+    kq01BitmapDistinct, kq02HllRollup, kq02bHllErrorBound, kq03KllQuantiles,
+    kq03bKllErrorBound, kq04ThetaSetAlgebra, kq04bThetaErrorBound,
+    kq05HeavyHitters)
 }

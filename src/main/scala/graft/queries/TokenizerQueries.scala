@@ -280,7 +280,65 @@ object TokenizerQueries {
       .orderBy($"lang")
   }
 
+  /** Head-to-head tokenizer evaluation: the frozen BPE merge table vs the
+    * frozen unigram piece table on the SAME corpus, per lang — subword
+    * totals, fertilities, and how many word occurrences each algorithm
+    * parses shorter. This is the comparison a pipeline runs before
+    * committing a vocabulary to a training run; both encoders execute
+    * their full production path (20-replace chain; unrolled Viterbi
+    * lattice) over the distinct (lang, word) histogram, so the cost is
+    * vocab-bounded and the oracle replays BOTH codegen chains in one
+    * query. All-integer aggregates + two exact final divisions. */
+  val tq40TokenizerCompare: QueryDef = sqlChecked(
+    "tq40_tokenizer_compare",
+    s"""WITH w0 AS (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS w FROM documents),
+       |words AS (SELECT lang, w AS word, w AS norm, COUNT(*) AS freq
+       |  FROM w0 WHERE w <> '' AND len(w) <= ${Unigram.MaxUnroll}
+       |  GROUP BY lang, w),
+       |${Unigram.viterbiSql(Unigram.FixedPieces, Unigram.MaxUnroll)},
+       |b AS (SELECT lang, freq,
+       |    len(string_split(substr(vit_key, ${Unigram.KeyWidth + 2}, 100000), ' ')) AS uni_n,
+       |    ${Bpe.sqlEncode(Bpe.FixedMerges)} AS enc
+       |  FROM vit),
+       |f AS (SELECT lang, freq, uni_n,
+       |    len(enc) - len(replace(enc, chr(1), '')) AS bpe_n FROM b)
+       |SELECT lang,
+       |  COUNT(*) AS distinct_words,
+       |  CAST(SUM(freq) AS BIGINT) AS word_occurrences,
+       |  CAST(SUM(bpe_n * freq) AS BIGINT) AS bpe_subwords,
+       |  CAST(SUM(uni_n * freq) AS BIGINT) AS unigram_subwords,
+       |  CAST(SUM(bpe_n * freq) AS DOUBLE) / SUM(freq) AS bpe_fertility,
+       |  CAST(SUM(uni_n * freq) AS DOUBLE) / SUM(freq) AS unigram_fertility,
+       |  CAST(SUM(CASE WHEN uni_n < bpe_n THEN freq ELSE 0 END) AS BIGINT) AS unigram_shorter_occ,
+       |  CAST(SUM(CASE WHEN bpe_n < uni_n THEN freq ELSE 0 END) AS BIGINT) AS bpe_shorter_occ
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select($"lang", explode(split($"text", "\\s+")).as("w"))
+      .filter($"w" =!= "" && length($"w") <= Unigram.MaxUnroll)
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("freq"))
+      .select($"lang", $"w".as("word"), $"w".as("norm"), $"freq")
+    val f = Unigram.viterbiFrame(words, Unigram.FixedPieces, Unigram.MaxUnroll)
+      .withColumn("uni_n", Unigram.vitNPieces($"vit_key"))
+      .withColumn("bpe_n",
+        Bpe.subwordCount($"norm", Bpe.encode($"norm", Bpe.FixedMerges)))
+    f.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("distinct_words"),
+        sum($"freq").cast("long").as("word_occurrences"),
+        sum($"bpe_n" * $"freq").cast("long").as("bpe_subwords"),
+        sum($"uni_n" * $"freq").cast("long").as("unigram_subwords"),
+        (sum($"bpe_n" * $"freq").cast("double") / sum($"freq")).as("bpe_fertility"),
+        (sum($"uni_n" * $"freq").cast("double") / sum($"freq")).as("unigram_fertility"),
+        sum(when($"uni_n" < $"bpe_n", $"freq").otherwise(0L)).cast("long")
+          .as("unigram_shorter_occ"),
+        sum(when($"bpe_n" < $"uni_n", $"freq").otherwise(0L)).cast("long")
+          .as("bpe_shorter_occ"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] =
     Seq(tq29BpePairCounts, tq30BpeMerges, tq31BpeEncode, tq32TokenizerFertility,
-      tq34BpeDecode, tq37UnigramSeed, tq38UnigramTrain, tq39UnigramEncode)
+      tq34BpeDecode, tq37UnigramSeed, tq38UnigramTrain, tq39UnigramEncode,
+      tq40TokenizerCompare)
 }
