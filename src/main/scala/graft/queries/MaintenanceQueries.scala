@@ -128,6 +128,50 @@ object MaintenanceQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Schema evolution + backfill migration: batch 1 lands WITHOUT
+    * o_orderpriority, batch 2 lands with it (the day-200 reality of
+    * every ingest table), the merged-schema read surfaces the legacy
+    * rows' nulls, and [[graft.sources.SchemaEvolution.addColumnBackfill]]
+    * rewrites ONLY the legacy batch with the default — migration cost
+    * proportional to legacy bytes, not table bytes (SchemaEvolutionSpec
+    * pins that property: batch 2's files are byte-identical after the
+    * migration). The oracle inlines the evolution semantics as a CASE
+    * over the source parquet; a hash match proves the mergeSchema read,
+    * the selective rewrite, and the swap preserved every row. */
+  val wq05SchemaEvolutionRoundtrip: QueryDef = sqlChecked(
+    "wq05_schema_evolution_roundtrip",
+    s"""WITH cut AS (SELECT CAST(FLOOR(max(o_orderkey) * 0.8) AS BIGINT) AS c FROM orders),
+       |v AS (
+       |  SELECT o_orderstatus,
+       |    CASE WHEN o_orderkey < c THEN 'LEGACY' ELSE o_orderpriority END AS pri,
+       |    o_totalprice
+       |  FROM orders, cut)
+       |SELECT o_orderstatus, pri, COUNT(*) AS n,
+       |  ${sqlDsum("o_totalprice")} AS total
+       |FROM v GROUP BY o_orderstatus, pri
+       |ORDER BY o_orderstatus, pri""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val root = graft.util.Scratch.tempDir("graft-schemaevo-q") + "/t"
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderpriority")
+    // the split point stays a broadcast scalar, never a driver literal
+    val cut = o.agg(floor(max($"o_orderkey") * 0.8).cast("long").as("c"))
+    val oc = o.crossJoin(broadcast(cut))
+    oc.filter($"o_orderkey" < $"c")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .write.parquet(root + "/batch=1")
+    oc.filter($"o_orderkey" >= $"c")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderpriority")
+      .write.parquet(root + "/batch=2")
+    graft.sources.SchemaEvolution.addColumnBackfill(
+      spark, root, "o_orderpriority", lit("LEGACY")): Unit
+    graft.sources.SchemaEvolution.read(spark, root)
+      .groupBy($"o_orderstatus", $"o_orderpriority".as("pri"))
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus", $"pri")
+  }
+
   val all: Seq[QueryDef] = Seq(wq01UpsertRoundtrip, wq02CompactionRoundtrip,
-    wq03IncrementalAggRoundtrip, wq04ZorderRoundtrip)
+    wq03IncrementalAggRoundtrip, wq04ZorderRoundtrip,
+    wq05SchemaEvolutionRoundtrip)
 }

@@ -449,7 +449,63 @@ object PipelineQueries {
     }
   }
 
+  /** Temperature-scaled mixture planning (Conneau & Lample 2019 §3.1;
+    * the α=0.3 recipe mT5 made standard): fq04 draws a corpus given
+    * target weights — this computes the weights FROM the corpus. Per
+    * source: token count n_i, raw share p_i, temperature share
+    * q_i ∝ p_i^α (flattens head sources, lifts tail ones), the
+    * single-epoch-constrained token budget B = min_i(n_i / q_i) — the
+    * largest plan where no source must repeat — and each source's
+    * planned draw + epoch fraction. One corpus scan for
+    * the per-source token counts (in-row size(split), no explode), then
+    * everything is a 20-row frame. pow() is shielded by the 9-dp
+    * rounding both engines apply before any downstream arithmetic
+    * (tq20's ulp rule); all outputs round 6 dp. */
+  val pq08MixturePlan: QueryDef = sqlChecked(
+    "pq08_mixture_plan",
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT SUM(n_tokens) AS total FROM t),
+      |p AS (SELECT source, n_tokens,
+      |    round(CAST(n_tokens AS DOUBLE) / total, 9) AS p_raw FROM t, tot),
+      |qn AS (SELECT CAST(SUM(CAST(round(pow(p_raw, 0.3), 9) AS DECIMAL(25,9))) AS DOUBLE) AS z FROM p),
+      |q AS (SELECT source, n_tokens, p_raw,
+      |    round(round(pow(p_raw, 0.3), 9) / z, 9) AS q_temp FROM p, qn),
+      |b AS (SELECT MIN(n_tokens / q_temp) AS budget FROM q)
+      |SELECT source, n_tokens,
+      |  round(p_raw, 6) AS p_raw,
+      |  round(q_temp, 6) AS q_temp,
+      |  round(q_temp * budget, 2) AS planned_tokens,
+      |  round(q_temp * budget / n_tokens, 6) AS epochs
+      |FROM q, b
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select($"source",
+        size(filter(split($"text", "\\s+"), x => x =!= "")).as("nt"))
+      .groupBy($"source").agg(sum($"nt").cast("long").as("n_tokens"))
+    val tot = t.agg(sum($"n_tokens").as("total"))
+    val p = t.crossJoin(broadcast(tot))
+      .select($"source", $"n_tokens",
+        round($"n_tokens".cast("double") / $"total", 9).as("p_raw"))
+    import graft.util.Num.dsum
+    val qn = p.agg(dsum(round(pow($"p_raw", 0.3), 9)).as("z"))
+    val q = p.crossJoin(broadcast(qn))
+      .select($"source", $"n_tokens", $"p_raw",
+        round(round(pow($"p_raw", 0.3), 9) / $"z", 9).as("q_temp"))
+    val b = q.agg(min($"n_tokens" / $"q_temp").as("budget"))
+    q.crossJoin(broadcast(b))
+      .select($"source", $"n_tokens",
+        round($"p_raw", 6).as("p_raw"),
+        round($"q_temp", 6).as("q_temp"),
+        round($"q_temp" * $"budget", 2).as("planned_tokens"),
+        round($"q_temp" * $"budget" / $"n_tokens", 6).as("epochs"))
+      .orderBy($"source")
+  }
+
   val all: Seq[QueryDef] = Seq(pq01TrainingPrep, pq02Curriculum,
     pq03SnapshotTimeTravel, pq04LeakageFreeSplit, pq05DsirResample,
-    pq06BpeShardPacking, pq07LengthBuckets)
+    pq06BpeShardPacking, pq07LengthBuckets, pq08MixturePlan)
 }
