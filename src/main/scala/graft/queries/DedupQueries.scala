@@ -863,11 +863,18 @@ object DedupQueries {
         explode(WebCorpus.webLines($"doc_id", $"text")).as("line"))
       .withColumn("dig", md5($"line"))
     // line bodies are pruned before the doc-frequency shuffle: only
-    // (dig, doc_id) reaches the exchange, and only heavy hitters survive
+    // (dig, doc_id) reaches the exchange, and only heavy hitters
+    // survive. The survivor set is boilerplate-sized, so MATERIALIZE it
+    // (eager localCheckpoint): both verdict joins below reuse it instead
+    // of re-running the df aggregation — plan audit showed 4 corpus
+    // scans without this, 2 with. The remaining two scans are the
+    // deliberate cache-vs-rescan call (tq33's): ex is the exploded
+    // corpus with bodies; at 100 TB rescanning beats caching it.
     val boiler = ex.select($"dig", $"doc_id").distinct()
       .groupBy($"dig").agg(count(lit(1)).as("df"))
       .filter($"df" >= 10)
       .select($"dig".as("bdig"))
+      .localCheckpoint()
     val v = ex.join(broadcast(boiler), $"dig" === $"bdig", "left")
       .withColumn("is_boiler", $"bdig".isNotNull)
     val perDoc = v.groupBy($"lang", $"doc_id")
