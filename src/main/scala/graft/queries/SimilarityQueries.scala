@@ -795,6 +795,103 @@ object SimilarityQueries {
         avg(coalesce($"n_hit", lit(0)) / $"n_bf").as("recall_at_5"))
   }
 
+  /** sq05's portable twin (the dq03b pattern for embeddings): the
+    * Gaussian hyperplanes that keep sq05 rows-only are replaced by
+    * Achlioptas sign projections (±1 components — Achlioptas 2001 proves
+    * sign matrices suffice for random projection) whose signs both
+    * engines DERIVE from md5 parity over the literal "<plane>:<dim>"
+    * strings — the oracle re-derives the matrix itself, it is not handed
+    * the answer. Elements round once to 6 dp and accumulate in
+    * DECIMAL(30,6), so every projection sum is EXACT and the bucket bit
+    * can never flip on summation order; candidate cosines round 6 dp
+    * before the threshold compares (dq13's shield). The full LSH
+    * pipeline — sign matrix → bucket bits → bucket self-join → cosine
+    * rerank → flag counts — is hash-checked end to end.
+    *
+    * The fixture corpus carries no genuine cosine-near-dups at test SF,
+    * which would leave the flag columns vacuously zero — so, like fq05,
+    * BOTH engines append the same deterministic plants: every 40th
+    * vector gains a sibling whose first component is nudged by +0.05
+    * (cosine ≈ 0.999) — the detector must find every planted pair that
+    * shares a bucket, and the counts/hash prove it did. */
+  val sq05bEmbeddingNearDupPortable: QueryDef = sqlChecked(
+    "sq05b_embedding_near_dup_portable",
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |vecs AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id,
+      |    list_concat([v[1] + 0.05], v[2:64]) AS v
+      |  FROM base WHERE vec_id % 40 = 0),
+      |dims AS (SELECT unnest(range(0, 64)) AS i),
+      |planes AS (SELECT unnest(range(0, 8)) AS p),
+      |signs AS (
+      |  SELECT p, i,
+      |    CASE WHEN substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)
+      |      BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS s
+      |  FROM planes, dims),
+      |el AS (
+      |  SELECT vec_id, CAST(i0 AS INT) - 1 AS i,
+      |    CAST(round(v[i0], 6) AS DECIMAL(30,6)) AS xq
+      |  FROM (SELECT vec_id, v,
+      |          unnest(range(1, len(v) + 1)) AS i0 FROM vecs)),
+      |proj AS (
+      |  SELECT vec_id, p, SUM(s * xq) AS dot
+      |  FROM el JOIN signs ON el.i = signs.i
+      |  GROUP BY vec_id, p),
+      |bits AS (
+      |  SELECT vec_id,
+      |    string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_cosine_similarity(va.v, vb.v), 6) AS cos
+      |  FROM bits a JOIN bits b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  JOIN vecs va ON va.vec_id = a.vec_id
+      |  JOIN vecs vb ON vb.vec_id = b.vec_id)
+      |SELECT COUNT(*) AS n_candidate_pairs,
+      |  COUNT(*) FILTER (cos >= 0.95) AS n_near_dups,
+      |  COUNT(*) FILTER (cos >= 0.8) AS n_ge_08,
+      |  round(MAX(cos), 6) AS max_cos
+      |FROM pairs""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val D = org.apache.spark.sql.types.DecimalType(30, 6)
+    // the SAME md5-parity derivation as the oracle, computed driver-side
+    // over the identical strings (java MD5 ≡ DuckDB md5)
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, i: Int): Int = {
+      val hex = mdf.digest(s"$p:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) <= '7') 1 else -1
+    }
+    val signs = Seq.tabulate(8, 64)(sign)
+    val base = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    val plants = base.filter(pmod($"vec_id", lit(40)) === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        concat(array(element_at($"v", 1) + 0.05), slice($"v", 2, 63)).as("v"))
+    val emb = base.union(plants)
+      .withColumn("xq", transform($"v", x => round(x, 6).cast(D)))
+    // 8 exact in-row decimal projections → the 8-bit bucket
+    val bucket = concat((0 until 8).map { p =>
+      val sArr = typedlit(signs(p))
+      val dot = aggregate(sequence(lit(0), lit(63)),
+        lit(java.math.BigDecimal.ZERO).cast(D),
+        (acc, i) => (acc + element_at(sArr, i + 1) * element_at($"xq", i + 1)).cast(D))
+      when(dot > 0, "1").otherwise("0")
+    }: _*)
+    val b = emb.select($"vec_id", $"v", bucket.as("bucket"))
+    val pairs = b.as("a")
+      .join(b.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select(round(cosine($"a.v", $"b.v"), 6).as("cos"))
+    pairs.agg(
+      count(lit(1)).as("n_candidate_pairs"),
+      count(when($"cos" >= 0.95, 1)).as("n_near_dups"),
+      count(when($"cos" >= 0.8, 1)).as("n_ge_08"),
+      round(max($"cos"), 6).as("max_cos"))
+  }
+
   /** Power-iteration rounds for sq15's oracle: the same fixed-point
     * matvec recurrence, mechanically unrolled for DuckDB (tq19's
     * PageRank-unroll move, applied to an eigensolve). Reads CTEs
@@ -929,6 +1026,7 @@ object SimilarityQueries {
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
     sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
     sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall,
+    sq05bEmbeddingNearDupPortable,
     sq11HardNegatives, sq12MmrRerank, sq13EmbeddingAudit,
     sq14AnnStoredIndexSearch, sq15PcaPower)
 }
