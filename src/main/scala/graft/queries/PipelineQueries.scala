@@ -505,7 +505,67 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** The corpus data card (Gebru et al. 2021, "Datasheets for Datasets"
+    * — the composition/quality summary a released corpus ships): one
+    * row per (source, lang) with document and token counts, the exact
+    * duplicate rate (bag-of-words digests — dq08's canonical form, so
+    * reordered clones unify), the quality-pass rate under the fq02-style
+    * gate, and mean document length. One scan computes every per-doc
+    * feature in-row; the digest-distinct is the only second aggregate
+    * and it shuffles 32-byte hashes. The ratios are single exact
+    * divisions rounded 6 dp. This is the query a data team actually
+    * publishes next to the corpus — and every number in it is
+    * hash-checked against an independent engine. */
+  val pq09DataCard: QueryDef = sqlChecked(
+    "pq09_data_card",
+    """WITH f AS (
+      |  SELECT source, lang,
+      |    sha256(array_to_string(list_sort(list_distinct(
+      |      string_split_regex(lower(text), '\s+'))), ' ')) AS dig,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+      |    CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS DOUBLE)
+      |      / len(string_split_regex(text, '\s+')) AS distinct_frac,
+      |    (list_contains(string_split(lower(text), ' '), 'the')
+      |      OR list_contains(string_split(lower(text), ' '), 'a')) AS has_stop
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, lang,
+      |    COUNT(*) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |    COUNT(DISTINCT dig) AS distinct_docs,
+      |    COUNT(*) FILTER (n_tokens >= 30 AND distinct_frac >= 0.3 AND has_stop)
+      |      AS quality_pass
+      |  FROM f GROUP BY source, lang)
+      |SELECT source, lang, n_docs, total_tokens, distinct_docs,
+      |  round(1.0 - CAST(distinct_docs AS DOUBLE) / n_docs, 6) AS dup_rate,
+      |  round(CAST(quality_pass AS DOUBLE) / n_docs, 6) AS quality_pass_rate,
+      |  round(CAST(total_tokens AS DOUBLE) / n_docs, 2) AS mean_tokens
+      |FROM g ORDER BY source, lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val f = Tables.documents(spark, dir)
+      .select($"source", $"lang",
+        sha2(concat_ws(" ",
+          array_sort(array_distinct(split(lower($"text"), "\\s+")))), 256).as("dig"),
+        size(filter(split($"text", "\\s+"), x => x =!= "")).as("n_tokens"),
+        (size(array_distinct(split(lower($"text"), "\\s+"))).cast("double") /
+          size(split($"text", "\\s+"))).as("distinct_frac"),
+        (array_contains(split(lower($"text"), " "), "the") ||
+          array_contains(split(lower($"text"), " "), "a")).as("has_stop"))
+    f.groupBy($"source", $"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").cast("long").as("total_tokens"),
+        countDistinct($"dig").as("distinct_docs"),
+        count(when($"n_tokens" >= 30 && $"distinct_frac" >= 0.3 && $"has_stop", 1))
+          .as("quality_pass"))
+      .select($"source", $"lang", $"n_docs", $"total_tokens", $"distinct_docs",
+        round(lit(1.0) - $"distinct_docs".cast("double") / $"n_docs", 6).as("dup_rate"),
+        round($"quality_pass".cast("double") / $"n_docs", 6).as("quality_pass_rate"),
+        round($"total_tokens".cast("double") / $"n_docs", 2).as("mean_tokens"))
+      .orderBy($"source", $"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(pq01TrainingPrep, pq02Curriculum,
     pq03SnapshotTimeTravel, pq04LeakageFreeSplit, pq05DsirResample,
-    pq06BpeShardPacking, pq07LengthBuckets, pq08MixturePlan)
+    pq06BpeShardPacking, pq07LengthBuckets, pq08MixturePlan, pq09DataCard)
 }
