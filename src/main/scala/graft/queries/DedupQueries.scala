@@ -898,11 +898,122 @@ object DedupQueries {
       .orderBy($"lang")
   }
 
+  /** URL canonicalization + dedup — the first dedup pass every web-crawl
+    * corpus gets (the same page arrives under scheme/host case variants,
+    * default ports, trailing slashes, tracking params, reordered query
+    * strings, and fragments). The normalizer: lowercase scheme+host,
+    * strip `www.`, drop default ports (443/https, 80/http), strip the
+    * fragment, collapse the trailing slash, drop `utm_*`/`fbclid`/`gclid`
+    * params, and SORT the surviving query params. The fixture corpus has
+    * no URL column, so BOTH engines derive the same deterministic URL
+    * universe from `documents`: two variants per doc that must collapse
+    * to one canonical form (every normalizer rule exercised), plus a
+    * genuinely distinct third URL for every third doc that must survive.
+    * Counts + min/max canonical strings hash-check the normalizer
+    * end to end.
+    *
+    * 100 TB: pure map-side string work until the per-source aggregate;
+    * the dedup key is the canonical string (in production, its digest —
+    * dq01's shuffle-digests-not-bodies rule applies unchanged). */
+  val dq15UrlDedup: QueryDef = sqlChecked(
+    "dq15_url_dedup",
+    """WITH raw AS (
+      |  SELECT doc_id, source,
+      |    'https://www.' || source || '.example.com/' || lang || '/doc/' || doc_id ||
+      |      '?id=' || doc_id || '&ref=home' AS url
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, source,
+      |    'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/' || lang || '/doc/' || doc_id ||
+      |      '/?utm_source=feed&ref=home&id=' || doc_id || '#frag' AS url
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, source,
+      |    'http://' || source || '.example.com/' || lang || '/doc/' || doc_id ||
+      |      '?id=' || doc_id || '&page=2' AS url
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |p1 AS (
+      |  SELECT source,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    regexp_extract(url, '^[A-Za-z]+://([^#]*)', 1) AS rest
+      |  FROM raw),
+      |p2 AS (
+      |  SELECT source, scheme,
+      |    regexp_extract(rest, '^([^/?]+)', 1) AS hostport,
+      |    substr(rest, length(regexp_extract(rest, '^([^/?]+)', 1)) + 1) AS pathq
+      |  FROM p1),
+      |p3 AS (
+      |  SELECT source, scheme,
+      |    regexp_replace(lower(regexp_extract(hostport, '^([^:]+)', 1)), '^www\.', '') AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/$', '') AS path_c,
+      |    regexp_extract(pathq, '\?(.*)$', 1) AS qstr
+      |  FROM p2),
+      |canon AS (
+      |  SELECT source,
+      |    scheme || '://' || host ||
+      |    CASE WHEN port <> '' AND NOT ((scheme = 'https' AND port = '443')
+      |        OR (scheme = 'http' AND port = '80'))
+      |      THEN ':' || port ELSE '' END ||
+      |    path_c ||
+      |    CASE WHEN q <> '' THEN '?' || q ELSE '' END AS curl
+      |  FROM (SELECT *,
+      |      array_to_string(list_sort(list_filter(string_split(qstr, '&'),
+      |        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)='))), '&') AS q
+      |    FROM p3))
+      |SELECT source, COUNT(*) AS n_raw,
+      |  COUNT(DISTINCT curl) AS n_canonical,
+      |  COUNT(*) - COUNT(DISTINCT curl) AS n_dropped,
+      |  MIN(curl) AS min_url, MAX(curl) AS max_url
+      |FROM canon GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source", $"lang")
+    val u1 = docs.select($"doc_id", $"source",
+      concat(lit("https://www."), $"source", lit(".example.com/"), $"lang",
+        lit("/doc/"), $"doc_id", lit("?id="), $"doc_id", lit("&ref=home")).as("url"))
+    val u2 = docs.select($"doc_id", $"source",
+      concat(lit("HTTPS://WWW."), upper($"source"), lit(".EXAMPLE.COM:443/"), $"lang",
+        lit("/doc/"), $"doc_id", lit("/?utm_source=feed&ref=home&id="), $"doc_id",
+        lit("#frag")).as("url"))
+    val u3 = docs.filter($"doc_id" % 3 === 0).select($"doc_id", $"source",
+      concat(lit("http://"), $"source", lit(".example.com/"), $"lang",
+        lit("/doc/"), $"doc_id", lit("?id="), $"doc_id", lit("&page=2")).as("url"))
+    val raw = u1.unionByName(u2).unionByName(u3)
+    val p1 = raw.select($"source",
+      lower(regexp_extract($"url", "^([A-Za-z]+)://", 1)).as("scheme"),
+      regexp_extract($"url", "^[A-Za-z]+://([^#]*)", 1).as("rest"))
+    val p2 = p1.select($"source", $"scheme",
+      regexp_extract($"rest", "^([^/?]+)", 1).as("hostport"),
+      expr("substr(rest, length(regexp_extract(rest, '^([^/?]+)', 1)) + 1)").as("pathq"))
+    val p3 = p2.select($"source", $"scheme",
+      regexp_replace(lower(regexp_extract($"hostport", "^([^:]+)", 1)), "^www\\.", "")
+        .as("host"),
+      regexp_extract($"hostport", ":([0-9]+)$", 1).as("port"),
+      regexp_replace(regexp_extract($"pathq", "^([^?]*)", 1), "/$", "").as("path_c"),
+      regexp_extract($"pathq", "\\?(.*)$", 1).as("qstr"))
+    val qSorted = array_join(array_sort(filter(split($"qstr", "&"),
+      p => p =!= "" && !p.rlike("^(utm_[a-z]+|fbclid|gclid)="))), "&")
+    val canon = p3.withColumn("q", qSorted)
+      .select($"source", concat($"scheme", lit("://"), $"host",
+        when($"port" =!= "" && !(($"scheme" === "https" && $"port" === "443") ||
+          ($"scheme" === "http" && $"port" === "80")),
+          concat(lit(":"), $"port")).otherwise(lit("")),
+        $"path_c",
+        when($"q" =!= "", concat(lit("?"), $"q")).otherwise(lit(""))).as("curl"))
+    canon.groupBy($"source").agg(
+        count(lit(1)).as("n_raw"),
+        countDistinct($"curl").as("n_canonical"),
+        (count(lit(1)) - countDistinct($"curl")).as("n_dropped"),
+        min($"curl").as("min_url"),
+        max($"curl").as("max_url"))
+      .orderBy($"source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dq01ExactDedup, dq02DedupKeepFirst, dq03MinhashLsh, dq03bMinhashPortable,
     dq04Simhash, dq04bSimhashPortable, dq06bWinnowPortable,
     dq05NgramJaccard, dq06WinnowFingerprints, dq07Decontaminate,
     dq07bDecontaminateBloom,
     dq08IncrementalDedup, dq09DupClusters, dq10PassageDedup, dq11FuzzyJoin,
-    dq12SubstringDedup, dq13SemanticDecontam, dq14LineDedup)
+    dq12SubstringDedup, dq13SemanticDecontam, dq14LineDedup, dq15UrlDedup)
 }

@@ -653,6 +653,37 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** q23's portable twin (the kq03b pattern applied to HLL++): the sketch
+    * estimate can't hash-match another engine, but its PUBLISHED GUARANTEE
+    * can. `approx_count_distinct(rsd = 0.05)` bounds the relative-error
+    * standard deviation at 5%; we assert the estimate lands within 3σ
+    * (15%) of the exact distinct count — flake-proof margin, yet tight
+    * enough that a mis-merged or mis-sized sketch bursts it. The oracle
+    * replays the exact count and expects the bound flag to be 1, so a
+    * drifting sketch OR a broken exact path both surface as a hash
+    * mismatch. Unlike q23 (which deliberately avoids the exact shuffle),
+    * this twin pays the exact countDistinct — that's the price of the
+    * check, not the 100 TB serving shape; q23 remains the scale path. */
+  val q23bApproxDistinctBound: QueryDef = sqlChecked(
+    "q23b_approx_distinct_bound",
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  CAST(1 AS BIGINT) AS in_error_bound
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.05).as("est"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"est" - $"exact_parts") <= $"exact_parts" * 0.15)
+          .cast("long").as("in_error_bound"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Exact per-group percentiles via the distributed bucket-and-refine
     * operator (graft.operators.ExactPercentile): three fully-parallel
     * passes with bounded memory, vs Spark's `percentile` aggregate which
@@ -721,6 +752,52 @@ object Relational {
         element_at($"pcts", 2).as("p50"),
         element_at($"pcts", 3).as("p99"),
         $"n")
+      .orderBy($"l_returnflag")
+  }
+
+  /** q25's portable twin — kq03b's rank-band assertion applied to Spark's
+    * own `approx_percentile`: accuracy=10000 bounds normalized rank error
+    * at 1/accuracy = 1e-4; we take ε=0.005 (50× margin, still tight) and
+    * assert the sketch's p50/p99 land between the EXACT values at ranks
+    * q±ε from the distributed [[graft.operators.ExactPercentile]]. The
+    * returned sketch value is an actual dataset element, which always lies
+    * within the quantile_cont envelope of its rank band, so the flag is
+    * deterministic. Oracle replays the exact quantiles and expects both
+    * band predicates true — sketch drift and exact-operator breakage both
+    * land as hash mismatches. */
+  val q25bApproxPercentileBound: QueryDef = sqlChecked(
+    "q25b_approx_percentile_bound",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.50), 4) AS p50_exact,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+      |  CAST(1 AS BIGINT) AS p50_in_rank_band,
+      |  CAST(1 AS BIGINT) AS p99_in_rank_band
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val est = li
+      .groupBy($"l_returnflag")
+      .agg(expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)").as("pcts"))
+      .select($"l_returnflag",
+        element_at($"pcts", 1).as("p50_est"),
+        element_at($"pcts", 2).as("p99_est"))
+    val eps = 0.005 // 50× the accuracy=10000 rank-error bound
+    val bands = graft.operators.ExactPercentile.quantiles(
+      li.select($"l_returnflag", $"l_extendedprice"),
+      "l_returnflag", "l_extendedprice",
+      Seq(0.5 - eps, 0.5, 0.5 + eps, 0.99 - eps, 0.99, 0.99 + eps),
+      Seq("p50_lo", "p50", "p50_hi", "p99_lo", "p99", "p99_hi"))
+    est.join(bands, "l_returnflag")
+      .select($"l_returnflag",
+        round($"p50", 4).as("p50_exact"),
+        round($"p99", 4).as("p99_exact"),
+        ($"p50_est" >= $"p50_lo" && $"p50_est" <= $"p50_hi")
+          .cast("long").as("p50_in_rank_band"),
+        ($"p99_est" >= $"p99_lo" && $"p99_est" <= $"p99_hi")
+          .cast("long").as("p99_in_rank_band"))
       .orderBy($"l_returnflag")
   }
 
@@ -821,7 +898,9 @@ object Relational {
     q10Rollup, q11Cube, q12SetOps, q12bSetOperators, q13Having,
     q14CaseWhenBuckets, q15StringFuncs, q16DateFuncs, q17JsonExtract,
     q18IsinNullHandling, q19TopkGlobal, q20Stats, q20bMomentStats, q21Pivot,
-    q22JoinOnAggregate, q23ApproxDistinct, q24Percentiles,
-    q25ApproxPercentiles, q26NanNullChecks, q27WindowBattery,
+    q22JoinOnAggregate, q23ApproxDistinct, q23bApproxDistinctBound,
+    q24Percentiles,
+    q25ApproxPercentiles, q25bApproxPercentileBound,
+    q26NanNullChecks, q27WindowBattery,
     q28ArgMinMax, q29ScalarSubquery)
 }

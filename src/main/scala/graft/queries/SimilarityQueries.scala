@@ -1023,10 +1023,186 @@ object SimilarityQueries {
       .orderBy($"dim_idx")
   }
 
+  /** sq02's portable twin — the first ANN RECALL number that is
+    * oracle-hash-checked rather than self-reported: the whole pipeline
+    * (sign matrix → per-table buckets → candidate union → exact-cosine
+    * rerank → recall@5 vs in-query brute force) runs identically in both
+    * engines. The Gaussian hyperplanes that keep sq02 rows-only become
+    * sq05b's md5-parity Achlioptas signs (the oracle re-derives the
+    * matrix, it is not handed the answer); projections accumulate in
+    * DECIMAL(30,6) over once-rounded elements so no bucket bit can flip
+    * on summation order; the rerank ranks raw-double cosines with a cid
+    * tie-break (sq01's hash-green precedent). 10 tables × 4 sign bits —
+    * the OR-construction: a neighbor is a candidate if it collides in
+    * ANY table (bits per table sizes the buckets and scales with corpus
+    * size in production; 4 bits fits the fixture's 500-vector corpus).
+    *
+    * 100 TB: the bucket frame carries (id, tbl, bits) only — candidate
+    * generation is an equi-join on (tbl, bits), never all-pairs; the
+    * rerank gathers vectors for candidates alone. The brute-force arm
+    * exists to MEASURE recall and stays |Q|-bounded (broadcast the 16
+    * queries, stream the corpus). */
+  val sq02bAnnLshRecallPortable: QueryDef = sqlChecked(
+    "sq02b_ann_lsh_recall_portable",
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |signs AS (
+      |  SELECT p, i,
+      |    CASE WHEN substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)
+      |      BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(0, 40)) AS p), (SELECT unnest(range(0, 64)) AS i)),
+      |el AS MATERIALIZED (
+      |  SELECT vec_id, CAST(i0 AS INT) - 1 AS i,
+      |    CAST(round(v[i0], 6) AS DECIMAL(30,6)) AS xq
+      |  FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i0 FROM base)),
+      |proj AS (
+      |  SELECT vec_id, p, SUM(s * xq) AS dot
+      |  FROM el JOIN signs ON el.i = signs.i
+      |  GROUP BY vec_id, p),
+      |bits AS MATERIALIZED (
+      |  SELECT vec_id, p // 4 AS tbl,
+      |    string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+      |  FROM proj GROUP BY vec_id, p // 4),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+      |  FROM bits q JOIN bits c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      |  WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id),
+      |ann AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY list_cosine_similarity(qv.v, cv.v) DESC, cid) AS rank
+      |    FROM cand JOIN base qv ON cand.qid = qv.vec_id
+      |    JOIN base cv ON cand.cid = cv.vec_id)
+      |  WHERE rank <= 5),
+      |bf AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+      |    FROM base q, base c WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= 5),
+      |hits AS (SELECT qid, COUNT(*) AS n_hit
+      |  FROM (SELECT * FROM ann INTERSECT SELECT * FROM bf) GROUP BY qid),
+      |nc AS (SELECT qid, COUNT(*) AS n_cand FROM cand GROUP BY qid),
+      |qs AS (SELECT vec_id AS qid FROM base WHERE vec_id < 16)
+      |SELECT COUNT(*) AS n_queries,
+      |  CAST(SUM(COALESCE(n_cand, 0)) AS DOUBLE) / COUNT(*) AS avg_candidates,
+      |  CAST(SUM(COALESCE(n_hit, 0)) AS DOUBLE) / (5 * COUNT(*)) AS recall_at_5
+      |FROM qs LEFT JOIN nc USING (qid) LEFT JOIN hits USING (qid)""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val T = 10; val B = 4
+    val D = org.apache.spark.sql.types.DecimalType(30, 6)
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, i: Int): Int = {
+      val hex = mdf.digest(s"$p:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) <= '7') 1 else -1
+    }
+    val signs = Seq.tabulate(T * B, 64)(sign)
+    val emb0 = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    val quant = emb0.withColumn("xq", transform($"v", x => round(x, 6).cast(D)))
+    def dot(p: Int) = {
+      val sArr = typedlit(signs(p))
+      aggregate(sequence(lit(0), lit(63)),
+        lit(java.math.BigDecimal.ZERO).cast(D),
+        (acc, i) => (acc + element_at(sArr, i + 1) * element_at($"xq", i + 1)).cast(D))
+    }
+    // one row per (vector, table): ids + 5 sign bits, nothing else —
+    // the candidate join below shuffles 16-byte pairs, not vectors
+    val buckets = (0 until T).map { t =>
+      struct(lit(t).as("tbl"),
+        concat((0 until B).map(b =>
+          when(dot(t * B + b) > 0, "1").otherwise("0")): _*).as("bits"))
+    }
+    val emb = quant.select($"vec_id", explode(array(buckets: _*)).as("bk"))
+      .select($"vec_id", $"bk.tbl", $"bk.bits")
+    val cand = emb.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"tbl", $"bits")
+      .join(emb.select($"vec_id".as("cid"), $"tbl", $"bits"), Seq("tbl", "bits"))
+      .filter($"qid" =!= $"cid")
+      .select($"qid", $"cid").distinct()
+    val wAnn = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val ann = cand
+      .join(broadcast(emb0.filter($"vec_id" < 16)
+        .select($"vec_id".as("qid"), $"v".as("qv"))), Seq("qid"))
+      .join(emb0.select($"vec_id".as("cid"), $"v".as("cv")), Seq("cid"))
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wAnn))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val wBf = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val bf = broadcast(
+        emb0.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v".as("qv")))
+      .join(emb0.select($"vec_id".as("cid"), $"v".as("cv")), $"qid" =!= $"cid")
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wBf))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val hits = ann.intersect(bf).groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+    val nc = cand.groupBy($"qid").agg(count(lit(1)).as("n_cand"))
+    emb0.filter($"vec_id" < 16).select($"vec_id".as("qid"))
+      .join(nc, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        (sum(coalesce($"n_cand", lit(0L))).cast("double") / count(lit(1)))
+          .as("avg_candidates"),
+        (sum(coalesce($"n_hit", lit(0L))).cast("double") / (count(lit(1)) * 5))
+          .as("recall_at_5"))
+  }
+
+  /** Matryoshka (MRL) truncation audit: how much of each embedding's
+    * energy lives in its first m dimensions — exactly the question asked
+    * before serving truncated vectors from a matryoshka-trained model
+    * (Kusupati et al. 2022). cos(x, truncate_m(x)) reduces algebraically
+    * to ‖x[1..m]‖/‖x‖, so per (vector, budget) the audit is one
+    * decimal-exact prefix-energy fold (sq13's per-element CAST shield);
+    * ratios round once to 6 dp and average via the davg pattern. Budgets
+    * 8/16/32/64 over 64-dim vectors.
+    *
+    * 100 TB: one scan, all per-vector work is an in-row codegen'd fold
+    * (no explode on the Spark side), output is 4 rows — the same
+    * map-side-collapse shape as sq13. */
+  val sq16MatryoshkaAudit: QueryDef = sqlChecked(
+    "sq16_matryoshka_audit",
+    s"""WITH el AS (
+       |  SELECT vec_id, CAST(i0 AS INT) AS i, CAST(embedding[i0] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(range(1, len(embedding) + 1)) AS i0 FROM embeddings)),
+       |m AS (SELECT unnest([8, 16, 32, 64]) AS m),
+       |e AS (
+       |  SELECT vec_id, m.m AS m,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(30,6))) FILTER (i <= m.m) AS DOUBLE) AS e_m,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS e_full
+       |  FROM el CROSS JOIN m GROUP BY vec_id, m.m),
+       |r AS (SELECT m, round(sqrt(e_m) / sqrt(e_full), 6) AS r6 FROM e)
+       |SELECT CAST(m AS BIGINT) AS m, COUNT(*) AS n_vecs,
+       |  ${sqlDavg("r6")} AS avg_prefix_cos,
+       |  MIN(r6) AS min_prefix_cos
+       |FROM r GROUP BY m ORDER BY m""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val D = org.apache.spark.sql.types.DecimalType(30, 6)
+    val v = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    def energy(m: Int) =
+      aggregate(slice($"v", 1, m), lit(java.math.BigDecimal.ZERO).cast(D),
+        (acc, x) => (acc + (x * x).cast(D)).cast(D)).cast("double")
+    val budgets = Seq(8, 16, 32, 64)
+    val perVec = v.select(explode(array(budgets.map(m =>
+        struct(lit(m.toLong).as("m"),
+          (sqrt(energy(m)) / sqrt(energy(64))).as("ratio"))): _*)).as("b"))
+      .select($"b.m".as("m"), round($"b.ratio", 6).as("r6"))
+    perVec.groupBy($"m")
+      .agg(count(lit(1)).as("n_vecs"),
+        davg($"r6").as("avg_prefix_cos"),
+        min($"r6").as("min_prefix_cos"))
+      .orderBy($"m")
+  }
+
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
     sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
     sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall,
-    sq05bEmbeddingNearDupPortable,
+    sq05bEmbeddingNearDupPortable, sq02bAnnLshRecallPortable,
     sq11HardNegatives, sq12MmrRerank, sq13EmbeddingAudit,
-    sq14AnnStoredIndexSearch, sq15PcaPower)
+    sq14AnnStoredIndexSearch, sq15PcaPower, sq16MatryoshkaAudit)
 }
