@@ -1009,11 +1009,163 @@ object DedupQueries {
       .orderBy($"source")
   }
 
+  /** Containment dedup (Broder 1997's second resemblance measure):
+    * C(A,B) = |S(A)∩S(B)| / min(|S(A)|,|S(B)|) — the asymmetric overlap
+    * that catches a SMALL document contained in a big one (quotes,
+    * reposts, boilerplate-wrapped excerpts), which Jaccard structurally
+    * misses: a 16-shingle excerpt inside a 400-shingle page has J ≈ 0.04
+    * but C = 1.0. The fixture corpus has no natural excerpts, so BOTH
+    * engines plant one: every 5th doc long enough gains an 18-token
+    * prefix snippet as a new doc; every plant must come back with
+    * containment 1.0 (n_planted_recovered is part of the hash).
+    *
+    * Scale shape is dq03/dq09's adaptive-collapse discipline applied to
+    * a pair-count query: identical shingle SETS collapse to one class
+    * (md5 of the sorted set as the class key) BEFORE the shared-shingle
+    * equi-join, and every count is multiplicity-expanded afterwards
+    * (m_a·m_b across classes, C(m,2) within — within-class pairs are
+    * containment 1 and Jaccard 1 by construction, so they land in every
+    * bucket except contain-only). The naive form probed 17× at 10× on
+    * the clone replica; the collapsed form is clone-invariant: class
+    * count equals the 1× corpus, yet the EXPANDED counts equal the
+    * naive pair counts exactly — the oracle replays the same collapse
+    * and the hash pins both the metrics and the expansion algebra.
+    * Pair fanout is bounded by shingle document-frequency over CLASSES
+    * (hot boilerplate shingles would be df-capped in production, dq14's
+    * move); bodies never shuffle, only class reps and 16-byte keys. */
+  val dq16ContainmentDedup: QueryDef = sqlChecked(
+    "dq16_containment_dedup",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |uni AS (
+      |  SELECT doc_id, w FROM toks
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, w[1:18] AS w
+      |  FROM toks WHERE doc_id % 5 = 0 AND len(w) >= 18),
+      |dc AS MATERIALIZED (
+      |  SELECT doc_id, shingles, md5(array_to_string(shingles, chr(1))) AS skey
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_sort(list_distinct(list_transform(range(len(w) - 2),
+      |        i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3])))) AS shingles
+      |    FROM uni WHERE len(w) >= 3)),
+      |cls AS MATERIALIZED (
+      |  SELECT skey, MIN(doc_id) AS rep, COUNT(*) AS mult FROM dc GROUP BY skey),
+      |rsh AS MATERIALIZED (
+      |  SELECT c.rep, d.shingles, c.mult
+      |  FROM cls c JOIN dc d ON d.doc_id = c.rep),
+      |ex AS (SELECT rep, unnest(shingles) AS sh FROM rsh),
+      |sz AS (SELECT rep, len(shingles) AS sz, mult FROM rsh),
+      |pairs AS (
+      |  SELECT a.rep AS rep_a, b.rep AS rep_b, COUNT(*) AS inter
+      |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.rep < b.rep
+      |  GROUP BY 1, 2),
+      |m AS MATERIALIZED (
+      |  SELECT rep_a, rep_b, sa.mult * sb.mult AS wt,
+      |    CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS containment,
+      |    CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+      |  FROM pairs
+      |  JOIN sz sa ON sa.rep = rep_a
+      |  JOIN sz sb ON sb.rep = rep_b),
+      |x AS (
+      |  SELECT
+      |    COALESCE(SUM(wt), 0) AS n_cand,
+      |    COALESCE(SUM(wt) FILTER (containment >= 0.8), 0) AS n_c08,
+      |    COALESCE(SUM(wt) FILTER (jaccard >= 0.5), 0) AS n_j05,
+      |    COALESCE(SUM(wt) FILTER (containment >= 0.8 AND jaccard < 0.5), 0) AS n_conly
+      |  FROM m),
+      |wi AS (
+      |  SELECT COALESCE(SUM(mult * (mult - 1) // 2), 0) AS n_w FROM cls),
+      |docrep AS (
+      |  SELECT d.doc_id, c.rep FROM dc d JOIN cls c ON d.skey = c.skey),
+      |pr AS (
+      |  SELECT ro.rep AS rep_o, rs.rep AS rep_s
+      |  FROM toks t
+      |  JOIN docrep ro ON ro.doc_id = t.doc_id
+      |  JOIN docrep rs ON rs.doc_id = t.doc_id + 200000
+      |  WHERE t.doc_id % 5 = 0 AND len(t.w) >= 18),
+      |prec AS (
+      |  SELECT COUNT(*) AS n_planted FROM pr
+      |  LEFT JOIN m ON m.rep_a = least(rep_o, rep_s)
+      |    AND m.rep_b = greatest(rep_o, rep_s)
+      |  WHERE rep_o = rep_s OR m.containment >= 0.999)
+      |SELECT
+      |  CAST(x.n_cand + wi.n_w AS BIGINT) AS n_candidate_pairs,
+      |  CAST(x.n_c08 + wi.n_w AS BIGINT) AS n_contain_08,
+      |  CAST(x.n_j05 + wi.n_w AS BIGINT) AS n_jaccard_05,
+      |  CAST(x.n_conly AS BIGINT) AS n_contain_only,
+      |  CAST(prec.n_planted AS BIGINT) AS n_planted_recovered
+      |FROM x, wi, prec""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", split(lower($"text"), "\\s+").as("w"))
+    val uni = toks.unionByName(
+      toks.filter($"doc_id" % 5 === 0 && size($"w") >= 18)
+        .select(($"doc_id" + 200000L).as("doc_id"), slice($"w", 1, 18).as("w")))
+    // exact collapse: md5 of the SORTED shingle set is the class key —
+    // identical sets are containment/Jaccard 1 regardless of doc identity
+    val dc = uni.filter(size($"w") >= 3)
+      .select($"doc_id", array_sort(Shingles.shingles3($"w")).as("shingles"))
+      .withColumn("skey", md5(concat_ws("\u0001", $"shingles")))
+      .cache()
+    val cls = dc.groupBy($"skey")
+      .agg(min($"doc_id").as("rep"), count(lit(1)).as("mult"))
+    val rsh = cls.join(dc, dc("doc_id") === cls("rep"))
+      .select($"rep", $"shingles", $"mult").cache()
+    val ex = rsh.select($"rep", explode($"shingles").as("sh"))
+    val sz = rsh.select($"rep", size($"shingles").as("sz"), $"mult")
+    val pairs = ex.as("a")
+      .join(ex.as("b"), $"a.sh" === $"b.sh" && $"a.rep" < $"b.rep")
+      .groupBy($"a.rep".as("rep_a"), $"b.rep".as("rep_b"))
+      .agg(count(lit(1)).as("inter"))
+    val m = pairs
+      .join(sz.select($"rep".as("rep_a"), $"sz".as("sz_a"), $"mult".as("m_a")),
+        Seq("rep_a"))
+      .join(sz.select($"rep".as("rep_b"), $"sz".as("sz_b"), $"mult".as("m_b")),
+        Seq("rep_b"))
+      .select($"rep_a", $"rep_b", ($"m_a" * $"m_b").as("wt"),
+        ($"inter".cast("double") / least($"sz_a", $"sz_b")).as("containment"),
+        ($"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter")).as("jaccard"))
+      .cache() // consumed twice: the count rollup + the plant lookup
+    val x = m.agg(
+      coalesce(sum($"wt"), lit(0L)).as("n_cand"),
+      coalesce(sum(when($"containment" >= 0.8, $"wt")), lit(0L)).as("n_c08"),
+      coalesce(sum(when($"jaccard" >= 0.5, $"wt")), lit(0L)).as("n_j05"),
+      coalesce(sum(when($"containment" >= 0.8 && $"jaccard" < 0.5, $"wt")),
+        lit(0L)).as("n_conly"))
+    val wi = cls.agg(
+      coalesce(sum((($"mult" * ($"mult" - 1)) / 2).cast("long")), lit(0L))
+        .as("n_w"))
+    val docrep = dc.select($"doc_id", $"skey")
+      .join(cls.select($"skey", $"rep"), Seq("skey"))
+      .select($"doc_id", $"rep")
+    val pr = toks.filter($"doc_id" % 5 === 0 && size($"w") >= 18)
+      .select($"doc_id")
+      .join(docrep.select($"doc_id", $"rep".as("rep_o")), Seq("doc_id"))
+      .join(docrep.select(($"doc_id" - 200000L).as("doc_id"), $"rep".as("rep_s")),
+        Seq("doc_id"))
+    val prec = pr
+      .join(m,
+        m("rep_a") === least($"rep_o", $"rep_s") &&
+          m("rep_b") === greatest($"rep_o", $"rep_s"),
+        "left")
+      .filter($"rep_o" === $"rep_s" || $"containment" >= 0.999)
+      .agg(count(lit(1)).as("n_planted"))
+    x.crossJoin(wi).crossJoin(prec).select(
+      ($"n_cand" + $"n_w").as("n_candidate_pairs"),
+      ($"n_c08" + $"n_w").as("n_contain_08"),
+      ($"n_j05" + $"n_w").as("n_jaccard_05"),
+      $"n_conly".as("n_contain_only"),
+      $"n_planted".as("n_planted_recovered"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dq01ExactDedup, dq02DedupKeepFirst, dq03MinhashLsh, dq03bMinhashPortable,
     dq04Simhash, dq04bSimhashPortable, dq06bWinnowPortable,
     dq05NgramJaccard, dq06WinnowFingerprints, dq07Decontaminate,
     dq07bDecontaminateBloom,
     dq08IncrementalDedup, dq09DupClusters, dq10PassageDedup, dq11FuzzyJoin,
-    dq12SubstringDedup, dq13SemanticDecontam, dq14LineDedup, dq15UrlDedup)
+    dq12SubstringDedup, dq13SemanticDecontam, dq14LineDedup, dq15UrlDedup,
+    dq16ContainmentDedup)
 }

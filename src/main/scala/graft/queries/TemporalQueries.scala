@@ -679,8 +679,54 @@ object TemporalQueries {
       .orderBy($"tier_at_click")
   }
 
+  /** As-of join with a TOLERANCE bound — the pandas/polars
+    * `merge_asof(tolerance=...)` surface: the nearest-preceding click
+    * only counts if it is at most 30 minutes stale; an older match is
+    * nulled out exactly as if no click existed. Implemented as the
+    * standard as-of join ([[graft.operators.AsOfJoin]]) plus a post-match
+    * staleness predicate — the tolerance never changes the JOIN shape
+    * (still one sort-merge pass, O(1) state), it only gates the payload,
+    * so the 100 TB properties of eq01 carry over unchanged. The oracle
+    * replays DuckDB's native ASOF JOIN with the same CASE gate, and a
+    * matched-within-tolerance flag rides along so the hash pins exactly
+    * which rows the bound nulls (1958 of 1981 matches at sf0.01 — the
+    * fixture's clicks are sparse, so the bound bites hard). */
+  val eq14AsofTolerance: QueryDef = sqlChecked(
+    "eq14_asof_tolerance",
+    """WITH clicks AS (
+      |  SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |purchases AS (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+      |  CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.click_id END
+      |    AS asof_click_id,
+      |  CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE
+      |    THEN CAST(c.ts AS TIMESTAMP) END AS asof_ts,
+      |  CAST(CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE
+      |    THEN 1 ELSE 0 END AS BIGINT) AS in_tolerance
+      |FROM purchases p
+      |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val fresh = $"asof_ts" >= $"ts" - expr("INTERVAL 30 MINUTES")
+    AsOfJoin.joinAsOf(purchases, clicks, "user_id", "ts", "ts",
+        rightPayload = Seq("click_id", "ts"))
+      .select($"event_id", $"user_id", $"ts", $"value",
+        when(fresh, $"asof_click_id").as("asof_click_id"),
+        when(fresh, $"asof_ts").as("asof_ts"),
+        when(fresh, 1L).otherwise(0L).as("in_tolerance"))
+      .orderBy($"event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq01bAsofExec, eq02RangeJoin,
     eq03Sessionize, eq04SessionWindow, eq05IntervalOverlap, eq06EventFunnel,
     eq07CohortRetention, eq08DailyAnomaly, eq09GapFill, eq10MovingWindow,
-    eq11Scd2Versions, eq12PitJoin, eq13Scd2Quarantine)
+    eq11Scd2Versions, eq12PitJoin, eq13Scd2Quarantine, eq14AsofTolerance)
 }

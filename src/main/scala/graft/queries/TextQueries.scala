@@ -1291,6 +1291,81 @@ object TextQueries {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** Zipf-law fit per language: OLS slope of log10(freq) on log10(rank)
+    * over each language's top-100 tokens — the standard sanity check
+    * that a corpus (or a synthetic one) has natural-language token
+    * statistics (Zipf 1949: slope ≈ −1; strong deviation flags
+    * boilerplate floods or template-generated text). Everything that
+    * feeds the fit is exact: integer counts, integer ranks with a
+    * (cnt DESC, tok) total-order tie-break, logs rounded once to 9 dp
+    * (pq05's ulp shield) into DECIMAL(12,9), and all OLS moments
+    * (Σx, Σy, Σxy, Σx²) as exact decimal sums with width-managed casts —
+    * the only doubles are the two final divisions, identical expression
+    * trees in both engines.
+    *
+    * 100 TB: token counting is the map-side-combine groupBy every corpus
+    * stat uses; the fit itself runs on ≤100 rows per language. */
+  val tq41ZipfSlope: QueryDef = sqlChecked(
+    "tq41_zipf_slope",
+    """WITH toks AS (
+      |  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents),
+      |c AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM toks GROUP BY lang, tok),
+      |r AS (SELECT lang, cnt,
+      |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rank
+      |      FROM c),
+      |pts AS (
+      |  SELECT lang,
+      |    CAST(round(log10(CAST(rank AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
+      |    CAST(round(log10(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
+      |  FROM r WHERE rank <= 100),
+      |mo AS (
+      |  SELECT lang, COUNT(*) AS n_fit,
+      |    CAST(SUM(x) AS DECIMAL(13,9)) AS sx,
+      |    CAST(SUM(y) AS DECIMAL(13,9)) AS sy,
+      |    CAST(SUM(x * y) AS DECIMAL(22,18)) AS sxy,
+      |    CAST(SUM(x * x) AS DECIMAL(22,18)) AS sxx
+      |  FROM pts GROUP BY lang)
+      |SELECT lang, n_fit,
+      |  round(CAST(CAST(n_fit AS DECIMAL(4,0)) * sxy - sx * sy AS DOUBLE)
+      |    / CAST(CAST(n_fit AS DECIMAL(4,0)) * sxx - sx * sx AS DOUBLE), 6)
+      |    AS zipf_slope,
+      |  round((CAST(sy AS DOUBLE)
+      |      - (CAST(CAST(n_fit AS DECIMAL(4,0)) * sxy - sx * sy AS DOUBLE)
+      |         / CAST(CAST(n_fit AS DECIMAL(4,0)) * sxx - sx * sx AS DOUBLE))
+      |        * CAST(sx AS DOUBLE)) / n_fit, 6) AS zipf_intercept
+      |FROM mo ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val D9 = DecimalType(12, 9)
+    val c = Tables.documents(spark, dir)
+      .select($"lang", explode(split(lower($"text"), "\\s+")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tok")
+    val pts = c.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 100)
+      .select($"lang",
+        round(log10($"rank".cast("double")), 9).cast(D9).as("x"),
+        round(log10($"cnt".cast("double")), 9).cast(D9).as("y"))
+    val mo = pts.groupBy($"lang").agg(
+      count(lit(1)).as("n_fit"),
+      sum($"x").cast(DecimalType(13, 9)).as("sx"),
+      sum($"y").cast(DecimalType(13, 9)).as("sy"),
+      sum($"x" * $"y").cast(DecimalType(22, 18)).as("sxy"),
+      sum($"x" * $"x").cast(DecimalType(22, 18)).as("sxx"))
+    val nDec = $"n_fit".cast(DecimalType(4, 0))
+    val num = (nDec * $"sxy" - $"sx" * $"sy").cast("double")
+    val den = (nDec * $"sxx" - $"sx" * $"sx").cast("double")
+    val slopeRaw = num / den
+    mo.select($"lang", $"n_fit",
+        round(slopeRaw, 6).as("zipf_slope"),
+        round(($"sy".cast("double") - slopeRaw * $"sx".cast("double")) / $"n_fit", 6)
+          .as("zipf_intercept"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
     tq05Fingerprints, tq06MultimodalDecode, tq07MultimodalStats,
@@ -1300,5 +1375,5 @@ object TextQueries {
     tq17BigramLogprob, tq18VocabGrowth, tq20WeightedSample,
     tq21CompressionRatio, tq21bDeflatePortable, tq22AudioDecode, tq23VideoDecode, tq24Mp4Probe,
     tq25WebmProbe, tq26Mp4Bitrate, tq27WebmBitrate, tq28SourceOverlap,
-    tq33PerplexityBuckets, tq35ImageResize, tq36FrameSample)
+    tq33PerplexityBuckets, tq35ImageResize, tq36FrameSample, tq41ZipfSlope)
 }
