@@ -1151,6 +1151,159 @@ object SimilarityQueries {
           .as("recall_at_5"))
   }
 
+  /** OPQ — Optimized Product Quantization (Ge et al. 2014, the
+    * parametric OPQ-P solution): rotate the space BEFORE sq09's product
+    * quantizer so the per-subspace variances balance, closing the loop
+    * sq15's PCA machinery opened. Pipeline: driver-side mean + centered
+    * scatter over the bounded codebook sample → deterministic cyclic
+    * Jacobi eigendecomposition ([[graft.similarity.Eig.jacobiSym]]) →
+    * eigenvalue allocation (descending eigenvalues dealt greedily onto
+    * the bucket with the smallest log-variance sum —
+    * [[graft.similarity.Eig.eigenAllocation]]) → the allocated eigenbasis
+    * IS the rotation. Both arms (plain PQ on raw dims, PQ on the rotated
+    * corpus) then run sq09's exact encode/LUT/ADC/rerank shape against
+    * the SAME raw-cosine brute-force ground truth, so the output row is
+    * a self-validating A/B: recall_opq vs recall_pq under identical
+    * budgets (M=8, K=16, 4 B/vector), plus the per-bucket log-variance
+    * spread before/after allocation (the quantity OPQ-P minimizes).
+    * OpqSpec pins the deterministic fixture values with floors.
+    *
+    * 100 TB: rotation is one dense matvec per row (d² flops, fully
+    * codegen — the standard OPQ serving cost) fused into the same scan
+    * as the encode; everything else inherits sq09's shape. rowsOnly:
+    * eigensolve + codebooks are engine-side; the A/B metric is the
+    * self-validation. */
+  val sq17AnnOpqRecall: QueryDef = rowsOnly("sq17_ann_opq_recall") { (spark, dir) =>
+    import spark.implicits._
+    val M = 8; val sub = 8; val K = 16
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val sample = emb.orderBy($"vec_id").limit(20000)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val d = sample.head.length
+    val n = sample.length
+    val mean = Array.tabulate(d) { j =>
+      var s = 0.0; var i = 0; while (i < n) { s += sample(i)(j); i += 1 }; s / n
+    }
+    val cov = Array.ofDim[Double](d, d)
+    locally {
+      var i = 0
+      while (i < n) {
+        val p = sample(i)
+        var r = 0
+        while (r < d) {
+          val cr = p(r) - mean(r)
+          var c2 = r
+          while (c2 < d) { cov(r)(c2) += cr * (p(c2) - mean(c2)); c2 += 1 }
+          r += 1
+        }
+        i += 1
+      }
+      var r = 0
+      while (r < d) {
+        var c2 = r + 1
+        while (c2 < d) { cov(c2)(r) = cov(r)(c2); c2 += 1 }
+        r += 1
+      }
+    }
+    val (evals, evecs) = graft.similarity.Eig.jacobiSym(cov)
+    val alloc = graft.similarity.Eig.eigenAllocation(evals, M, sub)
+    val R: Seq[Seq[Double]] = alloc.map(i => evecs(i).toSeq)
+    val meanLit = typedlit(mean.toSeq)
+    // x' = R(x − mean): one codegen'd dense matvec per row — L2 distances
+    // are translation+rotation invariant, so ADC in the rotated space
+    // ranks exactly the geometry the raw space has
+    def rotate(vCol: org.apache.spark.sql.Column) =
+      transform(typedlit(R), r =>
+        aggregate(zip_with(r, zip_with(vCol, meanLit, (x, mu) => x - mu),
+          (ri, xi) => ri * xi), lit(0.0), _ + _))
+    val embRot = emb.select($"vec_id", rotate($"v").as("v")).cache()
+    def rotDriver(p: Array[Double]): Array[Double] = {
+      val cvec = Array.tabulate(d)(i => p(i) - mean(i))
+      Array.tabulate(d) { i =>
+        var s2 = 0.0; var j = 0; val r = R(i)
+        while (j < d) { s2 += r(j) * cvec(j); j += 1 }; s2
+      }
+    }
+    val cbPlain = graft.similarity.Pq.trainSubspaces(sample, M, sub, K)
+    val cbRot = graft.similarity.Pq.trainSubspaces(sample.map(rotDriver), M, sub, K)
+    // sq09's encode/LUT/ADC/rerank, parameterized by (frame, codebooks);
+    // the exact rerank always gathers RAW vectors — both arms share the
+    // raw-cosine ground truth
+    def armTop5(frame: org.apache.spark.sql.DataFrame,
+        cb: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.DataFrame = {
+      def subDist(vCol: org.apache.spark.sql.Column, m: Int) =
+        transform(typedlit(cb(m)), c =>
+          aggregate(zip_with(slice(vCol, m * sub + 1, sub), c,
+            (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+      val codes = (0 until M).foldLeft(frame.toDF()) { (df, m) =>
+          df.withColumn(s"d$m", subDist($"v", m))
+            .withColumn(s"c$m",
+              (array_position(col(s"d$m"), array_min(col(s"d$m"))) - 1).cast("int"))
+            .drop(s"d$m")
+        }
+        .select(($"vec_id".as("cid") +: (0 until M).map(m => col(s"c$m"))): _*)
+      val queries = (0 until M).foldLeft(
+        frame.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv"))) {
+        (df, m) =>
+          df.withColumn(s"lut$m",
+            transform(typedlit(cb(m)), c =>
+              aggregate(zip_with(slice($"qv", m * sub + 1, sub), c,
+                (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)))
+      }
+      val adcE = (0 until M).map(m =>
+        element_at(col(s"lut$m"), col(s"c$m") + 1)).reduce(_ + _)
+      val wAdc = Window.partitionBy($"qid").orderBy($"adc".asc, $"cid")
+      val shortlist = broadcast(queries.drop("qv")).join(codes, $"qid" =!= $"cid")
+        .withColumn("adc", adcE)
+        .withColumn("srank", row_number().over(wAdc))
+        .filter($"srank" <= 50)
+        .select($"qid", $"cid")
+      val wRr = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+      shortlist
+        .join(emb.select($"vec_id".as("qid"), $"v".as("qv")), Seq("qid"))
+        .join(emb.select($"vec_id".as("cid"), $"v".as("cv")), Seq("cid"))
+        .withColumn("cos", cosine($"qv", $"cv"))
+        .withColumn("rank", row_number().over(wRr))
+        .filter($"rank" <= 5)
+        .select($"qid", $"cid")
+    }
+    val wBf = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val bf = broadcast(
+        emb.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv")))
+      .join(emb.select($"vec_id".as("cid"), $"v".as("cv")), $"qid" =!= $"cid")
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wBf))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val hitsP = armTop5(emb, cbPlain).intersect(bf)
+      .groupBy($"qid").agg(count(lit(1)).as("n_p"))
+    val hitsO = armTop5(embRot, cbRot).intersect(bf)
+      .groupBy($"qid").agg(count(lit(1)).as("n_o"))
+    // balance diagnostic: per-bucket Σ log(variance) spread for the
+    // natural contiguous split vs the eigen-allocated split — the
+    // objective OPQ-P minimizes, reported from the same scatter
+    def spreadOf(varsByBucket: Seq[Seq[Double]]): Double = {
+      val sums = varsByBucket.map(_.map(x => math.log(math.max(x, 1e-30))).sum)
+      sums.max - sums.min
+    }
+    val naturalSpread = spreadOf(
+      (0 until M).map(b => (0 until sub).map(j => cov(b * sub + j)(b * sub + j) / n)))
+    val opqSpread = spreadOf(
+      (0 until M).map(b => (0 until sub).map(j => evals(alloc(b * sub + j)) / n)))
+    bf.groupBy($"qid").agg(count(lit(1)).as("n_bf"))
+      .join(hitsP, Seq("qid"), "left")
+      .join(hitsO, Seq("qid"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        lit(M).as("m_subspaces"),
+        lit(K).as("k_centroids"),
+        avg(coalesce($"n_p", lit(0)) / $"n_bf").as("recall_pq"),
+        avg(coalesce($"n_o", lit(0)) / $"n_bf").as("recall_opq"),
+        round(lit(naturalSpread), 6).as("log_var_spread_natural"),
+        round(lit(opqSpread), 6).as("log_var_spread_opq"))
+  }
+
   /** Matryoshka (MRL) truncation audit: how much of each embedding's
     * energy lives in its first m dimensions — exactly the question asked
     * before serving truncated vectors from a matryoshka-trained model
@@ -1204,5 +1357,6 @@ object SimilarityQueries {
     sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall,
     sq05bEmbeddingNearDupPortable, sq02bAnnLshRecallPortable,
     sq11HardNegatives, sq12MmrRerank, sq13EmbeddingAudit,
-    sq14AnnStoredIndexSearch, sq15PcaPower, sq16MatryoshkaAudit)
+    sq14AnnStoredIndexSearch, sq15PcaPower, sq16MatryoshkaAudit,
+    sq17AnnOpqRecall)
 }
