@@ -245,6 +245,122 @@ object RetrievalQueries {
       .orderBy($"phrase", $"doc_id")
   }
 
+  /** BM25 through a STORED inverted index — sq14's stored-index
+    * discipline applied to text search, closing sq07's serving loop.
+    * Build: the posting list (term, doc_id, tf, dl) denormalized with
+    * each term's df (the standard index layout — df is written once at
+    * build time, not recomputed per query) lands as parquet partitioned
+    * by `b = pmod(xxhash64(term), 64)`; corpus stats (n_docs, Σdl) land
+    * beside it. Serve: the 13 query terms map to ≤13 of the 64 buckets,
+    * so the literal `b IN (...)` prunes the stored scan to the buckets
+    * the query touches and the rest of the index is never opened
+    * (StoredBm25Spec asserts `selectedPartitions ≤ distinct buckets` on
+    * this exact plan, and that serving output ≡ sq07's direct
+    * computation row for row). Scoring/rounding is sq07's exactly, so
+    * the SAME DuckDB oracle hash-checks the whole build→store→serve
+    * round trip.
+    *
+    * 100 TB: the index build is one corpus scan + vocab-keyed
+    * aggregates; a serving request's cost is |query terms|/64 of the
+    * postings bytes regardless of corpus size — the bench timing here
+    * deliberately INCLUDES the full build. */
+  val sq18Bm25StoredServing: QueryDef = sqlChecked(
+    "sq18_bm25_stored_serving",
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |dl AS (SELECT doc_id, len(toks) AS dl, toks FROM docs),
+      |tf AS (
+      |  SELECT doc_id, dl, unnest(toks) AS term FROM dl),
+      |tfc AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, dl
+      |  FROM tf GROUP BY doc_id, term, dl),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+      |  FROM dl),
+      |dfreq AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY term),
+      |q(qid, term) AS (VALUES
+      |  (1, 'spark'), (1, 'window'), (1, 'agg'),
+      |  (2, 'customer'), (2, 'query'), (2, 'join'),
+      |  (3, 'fast'), (3, 'scan'),
+      |  (4, 'stream'), (4, 'batch'),
+      |  (5, 'sort'), (5, 'merge'), (5, 'table')),
+      |parts AS (
+      |  SELECT q.qid, t.doc_id,
+      |    ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) *
+      |      (CAST(t.tf AS DOUBLE) * 2.2) /
+      |      (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |        (CAST(t.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS ts
+      |  FROM tfc t JOIN q ON t.term = q.term JOIN dfreq d ON t.term = d.term, stats s),
+      |scored AS (
+      |  SELECT qid, doc_id,
+      |    round(CAST(SUM(CAST(ts AS DECIMAL(38,18))) AS DOUBLE), 6) AS score
+      |  FROM parts GROUP BY qid, doc_id),
+      |ranked AS (
+      |  SELECT qid, doc_id, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |  FROM scored)
+      |SELECT CAST(qid AS BIGINT) AS qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin) { (spark, dir) =>
+    buildAndServeBm25(spark, dir)
+  }
+
+  /** sq18's body, callable from StoredBm25Spec with the scratch root
+    * surfaced (the spec asserts plan pruning over the stored layout). */
+  def buildAndServeBm25(spark: org.apache.spark.sql.SparkSession, dir: String,
+      rootOut: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val k1 = 1.2
+    val b = 0.75
+    val NB = 64
+    val queries = Seq(
+      (1L, "spark"), (1L, "window"), (1L, "agg"),
+      (2L, "customer"), (2L, "query"), (2L, "join"),
+      (3L, "fast"), (3L, "scan"),
+      (4L, "stream"), (4L, "batch"),
+      (5L, "sort"), (5L, "merge"), (5L, "table")).toDF("qid", "term")
+    val dl = Tables.documents(spark, dir)
+      .select($"doc_id",
+        regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("dl"), $"toks")
+    val tfc = dl
+      .select($"doc_id", $"dl", explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term", $"dl")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tfc.groupBy($"term").agg(count(lit(1)).as("df"))
+    // BUILD: denormalized postings, one directory per term-hash bucket
+    val root = rootOut.getOrElse(graft.util.Scratch.tempDir("graft-sq18"))
+    tfc.join(dfreq, Seq("term"))
+      .withColumn("bkt", pmod(xxhash64($"term"), lit(NB)))
+      .write.partitionBy("bkt").mode("overwrite").parquet(root + "/postings")
+    dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+      .write.mode("overwrite").parquet(root + "/stats")
+    // SERVE: the query's buckets are a bounded driver-side list — the
+    // literal IN below is what becomes the scan's PartitionFilter
+    val qb = queries.withColumn("bkt", pmod(xxhash64($"term"), lit(NB)))
+    val buckets = qb.select($"bkt").distinct().as[Long].collect().sorted
+    val post = spark.read.parquet(root + "/postings")
+      .filter(col("bkt").isin(buckets: _*))
+    val st = spark.read.parquet(root + "/stats")
+    val idf = log(lit(1.0) +
+      ($"n_docs".cast("double") - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    val ts = idf * ($"tf".cast("double") * lit(2.2)) /
+      ($"tf".cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) *
+        ($"dl".cast("double") / ($"sum_dl".cast("double") / $"n_docs"))))
+    val scored = post
+      .join(broadcast(qb.select($"qid", $"term")), Seq("term"))
+      .crossJoin(broadcast(st))
+      .select($"qid", $"doc_id",
+        ts.cast(org.apache.spark.sql.types.DecimalType(38, 18)).as("ts"))
+      .groupBy($"qid", $"doc_id")
+      .agg(round(sum($"ts").cast("double"), 6).as("score"))
+    TopKPerGroup.topK(spark, scored, "qid", "score", "doc_id", 5)
+      .select($"qid", col("doc_id"), $"score", $"rnk")
+      .orderBy($"qid", $"rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(sq07Bm25TopK, sq08PhraseSearch,
-    tq19TextrankKeywords)
+    tq19TextrankKeywords, sq18Bm25StoredServing)
 }

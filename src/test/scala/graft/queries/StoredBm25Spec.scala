@@ -1,0 +1,37 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** sq18's stored-inverted-index claims as measured plan properties:
+  * serving must read ≤ |query buckets| of the 64 stored posting
+  * directories, and the served top-k must equal sq07's direct in-query
+  * computation row for row. */
+class StoredBm25Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("stored-index BM25 serving prunes to the query's buckets and equals sq07") {
+    val sf = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-sq18-spec").toString
+    val served = RetrievalQueries.buildAndServeBm25(spark, sf, Some(root))
+    // the 13 query terms hash into at most 13 of the 64 bucket dirs —
+    // the literal IN must reach the scan as a partition filter and the
+    // scan must select only those directories
+    val selected = served.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("postings")) => f.selectedPartitions.partitionCount
+    }
+    assert(selected.nonEmpty, "no file scan over the postings table found")
+    assert(selected.forall(_ <= 13), s"scan selected $selected of the bucket dirs")
+    val occupied = new java.io.File(root + "/postings").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bkt="))
+    assert(occupied > 13,
+      s"fixture must occupy more buckets than the query touches, got $occupied")
+    // the round trip through the stored layout reproduces the direct
+    // computation exactly (same scores, same ranks, same rounding)
+    val direct = RetrievalQueries.sq07Bm25TopK.fn(spark, sf)
+    assert(served.collect().toSeq == direct.collect().toSeq,
+      "stored-index serving diverged from the direct BM25 computation")
+  }
+}
