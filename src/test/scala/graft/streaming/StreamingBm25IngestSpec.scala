@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental BM25 maintenance: a corpus streamed in through several
+  * micro-batches must yield EXACTLY the scores the one-shot batch
+  * computation produces (the monoid-merge algebra end to end through
+  * idf), and serving must stay bucket-pruned like sq18. */
+class StreamingBm25IngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("multi-batch ingest serves sq07's exact top-5; scan pruned to query buckets") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-sbm25").toString
+    // spread the corpus over several files; maxFilesPerTrigger=1 forces
+    // one micro-batch per file, so df/stats merge across >= 3 batches
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    docs.repartition(3).write.parquet(root + "/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(root + "/in").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root + "/in")
+    StreamingBm25Ingest.start(stream, root, root + "/ckpt",
+        Some(Trigger.AvailableNow()))
+      .awaitTermination()
+    val nBatches = new java.io.File(root + "/postings").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .map(_.getName).count(_.endsWith(".parquet"))
+    assert(nBatches > 3, s"expected multiple micro-batch files, saw $nBatches")
+
+    val queries = Seq(
+      (1L, "spark"), (1L, "window"), (1L, "agg"),
+      (2L, "customer"), (2L, "query"), (2L, "join"),
+      (3L, "fast"), (3L, "scan"),
+      (4L, "stream"), (4L, "batch"),
+      (5L, "sort"), (5L, "merge"), (5L, "table")).toDF("qid", "term")
+    val served = StreamingBm25Ingest.serve(spark, root, queries)
+
+    // pruning: ≤ 13 of the 64 bucket dirs open
+    val selected = served.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("postings")) => f.selectedPartitions.partitionCount
+    }
+    assert(selected.nonEmpty && selected.forall(_ <= 13),
+      s"postings scan selected $selected bucket dirs")
+
+    // the streamed index reproduces the one-shot computation exactly —
+    // same scores, ranks, rounding (df merged across batches ≡ frozen df)
+    val direct = graft.queries.RetrievalQueries.sq07Bm25TopK.fn(spark, sf)
+    assert(served.collect().toSeq == direct.collect().toSeq,
+      "streamed-index serving diverged from the one-shot BM25")
+  }
+}
