@@ -425,8 +425,75 @@ object RelationalExt {
       .orderBy($"lang")
   }
 
+  /** Snapshot reconciliation via FULL OUTER join — the one join type the
+    * battery didn't exercise, in its natural habitat: diff per-customer
+    * revenue between two order-date periods, classifying every customer
+    * as left-only (churned), right-only (new), or present-in-both, with
+    * decimal-exact revenue sums per class and the absolute-delta total
+    * for the both-class. The join coalesces the key (`Seq(...)` join in
+    * Spark ≡ `USING` in SQL) so neither side's null key leaks into the
+    * grouping.
+    *
+    * 100 TB: both sides pre-aggregate to customer grain BEFORE the full
+    * outer join (the shuffle carries one row per customer per side, not
+    * order rows), and the join is key-partitioned hash — no broadcast
+    * needed, no skew concern beyond what the aggregate already bounded. */
+  val q44FullOuterReconcile: QueryDef = sqlChecked(
+    "q44_full_outer_reconcile",
+    """WITH a AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS rev_a
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  GROUP BY o_custkey),
+      |b AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS rev_b
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY o_custkey),
+      |j AS (
+      |  SELECT o_custkey, rev_a, rev_b,
+      |    CASE WHEN rev_b IS NULL THEN 'left_only'
+      |         WHEN rev_a IS NULL THEN 'right_only'
+      |         ELSE 'both' END AS status
+      |  FROM a FULL JOIN b USING (o_custkey))
+      |SELECT status, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(COALESCE(rev_a, 0) AS DECIMAL(30,6))) AS DOUBLE) AS revenue_a,
+      |  CAST(SUM(CAST(COALESCE(rev_b, 0) AS DECIMAL(30,6))) AS DOUBLE) AS revenue_b,
+      |  CAST(SUM(CAST(CASE WHEN status = 'both'
+      |    THEN abs(rev_b - rev_a) ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE) AS abs_delta
+      |FROM j GROUP BY status ORDER BY status""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    def period(from: String, until: String, out: String) = orders
+      .filter($"o_orderdate" >= lit(from).cast("timestamp") &&
+        $"o_orderdate" < lit(until).cast("timestamp"))
+      .groupBy($"o_custkey")
+      .agg(dsum($"o_totalprice").as(out))
+    val a = period("1995-01-01", "1996-01-01", "rev_a")
+    val b = period("1996-01-01", "1997-01-01", "rev_b")
+    val D = org.apache.spark.sql.types.DecimalType(30, 6)
+    a.join(b, Seq("o_custkey"), "full_outer")
+      .withColumn("status",
+        when($"rev_b".isNull, "left_only")
+          .when($"rev_a".isNull, "right_only")
+          .otherwise("both"))
+      .groupBy($"status")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(coalesce($"rev_a", lit(0)).cast(D)).cast("double").as("revenue_a"),
+        sum(coalesce($"rev_b", lit(0)).cast(D)).cast("double").as("revenue_b"),
+        sum(when($"status" === "both", abs($"rev_b" - $"rev_a"))
+          .otherwise(lit(0)).cast(D)).cast("double").as("abs_delta"))
+      .orderBy($"status")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt,
     q35Variant, q36ExistsSubquery, q37Posexplode, q38JsonRoundtrip, q39Winsorize,
-    q40JsonlSource, q41OrcSource, q42SaltedSkewJoin, q43XmlSource)
+    q40JsonlSource, q41OrcSource, q42SaltedSkewJoin, q43XmlSource,
+    q44FullOuterReconcile)
 }
