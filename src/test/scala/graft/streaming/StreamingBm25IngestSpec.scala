@@ -13,6 +13,33 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingBm25IngestSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("ingest throughput: full index maintenance sustains > 300 docs/s") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-sbm25-tput").toString
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val query = StreamingBm25Ingest.start(docs, root, root + "/ckpt")
+    try {
+      def mk(i: Long) = (i,
+        s"spark window agg doc $i customer query join fast scan stream " +
+          s"batch sort merge table token$i alpha beta gamma delta epsilon")
+      // warm the stream machinery + rollup store outside the timed window
+      stream.addData((0L until 200L).map(mk))
+      query.processAllAvailable()
+      val n = 3000
+      val t0 = System.nanoTime()
+      stream.addData((1000L until (1000L + n)).map(mk))
+      query.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rate = n / secs
+      info(f"BM25 index maintenance: $rate%.0f docs/s over $n docs in $secs%.2f s " +
+        "(postings append + df/stats rollup merges per batch)")
+      assert(rate > 300, f"$rate%.0f docs/s below floor")
+    } finally query.stop()
+  }
+
   test("multi-batch ingest serves sq07's exact top-5; scan pruned to query buckets") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
