@@ -565,7 +565,83 @@ object PipelineQueries {
       .orderBy($"source", $"lang")
   }
 
+  /** Preference-pair construction — the data shape DPO/RLHF reward
+    * training consumes (Rafailov et al. 2023): within each source,
+    * pair the K highest-scoring documents with the K lowest-scoring
+    * ones (chosen vs rejected under a quality-classifier proxy), keep
+    * only pairs whose score margin clears a floor, and emit the
+    * per-source pairing manifest. The score is a deterministic
+    * fine-grained quality proxy (stopword density minus token-length
+    * deviation, rounded once to 6 dp) so ranks are total-ordered and
+    * engine-portable; both row_number windows tie-break on doc_id.
+    *
+    * 100 TB: scoring is one map-side scan; ranking partitions by source
+    * (bounded groups); the pair join matches rank-to-rank inside a
+    * source — K-sized, never quadratic. */
+  val pq10PreferencePairs: QueryDef = sqlChecked(
+    "pq10_preference_pairs",
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    round(
+      |      (CAST(len(string_split(concat(' ', text, ' '), ' the ')) - 1
+      |         + len(string_split(concat(' ', text, ' '), ' a ')) - 1 AS DOUBLE)
+      |        / len(string_split_regex(text, '\s+')))
+      |      - abs(CAST(n_chars AS DOUBLE)
+      |          / len(string_split_regex(text, '\s+')) - 5.0) / 10.0,
+      |      6) AS score
+      |  FROM documents),
+      |hi AS (
+      |  SELECT source, doc_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rnk
+      |  FROM scored),
+      |lo AS (
+      |  SELECT source, doc_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY score ASC, doc_id) AS rnk
+      |  FROM scored),
+      |pairs AS (
+      |  SELECT hi.source, hi.rnk,
+      |    hi.doc_id AS chosen_doc, lo.doc_id AS rejected_doc,
+      |    round(hi.score - lo.score, 6) AS margin
+      |  FROM hi JOIN lo ON hi.source = lo.source AND hi.rnk = lo.rnk
+      |  WHERE hi.rnk <= 5 AND hi.doc_id <> lo.doc_id
+      |    AND hi.score - lo.score >= 0.05)
+      |SELECT source, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CAST((margin) AS DECIMAL(30,6))) AS DOUBLE) / COUNT((margin)) AS avg_margin,
+      |  MIN(chosen_doc) AS first_chosen, MIN(rejected_doc) AS first_rejected
+      |FROM pairs GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.util.Num._
+    def hits(marker: String) =
+      (size(split(concat(lit(" "), $"text", lit(" ")), s" $marker ", -1)) - 1)
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        round(
+          ((hits("the") + hits("a")).cast("double") /
+            size(split($"text", "\\s+"))) -
+          abs($"n_chars".cast("double") /
+            size(split($"text", "\\s+")) - 5.0) / 10.0,
+          6).as("score"))
+    val wHi = Window.partitionBy($"source").orderBy($"score".desc, $"doc_id")
+    val wLo = Window.partitionBy($"source").orderBy($"score".asc, $"doc_id")
+    val hi = scored.withColumn("rnk", row_number().over(wHi))
+      .select($"source", $"rnk", $"doc_id".as("chosen_doc"), $"score".as("s_hi"))
+    val lo = scored.withColumn("rnk", row_number().over(wLo))
+      .select($"source", $"rnk", $"doc_id".as("rejected_doc"), $"score".as("s_lo"))
+    hi.join(lo, Seq("source", "rnk"))
+      .filter($"rnk" <= 5 && $"chosen_doc" =!= $"rejected_doc" &&
+        $"s_hi" - $"s_lo" >= 0.05)
+      .select($"source", round($"s_hi" - $"s_lo", 6).as("margin"),
+        $"chosen_doc", $"rejected_doc")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_pairs"),
+        davg($"margin").as("avg_margin"),
+        min($"chosen_doc").as("first_chosen"),
+        min($"rejected_doc").as("first_rejected"))
+      .orderBy($"source")
+  }
+
   val all: Seq[QueryDef] = Seq(pq01TrainingPrep, pq02Curriculum,
     pq03SnapshotTimeTravel, pq04LeakageFreeSplit, pq05DsirResample,
-    pq06BpeShardPacking, pq07LengthBuckets, pq08MixturePlan, pq09DataCard)
+    pq06BpeShardPacking, pq07LengthBuckets, pq08MixturePlan, pq09DataCard,
+    pq10PreferencePairs)
 }

@@ -1366,6 +1366,76 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form, fixed discount d=0.75) —
+    * the smoothing every serious count-based LM uses, built from the
+    * three count families a distributed LM pipeline aggregates anyway:
+    * bigram counts c(v,w), left-context fanouts N1+(v·), and the
+    * CONTINUATION counts N1+(·w) that replace raw unigram frequency
+    * (the insight that makes KN work: "Francisco" is frequent but only
+    * ever follows "San"). Evaluated for the corpus's top-20 bigrams
+    * with the MLE ridealong, so the smoothing's effect is in the hash.
+    * Every input is an exact integer count; the probability arithmetic
+    * is an identical expression tree in both engines rounded once to
+    * 9 dp (the tq15/PMI shield).
+    *
+    * 100 TB: the three count tables are vocab-bounded aggregates with
+    * map-side partials; evaluation touches a bounded bigram set. */
+  val tq42KneserNey: QueryDef = sqlChecked(
+    "tq42_kneser_ney",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |bg AS (
+      |  SELECT w[i] AS v, w[i+1] AS nw
+      |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks)),
+      |cvw AS (SELECT v, nw, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY v, nw),
+      |cv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv,
+      |         CAST(COUNT(*) AS BIGINT) AS fanout FROM cvw GROUP BY v),
+      |cont AS (SELECT nw, CAST(COUNT(*) AS BIGINT) AS n1w FROM cvw GROUP BY nw),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types FROM cvw),
+      |top AS (
+      |  SELECT v, nw, c FROM cvw
+      |  ORDER BY c DESC, v, nw LIMIT 20)
+      |SELECT t.v, t.nw, t.c AS c_vw,
+      |  round((t.c - CAST(0.75 AS DOUBLE)) / cv.cv
+      |    + (CAST(0.75 AS DOUBLE) * cv.fanout / cv.cv)
+      |      * (CAST(cont.n1w AS DOUBLE) / tot.n_bigram_types),
+      |    9) AS p_kn,
+      |  round(CAST(t.c AS DOUBLE) / cv.cv, 9) AS p_mle
+      |FROM top t
+      |JOIN cv ON t.v = cv.v
+      |JOIN cont ON t.nw = cont.nw
+      |CROSS JOIN tot
+      |ORDER BY c_vw DESC, t.v, t.nw""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(split(lower($"text"), "\\s+").as("w"))
+    // in-row adjacent pairs via zip of the array with its own tail —
+    // stays codegen, no posexplode self-join
+    val bg = toks
+      .select(explode(zip_with($"w", slice($"w", 2, 1000000),
+        (a, b) => struct(a.as("v"), b.as("nw")))).as("p"))
+      .filter($"p.nw".isNotNull)
+      .select($"p.v".as("v"), $"p.nw".as("nw"))
+    val cvw = bg.groupBy($"v", $"nw").agg(count(lit(1)).as("c")).cache()
+    val cv = cvw.groupBy($"v")
+      .agg(sum($"c").cast("long").as("cv"), count(lit(1)).as("fanout"))
+    val cont = cvw.groupBy($"nw").agg(count(lit(1)).as("n1w"))
+    val tot = cvw.agg(count(lit(1)).as("n_bigram_types"))
+    val top = cvw.orderBy($"c".desc, $"v", $"nw").limit(20)
+    top
+      .join(cv, Seq("v"))
+      .join(cont, Seq("nw"))
+      .crossJoin(broadcast(tot))
+      .select($"v", $"nw", $"c".as("c_vw"),
+        round(($"c" - 0.75) / $"cv"
+          + (lit(0.75) * $"fanout" / $"cv") *
+            ($"n1w".cast("double") / $"n_bigram_types"), 9).as("p_kn"),
+        round($"c".cast("double") / $"cv", 9).as("p_mle"))
+      .orderBy($"c_vw".desc, $"v", $"nw")
+  }
+
   val all: Seq[QueryDef] = Seq(
     tq01CorpusStats, tq02TokenCounts, tq03LanguageId, tq04QualityScore,
     tq05Fingerprints, tq06MultimodalDecode, tq07MultimodalStats,
@@ -1375,5 +1445,6 @@ object TextQueries {
     tq17BigramLogprob, tq18VocabGrowth, tq20WeightedSample,
     tq21CompressionRatio, tq21bDeflatePortable, tq22AudioDecode, tq23VideoDecode, tq24Mp4Probe,
     tq25WebmProbe, tq26Mp4Bitrate, tq27WebmBitrate, tq28SourceOverlap,
-    tq33PerplexityBuckets, tq35ImageResize, tq36FrameSample, tq41ZipfSlope)
+    tq33PerplexityBuckets, tq35ImageResize, tq36FrameSample, tq41ZipfSlope,
+    tq42KneserNey)
 }
