@@ -1104,8 +1104,10 @@ object DedupQueries {
       toks.filter($"doc_id" % 5 === 0 && size($"w") >= 18)
         .select(($"doc_id" + 200000L).as("doc_id"), slice($"w", 1, 18).as("w")))
     // exact collapse: md5 of the SORTED shingle set is the class key —
-    // identical sets are containment/Jaccard 1 regardless of doc identity
-    val dc = uni.filter(size($"w") >= 3)
+    // identical sets are containment/Jaccard 1 regardless of doc identity.
+    // fanOut first: the fixture is a single row group and the per-doc
+    // shingling below is the expensive projection (dq03's guard)
+    val dc = Tables.fanOut(spark, uni.filter(size($"w") >= 3))
       .select($"doc_id", array_sort(Shingles.shingles3($"w")).as("shingles"))
       .withColumn("skey", md5(concat_ws("\u0001", $"shingles")))
       .cache()
