@@ -288,8 +288,59 @@ object MlQueries {
       .orderBy($"cluster")
   }
 
+  /** Hyperparameter tuning — the operator every production trainer adds
+    * on top of the reference's fixed params: TrainValidationSplit over
+    * the attractiveness LR pipeline with a regParam × elasticNetParam
+    * grid, parallelism 4 (candidate fits run CONCURRENTLY — at cluster
+    * scale the grid parallelizes across the same executors the single
+    * fit underuses), seed 42 throughout so the winner is deterministic.
+    * TVS refits the best candidate on the full train split; output
+    * carries the candidate count, winning params, validation AUC and
+    * held-out test AUC (floored in PipelinesSpec). rowsOnly like every
+    * mq — the metric IS the check. */
+  val mq12CvTuning: QueryDef = rowsOnly("mq12_cv_tuning") { (spark, dir) =>
+    import spark.implicits._
+    val feats = featurizedJobs(spark, dir)
+      .withColumn("is_hot", ($"salary_final" > 25).cast("double"))
+      .select($"city", $"position_level", $"salary_final", $"exp_final", $"is_hot")
+      .limit(20000)
+      .coalesce(8)
+      .cache()
+    val Array(train, test) = feats.randomSplit(Array(0.8, 0.2), 42)
+    // the label derives from salary, so salary stays OUT of the features:
+    // the grid has to trade off regularization on a genuinely predictive
+    // task (exp + city + position -> is_hot), not memorize the threshold
+    val pipe = Pipelines.attractivenessLogistic(Array("exp_final"))
+    val lr = pipe.getStages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegression]
+    val grid = new org.apache.spark.ml.tuning.ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.01, 0.1))
+      .addGrid(lr.elasticNetParam, Array(0.0, 0.5))
+      .build()
+    val eval = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+      .setLabelCol("is_hot").setMetricName("areaUnderROC")
+    val tvs = new org.apache.spark.ml.tuning.TrainValidationSplit()
+      .setEstimator(pipe).setEvaluator(eval).setEstimatorParamMaps(grid)
+      .setTrainRatio(0.75).setParallelism(4).setSeed(42)
+    val model = tvs.fit(train)
+    val metrics = model.validationMetrics
+    val bestIdx = metrics.indices.maxBy(metrics)
+    val best = model.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+    // mq09's trap: the retained training summary pins the SparkSession
+    org.apache.spark.ml.GraftMlBridge.dropTrainingSummary(
+      best.stages.last.asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel])
+    val testAuc = Pipelines.auc(best.transform(test), "is_hot")
+    Seq((grid.length.toLong,
+        grid(bestIdx).get(lr.regParam).get,
+        grid(bestIdx).get(lr.elasticNetParam).get,
+        metrics(bestIdx), testAuc))
+      .toDF("n_candidates", "best_reg_param", "best_elastic_net",
+        "val_auc", "test_auc")
+  }
+
   val all: Seq[QueryDef] = Seq(
     mq01KmeansEmbeddings, mq02KmeansJobs, mq03RfSalary, mq04GbtHotScore,
     mq05LogisticAttractiveness, mq06TfidfDocs, mq07Word2vecSynonyms,
-    mq08LdaTopics, mq09AttractivenessLrV1, mq10QualityFilterLr, mq11SemDedup)
+    mq08LdaTopics, mq09AttractivenessLrV1, mq10QualityFilterLr, mq11SemDedup,
+    mq12CvTuning)
 }

@@ -203,4 +203,15 @@ class PipelinesSpec extends AnyFunSuite {
     assert(ModelRegistry.all(spark, regPath).count() == 2,
       "pointer events never touch the entry log")
   }
+  test("mq12: grid tuning picks a candidate that generalizes (test AUC >= 0.7)") {
+    val row = graft.queries.MlQueries.mq12CvTuning
+      .fn(spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Long]("n_candidates") == 4L)
+    val testAuc = row.getAs[Double]("test_auc")
+    // label derives from salary, salary is excluded from the features —
+    // a genuine prediction task, deterministic under seed 42
+    assert(testAuc >= 0.7, s"tuned test AUC $testAuc below floor")
+    val valAuc = row.getAs[Double]("val_auc")
+    assert(valAuc > 0.5 && valAuc <= 1.0, s"validation AUC $valAuc out of range")
+  }
 }
