@@ -725,8 +725,92 @@ object TemporalQueries {
       .orderBy($"event_id")
   }
 
+  /** Nearest-direction as-of join — polars' `strategy="nearest"`: each
+    * purchase matches its temporally CLOSEST click in either direction
+    * (ties prefer backward, the inclusive side). The composition gets
+    * both directions from ONE shuffle: the as-of union frame computes
+    * the backward match with `last(payload) ignoreNulls` over the
+    * preceding frame and the forward match with `first(payload)
+    * ignoreNulls` over the following frame — two window functions over
+    * the SAME partitioning and sort, so nearest costs exactly what
+    * backward-only costs at 100 TB. Tie/side rules pinned by
+    * construction: right rows sort before left at equal ts, making
+    * backward inclusive and forward strict. The oracle runs DuckDB's
+    * native ASOF twice (>= and <) and replays the distance arbitration
+    * on exact epoch micros. */
+  val eq15AsofNearest: QueryDef = sqlChecked(
+    "eq15_asof_nearest",
+    """WITH clicks AS (
+      |  SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |purchases AS (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |b AS (
+      |  SELECT p.event_id, c.click_id AS b_id, c.ts AS b_ts
+      |  FROM purchases p
+      |  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts),
+      |f AS (
+      |  SELECT p.event_id, c.click_id AS f_id, c.ts AS f_ts
+      |  FROM purchases p
+      |  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts < c.ts),
+      |j AS (
+      |  SELECT p.event_id, p.user_id, p.ts, p.value, b_id, b_ts, f_id, f_ts,
+      |    CASE WHEN b_id IS NULL AND f_id IS NULL THEN 'none'
+      |         WHEN f_id IS NULL THEN 'backward'
+      |         WHEN b_id IS NULL THEN 'forward'
+      |         WHEN epoch_us(p.ts) - epoch_us(b_ts)
+      |              <= epoch_us(f_ts) - epoch_us(p.ts) THEN 'backward'
+      |         ELSE 'forward' END AS direction
+      |  FROM purchases p JOIN b USING (event_id) JOIN f USING (event_id))
+      |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, direction,
+      |  CASE WHEN direction = 'backward' THEN b_id
+      |       WHEN direction = 'forward' THEN f_id END AS nearest_click_id,
+      |  CAST(CASE WHEN direction = 'backward' THEN b_ts
+      |       WHEN direction = 'forward' THEN f_ts END AS TIMESTAMP) AS nearest_ts
+      |FROM j ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val plType = "struct<click_id:bigint,click_ts:timestamp>"
+    val rTagged = clicks.select($"user_id", $"ts".as("t"), lit(0).as("side"),
+      struct($"click_id", $"ts".as("click_ts")).as("pl"),
+      lit(null).cast("long").as("event_id"),
+      lit(null).cast("double").as("value"))
+    val lTagged = purchases.select($"user_id", $"ts".as("t"), lit(1).as("side"),
+      lit(null).cast(plType).as("pl"), $"event_id", $"value")
+    val wB = Window.partitionBy($"user_id").orderBy($"t", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy($"user_id").orderBy($"t", $"side")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val joined = rTagged.unionByName(lTagged)
+      .withColumn("back", last($"pl", ignoreNulls = true).over(wB))
+      .withColumn("fwd", first($"pl", ignoreNulls = true).over(wF))
+      .filter($"side" === 1)
+    val direction =
+      when($"back".isNull && $"fwd".isNull, "none")
+        .when($"fwd".isNull, "backward")
+        .when($"back".isNull, "forward")
+        .when(unix_micros($"t") - unix_micros($"back.click_ts")
+          <= unix_micros($"fwd.click_ts") - unix_micros($"t"), "backward")
+        .otherwise("forward")
+    joined
+      .withColumn("direction", direction)
+      .select($"event_id", $"user_id", $"t".as("ts"), $"value", $"direction",
+        when($"direction" === "backward", $"back.click_id")
+          .when($"direction" === "forward", $"fwd.click_id").as("nearest_click_id"),
+        when($"direction" === "backward", $"back.click_ts")
+          .when($"direction" === "forward", $"fwd.click_ts").as("nearest_ts"))
+      .orderBy($"event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq01bAsofExec, eq02RangeJoin,
     eq03Sessionize, eq04SessionWindow, eq05IntervalOverlap, eq06EventFunnel,
     eq07CohortRetention, eq08DailyAnomaly, eq09GapFill, eq10MovingWindow,
-    eq11Scd2Versions, eq12PitJoin, eq13Scd2Quarantine, eq14AsofTolerance)
+    eq11Scd2Versions, eq12PitJoin, eq13Scd2Quarantine, eq14AsofTolerance,
+    eq15AsofNearest)
 }
