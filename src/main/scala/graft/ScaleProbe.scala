@@ -88,7 +88,8 @@ object ScaleProbe {
            "lineitem" -> Seq("l_orderkey"),
            "events" -> Seq("event_id", "user_id"),
            "embeddings" -> Seq("vec_id"),
-           "orders" -> Seq("o_orderkey")))
+           "orders" -> Seq("o_orderkey"),
+           "customer" -> Seq("c_custkey")))
       replicate(t, ks, n, dir)
 
     // JIT/codegen warm-up outside every timed region (see Bench)

@@ -491,9 +491,59 @@ object RelationalExt {
       .orderBy($"status")
   }
 
+  /** Recursive CTE — the SQL surface Spark gained in 4.0 (SPARK-24497)
+    * and the declarative alternative to hand-rolled iteration for
+    * bounded-depth graph walks: a customer-key decimal tree (parent =
+    * key div 10, roots below 10) traversed top-down to its full
+    * transitive closure, every node labeled with its ROOT and DEPTH in
+    * one statement. Output is the per-depth census with checksums over
+    * node and root ids, so a dropped or duplicated closure row is a hash
+    * mismatch. DuckDB replays the identical recursion (`//` ≡ Spark's
+    * `DIV` on non-negative keys — the portable subset).
+    *
+    * 100 TB: each recursion step is one equi-join of the frontier
+    * against the (pruned) child scan — the same per-round shape as
+    * [[graft.operators.ConnectedComponents]]; Spark's recursion-depth
+    * limit guards runaways. For UNBOUNDED-diameter graphs the engine's
+    * alternating-star CC remains the right tool; recursive SQL is the
+    * right tool when depth is small and known (org charts, BOM trees,
+    * category paths). */
+  val q45RecursiveHierarchy: QueryDef = {
+    val sparkSql =
+      """WITH RECURSIVE anc(node, root, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, a.root, a.depth + 1
+        |  FROM customer c JOIN anc a ON c.c_custkey DIV 10 = a.node
+        |  WHERE c.c_custkey >= 10)
+        |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_nodes,
+        |  CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+        |  CAST(SUM(node) AS BIGINT) AS sum_node,
+        |  CAST(SUM(root) AS BIGINT) AS sum_root
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
+    sqlChecked(
+      "q45_recursive_hierarchy",
+      """WITH RECURSIVE anc(node, root, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, a.root, a.depth + 1
+        |  FROM customer c JOIN anc a ON c.c_custkey // 10 = a.node
+        |  WHERE c.c_custkey >= 10)
+        |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_nodes,
+        |  CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+        |  CAST(SUM(node) AS BIGINT) AS sum_node,
+        |  CAST(SUM(root) AS BIGINT) AS sum_root
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin) { (spark, dir) =>
+      // only customer is read — register just it (keeps the query
+      // runnable on partial layouts like the scale-probe replicas)
+      Tables.customer(spark, dir).createOrReplaceTempView("customer")
+      spark.sql(sparkSql)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt,
     q35Variant, q36ExistsSubquery, q37Posexplode, q38JsonRoundtrip, q39Winsorize,
     q40JsonlSource, q41OrcSource, q42SaltedSkewJoin, q43XmlSource,
-    q44FullOuterReconcile)
+    q44FullOuterReconcile, q45RecursiveHierarchy)
 }
