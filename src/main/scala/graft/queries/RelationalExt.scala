@@ -541,9 +541,41 @@ object RelationalExt {
     }
   }
 
+  /** SQL pipe syntax (Spark 4.0, SPARK-49555 — the GoogleSQL `|>`
+    * operator-chain form): the same filter → aggregate → having →
+    * project → sort pipeline q13 writes in nested SQL, expressed as a
+    * linear chain in dataflow order. Semantically identical plans — the
+    * parser desugars each `|>` stage onto the previous — so the oracle
+    * is plain ANSI SQL in DuckDB; the hash proves the surface maps to
+    * the same relational algebra, decimal shields intact. */
+  val q46PipeSyntax: QueryDef = {
+    val sparkSql =
+      """FROM lineitem
+        ||> WHERE l_quantity > 10
+        ||> AGGREGATE SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS rev_d,
+        |     COUNT(*) AS n
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n > 1000
+        ||> SELECT l_returnflag, l_linestatus, CAST(rev_d AS DOUBLE) AS revenue, n
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin
+    sqlChecked(
+      "q46_pipe_syntax",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_quantity > 10
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING COUNT(*) > 1000
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+      spark.sql(sparkSql)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt,
     q35Variant, q36ExistsSubquery, q37Posexplode, q38JsonRoundtrip, q39Winsorize,
     q40JsonlSource, q41OrcSource, q42SaltedSkewJoin, q43XmlSource,
-    q44FullOuterReconcile, q45RecursiveHierarchy)
+    q44FullOuterReconcile, q45RecursiveHierarchy, q46PipeSyntax)
 }
