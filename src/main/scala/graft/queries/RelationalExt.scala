@@ -573,9 +573,45 @@ object RelationalExt {
     }
   }
 
+  /** String collations (Spark 4.0, SPARK-46830): case-insensitive
+    * equality as a COLUMN PROPERTY rather than scattered lower() calls —
+    * the collation rides the type, so every comparison, DISTINCT, and
+    * GROUP BY downstream folds case natively (and codegen sees one
+    * collation-aware comparator instead of a wrapping expression). The
+    * fixture corpus is case-uniform, so both engines append an
+    * upper-cased clone of every customer name: binary-distinct must see
+    * 2N names, UTF8_LCASE-distinct must collapse back to N, and the
+    * per-segment rollup pins the fold at group grain. Oracle replays
+    * with lower() — equivalent folding on this data, which is exactly
+    * the point: the surface moves the fold into the type system. */
+  val q47Collation: QueryDef = {
+    val sparkSql =
+      """WITH u AS (
+        |  SELECT c_mktsegment, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT c_mktsegment, upper(c_name) AS name FROM customer)
+        |SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  CAST(COUNT(DISTINCT name) AS BIGINT) AS n_binary_distinct,
+        |  CAST(COUNT(DISTINCT name COLLATE UTF8_LCASE) AS BIGINT) AS n_ci_distinct
+        |FROM u GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    sqlChecked(
+      "q47_collation",
+      """WITH u AS (
+        |  SELECT c_mktsegment, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT c_mktsegment, upper(c_name) AS name FROM customer)
+        |SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  CAST(COUNT(DISTINCT name) AS BIGINT) AS n_binary_distinct,
+        |  CAST(COUNT(DISTINCT lower(name)) AS BIGINT) AS n_ci_distinct
+        |FROM u GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      Tables.customer(spark, dir).createOrReplaceTempView("customer")
+      spark.sql(sparkSql)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt,
     q35Variant, q36ExistsSubquery, q37Posexplode, q38JsonRoundtrip, q39Winsorize,
     q40JsonlSource, q41OrcSource, q42SaltedSkewJoin, q43XmlSource,
-    q44FullOuterReconcile, q45RecursiveHierarchy, q46PipeSyntax)
+    q44FullOuterReconcile, q45RecursiveHierarchy, q46PipeSyntax, q47Collation)
 }
