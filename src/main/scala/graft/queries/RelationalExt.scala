@@ -609,9 +609,41 @@ object RelationalExt {
     }
   }
 
+  /** SQL user-defined function (Spark 4.0, SPARK-46246): the UDF
+    * surface a 100 TB engine should actually encourage — the function
+    * body is SQL, so Catalyst INLINES it into the plan (full codegen,
+    * pushdown, constant folding all survive; PlanSpec's no-ScalaUDF
+    * discipline holds by construction, unlike JVM/Python UDFs which are
+    * optimizer black boxes). The business expression lives once as
+    * `disc_price`, the query uses it inside a decimal-shielded
+    * aggregate, and the oracle replays the inlined body — identical
+    * results prove the function boundary is transparent. */
+  val q48SqlUdf: QueryDef = {
+    sqlChecked(
+      "q48_sql_udf",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+        |    AS DOUBLE) AS disc_revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+      spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d)""")
+      spark.sql(
+        """SELECT l_returnflag,
+          |  CAST(SUM(CAST(disc_price(l_extendedprice, l_discount) AS DECIMAL(30,6)))
+          |    AS DOUBLE) AS disc_revenue,
+          |  COUNT(*) AS n
+          |FROM lineitem
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt,
     q35Variant, q36ExistsSubquery, q37Posexplode, q38JsonRoundtrip, q39Winsorize,
     q40JsonlSource, q41OrcSource, q42SaltedSkewJoin, q43XmlSource,
-    q44FullOuterReconcile, q45RecursiveHierarchy, q46PipeSyntax, q47Collation)
+    q44FullOuterReconcile, q45RecursiveHierarchy, q46PipeSyntax, q47Collation,
+    q48SqlUdf)
 }
