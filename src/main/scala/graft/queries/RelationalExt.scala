@@ -640,10 +640,45 @@ object RelationalExt {
     }
   }
 
+  /** Parameterized SQL (Spark 3.4+/4.0 named parameter markers): the
+    * serving-path hygiene surface — a dashboard's filter values arrive
+    * as TYPED ARGUMENTS (`spark.sql(text, args)`), never string-spliced,
+    * so the query text is constant (one plan to cache/review) and
+    * injection is structurally impossible. The reference's Streamlit
+    * dashboard interpolated filters into SQL strings
+    * (streamlit_app.py's f-string queries) — this is that query shape
+    * done right. Oracle inlines the same constants. */
+  val q49ParameterizedSql: QueryDef = {
+    sqlChecked(
+      "q49_parameterized_sql",
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      Tables.orders(spark, dir).createOrReplaceTempView("orders")
+      spark.sql(
+        """SELECT o_orderpriority,
+          |  COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+          |FROM orders
+          |WHERE o_orderstatus = :status
+          |  AND o_orderdate >= CAST(:from_ts AS TIMESTAMP)
+          |  AND o_orderdate < CAST(:until_ts AS TIMESTAMP)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map("status" -> "F",
+          "from_ts" -> "1995-01-01 00:00:00",
+          "until_ts" -> "1997-01-01 00:00:00"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt,
     q35Variant, q36ExistsSubquery, q37Posexplode, q38JsonRoundtrip, q39Winsorize,
     q40JsonlSource, q41OrcSource, q42SaltedSkewJoin, q43XmlSource,
     q44FullOuterReconcile, q45RecursiveHierarchy, q46PipeSyntax, q47Collation,
-    q48SqlUdf)
+    q48SqlUdf, q49ParameterizedSql)
 }
