@@ -298,7 +298,14 @@ object MlQueries {
     * carries the candidate count, winning params, validation AUC and
     * held-out test AUC (floored in PipelinesSpec). rowsOnly like every
     * mq — the metric IS the check. */
-  val mq12CvTuning: QueryDef = rowsOnly("mq12_cv_tuning") { (spark, dir) =>
+  val mq12CvTuning: QueryDef = rowsOnly("mq12_cv_tuning") { (spark0, dir) =>
+    // tuning runs in a CLONED session (shared SparkContext, fresh session
+    // state): TVS's parallel candidate fits capture the active session's
+    // state into their async execution, and a session that has ever
+    // registered observe() metrics carries a non-serializable
+    // ObservationManager into that capture (the GraftMlBridge trap's
+    // sibling). Isolation is also just good practice for a tuning fleet.
+    val spark = spark0.newSession()
     import spark.implicits._
     val feats = featurizedJobs(spark, dir)
       .withColumn("is_hot", ($"salary_final" > 25).cast("double"))
