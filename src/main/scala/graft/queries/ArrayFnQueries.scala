@@ -139,7 +139,53 @@ object ArrayFnQueries {
       .orderBy($"cluster_name", $"compound_key")
   }
 
+  /** MAP-typed higher-order functions — the one functions family the
+    * battery hadn't exercised: per-customer order-priority counts
+    * assembled into a MAP column (`map_from_entries` over a SORTED
+    * entry array — maps are unordered, the sort is for deterministic
+    * construction), thinned with `map_filter`, rescaled with
+    * `transform_values`, sized with `map_keys`, then exploded back to
+    * rows. All in-row codegen work between two aggregates. The oracle
+    * can't hold a Spark map, so it replays the RELATIONAL equivalent of
+    * the whole map pipeline (HAVING ≥ 2, ×10) — the hash proves the map
+    * round trip loses and invents nothing.
+    *
+    * 100 TB: maps are the natural shape for sparse per-entity feature
+    * bags (per-user event-type counts, per-doc tag weights); this is
+    * the pattern that keeps them inside whole-stage codegen instead of
+    * exploding to rows between every step. */
+  val aq06MapHofBattery: QueryDef = sqlChecked(
+    "aq06_map_hof_battery",
+    """WITH c AS (
+      |  SELECT o_custkey, o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders WHERE o_custkey < 200
+      |  GROUP BY o_custkey, o_orderpriority),
+      |k AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_keys
+      |  FROM c GROUP BY o_custkey)
+      |SELECT c.o_custkey, k.n_keys, c.prio,
+      |  c.cnt * 10 AS scaled
+      |FROM c JOIN k ON c.o_custkey = k.o_custkey
+      |WHERE c.cnt >= 2
+      |ORDER BY c.o_custkey, c.prio""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val m = Tables.orders(spark, dir)
+      .filter($"o_custkey" < 200)
+      .groupBy($"o_custkey", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"o_custkey")
+      .agg(map_from_entries(
+        array_sort(collect_list(struct($"o_orderpriority", $"cnt")))).as("bag"))
+    m.select($"o_custkey",
+        size(map_keys($"bag")).cast("long").as("n_keys"),
+        transform_values(
+          map_filter($"bag", (_, v) => v >= 2),
+          (_, v) => v * 10).as("kept"))
+      .select($"o_custkey", $"n_keys", explode($"kept").as(Seq("prio", "scaled")))
+      .orderBy($"o_custkey", $"prio")
+  }
+
   val all: Seq[QueryDef] = Seq(
     aq01Autocomplete, aq02CollectSet, aq03SkillMatch, aq04SqlSurface,
-    aq05LabelAssembly)
+    aq05LabelAssembly, aq06MapHofBattery)
 }
