@@ -89,7 +89,8 @@ object ScaleProbe {
            "events" -> Seq("event_id", "user_id"),
            "embeddings" -> Seq("vec_id"),
            "orders" -> Seq("o_orderkey"),
-           "customer" -> Seq("c_custkey")))
+           "customer" -> Seq("c_custkey"),
+           "part" -> Seq("p_partkey")))
       replicate(t, ks, n, dir)
 
     // JIT/codegen warm-up outside every timed region (see Bench)

@@ -640,8 +640,120 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** Constraint audit — the dbt-test / Great-Expectations layer as one
+    * engine query: primary-key uniqueness (orders), referential
+    * integrity (orders→customer orphans via anti-join), null/domain
+    * rates (lineitem quantity bounds, discount ∈ [0,1]), and event-time
+    * sanity (events.ts within the fixture epoch). One row per check
+    * with violation and population counts, so the whole audit is a
+    * 6-row hash — any data regression flips the hash before it reaches
+    * a training run.
+    *
+    * 100 TB: every check is a scan-local aggregate or a broadcast/hash
+    * anti-join on the key — checks batch into per-table passes, never
+    * per-rule scans (the PK and FK checks share orders' scan here via
+    * cache). */
+  val pq11ConstraintAudit: QueryDef = sqlChecked(
+    "pq11_constraint_audit",
+    """WITH orders_u AS (
+      |  SELECT * FROM orders
+      |  UNION ALL
+      |  SELECT * REPLACE (CAST(-1 AS BIGINT) AS o_custkey)
+      |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 1)),
+      |li_u AS (
+      |  SELECT * FROM lineitem
+      |  UNION ALL
+      |  SELECT * REPLACE (CAST(-5 AS DOUBLE) AS l_quantity,
+      |                    CAST(1.5 AS DOUBLE) AS l_discount)
+      |  FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1)),
+      |pk AS (
+      |  SELECT 'orders_pk_unique' AS check_name,
+      |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+      |    CAST(COUNT(*) AS BIGINT) AS n_checked
+      |  FROM orders_u),
+      |fk AS (
+      |  SELECT 'orders_customer_fk' AS check_name,
+      |    CAST(COUNT(*) AS BIGINT) AS n_violations,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders_u) AS n_checked
+      |  FROM orders_u o ANTI JOIN customer c ON o.o_custkey = c.c_custkey),
+      |qty AS (
+      |  SELECT 'lineitem_qty_domain' AS check_name,
+      |    CAST(COUNT(*) FILTER (l_quantity IS NULL OR l_quantity <= 0
+      |      OR l_quantity > 50) AS BIGINT) AS n_violations,
+      |    CAST(COUNT(*) AS BIGINT) AS n_checked
+      |  FROM li_u),
+      |disc AS (
+      |  SELECT 'lineitem_discount_domain' AS check_name,
+      |    CAST(COUNT(*) FILTER (l_discount IS NULL OR l_discount < 0
+      |      OR l_discount > 1) AS BIGINT) AS n_violations,
+      |    CAST(COUNT(*) AS BIGINT) AS n_checked
+      |  FROM li_u),
+      |pnn AS (
+      |  SELECT 'part_name_not_null' AS check_name,
+      |    CAST(COUNT(*) FILTER (p_name IS NULL OR trim(p_name) = '') AS BIGINT)
+      |      AS n_violations,
+      |    CAST(COUNT(*) AS BIGINT) AS n_checked
+      |  FROM part),
+      |ets AS (
+      |  SELECT 'events_ts_epoch' AS check_name,
+      |    CAST(COUNT(*) FILTER (ts IS NULL
+      |      OR ts < TIMESTAMP '2020-01-01 00:00:00'
+      |      OR ts >= TIMESTAMP '2030-01-01 00:00:00') AS BIGINT) AS n_violations,
+      |    CAST(COUNT(*) AS BIGINT) AS n_checked
+      |  FROM events)
+      |SELECT * FROM pk UNION ALL SELECT * FROM fk
+      |UNION ALL SELECT * FROM qty UNION ALL SELECT * FROM disc
+      |UNION ALL SELECT * FROM pnn UNION ALL SELECT * FROM ets
+      |ORDER BY check_name""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    def row(name: String, violations: org.apache.spark.sql.Column,
+        frame: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      frame.agg(violations.cast("long").as("n_violations"),
+          count(lit(1)).as("n_checked"))
+        .select(lit(name).as("check_name"), $"n_violations", $"n_checked")
+    // both engines plant the same violations (the fq05 pattern), so the
+    // detection arms are proven, not vacuously zero: a duplicate-PK row
+    // that is also an FK orphan, and a lineitem row breaking both domains
+    val orders0 = Tables.orders(spark, dir)
+    val orders = orders0.unionByName(
+        orders0.orderBy($"o_orderkey").limit(1)
+          .withColumn("o_custkey", lit(-1L)))
+      .cache() // PK + FK checks share it
+    val li0 = Tables.lineitem(spark, dir)
+    val li = li0.unionByName(
+        li0.orderBy($"l_orderkey", $"l_linenumber").limit(1)
+          .withColumn("l_quantity", lit(-5.0))
+          .withColumn("l_discount", lit(1.5)))
+      .cache() // two domain checks share it
+    val pk = row("orders_pk_unique",
+      count(lit(1)) - countDistinct($"o_orderkey"), orders)
+    val orphans = orders.join(Tables.customer(spark, dir),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(broadcast(orders.agg(count(lit(1)).as("n_checked"))))
+      .select(lit("orders_customer_fk").as("check_name"),
+        $"n_violations", $"n_checked")
+    val qty = row("lineitem_qty_domain",
+      count(when($"l_quantity".isNull || $"l_quantity" <= 0 ||
+        $"l_quantity" > 50, 1)), li)
+    val disc = row("lineitem_discount_domain",
+      count(when($"l_discount".isNull || $"l_discount" < 0 ||
+        $"l_discount" > 1, 1)), li)
+    val pnn = row("part_name_not_null",
+      count(when($"p_name".isNull || trim($"p_name") === "", 1)),
+      Tables.part(spark, dir))
+    val ets = row("events_ts_epoch",
+      count(when($"ts".isNull ||
+        $"ts" < lit("2020-01-01 00:00:00").cast("timestamp") ||
+        $"ts" >= lit("2030-01-01 00:00:00").cast("timestamp"), 1)),
+      Tables.events(spark, dir))
+    pk.unionByName(orphans).unionByName(qty).unionByName(disc)
+      .unionByName(pnn).unionByName(ets)
+      .orderBy($"check_name")
+  }
+
   val all: Seq[QueryDef] = Seq(pq01TrainingPrep, pq02Curriculum,
     pq03SnapshotTimeTravel, pq04LeakageFreeSplit, pq05DsirResample,
     pq06BpeShardPacking, pq07LengthBuckets, pq08MixturePlan, pq09DataCard,
-    pq10PreferencePairs)
+    pq10PreferencePairs, pq11ConstraintAudit)
 }
