@@ -1304,6 +1304,125 @@ object SimilarityQueries {
         round(lit(opqSpread), 6).as("log_var_spread_opq"))
   }
 
+  /** Embedding isotropy audit + PCA whitening (Su et al. 2021,
+    * "Whitening Sentence Representations"; anisotropy per Ethayarajh
+    * 2019): contextual embeddings cluster in a narrow cone — average
+    * |cosine| between UNRELATED vectors sits far above 0, which
+    * compresses the usable similarity range. The whitening transform
+    * W = diag(1/√λ)·U from the corpus PCA (sq17's deterministic Jacobi
+    * eigensolve, reused) maps the cloud to zero mean and unit
+    * covariance; this query measures the before/after in one row:
+    * the off-diagonal energy share of the sample covariance (which MUST
+    * collapse toward 0 — it drops 0.99997 → 0.0033 on the fixture,
+    * whose embeddings carry strong low-rank label structure) and the
+    * mean |pairwise cosine| over a bounded sample, reported honestly:
+    * the fixture is already at the d=64 directional-isotropy baseline
+    * (≈0.10), so the cone-collapse effect real contextual embeddings
+    * show has nothing to bite on here — the audit SAYS so, which is its
+    * job (tq41's non-Zipfian finding, for geometry). The whitened
+    * transform is one codegen'd d² matvec per row, sq17's serving
+    * cost.
+    *
+    * rowsOnly: eigensolve engine-side; the before/after metric IS the
+    * self-validation. */
+  val sq19WhiteningAudit: QueryDef = rowsOnly("sq19_whitening_audit") { (spark, dir) =>
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val sample = emb.orderBy($"vec_id").limit(20000)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val d = sample.head.length
+    val n = sample.length
+    val mean = Array.tabulate(d) { j =>
+      var s = 0.0; var i = 0; while (i < n) { s += sample(i)(j); i += 1 }; s / n
+    }
+    val cov = Array.ofDim[Double](d, d)
+    locally {
+      var i = 0
+      while (i < n) {
+        val p = sample(i)
+        var r = 0
+        while (r < d) {
+          val cr = p(r) - mean(r)
+          var c2 = r
+          while (c2 < d) { cov(r)(c2) += cr * (p(c2) - mean(c2)); c2 += 1 }
+          r += 1
+        }
+        i += 1
+      }
+      var r = 0
+      while (r < d) {
+        var c2 = 0
+        while (c2 <= r) { cov(r)(c2) = cov(c2)(r) / n; c2 += 1 }
+        c2 = r
+        while (c2 < d) { cov(r)(c2) = cov(r)(c2) / n; c2 += 1 }
+        r += 1
+      }
+      r = 0
+      while (r < d) {
+        var c2 = r + 1
+        while (c2 < d) { cov(c2)(r) = cov(r)(c2); c2 += 1 }
+        r += 1
+      }
+    }
+    val (evals, evecs) = graft.similarity.Eig.jacobiSym(cov)
+    // W rows: u_i / sqrt(λ_i + eps) — PCA whitening
+    val W: Seq[Seq[Double]] = evals.indices.map { i =>
+      val s0 = 1.0 / math.sqrt(math.max(evals(i), 0.0) + 1e-9)
+      evecs(i).map(_ * s0).toSeq
+    }
+    val meanLit = typedlit(mean.toSeq)
+    def whiten(vCol: org.apache.spark.sql.Column) =
+      transform(typedlit(W), r =>
+        aggregate(zip_with(r, zip_with(vCol, meanLit, (x, mu) => x - mu),
+          (ri, xi) => ri * xi), lit(0.0), _ + _))
+    val small = emb.filter($"vec_id" < 100)
+      .select($"vec_id", $"v", whiten($"v").as("w")).cache()
+    val pairs = small.as("a")
+      .join(small.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select(
+        abs(cosine($"a.v", $"b.v")).as("ac_raw"),
+        abs(cosine($"a.w", $"b.w")).as("ac_white"))
+    // off-diagonal energy share of the sample covariance, before/after:
+    // whitening must drive Σ_offdiag² / Σ_total² toward 0
+    def offdiagShare(m: Array[Array[Double]]): Double = {
+      var tot = 0.0; var off = 0.0
+      for (i <- 0 until d; j <- 0 until d) {
+        val e = m(i)(j) * m(i)(j)
+        tot += e; if (i != j) off += e
+      }
+      off / tot
+    }
+    val covW = Array.ofDim[Double](d, d)
+    locally {
+      // whitened sample covariance, driver-side over the same sample
+      val sw = sample.map { p =>
+        val c = Array.tabulate(d)(i => p(i) - mean(i))
+        Array.tabulate(d) { i =>
+          var s2 = 0.0; var j = 0; val r = W(i)
+          while (j < d) { s2 += r(j) * c(j); j += 1 }; s2
+        }
+      }
+      var i = 0
+      while (i < n) {
+        val p = sw(i)
+        var r = 0
+        while (r < d) {
+          var c2 = 0
+          while (c2 < d) { covW(r)(c2) += p(r) * p(c2) / n; c2 += 1 }
+          r += 1
+        }
+        i += 1
+      }
+    }
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      avg($"ac_raw").as("avg_abs_cos_raw"),
+      avg($"ac_white").as("avg_abs_cos_white"),
+      round(lit(offdiagShare(cov)), 6).as("cov_offdiag_share_raw"),
+      round(lit(offdiagShare(covW)), 6).as("cov_offdiag_share_white"))
+  }
+
   /** Matryoshka (MRL) truncation audit: how much of each embedding's
     * energy lives in its first m dimensions — exactly the question asked
     * before serving truncated vectors from a matryoshka-trained model
@@ -1358,5 +1477,5 @@ object SimilarityQueries {
     sq05bEmbeddingNearDupPortable, sq02bAnnLshRecallPortable,
     sq11HardNegatives, sq12MmrRerank, sq13EmbeddingAudit,
     sq14AnnStoredIndexSearch, sq15PcaPower, sq16MatryoshkaAudit,
-    sq17AnnOpqRecall)
+    sq17AnnOpqRecall, sq19WhiteningAudit)
 }

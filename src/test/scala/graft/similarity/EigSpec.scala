@@ -77,6 +77,21 @@ class EigSpec extends AnyFunSuite {
       s"allocation spread $sOpq not well below contiguous $sNat")
   }
 
+  test("sq19: whitening restores covariance isotropy on the fixture") {
+    val spark = graft.TestSpark.spark
+    val row = graft.queries.SimilarityQueries.sq19WhiteningAudit
+      .fn(spark, "/root/testdata/sf0.001").head()
+    val rawShare = row.getAs[Double]("cov_offdiag_share_raw")
+    val whiteShare = row.getAs[Double]("cov_offdiag_share_white")
+    // the fixture's embeddings carry strong low-rank structure, so the
+    // raw covariance is off-diagonal dominated; whitening must collapse
+    // that share by orders of magnitude
+    assert(rawShare > 0.5, s"raw off-diagonal share $rawShare unexpectedly low")
+    assert(whiteShare < 0.05, s"whitened off-diagonal share $whiteShare too high")
+    val c = row.getAs[Double]("avg_abs_cos_white")
+    assert(c > 0.0 && c < 0.5, s"whitened mean |cos| $c out of sane range")
+  }
+
   test("eigenAllocation balances per-bucket log-variance vs contiguous order") {
     // strongly skewed spectrum: contiguous split piles the variance into
     // bucket 0; the allocation must spread it
