@@ -979,27 +979,11 @@ object DedupQueries {
       concat(lit("http://"), $"source", lit(".example.com/"), $"lang",
         lit("/doc/"), $"doc_id", lit("?id="), $"doc_id", lit("&page=2")).as("url"))
     val raw = u1.unionByName(u2).unionByName(u3)
-    val p1 = raw.select($"source",
-      lower(regexp_extract($"url", "^([A-Za-z]+)://", 1)).as("scheme"),
-      regexp_extract($"url", "^[A-Za-z]+://([^#]*)", 1).as("rest"))
-    val p2 = p1.select($"source", $"scheme",
-      regexp_extract($"rest", "^([^/?]+)", 1).as("hostport"),
-      expr("substr(rest, length(regexp_extract(rest, '^([^/?]+)', 1)) + 1)").as("pathq"))
-    val p3 = p2.select($"source", $"scheme",
-      regexp_replace(lower(regexp_extract($"hostport", "^([^:]+)", 1)), "^www\\.", "")
-        .as("host"),
-      regexp_extract($"hostport", ":([0-9]+)$", 1).as("port"),
-      regexp_replace(regexp_extract($"pathq", "^([^?]*)", 1), "/$", "").as("path_c"),
-      regexp_extract($"pathq", "\\?(.*)$", 1).as("qstr"))
-    val qSorted = array_join(array_sort(filter(split($"qstr", "&"),
-      p => p =!= "" && !p.rlike("^(utm_[a-z]+|fbclid|gclid)="))), "&")
-    val canon = p3.withColumn("q", qSorted)
-      .select($"source", concat($"scheme", lit("://"), $"host",
-        when($"port" =!= "" && !(($"scheme" === "https" && $"port" === "443") ||
-          ($"scheme" === "http" && $"port" === "80")),
-          concat(lit(":"), $"port")).otherwise(lit("")),
-        $"path_c",
-        when($"q" =!= "", concat(lit("?"), $"q")).otherwise(lit(""))).as("curl"))
+    // the normalizer itself lives in dedup/UrlCanon (reused by ingest
+    // paths; UrlCanonSpec covers the rules this planted universe
+    // doesn't reach — http:80 drop, non-default port retention)
+    val canon = raw.select($"source",
+      graft.dedup.UrlCanon.canonical($"url").as("curl"))
     canon.groupBy($"source").agg(
         count(lit(1)).as("n_raw"),
         countDistinct($"curl").as("n_canonical"),
