@@ -427,7 +427,71 @@ object FilterQueries {
       .orderBy($"lang")
   }
 
+  /** Unicode script-mix audit — the cleaning signal tq03's marker-word
+    * LID can't see: documents mixing writing systems (Latin + CJK +
+    * Cyrillic in one page) are a classic spam/cloaking/encoding-damage
+    * marker in web corpora (CCNet and C4 both gate on it). Per document,
+    * characters are counted per script via Unicode-range regex classes
+    * (codegen'd `regexp_count` — no tokenization, no UDF); a doc is
+    * mixed when it holds Latin AND any non-Latin script. The ASCII-only
+    * fixture would make the audit vacuous, so BOTH engines append the
+    * same CJK+Cyrillic suffix to every 7th doc — n_mixed_script must
+    * count exactly the plants, and the per-lang non-Latin share is
+    * decimal-exact in the hash.
+    *
+    * 100 TB: one scan, per-char work inside whole-stage codegen, tiny
+    * per-lang aggregate. */
+  val fq09ScriptMix: QueryDef = sqlChecked(
+    "fq09_script_mix",
+    """WITH u AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' 漢字測試 допис'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang,
+      |    CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS n_cjk,
+      |    CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyr,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_lat
+      |  FROM u),
+      |r AS (
+      |  SELECT lang, n_cjk, n_cyr, n_lat,
+      |    CASE WHEN (n_cjk > 0 OR n_cyr > 0) AND n_lat > 0 THEN 1 ELSE 0 END AS mixed,
+      |    round(CAST(n_cjk + n_cyr AS DOUBLE) / (n_cjk + n_cyr + n_lat), 6) AS sh
+      |  FROM c)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(mixed) AS BIGINT) AS n_mixed_script,
+      |  CAST(COUNT(*) - SUM(mixed) AS BIGINT) AS n_single_script,
+      |  CAST(SUM(n_cjk) AS BIGINT) AS cjk_chars,
+      |  CAST(SUM(n_cyr) AS BIGINT) AS cyrillic_chars,
+      |  CAST(SUM(CAST((sh) AS DECIMAL(30,6))) AS DOUBLE) / COUNT((sh)) AS avg_nonlatin_share
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val u = Tables.documents(spark, dir)
+      .select($"lang",
+        when($"doc_id" % 7 === 0, concat($"text", lit(" 漢字測試 допис")))
+          .otherwise($"text").as("text"))
+    val c = u.select($"lang",
+      regexp_count($"text", lit("[一-鿿]")).as("n_cjk"),
+      regexp_count($"text", lit("[Ѐ-ӿ]")).as("n_cyr"),
+      regexp_count($"text", lit("[A-Za-z]")).as("n_lat"))
+    val r = c.select($"lang", $"n_cjk", $"n_cyr", $"n_lat",
+      when(($"n_cjk" > 0 || $"n_cyr" > 0) && $"n_lat" > 0, 1L).otherwise(0L)
+        .as("mixed"),
+      round(($"n_cjk" + $"n_cyr").cast("double") /
+        ($"n_cjk" + $"n_cyr" + $"n_lat"), 6).as("sh"))
+    r.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"mixed").cast("long").as("n_mixed_script"),
+        (count(lit(1)) - sum($"mixed")).cast("long").as("n_single_script"),
+        sum($"n_cjk").cast("long").as("cjk_chars"),
+        sum($"n_cyr").cast("long").as("cyrillic_chars"),
+        davg($"sh").as("avg_nonlatin_share"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     fq01TermRedaction, fq02FilterFunnel, fq03Repetition, fq04CorpusMixing,
-    fq05PiiScrub, fq06NfcNormalize, fq07GopherBattery, fq08C4Battery)
+    fq05PiiScrub, fq06NfcNormalize, fq07GopherBattery, fq08C4Battery,
+    fq09ScriptMix)
 }
