@@ -808,9 +808,53 @@ object TemporalQueries {
       .orderBy($"event_id")
   }
 
+  /** OHLC time-bucket resampling — the downsampler every metrics/market
+    * pipeline runs: events collapse into hourly bars of (open, high,
+    * low, close, volume, decimal-exact value sum). Open/close are
+    * `min_by`/`max_by` under a FIXED-WIDTH sortable key
+    * `printf('%020d%012d', epoch_micros, event_id)` — timestamps alone
+    * tie (the fixture proves it; eq01 groups clicks for the same
+    * reason), and a zero-padded string is the composite order both
+    * engines agree on (DuckDB's arg_min takes no struct keys). One
+    * map-side-combining aggregate per bar; no window, no sort of the
+    * event stream.
+    *
+    * 100 TB: the classic pre-aggregation — bars are hours-sized, not
+    * events-sized; partial min_by/max_by/max/min/sum all combine
+    * map-side, so the shuffle carries one partial bar per (task, hour). */
+  val eq17OhlcResample: QueryDef = sqlChecked(
+    "eq17_ohlc_resample",
+    """WITH e AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar,
+      |    value,
+      |    printf('%020d%012d', epoch_us(ts), event_id) AS k
+      |  FROM events)
+      |SELECT bar, COUNT(*) AS volume,
+      |  arg_min(value, k) AS open,
+      |  MAX(value) AS high,
+      |  MIN(value) AS low,
+      |  arg_max(value, k) AS close,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+      |FROM e GROUP BY bar ORDER BY bar""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val k = format_string("%020d%012d", unix_micros($"ts"), $"event_id")
+    Tables.events(spark, dir)
+      .select(date_trunc("hour", $"ts").as("bar"), $"value", k.as("k"))
+      .groupBy($"bar")
+      .agg(
+        count(lit(1)).as("volume"),
+        min_by($"value", $"k").as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", $"k").as("close"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double").as("value_sum"))
+      .orderBy($"bar")
+  }
+
   val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq01bAsofExec, eq02RangeJoin,
     eq03Sessionize, eq04SessionWindow, eq05IntervalOverlap, eq06EventFunnel,
     eq07CohortRetention, eq08DailyAnomaly, eq09GapFill, eq10MovingWindow,
     eq11Scd2Versions, eq12PitJoin, eq13Scd2Quarantine, eq14AsofTolerance,
-    eq15AsofNearest)
+    eq15AsofNearest, eq17OhlcResample)
 }
