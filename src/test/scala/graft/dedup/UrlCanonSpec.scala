@@ -39,6 +39,25 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(canon("https://e.com/p?") == Seq("https://e.com/p"))
   }
 
+  test("canonicalization is idempotent on generated URLs") {
+    val rnd = new scala.util.Random(13)
+    val schemes = Seq("http", "HTTP", "https", "HTTPS")
+    val hosts = Seq("www.Example.com", "EXAMPLE.com", "a.b.example.com")
+    val ports = Seq("", ":80", ":443", ":8080")
+    val paths = Seq("", "/", "/x", "/x/y/", "/x/y")
+    val queries = Seq("", "?a=1", "?b=2&a=1", "?utm_source=t&a=1", "?")
+    val frags = Seq("", "#f", "#sec/2")
+    val urls = (1 to 200).map { _ =>
+      schemes(rnd.nextInt(schemes.length)) + "://" +
+        hosts(rnd.nextInt(hosts.length)) + ports(rnd.nextInt(ports.length)) +
+        paths(rnd.nextInt(paths.length)) + queries(rnd.nextInt(queries.length)) +
+        frags(rnd.nextInt(frags.length))
+    }
+    val once = canon(urls: _*)
+    val twice = canon(once: _*)
+    assert(once == twice, "canonical form must be a fixed point")
+  }
+
   test("distinct resources stay distinct") {
     val out = canon(
       "https://e.com/p?page=1",
