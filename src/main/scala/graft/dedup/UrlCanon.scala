@@ -21,7 +21,9 @@ object UrlCanon {
       lower(regexp_extract(hostport, "^([^:]+)", 1)), "^www\\.", "")
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
     val pathq = regexp_extract(rest, "^[^/?]+([/?].*)?$", 1)
-    val pathC = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/$", "")
+    // "/+$" not "/$": a multi-slash tail ("/x//") must reach its fixed
+    // point in ONE pass or canonical() is not idempotent
+    val pathC = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
     val qstr = regexp_extract(pathq, "\\?(.*)$", 1)
     val qSorted = array_join(array_sort(filter(split(qstr, "&"),
       p => p =!= "" && !p.rlike("^(utm_[a-z]+|fbclid|gclid)="))), "&")

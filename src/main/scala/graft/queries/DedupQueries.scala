@@ -946,7 +946,7 @@ object DedupQueries {
       |  SELECT source, scheme,
       |    regexp_replace(lower(regexp_extract(hostport, '^([^:]+)', 1)), '^www\.', '') AS host,
       |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
-      |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/$', '') AS path_c,
+      |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path_c,
       |    regexp_extract(pathq, '\?(.*)$', 1) AS qstr
       |  FROM p2),
       |canon AS (

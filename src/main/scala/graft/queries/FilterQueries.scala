@@ -457,7 +457,9 @@ object FilterQueries {
       |r AS (
       |  SELECT lang, n_cjk, n_cyr, n_lat,
       |    CASE WHEN (n_cjk > 0 OR n_cyr > 0) AND n_lat > 0 THEN 1 ELSE 0 END AS mixed,
-      |    round(CAST(n_cjk + n_cyr AS DOUBLE) / (n_cjk + n_cyr + n_lat), 6) AS sh
+      |    CASE WHEN n_cjk + n_cyr + n_lat > 0
+      |      THEN round(CAST(n_cjk + n_cyr AS DOUBLE) / (n_cjk + n_cyr + n_lat), 6)
+      |    END AS sh
       |  FROM c)
       |SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(mixed) AS BIGINT) AS n_mixed_script,
@@ -478,8 +480,12 @@ object FilterQueries {
     val r = c.select($"lang", $"n_cjk", $"n_cyr", $"n_lat",
       when(($"n_cjk" > 0 || $"n_cyr" > 0) && $"n_lat" > 0, 1L).otherwise(0L)
         .as("mixed"),
-      round(($"n_cjk" + $"n_cyr").cast("double") /
-        ($"n_cjk" + $"n_cyr" + $"n_lat"), 6).as("sh"))
+      // guard the 0/0 case (digits/punct-only doc): Spark's IEEE division
+      // would yield NaN where DuckDB nulls/errors — nullify instead, and
+      // the null-skipping avg treats such docs benignly in both engines
+      when($"n_cjk" + $"n_cyr" + $"n_lat" > 0,
+        round(($"n_cjk" + $"n_cyr").cast("double") /
+          ($"n_cjk" + $"n_cyr" + $"n_lat"), 6)).as("sh"))
     r.groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         sum($"mixed").cast("long").as("n_mixed_script"),

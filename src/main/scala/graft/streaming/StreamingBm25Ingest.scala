@@ -24,9 +24,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     the rollup at query time, so scores always reflect the corpus
   *     ingested so far.
   *
-  * Replay semantics: postings carry batch_id (exactly-once by
-  * dedupe-on-read, the established foreachBatch contract); the df/stats
-  * merges are NOT idempotent under micro-batch replay — production
+  * Replay semantics: postings carry batch_id and [[serve]] dedupes on
+  * (batch_id, term, doc_id) over the bucket-pruned scan, so a
+  * foreachBatch retry that re-appends a batch cannot double-count tf
+  * (the established dedupe-on-read contract, honored by the read path);
+  * the df/stats merges are NOT idempotent under micro-batch replay — production
   * would stage per-batch partials keyed by batch_id and compact, the
   * same manifest-commit seam Snapshots implements. Documented trade;
   * the spec drives the stream to completion exactly once.
@@ -39,12 +41,20 @@ object StreamingBm25Ingest {
 
   val NumBuckets = 64
 
+  /** Stateless tokenize: (doc_id, text) → (doc_id, toks). Kept separate
+    * from [[postings]] because corpus stats must be computed from THIS
+    * frame — explode+groupBy below drops zero-token docs, but the batch
+    * build (sq07/sq18) counts them in n_docs/Σdl, and the streamed index
+    * must agree on corpora containing empty or non-alphanumeric docs. */
+  def tokenize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+
   /** Stateless per-batch transform: (doc_id, text) → postings
-    * (term, doc_id, tf, dl, bkt). */
+    * (term, doc_id, tf, dl, bkt). Zero-token docs yield no postings
+    * (correct — they match no term) but still count in the stats rollup. */
   def postings(docs: DataFrame): DataFrame = {
-    docs
-      .select(col("doc_id"),
-        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+    tokenize(docs)
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term"), col("dl"))
@@ -59,18 +69,21 @@ object StreamingBm25Ingest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val p = postings(batch.toDF).cache()
+        val b = batch.toDF.cache()
         try {
+          val p = postings(b)
           p.withColumn("batch_id", lit(batchId))
             .write.mode("append").partitionBy("bkt").parquet(root + "/postings")
           // df partial: 1 per (term, doc) → merged sum IS document freq
           IncrementalAgg.ingest(spark, root + "/df",
             p.select(col("term"), lit(1L).as("one")), "term", "one")
-          // corpus stats under one key: sum = Σdl, cnt = n_docs
+          // corpus stats under one key: sum = Σdl, cnt = n_docs — from the
+          // TOKENIZED docs frame, not the postings, so zero-token docs are
+          // counted exactly as the batch build counts them
           IncrementalAgg.ingest(spark, root + "/stats",
-            p.select(col("doc_id"), col("dl")).distinct()
-              .select(lit("corpus").as("corpus"), col("dl")), "corpus", "dl")
-        } finally p.unpersist()
+            tokenize(b).select(lit("corpus").as("corpus"),
+              size(col("toks")).cast("long").as("dl")), "corpus", "dl")
+        } finally b.unpersist()
         ()
       }
     trigger.fold(writer)(writer.trigger).start()
@@ -86,8 +99,11 @@ object StreamingBm25Ingest {
     val b = 0.75
     val qb = queries.withColumn("bkt", pmod(xxhash64($"term"), lit(NumBuckets)))
     val buckets = qb.select($"bkt").distinct().as[Long].collect().sorted
+    // dedupe-on-read over the PRUNED scan only (|query terms|/64 of the
+    // index): a replayed foreachBatch append becomes invisible here
     val post = spark.read.parquet(root + "/postings")
       .filter(col("bkt").isin(buckets: _*))
+      .dropDuplicates("batch_id", "term", "doc_id")
     val dfreq = IncrementalAgg.read(spark, root + "/df", "term")
       .select($"term", $"sum".as("df"))
     val st = IncrementalAgg.read(spark, root + "/stats", "corpus")

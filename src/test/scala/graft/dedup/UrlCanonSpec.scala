@@ -39,12 +39,18 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(canon("https://e.com/p?") == Seq("https://e.com/p"))
   }
 
+  test("multi-slash tails reach the fixed point in one pass") {
+    assert(canon("https://e.com/x//") == Seq("https://e.com/x"))
+    assert(canon("https://e.com/x///") == Seq("https://e.com/x"))
+    assert(canon("https://e.com//") == Seq("https://e.com"))
+  }
+
   test("canonicalization is idempotent on generated URLs") {
     val rnd = new scala.util.Random(13)
     val schemes = Seq("http", "HTTP", "https", "HTTPS")
     val hosts = Seq("www.Example.com", "EXAMPLE.com", "a.b.example.com")
     val ports = Seq("", ":80", ":443", ":8080")
-    val paths = Seq("", "/", "/x", "/x/y/", "/x/y")
+    val paths = Seq("", "/", "//", "/x", "/x/y/", "/x/y", "/x//", "/x///")
     val queries = Seq("", "?a=1", "?b=2&a=1", "?utm_source=t&a=1", "?")
     val frags = Seq("", "#f", "#sec/2")
     val urls = (1 to 200).map { _ =>

@@ -40,6 +40,49 @@ class StreamingBm25IngestSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("zero-token docs count in corpus stats (n_docs, sum_dl) like the batch build") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-sbm25-zero").toString
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val query = StreamingBm25Ingest.start(docs, root, root + "/ckpt")
+    try {
+      // 2 normal docs + 1 empty + 1 punctuation-only: the batch build
+      // (sq07/sq18) counts all 4 in n_docs and their dl=0 in sum_dl
+      stream.addData(Seq((1L, "spark window agg"), (2L, "spark join"),
+        (3L, ""), (4L, "!!! ... ???")))
+      query.processAllAvailable()
+      val st = graft.sources.IncrementalAgg.read(spark, root + "/stats", "corpus")
+        .select($"sum", $"cnt").as[(Long, Long)].head()
+      assert(st == ((5L, 4L)), s"expected (sum_dl=5, n_docs=4), got $st")
+    } finally query.stop()
+  }
+
+  test("replayed micro-batch append is invisible to serve (dedupe-on-read)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-sbm25-replay").toString
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val query = StreamingBm25Ingest.start(docs, root, root + "/ckpt")
+    try {
+      stream.addData(Seq((1L, "spark window agg spark"), (2L, "spark join fast")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val queries = Seq((1L, "spark"), (1L, "join")).toDF("qid", "term")
+    val before = StreamingBm25Ingest.serve(spark, root, queries).collect().toSeq
+    // simulate a foreachBatch retry: re-append batch 0's postings verbatim
+    val replay = spark.read.parquet(root + "/postings")
+      .filter($"batch_id" === 0L)
+    replay.write.mode("append").partitionBy("bkt").parquet(root + "/postings")
+    val after = StreamingBm25Ingest.serve(spark, root, queries).collect().toSeq
+    assert(after == before,
+      "serve double-counted tf from a replayed postings append")
+  }
+
   test("multi-batch ingest serves sq07's exact top-5; scan pruned to query buckets") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
