@@ -1151,6 +1151,188 @@ object SimilarityQueries {
           .as("recall_at_5"))
   }
 
+  /** DuckDB CTEs for `rounds` fixed Lloyd iterations over the integer
+    * element frame `el(vec_id, i, xq)` starting from `cent0(k, i, c)`:
+    * each round assigns every vector to its nearest centroid by EXACT
+    * BIGINT squared distance (ties → smallest k) and recomputes centroids
+    * by the portable truncating division (abs // n with the sign
+    * reapplied — Spark DIV truncates, DuckDB // floors, they agree on
+    * non-negatives). sq15's unroll move applied to k-means. Ends in
+    * CTEs `cent{rounds}` and the final assignment `aF(vec_id, k)`. */
+  private def lloydSql(rounds: Int): String = {
+    def assign(name: String, cent: String) =
+      s"""d_$name AS (SELECT el.vec_id, c.k,
+         |    SUM((el.xq - c.c) * (el.xq - c.c)) AS dist
+         |  FROM el JOIN $cent c ON el.i = c.i GROUP BY el.vec_id, c.k),
+         |$name AS MATERIALIZED (SELECT vec_id, k FROM (
+         |    SELECT vec_id, k, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, k) AS rn FROM d_$name) WHERE rn = 1)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""${assign(s"a$r", s"cent${r - 1}")},
+         |cent$r AS MATERIALIZED (
+         |  SELECT a.k, el.i,
+         |    CASE WHEN SUM(el.xq) < 0 THEN -(abs(SUM(el.xq)) // COUNT(*))
+         |         ELSE abs(SUM(el.xq)) // COUNT(*) END AS c
+         |  FROM a$r a JOIN el ON a.vec_id = el.vec_id GROUP BY a.k, el.i)""".stripMargin
+    }
+    s"""${steps.mkString(",\n")},
+       |${assign("aF", s"cent$rounds")}""".stripMargin
+  }
+
+  /** sq04's portable twin — the IVF/k-means family's first oracle-HASH-
+    * checked recall, closing the other end of the ANN board (the LSH end
+    * is sq02b): coarse quantizer seeds are the 16 corpus vectors with the
+    * smallest md5(vec_id) (both engines re-derive them — nothing is
+    * handed to the oracle), 3 fixed Lloyd rounds run in EXACT integer
+    * milli-unit arithmetic (elements quantize once via round(x·1000) —
+    * a float32×1000 never lands exactly on .5 — squared distances are
+    * exact BIGINTs, argmin ties break on k, centroid means use the
+    * portable truncating division), queries probe the 6 nearest final
+    * centroids, candidates equi-join on list id, and the exact-cosine
+    * rerank + recall@5 vs in-query brute force reuse sq01/sq02b's
+    * hash-green ranking precedent.
+    *
+    * 100 TB: seed choice is a TakeOrdered top-16 (collected as bounded
+    * model state, the codebook precedent), each Lloyd round is one
+    * corpus-scan groupBy against 16 broadcast centroids, assignment
+    * frames carry (vec_id, k) pairs only, and the probe is the IVF
+    * equi-join on list_id — identical shape to sq04, now replayable. */
+  val sq04bAnnIvfRecallPortable: QueryDef = sqlChecked(
+    "sq04b_ann_ivf_recall_portable",
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |el AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i0 AS INT) AS i,
+       |    CAST(round(v[i0] * 1000) AS BIGINT) AS xq
+       |  FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i0 FROM base)),
+       |seeds AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k
+       |  FROM base),
+       |cent0 AS MATERIALIZED (
+       |  SELECT s.k, el.i, el.xq AS c
+       |  FROM seeds s JOIN el ON s.vec_id = el.vec_id WHERE s.k < 16),
+       |${lloydSql(3)},
+       |pd AS (SELECT el.vec_id AS qid, c.k,
+       |    SUM((el.xq - c.c) * (el.xq - c.c)) AS dist
+       |  FROM el JOIN cent3 c ON el.i = c.i
+       |  WHERE el.vec_id < 20 GROUP BY el.vec_id, c.k),
+       |probes AS (SELECT qid, k FROM (
+       |    SELECT qid, k, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY dist, k) AS rn FROM pd) WHERE rn <= 6),
+       |cand AS MATERIALIZED (
+       |  SELECT p.qid, a.vec_id AS cid
+       |  FROM probes p JOIN aF a ON p.k = a.k WHERE p.qid <> a.vec_id),
+       |ann AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT cand.qid, cand.cid, ROW_NUMBER() OVER (PARTITION BY cand.qid
+       |        ORDER BY list_cosine_similarity(qv.v, cv.v) DESC, cand.cid) AS rank
+       |    FROM cand JOIN base qv ON cand.qid = qv.vec_id
+       |    JOIN base cv ON cand.cid = cv.vec_id)
+       |  WHERE rank <= 5),
+       |bf AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+       |    FROM base q, base c WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= 5),
+       |hits AS (SELECT qid, COUNT(*) AS n_hit
+       |  FROM (SELECT * FROM ann INTERSECT SELECT * FROM bf) GROUP BY qid),
+       |nc AS (SELECT qid, COUNT(*) AS n_cand FROM cand GROUP BY qid),
+       |nl AS (SELECT COUNT(DISTINCT k) AS n_lists FROM aF),
+       |qs AS (SELECT vec_id AS qid FROM base WHERE vec_id < 20)
+       |SELECT COUNT(*) AS n_queries, nl.n_lists, CAST(6 AS BIGINT) AS n_probes,
+       |  CAST(SUM(COALESCE(n_cand, 0)) AS DOUBLE) / COUNT(*) AS avg_candidates,
+       |  CAST(SUM(COALESCE(n_hit, 0)) AS DOUBLE) / (5 * COUNT(*)) AS recall_at_5
+       |FROM qs LEFT JOIN nc USING (qid) LEFT JOIN hits USING (qid), nl
+       |GROUP BY nl.n_lists""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val K = 16; val Rounds = 3; val NProbe = 6
+    val emb0 = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    val el = emb0
+      .select($"vec_id", posexplode(transform($"v", x =>
+        round(x * 1000).cast("long"))).as(Seq("i0", "xq")))
+      .select($"vec_id", ($"i0" + 1).cast("int").as("i"), $"xq")
+      .cache()
+    // seeds: TakeOrdered top-16 by md5(vec_id) — bounded model state
+    val seedIds = emb0.select($"vec_id", md5($"vec_id".cast("string")).as("h"))
+      .orderBy($"h", $"vec_id").limit(K)
+      .collect().map(_.getLong(0)).zipWithIndex
+    val seeds = seedIds.map { case (id, k) => (id, k) }.toSeq.toDF("svid", "k")
+    var cent = el.join(broadcast(seeds), $"vec_id" === $"svid")
+      .select($"k", $"i", $"xq".as("c"))
+      .localCheckpoint()
+    def assign(c: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy($"vec_id").orderBy($"dist", $"k")
+      el.join(broadcast(c.select($"k", $"i".as("ci"), $"c")), $"i" === $"ci")
+        .groupBy($"vec_id", $"k")
+        .agg(sum(($"xq" - $"c") * ($"xq" - $"c")).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"k")
+    }
+    for (_ <- 1 to Rounds) {
+      val a = assign(cent)
+      cent = a.join(el, Seq("vec_id"))
+        .groupBy($"k", $"i")
+        .agg(sum($"xq").as("s"), count(lit(1)).as("n"))
+        .select($"k", $"i",
+          when($"s" < 0, -expr("abs(s) DIV n")).otherwise(expr("abs(s) DIV n"))
+            .as("c"))
+        .localCheckpoint()
+    }
+    val aF = assign(cent).localCheckpoint()
+    // probe: 6 nearest final centroids per query, then the IVF equi-join
+    val wP = Window.partitionBy($"qid").orderBy($"dist", $"k")
+    val probes = el.filter($"vec_id" < 20)
+      .withColumnRenamed("vec_id", "qid")
+      .join(broadcast(cent.select($"k", $"i".as("ci"), $"c")), $"i" === $"ci")
+      .groupBy($"qid", $"k")
+      .agg(sum(($"xq" - $"c") * ($"xq" - $"c")).as("dist"))
+      .withColumn("rn", row_number().over(wP))
+      .filter($"rn" <= NProbe)
+      .select($"qid", $"k")
+    val cand = probes.join(aF.select($"vec_id".as("cid"), $"k"), Seq("k"))
+      .filter($"qid" =!= $"cid")
+      .select($"qid", $"cid")
+    val wAnn = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val ann = cand
+      .join(broadcast(emb0.filter($"vec_id" < 20)
+        .select($"vec_id".as("qid"), $"v".as("qv"))), Seq("qid"))
+      .join(emb0.select($"vec_id".as("cid"), $"v".as("cv")), Seq("cid"))
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wAnn))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val wBf = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val bf = broadcast(
+        emb0.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv")))
+      .join(emb0.select($"vec_id".as("cid"), $"v".as("cv")), $"qid" =!= $"cid")
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wBf))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val hits = ann.intersect(bf).groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+    val nc = cand.groupBy($"qid").agg(count(lit(1)).as("n_cand"))
+    val nl = aF.agg(countDistinct($"k").as("n_lists"))
+    emb0.filter($"vec_id" < 20).select($"vec_id".as("qid"))
+      .join(nc, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .crossJoin(broadcast(nl))
+      .groupBy($"n_lists")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        lit(6L).as("n_probes"),
+        (sum(coalesce($"n_cand", lit(0L))).cast("double") / count(lit(1)))
+          .as("avg_candidates"),
+        (sum(coalesce($"n_hit", lit(0L))).cast("double") / (count(lit(1)) * 5))
+          .as("recall_at_5"))
+      .select($"n_queries", $"n_lists", $"n_probes",
+        $"avg_candidates", $"recall_at_5")
+  }
+
   /** OPQ — Optimized Product Quantization (Ge et al. 2014, the
     * parametric OPQ-P solution): rotate the space BEFORE sq09's product
     * quantizer so the per-subspace variances balance, closing the loop
@@ -1477,5 +1659,5 @@ object SimilarityQueries {
     sq05bEmbeddingNearDupPortable, sq02bAnnLshRecallPortable,
     sq11HardNegatives, sq12MmrRerank, sq13EmbeddingAudit,
     sq14AnnStoredIndexSearch, sq15PcaPower, sq16MatryoshkaAudit,
-    sq17AnnOpqRecall, sq19WhiteningAudit)
+    sq17AnnOpqRecall, sq19WhiteningAudit, sq04bAnnIvfRecallPortable)
 }
