@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.QueryDef.sqlChecked
+import graft.QueryDef.{rowsOnly, sqlChecked}
 import graft.operators.TopKPerGroup
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
@@ -307,20 +307,23 @@ object RetrievalQueries {
     buildAndServeBm25(spark, dir)
   }
 
-  /** sq18's body, callable from StoredBm25Spec with the scratch root
-    * surfaced (the spec asserts plan pruning over the stored layout). */
-  def buildAndServeBm25(spark: org.apache.spark.sql.SparkSession, dir: String,
-      rootOut: Option[String] = None): org.apache.spark.sql.DataFrame = {
+  /** sq18's fixed request battery (also sq07's). */
+  private def bm25Requests(spark: org.apache.spark.sql.SparkSession) = {
     import spark.implicits._
-    val k1 = 1.2
-    val b = 0.75
-    val NB = 64
-    val queries = Seq(
+    Seq(
       (1L, "spark"), (1L, "window"), (1L, "agg"),
       (2L, "customer"), (2L, "query"), (2L, "join"),
       (3L, "fast"), (3L, "scan"),
       (4L, "stream"), (4L, "batch"),
       (5L, "sort"), (5L, "merge"), (5L, "table")).toDF("qid", "term")
+  }
+
+  /** BUILD phase: denormalized postings bucketed 64-way by term hash +
+    * the one-row stats table, written under `root`. */
+  def buildBm25(spark: org.apache.spark.sql.SparkSession, dir: String,
+      root: String): Unit = {
+    import spark.implicits._
+    val NB = 64
     val dl = Tables.documents(spark, dir)
       .select($"doc_id",
         regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0)).as("toks"))
@@ -330,15 +333,32 @@ object RetrievalQueries {
       .groupBy($"doc_id", $"term", $"dl")
       .agg(count(lit(1)).as("tf"))
     val dfreq = tfc.groupBy($"term").agg(count(lit(1)).as("df"))
-    // BUILD: denormalized postings, one directory per term-hash bucket
-    val root = rootOut.getOrElse(graft.util.Scratch.tempDir("graft-sq18"))
     tfc.join(dfreq, Seq("term"))
       .withColumn("bkt", pmod(xxhash64($"term"), lit(NB)))
       .write.partitionBy("bkt").mode("overwrite").parquet(root + "/postings")
     dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
       .write.mode("overwrite").parquet(root + "/stats")
-    // SERVE: the query's buckets are a bounded driver-side list — the
-    // literal IN below is what becomes the scan's PartitionFilter
+  }
+
+  /** sq18's body, callable from StoredBm25Spec with the scratch root
+    * surfaced (the spec asserts plan pruning over the stored layout). */
+  def buildAndServeBm25(spark: org.apache.spark.sql.SparkSession, dir: String,
+      rootOut: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val queries = bm25Requests(spark)
+    val root = rootOut.getOrElse(graft.util.Scratch.tempDir("graft-sq18"))
+    buildBm25(spark, dir, root)
+    serveBm25(spark, root, queries)
+  }
+
+  /** SERVE phase over a built root: the request terms' buckets are a
+    * bounded driver-side list — the literal IN becomes the postings
+    * scan's PartitionFilter (≤ |terms| of the 64 dirs open). */
+  def serveBm25(spark: org.apache.spark.sql.SparkSession, root: String,
+      queries: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val k1 = 1.2
+    val b = 0.75
+    val NB = 64
     val qb = queries.withColumn("bkt", pmod(xxhash64($"term"), lit(NB)))
     val buckets = qb.select($"bkt").distinct().as[Long].collect().sorted
     val post = spark.read.parquet(root + "/postings")
@@ -361,6 +381,40 @@ object RetrievalQueries {
       .orderBy($"qid", $"rnk")
   }
 
+  /** Build-vs-serve latency split for the stored BM25 index — the
+    * measurement sq18's hash-green round trip can't carry (timings are
+    * machine-dependent; adding them to sq18 would break its oracle
+    * hash). Builds ONCE into scratch (timed), then serves each of the 5
+    * requests INDEPENDENTLY — one pruned scan per request, forced to
+    * completion — and reports per-request serving ms. The served union
+    * must equal sq07's in-memory computation row for row
+    * (`matches_batch` = 25 proves the timed path is the correct one).
+    *
+    * 100 TB: build cost scales with corpus bytes ONCE; each request's
+    * cost is |terms|/64 of the postings regardless of corpus size —
+    * the split is exactly what this row now records. */
+  val sq18bBm25ServingLatency: QueryDef = rowsOnly("sq18b_bm25_serving_latency") { (spark, dir) =>
+    import spark.implicits._
+    val root = graft.util.Scratch.tempDir("graft-sq18b")
+    val tBuild0 = System.nanoTime()
+    buildBm25(spark, dir, root)
+    val buildS = (System.nanoTime() - tBuild0) / 1e9
+    val reqs = bm25Requests(spark).as[(Long, String)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val tServe0 = System.nanoTime()
+    val served = reqs.map { case (_, terms) =>
+      serveBm25(spark, root, terms.toSeq.toDF("qid", "term")).collect()
+    }
+    val serveMs = (System.nanoTime() - tServe0) / 1e6 / reqs.length
+    val expected = sq07Bm25TopK.fn(spark, dir).collect()
+    val matches = served.flatten.toSet.intersect(expected.toSet).size
+    Seq((reqs.length.toLong, math.round(buildS * 1000) / 1000.0,
+        math.round(serveMs * 10) / 10.0, served.map(_.length).sum.toLong,
+        matches.toLong))
+      .toDF("n_requests", "build_s", "serve_ms_per_query",
+        "rows_served", "matches_batch")
+  }
+
   val all: Seq[QueryDef] = Seq(sq07Bm25TopK, sq08PhraseSearch,
-    tq19TextrankKeywords, sq18Bm25StoredServing)
+    tq19TextrankKeywords, sq18Bm25StoredServing, sq18bBm25ServingLatency)
 }

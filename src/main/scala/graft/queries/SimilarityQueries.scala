@@ -728,16 +728,20 @@ object SimilarityQueries {
     *
     * 100 TB: the index build is the maintenance stream (stateless
     * map-side encode, scales with arrival rate); a serving request's
-    * cost is nprobe/L of the codes bytes regardless of corpus size —
-    * the bench timing here deliberately INCLUDES the full build, so the
-    * serving-only cost is far below the recorded number.
-    * rowsOnly: codebooks are engine-side seeded k-means, not portable
-    * SQL; recall + the plan property are spec'd instead. */
+    * cost is nprobe/L of the codes bytes regardless of corpus size.
+    * The output row SPLITS the two: `build_s` is codebook training +
+    * stream ingest (one-time), `serve_ms_per_query` is the measured
+    * per-request cost of the ADC shortlist from the stored table — the
+    * pruned-scan path the index exists for (rerank/recall arithmetic is
+    * the measurement harness, not serving cost). rowsOnly: codebooks are
+    * engine-side seeded k-means, not portable SQL; recall + the plan
+    * property are spec'd instead (timings vary by machine, by design). */
   val sq14AnnStoredIndexSearch: QueryDef = rowsOnly("sq14_ann_stored_index_search") { (spark, dir) =>
     import spark.implicits._
     val M = 8; val sub = 8; val K = 16; val L = 32; val NPROBE = 10
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val tBuild0 = System.nanoTime()
     // frozen quantizers — sq10's exact training recipe and seeds, so the
     // stored index equals sq10's in-memory build code-for-code
     val sample = emb.orderBy($"vec_id").limit(20000)
@@ -760,13 +764,21 @@ object SimilarityQueries {
         coarseSeq, cb, sub, root + "/codes", root + "/ckpt",
         Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       .awaitTermination()
-    // 2. eight serving requests, each its own partition-pruned scan
+    val buildS = (System.nanoTime() - tBuild0) / 1e9
+    // 2. eight serving requests, each its own partition-pruned scan —
+    // TIMED per request, each forced to completion (cache + count) so
+    // serve_ms_per_query is the stored-index shortlist cost alone
     val reqs = emb.filter($"vec_id" < 8).as[(Long, Seq[Double])]
       .collect().sortBy(_._1).map { case (id, v) => (id, v.toArray) }
-    val shortlist = reqs.map { case (qid, qv) =>
-        graft.similarity.StoredIndex.serve(
-          spark, root + "/codes", qid, qv, coarseSeq, cb, sub, NPROBE, 100)
-      }.reduce(_ unionByName _)
+    val tServe0 = System.nanoTime()
+    val shortlists = reqs.map { case (qid, qv) =>
+      val s = graft.similarity.StoredIndex.serve(
+        spark, root + "/codes", qid, qv, coarseSeq, cb, sub, NPROBE, 100).cache()
+      s.count()
+      s
+    }
+    val serveMs = (System.nanoTime() - tServe0) / 1e6 / reqs.length
+    val shortlist = shortlists.reduce(_ unionByName _)
     // 3. exact rerank + recall vs brute force (sq10's closing shape)
     val wRr = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
     val ann = shortlist
@@ -792,7 +804,9 @@ object SimilarityQueries {
         lit(L).as("n_lists"),
         lit(NPROBE).as("n_probes"),
         lit(NPROBE.toDouble / L).as("scan_fraction"),
-        avg(coalesce($"n_hit", lit(0)) / $"n_bf").as("recall_at_5"))
+        avg(coalesce($"n_hit", lit(0)) / $"n_bf").as("recall_at_5"),
+        round(lit(buildS), 3).as("build_s"),
+        round(lit(serveMs), 1).as("serve_ms_per_query"))
   }
 
   /** sq05's portable twin (the dq03b pattern for embeddings): the

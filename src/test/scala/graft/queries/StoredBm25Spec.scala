@@ -34,4 +34,17 @@ class StoredBm25Spec extends AnyFunSuite {
     assert(served.collect().toSeq == direct.collect().toSeq,
       "stored-index serving diverged from the direct BM25 computation")
   }
+
+  test("sq18b splits build from serve and the timed serve path is the correct one") {
+    val row = RetrievalQueries.sq18bBm25ServingLatency
+      .fn(spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Long]("n_requests") == 5L)
+    assert(row.getAs[Long]("rows_served") == 25L)
+    assert(row.getAs[Long]("matches_batch") == 25L,
+      "per-request serving diverged from the batch computation")
+    val buildS = row.getAs[Double]("build_s")
+    val serveMs = row.getAs[Double]("serve_ms_per_query")
+    assert(buildS > 0 && serveMs > 0)
+    info(f"BM25 stored index: build $buildS%.2f s once, serve $serveMs%.0f ms/request")
+  }
 }
