@@ -402,6 +402,13 @@ object SimilarityQueries {
     * this partition pruning; 12/16 of the corpus is never scanned) —
     * ADC-shortlist 50 deep, exact-rerank only the shortlist.
     *
+    * The SHIPPED encode rotates residuals per OPQ (sq17's rotation
+    * composed inside IVF — the FAISS `OPQ..,IVF..,PQ..` chain): the
+    * same 32 bits buy more recall when per-subspace residual variances
+    * balance (measured 0.65 → 0.71 at sf0.01, scan fraction identical),
+    * and the row carries the unrotated arm as `recall_at_5_unrotated`
+    * so the gain stays an in-row A/B, not a claim.
+    *
     * rowsOnly: codebooks are engine-side seeded k-means, not portable
     * SQL; the self-validating metric is recall@5 vs the in-query exact
     * brute force (floor spec'd in PqRecallSpec). */
@@ -437,53 +444,17 @@ object SimilarityQueries {
       val cc = coarse(nearestCoarse(p))
       Array.tabulate(p.length)(i => p(i) - cc(i))
     }
-    val cb: Seq[Seq[Seq[Double]]] = graft.similarity.Pq.trainSubspaces(resSample, M, sub, K)
+    // OPQ arm: rotate residuals before the subspace split (Ge et al.
+    // 2014 inside IVF — the FAISS OPQ..,IVF..,PQ.. chain); coarse
+    // routing stays on raw vectors, so scan fraction is IDENTICAL in
+    // both arms. Codebooks per arm train on that arm's residual space.
+    val rot = graft.similarity.Pq.trainOpqRotation(resSample, M, sub)
+    val cbPlain: Seq[Seq[Seq[Double]]] =
+      graft.similarity.Pq.trainSubspaces(resSample, M, sub, K)
+    val cbRot: Seq[Seq[Seq[Double]]] = graft.similarity.Pq.trainSubspaces(
+      resSample.map(graft.similarity.Pq.rotateVec(_, rot)), M, sub, K)
     def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
-    // corpus: coarse-assign + residual + per-subspace encode — the
-    // SHARED frozen-quantizer projection (similarity/Pq.ivfPqEncode),
-    // identical on the batch index build here and the streaming
-    // incremental maintenance path (streaming/StreamingIndexIngest)
-    val codes = graft.similarity.Pq
-      .ivfPqEncode(emb, coarse.map(_.toSeq).toSeq, cb, sub)
-      .select(($"vec_id".as("cid") +: $"list_id" +: (0 until M).map(m => col(s"c$m"))): _*)
-    def subDist(vCol: org.apache.spark.sql.Column, m: Int) =
-      transform(typedlit(cb(m)), c =>
-        aggregate(zip_with(slice(vCol, m * sub + 1, sub), c,
-          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
-    // queries: NPROBE nearest lists, then one LUT per (query, list) from
-    // the query residual w.r.t. that list's centroid
-    val wProbe = Window.partitionBy($"qid").orderBy($"cdist".asc, $"list_id")
-    val centroidsDf = coarse.toSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toDF("list_id", "centroid")
-    val probes = emb.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv"))
-      .crossJoin(broadcast(centroidsDf))
-      .withColumn("cdist", sqd($"qv", $"centroid"))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter($"prank" <= NPROBE)
-      .withColumn("qres", zip_with($"qv", $"centroid", (x, y) => x - y))
-      .select($"qid", $"list_id", $"qres")
-    val luts = (0 until M).foldLeft(probes) { (df, m) =>
-      df.withColumn(s"lut$m", subDist($"qres", m))
-    }.drop("qres")
-    val adc = (0 until M).map(m =>
-      element_at(col(s"lut$m"), col(s"c$m") + 1)).reduce(_ + _)
-    // equi-join ON list_id: only probed lists' codes are touched
-    val wAdc = Window.partitionBy($"qid").orderBy($"adc".asc, $"cid")
-    val shortlist = broadcast(luts).join(codes, Seq("list_id"))
-      .filter($"qid" =!= $"cid")
-      .withColumn("adc", adc)
-      .withColumn("srank", row_number().over(wAdc))
-      .filter($"srank" <= 50)
-      .select($"qid", $"cid")
-    val wRr = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    val ann = shortlist
-      .join(emb.select($"vec_id".as("qid"), $"v".as("qv")), Seq("qid"))
-      .join(emb.select($"vec_id".as("cid"), $"v".as("cv")), Seq("cid"))
-      .withColumn("cos", cosine($"qv", $"cv"))
-      .withColumn("rank", row_number().over(wRr))
-      .filter($"rank" <= 5)
-      .select($"qid", $"cid")
     val wBf = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
     val bf = broadcast(
         emb.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv")))
@@ -492,9 +463,67 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(wBf))
       .filter($"rank" <= 5)
       .select($"qid", $"cid")
-    val hits = ann.intersect(bf).groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+      .cache()
+    // one arm = sq10's full encode→probe→LUT→ADC→rerank pipeline under a
+    // given (codebooks, optional rotation); both arms share bf
+    def armHits(cb: Seq[Seq[Seq[Double]]],
+        rotOpt: Option[Seq[Seq[Double]]]): org.apache.spark.sql.DataFrame = {
+      // corpus: coarse-assign + residual (+ rotation) + per-subspace
+      // encode — the SHARED frozen-quantizer projection
+      // (similarity/Pq.ivfPqEncode), identical on the batch index build
+      // here and the streaming maintenance path (StreamingIndexIngest)
+      val codes = graft.similarity.Pq
+        .ivfPqEncode(emb, coarse.map(_.toSeq).toSeq, cb, sub, rotOpt)
+        .select(($"vec_id".as("cid") +: $"list_id" +: (0 until M).map(m => col(s"c$m"))): _*)
+      def subDist(vCol: org.apache.spark.sql.Column, m: Int) =
+        transform(typedlit(cb(m)), c =>
+          aggregate(zip_with(slice(vCol, m * sub + 1, sub), c,
+            (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+      // queries: NPROBE nearest lists, then one LUT per (query, list)
+      // from the query residual w.r.t. that list's centroid — rotated
+      // exactly like the stored residuals when the arm rotates
+      val wProbe = Window.partitionBy($"qid").orderBy($"cdist".asc, $"list_id")
+      val centroidsDf = coarse.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toDF("list_id", "centroid")
+      val rawQres = zip_with($"qv", $"centroid", (x, y) => x - y)
+      val probes = emb.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"v".as("qv"))
+        .crossJoin(broadcast(centroidsDf))
+        .withColumn("cdist", sqd($"qv", $"centroid"))
+        .withColumn("prank", row_number().over(wProbe))
+        .filter($"prank" <= NPROBE)
+        .withColumn("qres",
+          rotOpt.fold(rawQres)(r => graft.similarity.Pq.rotateCol(rawQres, r)))
+        .select($"qid", $"list_id", $"qres")
+      val luts = (0 until M).foldLeft(probes) { (df, m) =>
+        df.withColumn(s"lut$m", subDist($"qres", m))
+      }.drop("qres")
+      val adc = (0 until M).map(m =>
+        element_at(col(s"lut$m"), col(s"c$m") + 1)).reduce(_ + _)
+      // equi-join ON list_id: only probed lists' codes are touched
+      val wAdc = Window.partitionBy($"qid").orderBy($"adc".asc, $"cid")
+      val shortlist = broadcast(luts).join(codes, Seq("list_id"))
+        .filter($"qid" =!= $"cid")
+        .withColumn("adc", adc)
+        .withColumn("srank", row_number().over(wAdc))
+        .filter($"srank" <= 50)
+        .select($"qid", $"cid")
+      val wRr = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+      shortlist
+        .join(emb.select($"vec_id".as("qid"), $"v".as("qv")), Seq("qid"))
+        .join(emb.select($"vec_id".as("cid"), $"v".as("cv")), Seq("cid"))
+        .withColumn("cos", cosine($"qv", $"cv"))
+        .withColumn("rank", row_number().over(wRr))
+        .filter($"rank" <= 5)
+        .select($"qid", $"cid")
+        .intersect(bf)
+    }
+    val hitsOpq = armHits(cbRot, Some(rot))
+      .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+    val hitsPlain = armHits(cbPlain, None)
+      .groupBy($"qid").agg(count(lit(1)).as("n_p"))
     bf.groupBy($"qid").agg(count(lit(1)).as("n_bf"))
-      .join(hits, Seq("qid"), "left")
+      .join(hitsOpq, Seq("qid"), "left")
+      .join(hitsPlain, Seq("qid"), "left")
       .agg(
         count(lit(1)).as("n_queries"),
         lit(L).as("n_lists"),
@@ -502,7 +531,8 @@ object SimilarityQueries {
         lit(M).as("m_subspaces"),
         lit(M * 4).as("bits_per_vec"),
         (lit(NPROBE.toDouble) / lit(L.toDouble)).as("scan_fraction"),
-        avg(coalesce($"n_hit", lit(0)) / $"n_bf").as("recall_at_5"))
+        avg(coalesce($"n_hit", lit(0)) / $"n_bf").as("recall_at_5"),
+        avg(coalesce($"n_p", lit(0)) / $"n_bf").as("recall_at_5_unrotated"))
   }
 
   /** Hard-negative mining for contrastive / embedding training — per
@@ -752,7 +782,12 @@ object SimilarityQueries {
       val cc = coarse(graft.similarity.StoredIndex.probeLists(p, coarseSeq, 1).head)
       Array.tabulate(p.length)(i => p(i) - cc(i))
     }
-    val cb = graft.similarity.Pq.trainSubspaces(resSample, M, sub, K)
+    // sq10's OPQ arm applied to the STORED path: rotate residuals before
+    // the subspace split at encode time AND in every serving LUT —
+    // coarse routing (and so partition pruning) is untouched
+    val rot = graft.similarity.Pq.trainOpqRotation(resSample, M, sub)
+    val cb = graft.similarity.Pq.trainSubspaces(
+      resSample.map(graft.similarity.Pq.rotateVec(_, rot)), M, sub, K)
     // 1. build the stored table THROUGH the maintenance stream: vectors
     // arrive as a file stream; codes land under root/codes, one
     // directory per list_id
@@ -762,7 +797,8 @@ object SimilarityQueries {
     graft.streaming.StreamingIndexIngest.start(
         spark.readStream.schema(vecsSchema).parquet(root + "/vecs"),
         coarseSeq, cb, sub, root + "/codes", root + "/ckpt",
-        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+        rot = Some(rot))
       .awaitTermination()
     val buildS = (System.nanoTime() - tBuild0) / 1e9
     // 2. eight serving requests, each its own partition-pruned scan —
@@ -773,7 +809,8 @@ object SimilarityQueries {
     val tServe0 = System.nanoTime()
     val shortlists = reqs.map { case (qid, qv) =>
       val s = graft.similarity.StoredIndex.serve(
-        spark, root + "/codes", qid, qv, coarseSeq, cb, sub, NPROBE, 100).cache()
+        spark, root + "/codes", qid, qv, coarseSeq, cb, sub, NPROBE, 100,
+        rot = Some(rot)).cache()
       s.count()
       s
     }

@@ -70,6 +70,51 @@ object Pq {
   private def sqd(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
+  /** OPQ rotation for the RESIDUAL space (Ge et al. 2014 applied inside
+    * IVF, the FAISS `OPQ..,IVF..,PQ..` chain): eigendecompose the
+    * residual scatter Σrrᵀ (deterministic cyclic Jacobi — sq17's
+    * machinery) and deal eigenvalues onto subspace buckets so per-bucket
+    * log-variances balance. Rows of the result are the allocated
+    * eigenvectors; apply with [[rotateCol]] (engine) or [[rotateVec]]
+    * (driver, for query residuals). No centering: a shared translation
+    * cancels in every LUT distance, and residuals are near zero-mean by
+    * construction. */
+  def trainOpqRotation(resSample: IndexedSeq[Array[Double]], m: Int,
+      sub: Int): Seq[Seq[Double]] = {
+    val d = resSample.head.length
+    val scatter = Array.ofDim[Double](d, d)
+    resSample.foreach { r =>
+      var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { scatter(i)(j) += r(i) * r(j); j += 1 }
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < d) {
+      var j = i + 1
+      while (j < d) { scatter(j)(i) = scatter(i)(j); j += 1 }
+      i += 1
+    }
+    val (evals, evecs) = Eig.jacobiSym(scatter)
+    Eig.eigenAllocation(evals, m, sub).map(evecs(_).toSeq)
+  }
+
+  /** x' = R·x as a codegen'd dense matvec (d² flops/row, the standard
+    * OPQ serving cost, fused into the same scan as the encode). */
+  def rotateCol(v: Column, rot: Seq[Seq[Double]]): Column =
+    transform(typedlit(rot), r =>
+      aggregate(zip_with(r, v, _ * _), lit(0.0), _ + _))
+
+  /** Driver-side twin of [[rotateCol]] for query residuals. */
+  def rotateVec(v: Array[Double], rot: Seq[Seq[Double]]): Array[Double] =
+    Array.tabulate(rot.length) { i =>
+      val r = rot(i); var s = 0.0; var j = 0
+      while (j < v.length) { s += r(j) * v(j); j += 1 }
+      s
+    }
+
   /** IVF-PQ encode as a pure COLUMN projection over frozen quantizers —
     * the shared arithmetic of the batch index build (sq10) and the
     * streaming incremental maintenance path: coarse-assign each vector
@@ -82,16 +127,21 @@ object Pq {
     * projection (inlining it into both array_position and array_min
     * would double the K×subdim arithmetic per row). */
   def ivfPqEncode(vecs: DataFrame, coarse: Seq[Seq[Double]],
-      cb: Seq[Seq[Seq[Double]]], sub: Int): DataFrame = {
+      cb: Seq[Seq[Seq[Double]]], sub: Int,
+      rot: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val m = cb.length
     val coarseLit = typedlit(coarse)
     def subDist(vCol: Column, mi: Int) =
       transform(typedlit(cb(mi)), c => sqd(slice(vCol, mi * sub + 1, sub), c))
+    val rawRes = zip_with(col("v"), element_at(coarseLit, col("list_id") + 1),
+      (x, y) => x - y)
     val assigned = vecs
       .withColumn("cd", transform(coarseLit, c => sqd(col("v"), c)))
       .withColumn("list_id", (array_position(col("cd"), array_min(col("cd"))) - 1).cast("int"))
       .drop("cd")
-      .withColumn("res", zip_with(col("v"), element_at(coarseLit, col("list_id") + 1), (x, y) => x - y))
+      // OPQ seam: rotate the residual BEFORE the subspace split — coarse
+      // routing stays on raw vectors, so scan fraction is untouched
+      .withColumn("res", rot.fold(rawRes)(r => rotateCol(rawRes, r)))
     (0 until m).foldLeft(assigned) { (df, mi) =>
         df.withColumn(s"d$mi", subDist(col("res"), mi))
           .withColumn(s"c$mi",

@@ -36,9 +36,13 @@ object StoredIndex {
     * w.r.t. THAT list's centroid — the residual detail that distinguishes
     * IVF-PQ from flat PQ (see sq10's scaladoc). */
   def luts(qv: Array[Double], list: Int, coarse: Seq[Seq[Double]],
-      cb: Seq[Seq[Seq[Double]]], sub: Int): Seq[Seq[Double]] = {
+      cb: Seq[Seq[Seq[Double]]], sub: Int,
+      rot: Option[Seq[Seq[Double]]] = None): Seq[Seq[Double]] = {
     val c = coarse(list)
-    val res = Array.tabulate(qv.length)(i => qv(i) - c(i))
+    val raw = Array.tabulate(qv.length)(i => qv(i) - c(i))
+    // OPQ seam: the query residual rotates exactly like the stored codes'
+    // residuals did at encode time (Pq.ivfPqEncode's rot parameter)
+    val res = rot.fold(raw)(r => graft.similarity.Pq.rotateVec(raw, r))
     cb.indices.map { m =>
       val rs = res.slice(m * sub, (m + 1) * sub)
       cb(m).map(e => sqdist(rs, e))
@@ -51,10 +55,11 @@ object StoredIndex {
     * vectors, which live outside the codes table. */
   def serve(spark: SparkSession, codesDir: String, qid: Long,
       qv: Array[Double], coarse: Seq[Seq[Double]], cb: Seq[Seq[Seq[Double]]],
-      sub: Int, nprobe: Int, depth: Int): DataFrame = {
+      sub: Int, nprobe: Int, depth: Int,
+      rot: Option[Seq[Seq[Double]]] = None): DataFrame = {
     import spark.implicits._
     val lists = probeLists(qv, coarse, nprobe)
-    val lutDf = lists.map(l => (qid, l, luts(qv, l, coarse, cb, sub)))
+    val lutDf = lists.map(l => (qid, l, luts(qv, l, coarse, cb, sub, rot)))
       .toDF("qid", "list_id", "luts")
     // literal IN over the partition column → PartitionFilters: only the
     // probed lists' directories are ever read

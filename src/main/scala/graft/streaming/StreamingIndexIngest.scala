@@ -29,8 +29,9 @@ object StreamingIndexIngest {
     * one directory per list_id. */
   def start(vecs: DataFrame, coarse: Seq[Seq[Double]], cb: Seq[Seq[Seq[Double]]],
       sub: Int, outDir: String, checkpointDir: String,
-      trigger: Option[Trigger] = None): StreamingQuery = {
-    val writer = Pq.ivfPqEncode(vecs, coarse, cb, sub).writeStream
+      trigger: Option[Trigger] = None,
+      rot: Option[Seq[Seq[Double]]] = None): StreamingQuery = {
+    val writer = Pq.ivfPqEncode(vecs, coarse, cb, sub, rot).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         batch.drop("v").withColumn("batch_id", lit(batchId))

@@ -47,11 +47,18 @@ class PqRecallSpec extends AnyFunSuite {
     assert(row.getAs[Double]("scan_fraction") == 0.3125,
       "over 2/3 of the corpus codes must never be scanned")
     val recall = row.getAs[Double]("recall_at_5")
+    val unrotated = row.getAs[Double]("recall_at_5_unrotated")
     // probing 10/32 lists caps attainable recall below flat PQ (routing
     // misses are unrecoverable; sq09's 100%-scan recall is the ceiling);
     // finer cells beat the old 4/16 setting at comparable scan fraction
     // because residual-PQ budget goes further on lower within-cell
-    // variance (measured: 0.53 at 4/16, 0.65 at 8/32)
+    // variance (measured: 0.53 at 4/16, 0.65 at 8/32). The shipped path
+    // now rotates residuals per OPQ: 0.65 → 0.71 at sf0.01, 0.67 → 0.68
+    // here at sf0.001, scan fraction identical — the rotated arm must
+    // never fall below the unrotated one on the deterministic fixture
     assert(recall >= 0.65, s"recall_at_5 $recall below floor")
+    assert(recall >= unrotated,
+      s"OPQ arm $recall fell below unrotated $unrotated at equal scan")
+    info(f"IVF-PQ recall: OPQ $recall%.2f vs unrotated $unrotated%.2f at scan 0.3125")
   }
 }
