@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.QueryDef.{rowsOnly, sqlChecked}
-import graft.multimodal.{Decode, EbmlProbe, Mp4Probe}
+import graft.multimodal.{Decode, EbmlProbe, Mp4Probe, PHash}
 import graft.sources.Tables
 import graft.util.Num._
 import org.apache.spark.sql.functions._
@@ -1261,6 +1261,78 @@ object TextQueries {
     * literal nf → sampled-index lattice and recomputes each frame's gray
     * arithmetically — hash match proves index selection AND per-frame
     * decode. */
+  /** Perceptual image NEAR-duplicate detection — the content-level image
+    * dedup a training pipeline needs where dq01's byte digests see
+    * nothing (a resize or JPEG re-encode changes every byte but not the
+    * picture). Per document id, a DISTINCT deterministic smooth random
+    * field is encoded ([[graft.multimodal.PHash.encodePattern]], seeded
+    * by id — broad low-frequency spectra, the natural-image shape pHash
+    * is built for); every 3rd image gains a bilinear-RESIZED variant
+    * (64×48 → 44×34, tq35's real JDK path) and every 5th a lossy JPEG
+    * re-encode — the planted ground truth, keyed by shared orig_id.
+    * DCT pHash fingerprints every asset map-side; candidates come ONLY
+    * from dq04's Hamming-band equi-join (8 bands × 8 bits — pigeonhole-
+    * complete for d ≤ 7, never all-pairs); verification is one
+    * bit_count(xor) per candidate at the same d ≤ 7 threshold. The row
+    * is the planted proof: every same-orig pair found, zero cross-
+    * pattern false positives, max within-group Hamming reported.
+    *
+    * 100 TB: hash+encode are map-only per asset; the shuffle carries
+    * (asset_id, 8-byte hash) band keys; verification touches candidate
+    * pairs only. rowsOnly: JDK raster/JPEG bytes are not reproducible in
+    * SQL; the planted proof + PHashSpec's Hamming properties are the
+    * check. */
+  val tq43ImagePhashNearDup: QueryDef = rowsOnly("tq43_image_phash_neardup") { (spark, dir) =>
+    import spark.implicits._
+    val hashed = Tables.documents(spark, dir)
+      .filter($"doc_id" < 180).select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val orig = PHash.encodePattern(64, 48, seed = id)
+        val variants =
+          Seq((id, orig)) ++
+            (if (id % 3 == 0)
+              Decode.resizeImage(orig, 44, 34).map(p => (id + 100000L, p))
+            else None) ++
+            (if (id % 5 == 0)
+              Some((id + 200000L, PHash.encodePattern(64, 48, seed = id, "jpg")))
+            else None)
+        variants.flatMap { case (aid, p) =>
+          PHash.phash(p).map(h => (aid, id, h))
+        }
+      }).toDF("asset_id", "orig_id", "phash")
+      .cache()
+    val banded = hashed.select($"asset_id", $"orig_id", $"phash",
+      explode(array((0 until PHash.Bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"phash", b * PHash.BandBits).bitwiseAND(lit(255L))
+            .as("bits"))): _*)).as("bk"))
+      .select($"asset_id", $"orig_id", $"phash", $"bk.band", $"bk.bits")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
+          $"a.asset_id" < $"b.asset_id")
+      .select($"a.asset_id".as("ida"), $"b.asset_id".as("idb"),
+        $"a.orig_id".as("oa"), $"b.orig_id".as("ob"),
+        $"a.phash".as("ha"), $"b.phash".as("hb"))
+      .distinct()
+    val verified = cand
+      .withColumn("d", bit_count($"ha".bitwiseXOR($"hb")))
+      .filter($"d" <= PHash.MaxHamming)
+      .cache()
+    val expected = hashed.groupBy($"orig_id").agg(count(lit(1)).as("g"))
+      .agg(sum(($"g" * ($"g" - 1)).cast("long") / 2).cast("long")
+        .as("n_dup_pairs_expected"))
+    val candN = cand.agg(count(lit(1)).as("n_candidate_pairs"))
+    hashed.agg(count(lit(1)).as("n_assets"))
+      .crossJoin(broadcast(expected))
+      .crossJoin(broadcast(candN))
+      .crossJoin(broadcast(verified.agg(
+        count(lit(1)).as("n_verified_pairs"),
+        count(when($"oa" === $"ob", 1)).as("n_true_found"),
+        count(when($"oa" =!= $"ob", 1)).as("n_false_positives"),
+        max(when($"oa" === $"ob", $"d")).as("max_true_hamming"))))
+  }
+
   val tq36FrameSample: QueryDef = sqlChecked(
     "tq36_frame_sample",
     """WITH docs AS (
@@ -1445,6 +1517,7 @@ object TextQueries {
     tq17BigramLogprob, tq18VocabGrowth, tq20WeightedSample,
     tq21CompressionRatio, tq21bDeflatePortable, tq22AudioDecode, tq23VideoDecode, tq24Mp4Probe,
     tq25WebmProbe, tq26Mp4Bitrate, tq27WebmBitrate, tq28SourceOverlap,
-    tq33PerplexityBuckets, tq35ImageResize, tq36FrameSample, tq41ZipfSlope,
+    tq33PerplexityBuckets, tq35ImageResize, tq36FrameSample,
+    tq43ImagePhashNearDup, tq41ZipfSlope,
     tq42KneserNey)
 }
