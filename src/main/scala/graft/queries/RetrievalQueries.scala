@@ -381,6 +381,19 @@ object RetrievalQueries {
       .orderBy($"qid", $"rnk")
   }
 
+  /** [[serveBm25]] against the PINNED build of a registered index
+    * ([[graft.ml.IndexLifecycle]] — same contract as
+    * StoredIndex.servePinned): resolve the pointer, serve from that
+    * build's partitioned layout; unpromoted rebuilds stay invisible. */
+  def serveBm25Pinned(spark: org.apache.spark.sql.SparkSession,
+      registryPath: String, indexName: String,
+      queries: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val root = graft.ml.IndexLifecycle.pinnedPath(spark, registryPath, indexName)
+      .getOrElse(throw new IllegalStateException(
+        s"no pinned build for index $indexName — promote one first"))
+    serveBm25(spark, root, queries)
+  }
+
   /** Build-vs-serve latency split for the stored BM25 index — the
     * measurement sq18's hash-green round trip can't carry (timings are
     * machine-dependent; adding them to sq18 would break its oracle

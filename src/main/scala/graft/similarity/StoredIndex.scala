@@ -74,4 +74,20 @@ object StoredIndex {
       .filter($"srank" <= depth)
       .select($"qid", $"vec_id".as("cid"))
   }
+
+  /** [[serve]] against the PINNED build of a registered index
+    * ([[graft.ml.IndexLifecycle]]): production serving never hard-codes
+    * an index path — it resolves the registry pointer, so a rebuild
+    * stays invisible until promoted and a bad promote is one rollback
+    * away. Throws when nothing is pinned (serving from "latest build"
+    * silently would defeat the pin). */
+  def servePinned(spark: SparkSession, registryPath: String, indexName: String,
+      qid: Long, qv: Array[Double], coarse: Seq[Seq[Double]],
+      cb: Seq[Seq[Seq[Double]]], sub: Int, nprobe: Int, depth: Int,
+      rot: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val root = graft.ml.IndexLifecycle.pinnedPath(spark, registryPath, indexName)
+      .getOrElse(throw new IllegalStateException(
+        s"no pinned build for index $indexName — promote one first"))
+    serve(spark, root, qid, qv, coarse, cb, sub, nprobe, depth, rot)
+  }
 }

@@ -35,6 +35,37 @@ class StoredBm25Spec extends AnyFunSuite {
       "stored-index serving diverged from the direct BM25 computation")
   }
 
+  test("BM25 index lifecycle: pinned build serves; unpromoted rebuild invisible; rollback restores") {
+    import spark.implicits._
+    import graft.ml.IndexLifecycle
+    val sf = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25-pin").toString
+    val registry = s"$root/registry"
+    val queries = Seq((1L, "spark"), (1L, "window"), (2L, "customer")).toDF("qid", "term")
+    // v1: full corpus, promoted
+    RetrievalQueries.buildBm25(spark, sf, s"$root/v1")
+    IndexLifecycle.register(spark, registry, "bm25_main", "bm25_index", s"$root/v1", 1)
+    IndexLifecycle.promote(spark, registry, "bm25_main", 1)
+    def servedNow() = RetrievalQueries
+      .serveBm25Pinned(spark, registry, "bm25_main", queries).collect().toSeq
+    val v1Result = servedNow()
+    assert(v1Result.nonEmpty)
+    // v2: rebuilt over a STALE subset (as a rebuild-gone-wrong stand-in),
+    // registered but unpinned — serving must not move
+    val subsetDir = java.nio.file.Files.createTempDirectory("graft-bm25-sub").toString
+    graft.sources.Tables.documents(spark, sf).filter($"doc_id" < 50)
+      .write.parquet(s"$subsetDir/documents.parquet")
+    RetrievalQueries.buildBm25(spark, subsetDir, s"$root/v2")
+    IndexLifecycle.register(spark, registry, "bm25_main", "bm25_index", s"$root/v2", 2)
+    assert(servedNow() == v1Result, "unpromoted BM25 rebuild changed serving")
+    // promote v2 → scores move (different corpus stats); rollback → restored
+    IndexLifecycle.promote(spark, registry, "bm25_main", 2)
+    assert(servedNow() != v1Result, "promoting the rebuild changed nothing")
+    assert(IndexLifecycle.rollback(spark, registry, "bm25_main")
+      .contains("bm25_main-v1"))
+    assert(servedNow() == v1Result, "rollback did not restore BM25 serving")
+  }
+
   test("sq18b splits build from serve and the timed serve path is the correct one") {
     val row = RetrievalQueries.sq18bBm25ServingLatency
       .fn(spark, "/root/testdata/sf0.001").head()

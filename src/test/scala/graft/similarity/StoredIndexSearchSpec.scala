@@ -63,6 +63,55 @@ class StoredIndexSearchSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("index lifecycle: serving reads the PINNED build; a newer unpromoted build is invisible; rollback restores") {
+    import spark.implicits._
+    import graft.similarity.VectorOps.toDouble
+    import graft.ml.IndexLifecycle
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val sample = emb.orderBy($"vec_id").limit(500)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val L = 8; val M = 4; val sub = 16; val K = 16; val NPROBE = 2
+    val coarse = Pq.trainCodebook(sample, L, seed = 101L).map(_.toSeq).toSeq
+    val cb = Pq.trainSubspaces(sample, M, sub, K)
+    val root = java.nio.file.Files.createTempDirectory("graft-sidx-pin").toString
+    val registry = s"$root/registry"
+    def build(version: Int, frame: org.apache.spark.sql.DataFrame): Unit = {
+      Pq.ivfPqEncode(frame, coarse, cb, sub).drop("v")
+        .write.partitionBy("list_id").parquet(s"$root/v$version")
+      IndexLifecycle.register(spark, registry, "ann_main", "ann_ivfpq_index",
+        s"$root/v$version", version)
+    }
+    // v1: full corpus — registered AND promoted
+    build(1, emb)
+    IndexLifecycle.promote(spark, registry, "ann_main", 1)
+    val qv = sample.head
+    def servedNow() = StoredIndex.servePinned(
+      spark, registry, "ann_main", -1L, qv, coarse, cb, sub, NPROBE, depth = 10)
+    val v1Result = servedNow().collect().toSeq
+    // v2: a DIFFERENT index (half the corpus) lands registered but UNPINNED
+    build(2, emb.filter($"vec_id" % 2 === 0))
+    val afterRebuild = servedNow()
+    assert(afterRebuild.collect().toSeq == v1Result,
+      "an unpromoted rebuild changed serving results")
+    // the serving scan must physically read v1's directories, not v2's
+    val roots = afterRebuild.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(roots.exists(_.contains("/v1")) && !roots.exists(_.contains("/v2")),
+      s"pinned serving read the wrong build: $roots")
+    // promote v2 → serving switches; the half-corpus index must differ
+    IndexLifecycle.promote(spark, registry, "ann_main", 2)
+    val v2Result = servedNow().collect().toSeq
+    assert(v2Result != v1Result, "promoting the rebuilt index changed nothing")
+    // rollback → v1 serves again, byte for byte
+    assert(IndexLifecycle.rollback(spark, registry, "ann_main")
+      .contains("ann_main-v1"))
+    assert(servedNow().collect().toSeq == v1Result,
+      "rollback did not restore the previous build")
+    emb.unpersist()
+  }
+
   test("sq14: end-to-end search through the STORED table clears sq10's recall floor") {
     val row = SimilarityQueries.sq14AnnStoredIndexSearch
       .fn(spark, "/root/testdata/sf0.001").head()
