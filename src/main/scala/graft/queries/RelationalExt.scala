@@ -537,6 +537,12 @@ object RelationalExt {
       // only customer is read — register just it (keeps the query
       // runnable on partial layouts like the scale-probe replicas)
       Tables.customer(spark, dir).createOrReplaceTempView("customer")
+      // the hierarchy walk touches every customer once, so recursion
+      // rows grow LINEARLY with the table; Spark's default 1M-row
+      // recursion guard is a runaway-loop safety valve, not a scaling
+      // wall — the 100× probe (1.5M customers) trips it, so raise it to
+      // corpus scale here (depth stays log₁₀ N; each step is one join)
+      spark.conf.set("spark.sql.cteRecursionRowLimit", 100000000)
       spark.sql(sparkSql)
     }
   }
@@ -675,10 +681,50 @@ object RelationalExt {
     }
   }
 
+  /** Avro SOURCE round trip, hash-checked end to end: a bounded document
+    * slice is written into THREE Avro container files (schema: nullable
+    * long/string fields — the flat-tabular subset [[graft.sources.Avro]]
+    * maps), read back through the hand-rolled source (binaryFile bytes →
+    * DataFileReader decode map-side, one task per container file), and
+    * aggregated per lang. The oracle computes the same aggregate from
+    * the ORIGINAL parquet — a hash match proves the Avro write → read
+    * path is lossless on every row and column it touched. This closes
+    * the "no spark-avro connector offline" gap from the inside: Avro
+    * core ships in Spark's own jars, the connector does not. */
+  val q50AvroRoundtrip: QueryDef = sqlChecked(
+    "q50_avro_roundtrip",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM documents WHERE doc_id < 300
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val slice = Tables.documents(spark, dir)
+      .filter($"doc_id" < 300)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+    val out = graft.util.Scratch.tempDir("graft-avro")
+    val rows = slice.collect()
+    rows.grouped(math.max(1, (rows.length + 2) / 3)).zipWithIndex.foreach {
+      case (chunk, i) =>
+        graft.sources.Avro.writeFile(chunk.toSeq, slice.schema, "doc",
+          new java.io.File(s"$out/part$i.avro"))
+    }
+    graft.sources.Avro.read(spark, out)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("sum_chars"),
+        sum(length($"text")).cast("long").as("sum_text_len"),
+        countDistinct($"source").cast("long").as("n_sources"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30GroupingSets, q31Unpivot, q32LateralTopK, q33HofBattery, q34StringExt,
     q35Variant, q36ExistsSubquery, q37Posexplode, q38JsonRoundtrip, q39Winsorize,
     q40JsonlSource, q41OrcSource, q42SaltedSkewJoin, q43XmlSource,
     q44FullOuterReconcile, q45RecursiveHierarchy, q46PipeSyntax, q47Collation,
-    q48SqlUdf, q49ParameterizedSql)
+    q48SqlUdf, q49ParameterizedSql, q50AvroRoundtrip)
 }

@@ -1,0 +1,155 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Avro container-file source — format breadth the stock distribution
+  * can't offer here: the `spark-avro` DataSource connector is not on the
+  * offline classpath (re-probed each round), but Avro CORE
+  * (`avro-1.12.1.jar`) ships inside Spark's own jars directory, so a
+  * source can be built from first principles: one file header read
+  * driver-side yields the writer schema (mapped to a StructType), then
+  * `binaryFile` hands each container file's bytes to an executor where
+  * `DataFileReader` + `GenericDatumReader` decode records map-side.
+  *
+  * Supported schema subset (documented, asserted): top-level RECORD of
+  * boolean / int / long / float / double / string / bytes fields,
+  * nullable via `[null, T]` unions, plus arrays of those primitives —
+  * the flat-tabular shape Avro is used for in ingest pipelines. Nested
+  * records/maps/enums throw at schema-mapping time with a clear message
+  * rather than mis-decoding.
+  *
+  * 100 TB: parallelism is per container file (the natural Avro split
+  * unit without block-index plumbing — ingest layouts write many files);
+  * decode is stateless map-side work, so the scan scales like any
+  * binaryFile read. Sync-marker block splitting within one giant file is
+  * the connector feature this hand-rolled source intentionally omits. */
+object Avro {
+
+  /** Map the supported Avro subset onto Spark types. */
+  private def toSparkType(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.INT     => (IntegerType, false)
+    case Schema.Type.LONG    => (LongType, false)
+    case Schema.Type.FLOAT   => (FloatType, false)
+    case Schema.Type.DOUBLE  => (DoubleType, false)
+    case Schema.Type.STRING  => (StringType, false)
+    case Schema.Type.BYTES   => (BinaryType, false)
+    case Schema.Type.ARRAY =>
+      val (el, _) = toSparkType(s.getElementType)
+      (ArrayType(el), false)
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(branches.size == 1,
+        s"unsupported Avro union ${s}: only [null, T] unions map cleanly")
+      (toSparkType(branches.head)._1, true)
+    case t => throw new IllegalArgumentException(
+      s"unsupported Avro type $t — this source handles the flat-tabular subset")
+  }
+
+  def sparkSchema(avro: Schema): StructType = {
+    require(avro.getType == Schema.Type.RECORD,
+      s"top-level Avro schema must be a record, got ${avro.getType}")
+    StructType(avro.getFields.asScala.toSeq.map { f =>
+      val (dt, nullable) = toSparkType(f.schema)
+      StructField(f.name, dt, nullable)
+    })
+  }
+
+  private def convert(v: AnyRef, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (u: org.apache.avro.util.Utf8, StringType) => u.toString
+    case (s: String, StringType) => s
+    case (b: java.nio.ByteBuffer, BinaryType) =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case (l: java.util.Collection[_], ArrayType(el, _)) =>
+      l.asScala.toSeq.map(x => convert(x.asInstanceOf[AnyRef], el))
+    case (x, _) => x
+  }
+
+  /** Read every Avro container file under `path` into a DataFrame.
+    * The writer schema comes from the first file's header (driver-side,
+    * bytes-bounded); all files must share it — a drifted file fails
+    * loudly at decode, the assertSchema contract. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.avro").load(path)
+      .select($"path", $"content")
+    val head = files.select($"content").head()
+    val headerReader = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(head.getAs[Array[Byte]](0)),
+      new GenericDatumReader[GenericRecord]())
+    val avroSchema = try headerReader.getSchema finally headerReader.close()
+    val schema = sparkSchema(avroSchema)
+    val schemaJson = avroSchema.toString
+    val fieldTypes = schema.fields.map(_.dataType)
+    val rdd = files.select($"content").rdd.flatMap { row =>
+      val parsed = new Schema.Parser().parse(schemaJson)
+      val rdr = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(row.getAs[Array[Byte]](0)),
+        new GenericDatumReader[GenericRecord](parsed))
+      try {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (rdr.hasNext) {
+          val rec = rdr.next()
+          out += Row.fromSeq(fieldTypes.zipWithIndex.map { case (dt, i) =>
+            convert(rec.get(i), dt)
+          }.toSeq)
+        }
+        out.toSeq
+      } finally rdr.close()
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Write rows as ONE Avro container file (driver-side, bounded input —
+    * the fixture/round-trip harness; a production writer would be a
+    * foreachPartition over executor-local files). */
+  def writeFile(rows: Seq[Row], schema: StructType, avroName: String,
+      file: java.io.File): Unit = {
+    val fields = schema.fields.map { f =>
+      val avroType = f.dataType match {
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case LongType    => Schema.create(Schema.Type.LONG)
+        case FloatType   => Schema.create(Schema.Type.FLOAT)
+        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+        case StringType  => Schema.create(Schema.Type.STRING)
+        case BinaryType  => Schema.create(Schema.Type.BYTES)
+        case ArrayType(el, _) => Schema.createArray(el match {
+          case LongType   => Schema.create(Schema.Type.LONG)
+          case DoubleType => Schema.create(Schema.Type.DOUBLE)
+          case StringType => Schema.create(Schema.Type.STRING)
+          case t => throw new IllegalArgumentException(s"array<$t> unsupported")
+        })
+        case t => throw new IllegalArgumentException(s"unsupported write type $t")
+      }
+      val s = if (f.nullable)
+        Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), avroType))
+      else avroType
+      new Schema.Field(f.name, s, null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    val avroSchema = Schema.createRecord(avroName, null, "graft", false, fields.toList.asJava)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
+    w.create(avroSchema, file)
+    try rows.foreach { r =>
+      val rec = new GenericData.Record(avroSchema)
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val v = r.get(i) match {
+          case null => null
+          case s: Seq[_] => s.asJava
+          case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+          case x => x.asInstanceOf[AnyRef]
+        }
+        rec.put(f.name, v)
+      }
+      w.append(rec)
+    } finally w.close()
+  }
+}
