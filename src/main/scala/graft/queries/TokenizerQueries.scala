@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.QueryDef.{rowsOnly, sqlChecked}
 import graft.sources.Tables
-import graft.tokenizer.{Bpe, Unigram}
+import graft.tokenizer.{Bpe, Unigram, WordPiece}
 import org.apache.spark.sql.functions._
 
 /** Tokenizer-training operators — the step between raw text and the token
@@ -337,8 +337,76 @@ object TokenizerQueries {
       .orderBy($"lang")
   }
 
+  /** WordPiece encode over the corpus — the THIRD production tokenizer
+    * family (Wu et al. 2016; BERT's tokenizer) next to BPE (tq31) and
+    * unigram-LM (tq39), completing the trilogy every pipeline picks
+    * from: greedy longest-match-first against a frozen vocabulary with
+    * a separate `##` continuation table. Same histogram compression as
+    * the siblings (encode touches DISTINCT words only; clone-invariant),
+    * same unroll move (≤ 12 codegen'd projections, each a literal-vocab
+    * `greatest` argmax over exact integer match lengths — no join, no
+    * UDF), and the oracle replays the identical unroll
+    * ([[graft.tokenizer.WordPiece.greedySql]]) so per-lang token counts,
+    * fertility, AND the md5 digest of every word's segmentation are
+    * hash-checked. WordPieceSpec additionally proves the engine column
+    * equals the plain-Scala greedy reference word for word. */
+  val tq44WordpieceEncode: QueryDef = sqlChecked(
+    "tq44_wordpiece_encode",
+    s"""WITH w0 AS (SELECT lang, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+       |  FROM documents),
+       |words0 AS (SELECT lang, word, COUNT(*) AS freq FROM w0 WHERE word <> ''
+       |  GROUP BY lang, word),
+       |longw AS (SELECT lang, CAST(COALESCE(SUM(CASE WHEN len(word) > ${WordPiece.MaxUnroll}
+       |    THEN freq END), 0) AS BIGINT) AS long_words_excluded
+       |  FROM words0 GROUP BY lang),
+       |words AS (SELECT * FROM words0 WHERE len(word) <= ${WordPiece.MaxUnroll}),
+       |${WordPiece.greedySql(WordPiece.FixedVocab, WordPiece.MaxUnroll)},
+       |x AS (SELECT lang, word, freq,
+       |    CAST(substr(wp, 3, 2) AS INT) AS n_pieces,
+       |    substr(wp, 6, 100000) AS seg
+       |  FROM wpz),
+       |agg AS (SELECT lang,
+       |    COUNT(*) AS distinct_words,
+       |    CAST(SUM(freq) AS BIGINT) AS word_occurrences,
+       |    CAST(SUM(n_pieces * freq) AS BIGINT) AS token_count,
+       |    md5(string_agg(word || ':' || seg, '|' ORDER BY word)) AS seg_digest
+       |  FROM x GROUP BY lang)
+       |SELECT a.lang, distinct_words, word_occurrences, token_count,
+       |  CAST(token_count AS DOUBLE) / word_occurrences AS tokens_per_word,
+       |  seg_digest, long_words_excluded
+       |FROM agg a JOIN longw l ON a.lang = l.lang
+       |ORDER BY a.lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.tokenizer.WordPiece
+    val words0 = Tables.documents(spark, dir)
+      .select($"lang", explode(split(lower($"text"), "[^a-z0-9]+")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("freq"))
+    val longW = words0.groupBy($"lang")
+      .agg(coalesce(sum(when(length($"word") > WordPiece.MaxUnroll, $"freq")), lit(0L))
+        .cast("long").as("long_words_excluded"))
+    val wp = WordPiece.greedyFrame(
+      words0.filter(length($"word") <= WordPiece.MaxUnroll),
+      WordPiece.FixedVocab, WordPiece.MaxUnroll)
+    val x = wp.select($"lang", $"word", $"freq",
+      WordPiece.wpNPieces($"wp").as("n_pieces"),
+      WordPiece.wpSeg($"wp").as("seg"))
+    val agg = x.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("distinct_words"),
+        sum($"freq").cast("long").as("word_occurrences"),
+        sum($"n_pieces" * $"freq").cast("long").as("token_count"),
+        md5(concat_ws("|",
+          array_sort(collect_list(concat($"word", lit(":"), $"seg"))))).as("seg_digest"))
+    agg.join(longW, Seq("lang"))
+      .select($"lang", $"distinct_words", $"word_occurrences", $"token_count",
+        ($"token_count".cast("double") / $"word_occurrences").as("tokens_per_word"),
+        $"seg_digest", $"long_words_excluded")
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] =
     Seq(tq29BpePairCounts, tq30BpeMerges, tq31BpeEncode, tq32TokenizerFertility,
       tq34BpeDecode, tq37UnigramSeed, tq38UnigramTrain, tq39UnigramEncode,
-      tq40TokenizerCompare)
+      tq40TokenizerCompare, tq44WordpieceEncode)
 }
