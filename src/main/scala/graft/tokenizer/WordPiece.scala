@@ -76,6 +76,15 @@ object WordPiece {
     * `word` column (callers pre-filter length(word) <= maxLen). After
     * the unroll: PP = len(word), NN = piece count, seg = the space-
     * joined segmentation with ## continuation marks. */
+  /** Tokens grouped by (continuation, length) → one membership test per
+    * group instead of one CASE per token: the argmax tree per step is
+    * ~2×maxTokLen branches, not |vocab| — the difference between a
+    * codegen-friendly projection and a 100-branch blowup per unroll
+    * step (measured 34.6 s → small at sf0.1). */
+  private def byLen(vocab: Seq[(String, Boolean)], cont: Boolean): Seq[(Int, Seq[String])] =
+    vocab.filter(_._2 == cont).map(_._1).groupBy(_.length).toSeq
+      .sortBy(-_._1).map { case (l, ts) => (l, ts.sorted) }
+
   def greedyFrame(words: DataFrame, vocab: Seq[(String, Boolean)],
       maxLen: Int): DataFrame = {
     require(maxLen <= MaxUnroll, s"unroll bound $maxLen exceeds $MaxUnroll")
@@ -85,11 +94,11 @@ object WordPiece {
       val pos = substring(prev, 1, PosW).cast("int")
       val ntok = substring(prev, PosW + 1, 2).cast("int")
       val seg = substring(prev, PosW + 4, Int.MaxValue)
-      val bestLen = greatest(vocab.map { case (tok, cont) =>
-        when(lit(cont) === (pos > 0) &&
-            col("word").substr(pos + lit(1), lit(tok.length)) === lit(tok),
-          lit(tok.length)).otherwise(lit(0))
+      def arm(cont: Boolean) = greatest(byLen(vocab, cont).map { case (l, ts) =>
+        when(col("word").substr(pos + lit(1), lit(l)).isin(ts: _*), lit(l))
+          .otherwise(lit(0))
       }: _*)
+      val bestLen = when(pos === 0, arm(false)).otherwise(arm(true))
       val piece = col("word").substr(pos + lit(1), bestLen)
       val pieceTok = when(pos > 0, concat(lit("##"), piece)).otherwise(piece)
       val newState = concat(
@@ -114,11 +123,16 @@ object WordPiece {
   def greedySql(vocab: Seq[(String, Boolean)], maxLen: Int): String = {
     require(maxLen <= MaxUnroll)
     def esc(s: String) = s.replace("'", "''")
+    def armSql(cont: Boolean) = byLen(vocab, cont).map { case (l, ts) =>
+      val inList = ts.map(t => s"'${esc(t)}'").mkString(", ")
+      s"CASE WHEN substr(word, p + 1, $l) IN ($inList) THEN $l ELSE 0 END"
+    }.mkString(",\n          ")
     val steps = (1 to maxLen).map { i =>
-      val cases = vocab.map { case (tok, cont) =>
-        val contSql = if (cont) "p > 0" else "p = 0"
-        s"CASE WHEN $contSql AND substr(word, p + 1, ${tok.length}) = '${esc(tok)}' THEN ${tok.length} ELSE 0 END"
-      }.mkString(",\n        ")
+      val cases =
+        s"""CASE WHEN p = 0 THEN GREATEST(
+           |          ${armSql(false)})
+           |        ELSE GREATEST(
+           |          ${armSql(true)}) END""".stripMargin
       s"""s$i AS (
          |  SELECT lang, word, freq,
          |    CASE WHEN p < len(word) THEN
@@ -130,8 +144,8 @@ object WordPiece {
          |    SELECT *, CASE WHEN p > 0 THEN '##' || substr(word, p + 1, bl)
          |      ELSE substr(word, p + 1, bl) END AS pc
          |    FROM (
-         |      SELECT lang, word, freq, wp, p, t, sg, GREATEST(
-         |        $cases) AS bl
+         |      SELECT lang, word, freq, wp, p, t, sg,
+         |        $cases AS bl
          |      FROM (SELECT lang, word, freq, wp,
          |        CAST(substr(wp, 1, $PosW) AS INT) AS p,
          |        CAST(substr(wp, ${PosW + 1}, 2) AS INT) AS t,
