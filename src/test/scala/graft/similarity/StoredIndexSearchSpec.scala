@@ -112,6 +112,55 @@ class StoredIndexSearchSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("codes-table compaction: micro-batch fragments collapse, serving is byte-identical and still pruned") {
+    import spark.implicits._
+    import graft.similarity.VectorOps.toDouble
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val sample = emb.orderBy($"vec_id").limit(500)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val L = 8; val M = 4; val sub = 16; val K = 16; val NPROBE = 2
+    val coarse = Pq.trainCodebook(sample, L, seed = 101L).map(_.toSeq).toSeq
+    val cb = Pq.trainSubspaces(sample, M, sub, K)
+    val root = java.nio.file.Files.createTempDirectory("graft-sidx-compact").toString
+    // 4 input files + maxFilesPerTrigger=1 → 4 micro-batches → up to 4
+    // fragment files per list directory (the streaming-ingest tax)
+    emb.repartition(4).write.parquet(s"$root/vecs")
+    val schema = spark.read.parquet(s"$root/vecs").schema
+    graft.streaming.StreamingIndexIngest.start(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$root/vecs"),
+        coarse, cb, sub, s"$root/codes", s"$root/ckpt",
+        Some(Trigger.AvailableNow()))
+      .awaitTermination()
+    def parquetFiles() = new java.io.File(s"$root/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    assert(before > L, s"ingest should fragment ($before files over $L dirs)")
+    val qv = sample.head
+    def serveNow() = StoredIndex.serve(
+      spark, s"$root/codes", -1L, qv, coarse, cb, sub, NPROBE, depth = 10)
+    val resultBefore = serveNow().collect().toSeq
+    // compact the stored index exactly like any partitioned table —
+    // wq02's machinery applied to the index layout
+    val rewritten = graft.sources.PartitionedLayout.compact(
+      spark, s"$root/codes", "list_id")
+    assert(rewritten.nonEmpty, "fragmented list dirs must be selected")
+    val after = parquetFiles()
+    assert(after < before, s"compaction did not shrink files: $before -> $after")
+    val served = serveNow()
+    assert(served.collect().toSeq == resultBefore,
+      "compaction changed serving results")
+    val selected = served.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("codes")) => f.selectedPartitions.partitionCount
+    }
+    assert(selected.nonEmpty && selected.forall(_ <= NPROBE),
+      "compacted index lost partition pruning")
+    emb.unpersist()
+  }
+
   test("sq14: end-to-end search through the STORED table clears sq10's recall floor") {
     val row = SimilarityQueries.sq14AnnStoredIndexSearch
       .fn(spark, "/root/testdata/sf0.001").head()
