@@ -496,8 +496,107 @@ object FilterQueries {
       .orderBy($"lang")
   }
 
+  /** HTML boilerplate extraction — the step BEFORE every web-corpus
+    * filter battery (C4 and CCNet both start from WET/extracted text;
+    * when you ingest raw HTML, tag-stripping + entity decoding + chrome
+    * removal is the first pass). The fixture has clean text, so BOTH
+    * engines wrap each document in the same deterministic page chrome —
+    * head/style/script blocks, a nav list, a footer, with the body text
+    * entity-ENCODED (& < > " ') and split into <p> paragraphs — then run
+    * the extractor: drop script/style subtrees (non-greedy block
+    * regexes), drop nav/footer chrome, strip residual tags, decode the
+    * five core entities plus &nbsp;, collapse whitespace. Round-trip
+    * accounting is exact: every document must come back CHARACTER-
+    * IDENTICAL to the original text, and the per-lang hash carries the
+    * recovered counts plus the boilerplate ratio (html chars vs text
+    * chars — what the extractor saves downstream passes from scanning).
+    *
+    * 100 TB: one scan, all regex work in-row inside codegen, tiny
+    * per-lang aggregate — the fq-battery shape. */
+  val fq10HtmlExtract: QueryDef = sqlChecked(
+    "fq10_html_extract",
+    """WITH enc AS (
+      |  SELECT lang, text,
+      |    replace(replace(replace(replace(replace(text,
+      |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'),
+      |      '''', '&#39;') AS etext
+      |  FROM documents),
+      |page AS (
+      |  SELECT lang, text,
+      |    '<html><head><title>t</title><style>p{color:red}</style>' ||
+      |    '<script>var x=1;</script></head><body>' ||
+      |    '<nav><ul><li>Home</li><li>About</li></ul></nav>' ||
+      |    '<p>' || replace(etext, '. ', '.</p> <p>') || '</p>' ||
+      |    '<footer>&copy; corp</footer></body></html>' AS html
+      |  FROM enc),
+      |ext AS (
+      |  SELECT lang, text, html,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                regexp_replace(html, '<head.*?</head>', '', 'g'),
+      |              '<script.*?</script>', '', 'g'),
+      |            '<style.*?</style>', '', 'g'),
+      |          '<nav.*?</nav>|<footer.*?</footer>', '', 'g'),
+      |        '<[^>]*>', ' ', 'g'),
+      |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&#39;', ''''), '&amp;', '&'),
+      |    '\s+', ' ', 'g')) AS rec
+      |  FROM page),
+      |per AS (
+      |  SELECT lang,
+      |    CASE WHEN rec = trim(regexp_replace(text, '\s+', ' ', 'g'))
+      |      THEN 1 ELSE 0 END AS ok,
+      |    len(html) AS html_len, len(text) AS text_len
+      |  FROM ext)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(ok) AS BIGINT) AS n_recovered_exact,
+      |  CAST(SUM(html_len) AS BIGINT) AS html_chars,
+      |  CAST(SUM(text_len) AS BIGINT) AS text_chars,
+      |  round(1.0 - CAST(SUM(text_len) AS DOUBLE) / SUM(html_len), 6)
+      |    AS boilerplate_ratio
+      |FROM per GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val enc = Tables.documents(spark, dir).select($"lang", $"text",
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace($"text", "&", "&amp;"), "<", "&lt;"), ">", "&gt;"),
+        "\"", "&quot;"), "'", "&#39;").as("etext"))
+    val page = enc.select($"lang", $"text",
+      concat(
+        lit("<html><head><title>t</title><style>p{color:red}</style>" +
+          "<script>var x=1;</script></head><body>" +
+          "<nav><ul><li>Home</li><li>About</li></ul></nav><p>"),
+        regexp_replace($"etext", "\\. ", ".</p> <p>"),
+        lit("</p><footer>&copy; corp</footer></body></html>")).as("html"))
+    val strip = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace($"html", "<head.*?</head>", ""),
+      "<script.*?</script>", ""), "<style.*?</style>", ""),
+      "<nav.*?</nav>|<footer.*?</footer>", ""), "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(strip,
+        "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+      "&#39;", "'"), "&amp;", "&")
+    val ext = page.select($"lang", $"text", $"html",
+      trim(regexp_replace(decoded, "\\s+", " ")).as("rec"))
+    val per = ext.select($"lang",
+      when($"rec" === trim(regexp_replace($"text", "\\s+", " ")), 1L)
+        .otherwise(0L).as("ok"),
+      length($"html").as("html_len"), length($"text").as("text_len"))
+    per.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ok").cast("long").as("n_recovered_exact"),
+        sum($"html_len").cast("long").as("html_chars"),
+        sum($"text_len").cast("long").as("text_chars"),
+        round(lit(1.0) - sum($"text_len").cast("double") / sum($"html_len"), 6)
+          .as("boilerplate_ratio"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     fq01TermRedaction, fq02FilterFunnel, fq03Repetition, fq04CorpusMixing,
     fq05PiiScrub, fq06NfcNormalize, fq07GopherBattery, fq08C4Battery,
-    fq09ScriptMix)
+    fq09ScriptMix, fq10HtmlExtract)
 }
