@@ -1297,9 +1297,9 @@ object SimilarityQueries {
     import spark.implicits._
     val emb0 = Tables.embeddings(spark, dir)
       .select($"vec_id", toDouble($"embedding").as("v"))
-    val el = emb0
-      .select($"vec_id", posexplode(transform($"v", x =>
-        round(x * 1000).cast("long"))).as(Seq("i", "xq")))
+    val quant = emb0
+      .select($"vec_id", transform($"v", x =>
+        round(x * 1000).cast("long")).as("xqa"))
       .cache()
     val nn = emb0.agg(count(lit(1)).as("n"))
     val mdf = java.security.MessageDigest.getInstance("MD5")
@@ -1319,14 +1319,19 @@ object SimilarityQueries {
       .cache()
     val perSetting = BitScaleSettings.map { case (b, t) =>
       val planes = b * t
-      val signs = (0 until planes).flatMap(p =>
-        (0 until 64).map(i => (p, i, sign(p, i).toLong))).toDF("p", "i", "s")
-      // projections: explode × broadcast signs → map-side partial agg —
-      // one shuffle of (vec, plane) dots, no 700-expression projections
-      val proj = el.join(broadcast(signs), Seq("i"))
-        .groupBy($"vec_id", $"p")
-        .agg(sum($"s" * $"xq").as("dot"))
-      val bits = proj
+      // projections IN-ROW: the sign matrix is a P×64 literal and every
+      // vector computes all P integer dots in one codegen fold over its
+      // own elements — zero shuffle until the (vec, tbl, bucket) frame
+      // (the explode×join alternative shuffles N×64×P intermediate rows;
+      // measured 9.1 s → ~2 s at sf0.1 for the 3-arm sweep)
+      val signsLit = typedlit(Seq.tabulate(planes, 64)((p, i) => sign(p, i).toLong))
+      val dots = transform(sequence(lit(0), lit(planes - 1)), p =>
+        aggregate(sequence(lit(0), lit(63)), lit(0L),
+          (acc, i) => acc +
+            element_at(element_at(signsLit, p + 1), i + 1) *
+            element_at($"xqa", i + 1)))
+      val bits = quant
+        .select($"vec_id", posexplode(dots).as(Seq("p", "dot")))
         .groupBy($"vec_id", ($"p" / b).cast("int").as("tbl"))
         .agg(array_join(transform(array_sort(collect_list(struct($"p",
           when($"dot" > 0, "1").otherwise("0").as("bit")))), _.getField("bit")),
