@@ -1299,21 +1299,34 @@ object TextQueries {
         variants.flatMap { case (aid, p) =>
           PHash.phash(p).map(h => (aid, id, h))
         }
-      }).toDF("asset_id", "orig_id", "phash")
+      }).toDF("asset_id", "orig_id", "fp")
       .cache()
-    val banded = hashed.select($"asset_id", $"orig_id", $"phash",
+    bandNearDupSummary(hashed)
+  }
+
+  /** Shared planted-proof summary for a 64-bit perceptual-fingerprint
+    * frame (asset_id, orig_id, fp): dq04's Hamming-band equi-join
+    * (8 bands × 8 bits — pigeonhole-complete for d ≤ 7), bit_count(xor)
+    * verification at the same threshold, and the expected/found/false-
+    * positive accounting keyed on shared orig_id. Used by tq43 (image
+    * pHash) and tq45 (audio energy fingerprint) — same machinery, two
+    * modalities. */
+  private def bandNearDupSummary(
+      hashed: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import hashed.sparkSession.implicits._
+    val banded = hashed.select($"asset_id", $"orig_id", $"fp",
       explode(array((0 until PHash.Bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright($"phash", b * PHash.BandBits).bitwiseAND(lit(255L))
+          shiftright($"fp", b * PHash.BandBits).bitwiseAND(lit(255L))
             .as("bits"))): _*)).as("bk"))
-      .select($"asset_id", $"orig_id", $"phash", $"bk.band", $"bk.bits")
+      .select($"asset_id", $"orig_id", $"fp", $"bk.band", $"bk.bits")
     val cand = banded.as("a")
       .join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
           $"a.asset_id" < $"b.asset_id")
       .select($"a.asset_id".as("ida"), $"b.asset_id".as("idb"),
         $"a.orig_id".as("oa"), $"b.orig_id".as("ob"),
-        $"a.phash".as("ha"), $"b.phash".as("hb"))
+        $"a.fp".as("ha"), $"b.fp".as("hb"))
       .distinct()
     val verified = cand
       .withColumn("d", bit_count($"ha".bitwiseXOR($"hb")))
@@ -1331,6 +1344,40 @@ object TextQueries {
         count(when($"oa" === $"ob", 1)).as("n_true_found"),
         count(when($"oa" =!= $"ob", 1)).as("n_false_positives"),
         max(when($"oa" === $"ob", $"d")).as("max_true_hamming"))))
+  }
+
+  /** Perceptual AUDIO near-duplicate detection — tq43's machinery on the
+    * second continuous modality: per document id a DISTINCT seeded
+    * multi-segment clip ([[graft.multimodal.AudioFp.encodeClip]] —
+    * varying amplitude and period, so both halves of the fingerprint
+    * carry signal); every 3rd clip gains a RE-MASTERED variant (gain
+    * 0.55× — every PCM sample changes, byte digests see a new file) and
+    * every 5th a header re-encode at a different declared sample rate.
+    * The energy-delta + zero-crossing-delta fingerprint is gain-
+    * invariant by construction, the band join finds every planted pair,
+    * and the row proves it (expected = found, zero false positives).
+    * rowsOnly: javax.sound PCM decode is not reproducible in SQL;
+    * AudioFpSpec holds the invariance/separation properties. */
+  val tq45AudioFpNearDup: QueryDef = rowsOnly("tq45_audio_fp_neardup") { (spark, dir) =>
+    import spark.implicits._
+    import graft.multimodal.AudioFp
+    val hashed = Tables.documents(spark, dir)
+      .filter($"doc_id" < 180).select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val variants =
+          Seq((id, AudioFp.encodeClip(seed = id))) ++
+            (if (id % 3 == 0)
+              Some((id + 100000L, AudioFp.encodeClip(seed = id, gain = 0.55)))
+            else None) ++
+            (if (id % 5 == 0)
+              Some((id + 200000L, AudioFp.encodeClip(seed = id, sampleRate = 16000)))
+            else None)
+        variants.flatMap { case (aid, p) =>
+          AudioFp.fingerprint(p).map(h => (aid, id, h))
+        }
+      }).toDF("asset_id", "orig_id", "fp")
+      .cache()
+    bandNearDupSummary(hashed)
   }
 
   val tq36FrameSample: QueryDef = sqlChecked(
@@ -1518,6 +1565,6 @@ object TextQueries {
     tq21CompressionRatio, tq21bDeflatePortable, tq22AudioDecode, tq23VideoDecode, tq24Mp4Probe,
     tq25WebmProbe, tq26Mp4Bitrate, tq27WebmBitrate, tq28SourceOverlap,
     tq33PerplexityBuckets, tq35ImageResize, tq36FrameSample,
-    tq43ImagePhashNearDup, tq41ZipfSlope,
+    tq43ImagePhashNearDup, tq45AudioFpNearDup, tq41ZipfSlope,
     tq42KneserNey)
 }
