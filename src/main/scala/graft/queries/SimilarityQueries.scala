@@ -815,6 +815,14 @@ object SimilarityQueries {
       s
     }
     val serveMs = (System.nanoTime() - tServe0) / 1e6 / reqs.length
+    // batched serving: same 8 requests in ONE job — the production
+    // shape; per-request cost amortizes the scheduling + listing tax
+    // (StoredIndexSearchSpec asserts batched ≡ per-request exactly)
+    val tBatch0 = System.nanoTime()
+    graft.similarity.StoredIndex.serveBatch(
+      spark, root + "/codes", reqs.toSeq, coarseSeq, cb, sub, NPROBE, 100,
+      rot = Some(rot)).count()
+    val batchMs = (System.nanoTime() - tBatch0) / 1e6 / reqs.length
     val shortlist = shortlists.reduce(_ unionByName _)
     // 3. exact rerank + recall vs brute force (sq10's closing shape)
     val wRr = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
@@ -843,7 +851,8 @@ object SimilarityQueries {
         lit(NPROBE.toDouble / L).as("scan_fraction"),
         avg(coalesce($"n_hit", lit(0)) / $"n_bf").as("recall_at_5"),
         round(lit(buildS), 3).as("build_s"),
-        round(lit(serveMs), 1).as("serve_ms_per_query"))
+        round(lit(serveMs), 1).as("serve_ms_per_query"),
+        round(lit(batchMs), 1).as("serve_ms_batched_per_query"))
   }
 
   /** sq05's portable twin (the dq03b pattern for embeddings): the

@@ -75,6 +75,37 @@ object StoredIndex {
       .select($"qid", $"vec_id".as("cid"))
   }
 
+  /** Batched serving — N requests in ONE job: the per-request [[serve]]
+    * shape pays a Spark job (scheduling + listing) per query, which
+    * dominates when requests are small; production ANN serving batches.
+    * All requests' LUT rows go into one broadcast frame keyed by
+    * (qid, list_id), the codes scan prunes to the UNION of probed lists
+    * (still `Σ nprobe`-bounded, each request's ADC join still touches
+    * only its own lists via the equi-join key), and one window ranks per
+    * qid. Same arithmetic as [[serve]] request for request. */
+  def serveBatch(spark: SparkSession, codesDir: String,
+      reqs: Seq[(Long, Array[Double])], coarse: Seq[Seq[Double]],
+      cb: Seq[Seq[Seq[Double]]], sub: Int, nprobe: Int, depth: Int,
+      rot: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    import spark.implicits._
+    val lutRows = reqs.flatMap { case (qid, qv) =>
+      probeLists(qv, coarse, nprobe).map(l =>
+        (qid, l, luts(qv, l, coarse, cb, sub, rot)))
+    }
+    val lutDf = lutRows.toDF("qid", "list_id", "luts")
+    val allLists = lutRows.map(_._2).distinct.sorted
+    val pruned = spark.read.parquet(codesDir).filter($"list_id".isin(allLists: _*))
+    val adc = cb.indices.map(mi =>
+      element_at(element_at($"luts", mi + 1), col(s"c$mi") + 1)).reduce(_ + _)
+    val w = Window.partitionBy($"qid").orderBy($"adc".asc, $"vec_id")
+    broadcast(lutDf).join(pruned, Seq("list_id"))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("adc", adc)
+      .withColumn("srank", row_number().over(w))
+      .filter($"srank" <= depth)
+      .select($"qid", $"vec_id".as("cid"))
+  }
+
   /** [[serve]] against the PINNED build of a registered index
     * ([[graft.ml.IndexLifecycle]]): production serving never hard-codes
     * an index path — it resolves the registry pointer, so a rebuild

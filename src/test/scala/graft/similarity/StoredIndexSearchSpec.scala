@@ -63,6 +63,38 @@ class StoredIndexSearchSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("batched serving equals per-request serving exactly, in one pruned scan") {
+    import spark.implicits._
+    import graft.similarity.VectorOps.toDouble
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val sample = emb.orderBy($"vec_id").limit(500)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val L = 8; val M = 4; val sub = 16; val K = 16; val NPROBE = 2
+    val coarse = Pq.trainCodebook(sample, L, seed = 101L).map(_.toSeq).toSeq
+    val cb = Pq.trainSubspaces(sample, M, sub, K)
+    val root = java.nio.file.Files.createTempDirectory("graft-sidx-batch").toString
+    Pq.ivfPqEncode(emb, coarse, cb, sub).drop("v")
+      .write.partitionBy("list_id").parquet(s"$root/codes")
+    val reqs = (0 until 6).map(i => (i.toLong, sample(i)))
+    val single = reqs.map { case (qid, qv) =>
+      StoredIndex.serve(spark, s"$root/codes", qid, qv, coarse, cb, sub,
+        NPROBE, depth = 10).collect().toSet
+    }.reduce(_ ++ _)
+    val batched = StoredIndex.serveBatch(spark, s"$root/codes", reqs,
+      coarse, cb, sub, NPROBE, depth = 10)
+    assert(batched.collect().toSet == single,
+      "batched serving diverged from the per-request path")
+    // one scan, pruned to the UNION of probed lists (≤ reqs × nprobe)
+    val scans = batched.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("codes")) => f.selectedPartitions.partitionCount
+    }
+    assert(scans.length == 1, s"batched serve must be one codes scan, saw $scans")
+    assert(scans.head <= reqs.length * NPROBE)
+    emb.unpersist()
+  }
+
   test("index lifecycle: serving reads the PINNED build; a newer unpromoted build is invisible; rollback restores") {
     import spark.implicits._
     import graft.similarity.VectorOps.toDouble
