@@ -1326,21 +1326,22 @@ object SimilarityQueries {
       .filter($"rank" <= 5)
       .select($"qid", $"cid")
       .cache()
+    val el = quant
+      .select($"vec_id", posexplode($"xqa").as(Seq("i", "xq")))
+      .cache()
     val perSetting = BitScaleSettings.map { case (b, t) =>
       val planes = b * t
-      // projections IN-ROW: the sign matrix is a P×64 literal and every
-      // vector computes all P integer dots in one codegen fold over its
-      // own elements — zero shuffle until the (vec, tbl, bucket) frame
-      // (the explode×join alternative shuffles N×64×P intermediate rows;
-      // measured 9.1 s → ~2 s at sf0.1 for the 3-arm sweep)
-      val signsLit = typedlit(Seq.tabulate(planes, 64)((p, i) => sign(p, i).toLong))
-      val dots = transform(sequence(lit(0), lit(planes - 1)), p =>
-        aggregate(sequence(lit(0), lit(63)), lit(0L),
-          (acc, i) => acc +
-            element_at(element_at(signsLit, p + 1), i + 1) *
-            element_at($"xqa", i + 1)))
-      val bits = quant
-        .select($"vec_id", posexplode(dots).as(Seq("p", "dot")))
+      // projections as an explode × broadcast-signs equi-join + partial
+      // agg: everything stays inside whole-stage codegen. (An in-row
+      // transform/aggregate fold over a literal sign matrix was tried —
+      // higher-order functions DON'T codegen, and the interpreted fold
+      // measured 15.5 s in-bench vs 9.1 s for this shape.)
+      val signs = (0 until planes).flatMap(p =>
+        (0 until 64).map(i => (p, i, sign(p, i).toLong))).toDF("p", "i", "s")
+      val proj = el.join(broadcast(signs), Seq("i"))
+        .groupBy($"vec_id", $"p")
+        .agg(sum($"s" * $"xq").as("dot"))
+      val bits = proj
         .groupBy($"vec_id", ($"p" / b).cast("int").as("tbl"))
         .agg(array_join(transform(array_sort(collect_list(struct($"p",
           when($"dot" > 0, "1").otherwise("0").as("bit")))), _.getField("bit")),
