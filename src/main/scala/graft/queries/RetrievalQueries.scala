@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.QueryDef.{rowsOnly, sqlChecked}
 import graft.operators.TopKPerGroup
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over the corpus — the lexical-search half of a
@@ -428,6 +429,146 @@ object RetrievalQueries {
         "rows_served", "matches_batch")
   }
 
+  /** Reciprocal Rank Fusion — HYBRID retrieval's standard list combiner
+    * (Cormack et al., SIGIR 2009: RRF(d) = Σ_arms 1/(k + rank_arm(d)),
+    * k = 60): production search fuses a lexical arm with a second signal
+    * this way because rank-space fusion needs no score calibration
+    * between arms. Arm 1 is sq07's exact BM25 (same literals, same
+    * DECIMAL(38,18) shield); arm 2 is TF-IDF cosine (per-doc L2 norm
+    * over the FULL vocabulary — one corpus pass — query treated as a
+    * unit-weight indicator vector, whose own norm is rank-invariant per
+    * query). Each arm keeps top-20 per query, fusion re-ranks the union,
+    * top-5 ships. Both arms and the fusion arithmetic replay exactly in
+    * DuckDB — ranks are integers, RRF scores identical rationals — so
+    * the hybrid result is hash-checked end to end.
+    *
+    * 100 TB: two K-bounded per-query rank lists (each the pruned /
+    * partial-agg shape its family already proved) and a fusion over
+    * ≤ 2K rows per query — fusion cost is independent of corpus size. */
+  val sq20RrfHybrid: QueryDef = sqlChecked(
+    "sq20_rrf_hybrid",
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |dl AS (SELECT doc_id, len(toks) AS dl, toks FROM docs),
+      |tfc AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, dl
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+      |  GROUP BY doc_id, term, dl),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+      |  FROM dl),
+      |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY term),
+      |q(qid, term) AS (VALUES
+      |  (1, 'spark'), (1, 'window'), (1, 'agg'),
+      |  (2, 'customer'), (2, 'query'), (2, 'join'),
+      |  (3, 'fast'), (3, 'scan'),
+      |  (4, 'stream'), (4, 'batch'),
+      |  (5, 'sort'), (5, 'merge'), (5, 'table')),
+      |bm25 AS (
+      |  SELECT qid, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+      |      round(CAST(SUM(CAST(
+      |        ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) *
+      |          (CAST(t.tf AS DOUBLE) * 2.2) /
+      |          (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |            (CAST(t.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))
+      |        AS DECIMAL(38,18))) AS DOUBLE), 6) DESC, doc_id) AS rnk
+      |  FROM tfc t JOIN q ON t.term = q.term JOIN dfreq d ON t.term = d.term, stats s
+      |  GROUP BY qid, doc_id, s.n_docs, s.sum_dl),
+      |tw AS (
+      |  SELECT t.doc_id, t.term,
+      |    CAST(t.tf AS DOUBLE) * ln(CAST(s.n_docs AS DOUBLE) / d.df) AS w
+      |  FROM tfc t JOIN dfreq d ON t.term = d.term, stats s),
+      |norms AS (
+      |  SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM tw GROUP BY doc_id),
+      |cosarm AS (
+      |  SELECT qid, tw.doc_id AS doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+      |      round(CAST(SUM(CAST(tw.w AS DECIMAL(38,18))) AS DOUBLE) / n.nrm, 6)
+      |        DESC, tw.doc_id) AS rnk
+      |  FROM tw JOIN q ON tw.term = q.term JOIN norms n ON tw.doc_id = n.doc_id
+      |  WHERE n.nrm > 0
+      |  GROUP BY qid, tw.doc_id, n.nrm),
+      |fused AS (
+      |  SELECT COALESCE(b.qid, c.qid) AS qid,
+      |    COALESCE(b.doc_id, c.doc_id) AS doc_id,
+      |    round(COALESCE(1.0 / (60 + b.rnk), 0) +
+      |          COALESCE(1.0 / (60 + c.rnk), 0), 9) AS rrf
+      |  FROM (SELECT * FROM bm25 WHERE rnk <= 20) b
+      |  FULL OUTER JOIN (SELECT * FROM cosarm WHERE rnk <= 20) c
+      |    ON b.qid = c.qid AND b.doc_id = c.doc_id)
+      |SELECT CAST(qid AS BIGINT) AS qid, doc_id, rrf,
+      |  CAST(rnk AS BIGINT) AS rnk
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      |    ORDER BY rrf DESC, doc_id) AS rnk FROM fused)
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val k1 = 1.2; val b = 0.75
+    val queries = bm25Requests(spark)
+    val dl = Tables.documents(spark, dir)
+      .select($"doc_id",
+        regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0)).as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("dl"), $"toks")
+    val tfc = dl
+      .select($"doc_id", $"dl", explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term", $"dl")
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val dfreq = tfc.groupBy($"term").agg(count(lit(1)).as("df"))
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    // arm 1: BM25 top-20 (sq07's exact arithmetic)
+    val ts = log(lit(1.0) +
+      ($"n_docs".cast("double") - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
+      ($"tf".cast("double") * lit(2.2)) /
+      ($"tf".cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) *
+        ($"dl".cast("double") / ($"sum_dl".cast("double") / $"n_docs"))))
+    val wB = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id")
+    val bm25 = tfc
+      .join(broadcast(queries.join(dfreq, Seq("term"))), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select($"qid", $"doc_id", ts.cast(Dec).as("tsd"))
+      .groupBy($"qid", $"doc_id")
+      .agg(round(sum($"tsd").cast("double"), 6).as("score"))
+      .withColumn("rnk", row_number().over(wB))
+      .filter($"rnk" <= 20)
+      .select($"qid", $"doc_id", $"rnk")
+    // arm 2: TF-IDF cosine top-20 (full-vocabulary doc norms)
+    val tw = tfc.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", $"term",
+        ($"tf".cast("double") * log($"n_docs".cast("double") / $"df")).as("w"))
+      .cache()
+    val norms = tw.groupBy($"doc_id").agg(sqrt(sum($"w" * $"w")).as("nrm"))
+    val wC = Window.partitionBy($"qid").orderBy($"score".desc, $"doc_id")
+    val cosArm = tw
+      .join(broadcast(queries.select($"qid", $"term")), Seq("term"))
+      .join(norms, Seq("doc_id"))
+      .filter($"nrm" > 0)
+      .groupBy($"qid", $"doc_id", $"nrm")
+      .agg(sum($"w".cast(Dec)).as("dot"))
+      .select($"qid", $"doc_id",
+        round($"dot".cast("double") / $"nrm", 6).as("score"))
+      .withColumn("rnk", row_number().over(wC))
+      .filter($"rnk" <= 20)
+      .select($"qid", $"doc_id", $"rnk")
+    // RRF fusion over the union of the two rank lists
+    val fused = bm25.select($"qid", $"doc_id", $"rnk".as("rb"))
+      .join(cosArm.select($"qid", $"doc_id", $"rnk".as("rc")),
+        Seq("qid", "doc_id"), "full_outer")
+      .select($"qid", $"doc_id",
+        round(
+          coalesce(lit(1.0) / (lit(60) + $"rb"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"rc"), lit(0.0)), 9).as("rrf"))
+    val wF = Window.partitionBy($"qid").orderBy($"rrf".desc, $"doc_id")
+    fused.withColumn("rnk", row_number().over(wF))
+      .filter($"rnk" <= 5)
+      .select($"qid", $"doc_id", $"rrf", $"rnk".cast("long").as("rnk"))
+      .orderBy($"qid", $"rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(sq07Bm25TopK, sq08PhraseSearch,
-    tq19TextrankKeywords, sq18Bm25StoredServing, sq18bBm25ServingLatency)
+    tq19TextrankKeywords, sq18Bm25StoredServing, sq18bBm25ServingLatency,
+    sq20RrfHybrid)
 }
