@@ -852,9 +852,100 @@ object TemporalQueries {
       .orderBy($"bar")
   }
 
+  /** Linear interpolation over the gapped daily grid — eq09's resample
+    * with the OTHER fill policy every time-series store offers
+    * (pandas `interpolate`, InfluxDB/Timescale `interpolate()`): a
+    * missing day takes prev + (next − prev) · gap_position / gap_length,
+    * where prev/next are the nearest OBSERVED days on either side
+    * (leading/trailing gaps fall back to the one-sided neighbor). Both
+    * neighbors resolve in ONE window pass each (last/first ignoring
+    * nulls over the calendar grid), the weights are exact day offsets
+    * from epoch-day arithmetic, and the anchors are decimal-exact daily
+    * sums — the single interpolating division rounds at 6 dp on both
+    * engines. Shape: eq09's (bounded per-user sequence explode + two
+    * ordered window passes per user). */
+  val eq18LinearInterp: QueryDef = sqlChecked(
+    "eq18_linear_interp",
+    s"""WITH p AS (
+       |  SELECT user_id, date_trunc('day', ts) AS day,
+       |    ${sqlDsum("value")} AS v
+       |  FROM events WHERE event_type = 'purchase' AND user_id < 20
+       |  GROUP BY 1, 2),
+       |bounds AS (
+       |  SELECT min(date_trunc('day', ts)) AS d0, max(date_trunc('day', ts)) AS d1
+       |  FROM events),
+       |users AS (SELECT DISTINCT user_id FROM p),
+       |grid AS (
+       |  SELECT u.user_id, unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS day
+       |  FROM users u, bounds b),
+       |j AS (
+       |  SELECT g.user_id, g.day,
+       |    CAST(epoch(CAST(g.day AS TIMESTAMP)) // 86400 AS BIGINT) AS dn,
+       |    p.v
+       |  FROM grid g LEFT JOIN p ON g.user_id = p.user_id AND g.day = p.day),
+       |f AS (
+       |  SELECT user_id, day, dn, v,
+       |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+       |    last_value(CASE WHEN v IS NOT NULL THEN dn END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+       |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+       |    first_value(CASE WHEN v IS NOT NULL THEN dn END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY day
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+       |  FROM j)
+       |SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+       |  CASE WHEN v IS NOT NULL THEN 'observed'
+       |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'
+       |       ELSE 'edge' END AS fill_kind,
+       |  round(CASE
+       |    WHEN v IS NOT NULL THEN v
+       |    WHEN pv IS NOT NULL AND nv IS NOT NULL
+       |      THEN pv + (nv - pv) * (CAST(dn - pd AS DOUBLE) / (nd - pd))
+       |    ELSE COALESCE(pv, nv) END, 6) AS filled_value
+       |FROM f ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter($"event_type" === "purchase" && $"user_id" < 20)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(dsum($"value").as("v"))
+    val bounds = ev.agg(
+      min(date_trunc("day", $"ts")).as("d0"), max(date_trunc("day", $"ts")).as("d1"))
+    val grid = p.select($"user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"user_id",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val j = grid.join(p, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        (unix_seconds($"day") / 86400).cast("long").as("dn"), $"v")
+    val wB = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val f = j.select($"user_id", $"day", $"dn", $"v",
+      last($"v", ignoreNulls = true).over(wB).as("pv"),
+      last(when($"v".isNotNull, $"dn"), ignoreNulls = true).over(wB).as("pd"),
+      first($"v", ignoreNulls = true).over(wF).as("nv"),
+      first(when($"v".isNotNull, $"dn"), ignoreNulls = true).over(wF).as("nd"))
+    f.select($"user_id", $"day",
+      when($"v".isNotNull, "observed")
+        .when($"pv".isNotNull && $"nv".isNotNull, "interpolated")
+        .otherwise("edge").as("fill_kind"),
+      round(
+        when($"v".isNotNull, $"v")
+          .when($"pv".isNotNull && $"nv".isNotNull,
+            $"pv" + ($"nv" - $"pv") *
+              (($"dn" - $"pd").cast("double") / ($"nd" - $"pd")))
+          .otherwise(coalesce($"pv", $"nv")), 6).as("filled_value"))
+      .orderBy($"user_id", $"day")
+  }
+
   val all: Seq[QueryDef] = Seq(eq01AsofJoin, eq01bAsofExec, eq02RangeJoin,
     eq03Sessionize, eq04SessionWindow, eq05IntervalOverlap, eq06EventFunnel,
     eq07CohortRetention, eq08DailyAnomaly, eq09GapFill, eq10MovingWindow,
     eq11Scd2Versions, eq12PitJoin, eq13Scd2Quarantine, eq14AsofTolerance,
-    eq15AsofNearest, eq17OhlcResample)
+    eq15AsofNearest, eq17OhlcResample, eq18LinearInterp)
 }
