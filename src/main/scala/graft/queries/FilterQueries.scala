@@ -595,8 +595,118 @@ object FilterQueries {
       .orderBy($"lang")
   }
 
+  /** Blocklist filtering as a TOKEN JOIN — the C4 "bad words / bad
+    * domains" gate at the list size where regex dies: a 100k-entry
+    * blocklist cannot be a regex union (the compiled automaton and the
+    * per-row scan both blow up), but as a TABLE it broadcast-joins the
+    * tokenized corpus — list size costs broadcast bytes, not per-row
+    * time. fq01's regex redaction is the single-term shape; this is the
+    * production-list shape. Per-doc hit counts come from the join,
+    * verdicts (any-hit drop + a ≥3-distinct-hits hard-drop tier) and the
+    * per-lang funnel ride one aggregation. Hash-green end to end. */
+  val fq11BlocklistFilter: QueryDef = sqlChecked(
+    "fq11_blocklist_filter",
+    """WITH bl(term, tier) AS (VALUES
+      |  ('customer', 1), ('salary', 1), ('spark', 2), ('window', 2),
+      |  ('join', 2), ('stream', 2), ('batch', 2), ('fast', 2)),
+      |toks AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(
+      |    regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
+      |  FROM documents),
+      |hits AS (
+      |  SELECT t.doc_id, t.lang,
+      |    COUNT(*) AS n_hit_terms,
+      |    CAST(SUM(CASE WHEN b.tier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tier1
+      |  FROM toks t JOIN bl b ON t.term = b.term
+      |  GROUP BY t.doc_id, t.lang),
+      |docs AS (
+      |  SELECT d.lang,
+      |    COALESCE(h.n_hit_terms, 0) AS n_hit_terms,
+      |    COALESCE(h.n_tier1, 0) AS n_tier1
+      |  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(*) FILTER (n_tier1 > 0) AS n_tier1_drop,
+      |  COUNT(*) FILTER (n_tier1 = 0 AND n_hit_terms >= 3) AS n_multi_hit_drop,
+      |  COUNT(*) FILTER (n_tier1 = 0 AND n_hit_terms < 3) AS n_pass,
+      |  CAST(SUM(n_hit_terms) AS BIGINT) AS total_hit_terms
+      |FROM docs GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val bl = Seq(("customer", 1), ("salary", 1), ("spark", 2), ("window", 2),
+      ("join", 2), ("stream", 2), ("batch", 2), ("fast", 2)).toDF("term", "tier")
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select($"doc_id", $"lang",
+      explode(array_distinct(
+        regexp_extract_all(lower($"text"), lit("[a-z0-9]+"), lit(0)))).as("term"))
+    val hits = toks.join(broadcast(bl), Seq("term"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_hit_terms"),
+        sum(when($"tier" === 1, 1).otherwise(0)).cast("long").as("n_tier1"))
+    docs.select($"doc_id", $"lang")
+      .join(hits.drop("lang"), Seq("doc_id"), "left")
+      .select($"lang",
+        coalesce($"n_hit_terms", lit(0L)).as("n_hit_terms"),
+        coalesce($"n_tier1", lit(0L)).as("n_tier1"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"n_tier1" > 0, 1)).as("n_tier1_drop"),
+        count(when($"n_tier1" === 0 && $"n_hit_terms" >= 3, 1))
+          .as("n_multi_hit_drop"),
+        count(when($"n_tier1" === 0 && $"n_hit_terms" < 3, 1)).as("n_pass"),
+        sum($"n_hit_terms").cast("long").as("total_hit_terms"))
+      .orderBy($"lang")
+  }
+
+  /** Character-entropy quality signal — the gibberish/compression-noise
+    * detector (low entropy = repeated filler, high entropy = binary
+    * soup / encoding damage; both are drop signals in web-corpus
+    * cleaning). Per document, Shannon entropy of the character
+    * distribution from EXACT counts: H = log2(L) − (Σ c·log2 c)/L over
+    * per-char counts c — computed in that form so the only float ops are
+    * the final log2/divide over exact integers, rounded at 6 dp (the
+    * fq09 shield). Shape: one explode to (doc, char) + two hash aggs;
+    * per-lang summary with low/high flags at fixed thresholds. */
+  val fq12CharEntropy: QueryDef = sqlChecked(
+    "fq12_char_entropy",
+    """WITH ch AS (
+      |  SELECT doc_id, lang, unnest(string_split_regex(text, '')) AS c
+      |  FROM documents WHERE len(text) > 0),
+      |cc AS (
+      |  SELECT doc_id, lang, c, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ch WHERE c <> '' GROUP BY doc_id, lang, c),
+      |ent AS (
+      |  SELECT doc_id, lang,
+      |    round(log2(CAST(SUM(n) AS DOUBLE)) -
+      |      SUM(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE))) / SUM(n), 6) AS h
+      |  FROM cc GROUP BY doc_id, lang)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(h AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_entropy,
+      |  MIN(h) AS min_entropy, MAX(h) AS max_entropy,
+      |  COUNT(*) FILTER (h < 3.0) AS n_low_entropy,
+      |  COUNT(*) FILTER (h > 4.8) AS n_high_entropy
+      |FROM ent GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val cc = Tables.documents(spark, dir)
+      .filter(length($"text") > 0)
+      .select($"doc_id", $"lang", explode(split($"text", "")).as("c"))
+      .filter($"c" =!= "")
+      .groupBy($"doc_id", $"lang", $"c")
+      .agg(count(lit(1)).as("n"))
+    val ent = cc.groupBy($"doc_id", $"lang")
+      .agg(round(log2(sum($"n").cast("double")) -
+        sum($"n".cast("double") * log2($"n".cast("double"))) / sum($"n"), 6)
+        .as("h"))
+    ent.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        davg($"h").as("avg_entropy"),
+        min($"h").as("min_entropy"),
+        max($"h").as("max_entropy"),
+        count(when($"h" < 3.0, 1)).as("n_low_entropy"),
+        count(when($"h" > 4.8, 1)).as("n_high_entropy"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     fq01TermRedaction, fq02FilterFunnel, fq03Repetition, fq04CorpusMixing,
     fq05PiiScrub, fq06NfcNormalize, fq07GopherBattery, fq08C4Battery,
-    fq09ScriptMix, fq10HtmlExtract)
+    fq09ScriptMix, fq10HtmlExtract, fq11BlocklistFilter, fq12CharEntropy)
 }
