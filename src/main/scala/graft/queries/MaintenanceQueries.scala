@@ -171,7 +171,42 @@ object MaintenanceQueries {
       .orderBy($"o_orderstatus", $"pri")
   }
 
+  /** Targeted key DELETE round trip — the GDPR/right-to-be-forgotten
+    * maintenance primitive at its 100 TB cost bound: erase every 37th
+    * document AND the whole 'de' slice from a lang-partitioned copy,
+    * rewriting ONLY partitions that contain erased keys (the de
+    * partition drains away entirely — dynamic overwrite's blind spot,
+    * handled; untouched partitions keep byte-identical files, pinned by
+    * DeleteSpec). The read-back aggregate must match the oracle's
+    * anti-join semantics over the ORIGINAL table — proof the erasure
+    * removed exactly the requested keys and nothing else. */
+  val wq06TargetedDelete: QueryDef = sqlChecked(
+    "wq06_targeted_delete",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+      |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+      |FROM documents
+      |WHERE NOT (doc_id % 37 = 0 OR lang = 'de')
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val path = graft.util.Scratch.tempDir("graft-delete-q") + "/t"
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars")
+    graft.sources.PartitionedLayout.write(docs, path, "lang")
+    val erase = docs.filter($"doc_id" % 37 === 0 || $"lang" === "de")
+      .select($"doc_id")
+    graft.sources.PartitionedLayout.delete(spark, path, erase, "doc_id", "lang")
+    graft.sources.PartitionedLayout.read(spark, path)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("sum_chars"),
+        min($"doc_id").cast("long").as("min_id"),
+        max($"doc_id").cast("long").as("max_id"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(wq01UpsertRoundtrip, wq02CompactionRoundtrip,
     wq03IncrementalAggRoundtrip, wq04ZorderRoundtrip,
-    wq05SchemaEvolutionRoundtrip)
+    wq05SchemaEvolutionRoundtrip, wq06TargetedDelete)
 }

@@ -123,6 +123,49 @@ object PartitionedLayout {
     }
   }
 
+  /** Key-level targeted DELETE — the right-to-be-forgotten primitive
+    * (GDPR/CCPA erasure requests arrive as key lists; at 100 TB the only
+    * acceptable cost is rewriting the partitions that CONTAIN those
+    * keys, never the table). [[upsert]]'s machinery minus the union:
+    * one column-pruned (key, partition) semi-join finds the affected
+    * partitions, the pruned slice drops deleted keys via a broadcast
+    * anti-join, dynamic overwrite rewrites only those directories
+    * (untouched partitions keep byte-identical files — DeleteSpec
+    * asserts it), and a partition whose every row is erased is removed
+    * explicitly (dynamic overwrite's drained-partition blind spot, same
+    * as upsert's). Null-safe comparisons throughout. */
+  def delete(spark: SparkSession, path: String, keys: DataFrame,
+      keyCol: String, partitionCol: String): Unit = withDynamicOverwrite(spark) {
+    val delKeys = broadcast(keys.select(col(keyCol).as("__del_key")).distinct())
+    val table = spark.read.parquet(path)
+    val affected = table
+      .join(delKeys, table(keyCol) <=> delKeys("__del_key"), "left_semi")
+      .select(col(partitionCol)).distinct()
+    val affectedVals = affected.collect().map(_.get(0))
+    if (affectedVals.nonEmpty) {
+      val affectedKeyed = broadcast(affected.withColumnRenamed(partitionCol, "__aff_p"))
+      val pruned = table
+        .join(affectedKeyed, table(partitionCol) <=> affectedKeyed("__aff_p"), "left_semi")
+      val remaining = pruned
+        .join(delKeys, pruned(keyCol) <=> delKeys("__del_key"), "left_anti")
+      withStaging(spark, path, remaining) { staged =>
+        staged.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+        val present = staged.select(col(partitionCol)).distinct()
+          .collect().map(_.get(0)).toSet
+        val drained = affectedVals.filterNot(present)
+        if (drained.nonEmpty) {
+          val root = new org.apache.hadoop.fs.Path(path)
+          val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+          drained.foreach { v =>
+            val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString(partitionCol, if (v == null) null else v.toString)
+            fs.delete(new org.apache.hadoop.fs.Path(root, dirName), true)
+          }
+        }
+      }
+    }
+  }
+
   /** Small-file compaction — the other half of table maintenance. Years
     * of incremental ingests/upserts leave partitions with hundreds of
     * KB-scale files; every query then pays a task (and an open/footer
