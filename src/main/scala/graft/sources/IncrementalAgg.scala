@@ -41,8 +41,27 @@ object IncrementalAgg {
   /** Merge one ingest batch into the stored rollup. */
   def ingest(spark: SparkSession, path: String, batch: DataFrame,
       keyCol: String, valueCol: String): Unit =
+    merge(spark, path, partials(batch, keyCol, valueCol), keyCol)
+
+  /** RETRACT previously-ingested rows — the anti-monoid half of
+    * incremental view maintenance (sum and count admit exact inverses,
+    * which is why this rollup can honor an erasure request without
+    * recomputing history): the batch's partials merge NEGATED, so the
+    * stored (sum, cnt) land exactly where a from-scratch rebuild without
+    * those rows would put them. Same bucket-pruned cost bound as
+    * [[ingest]]. */
+  def retract(spark: SparkSession, path: String, batch: DataFrame,
+      keyCol: String, valueCol: String): Unit =
+    merge(spark, path,
+      partials(batch, keyCol, valueCol)
+        .select(col(keyCol), negate(col("sum")).as("sum"),
+          negate(col("cnt")).as("cnt"), col("bucket")),
+      keyCol)
+
+  private def merge(spark: SparkSession, path: String, batchAgg0: DataFrame,
+      keyCol: String): Unit =
     PartitionedLayout.withDynamicOverwrite(spark) {
-      val batchAgg = partials(batch, keyCol, valueCol)
+      val batchAgg = batchAgg0
       // a rollup initialized from zero history (stream-everything-in) has
       // no schema-bearing parquet files yet — read it as an empty store.
       // Matched on the structured error condition, not message substrings:

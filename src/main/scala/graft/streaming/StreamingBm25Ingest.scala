@@ -89,6 +89,29 @@ object StreamingBm25Ingest {
     trigger.fold(writer)(writer.trigger).start()
   }
 
+  /** ERASE one document from the maintained index — GDPR reaching the
+    * DERIVED artifact, not just the base table: postings rows delete via
+    * the partition-pruned key delete (only term-hash buckets that hold
+    * the doc rewrite — [[graft.sources.PartitionedLayout.delete]]), and
+    * the df / corpus-stats rollups RETRACT the doc's partials (the
+    * anti-monoid inverse, [[graft.sources.IncrementalAgg.retract]]) —
+    * so post-erasure serving is EXACTLY the index a from-scratch build
+    * without the document would produce (spec-proved). The request
+    * carries the doc's text (the pipeline erases before discarding it);
+    * cost is the doc's buckets + two keys-sized rollup merges. */
+  def erase(spark: SparkSession, root: String, docId: Long, text: String): Unit = {
+    import spark.implicits._
+    val doc = Seq((docId, text)).toDF("doc_id", "text")
+    val p = postings(doc)
+    graft.sources.PartitionedLayout.delete(spark, root + "/postings",
+      doc.select(col("doc_id")), "doc_id", "bkt")
+    IncrementalAgg.retract(spark, root + "/df",
+      p.select(col("term"), lit(1L).as("one")), "term", "one")
+    IncrementalAgg.retract(spark, root + "/stats",
+      tokenize(doc).select(lit("corpus").as("corpus"),
+        size(col("toks")).cast("long").as("dl")), "corpus", "dl")
+  }
+
   /** Serve top-5 BM25 from the maintained index — sq07's exact scoring
     * arithmetic (same literals, same DECIMAL(38,18) shield, same
     * TopKPerGroup ranking), with df/stats resolved from the rollups and

@@ -83,6 +83,45 @@ class StreamingBm25IngestSpec extends AnyFunSuite {
       "serve double-counted tf from a replayed postings append")
   }
 
+  test("erasing a doc leaves the index EXACTLY a fresh build without it (postings + retracted rollups)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val victim = docs.orderBy($"doc_id").limit(1)
+      .as[(Long, String)].head()
+    def ingestAll(frame: org.apache.spark.sql.DataFrame): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft-sbm25-gdpr").toString
+      frame.repartition(2).write.parquet(root + "/in")
+      StreamingBm25Ingest.start(
+          spark.readStream.schema(spark.read.parquet(root + "/in").schema)
+            .option("maxFilesPerTrigger", 1).parquet(root + "/in"),
+          root, root + "/ckpt",
+          Some(Trigger.AvailableNow()))
+        .awaitTermination()
+      root
+    }
+    val full = ingestAll(docs)
+    StreamingBm25Ingest.erase(spark, full, victim._1, victim._2)
+    val fresh = ingestAll(docs.filter($"doc_id" =!= victim._1))
+    val queries = Seq(
+      (1L, "spark"), (1L, "window"), (2L, "customer"), (2L, "join"),
+      (3L, "fast"), (3L, "scan")).toDF("qid", "term")
+    val erased = StreamingBm25Ingest.serve(spark, full, queries).collect().toSeq
+    val rebuilt = StreamingBm25Ingest.serve(spark, fresh, queries).collect().toSeq
+    assert(erased == rebuilt,
+      "post-erasure serving diverged from a from-scratch build without the doc")
+    // the erased doc must be unfindable even by its own terms
+    val ownTerms = StreamingBm25Ingest.tokenize(
+        Seq((victim._1, victim._2)).toDF("doc_id", "text"))
+      .select(explode($"toks").as("term")).distinct()
+      .limit(3).as[String].collect().zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("qid", "term")
+    val hits = StreamingBm25Ingest.serve(spark, full, ownTerms)
+      .filter($"doc_id" === victim._1).count()
+    assert(hits == 0, "the erased doc still serves")
+  }
+
   test("multi-batch ingest serves sq07's exact top-5; scan pruned to query buckets") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
