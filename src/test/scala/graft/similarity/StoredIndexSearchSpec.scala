@@ -193,6 +193,46 @@ class StoredIndexSearchSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("erasing a vector from the codes table: pruned rewrite, never served again") {
+    import spark.implicits._
+    import graft.similarity.VectorOps.toDouble
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val sample = emb.orderBy($"vec_id").limit(500)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val L = 8; val M = 4; val sub = 16; val K = 16
+    val coarse = Pq.trainCodebook(sample, L, seed = 101L).map(_.toSeq).toSeq
+    val cb = Pq.trainSubspaces(sample, M, sub, K)
+    val root = java.nio.file.Files.createTempDirectory("graft-sidx-gdpr").toString
+    Pq.ivfPqEncode(emb, coarse, cb, sub).drop("v")
+      .write.partitionBy("list_id").parquet(s"$root/codes")
+    // pick a victim guaranteed servable: query with its own vector, full probe
+    val victim = 7L
+    val qv = sample(victim.toInt)
+    def served() = StoredIndex.serve(spark, s"$root/codes", -1L, qv,
+      coarse, cb, sub, nprobe = L, depth = 50).collect().map(_.getLong(1)).toSet
+    assert(served().contains(victim), "victim must be servable before erasure")
+    def files(l: String) = new java.io.File(s"$root/codes/$l").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val victimList = spark.read.parquet(s"$root/codes")
+      .filter($"vec_id" === victim).select($"list_id").as[Int].head()
+    val otherDirs = new java.io.File(s"$root/codes").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("list_id=") &&
+        d.getName != s"list_id=$victimList").map(_.getName)
+    val beforeFiles = otherDirs.map(d => d -> files(d)).toMap
+    // the SAME delete primitive the base tables use — derived artifacts
+    // honor erasure through one code path
+    graft.sources.PartitionedLayout.delete(spark, s"$root/codes",
+      Seq(victim).toDF("vec_id"), "vec_id", "list_id")
+    assert(!served().contains(victim), "erased vector still serves")
+    assert(spark.read.parquet(s"$root/codes")
+      .filter($"vec_id" === victim).count() == 0)
+    otherDirs.foreach(d => assert(files(d) == beforeFiles(d),
+      s"erasure rewrote unaffected list dir $d"))
+    emb.unpersist()
+  }
+
   test("sq14: end-to-end search through the STORED table clears sq10's recall floor") {
     val row = SimilarityQueries.sq14AnnStoredIndexSearch
       .fn(spark, "/root/testdata/sf0.001").head()
