@@ -405,8 +405,84 @@ object TokenizerQueries {
       .orderBy($"lang")
   }
 
+  /** Three-way tokenizer evaluation — the full production choice set
+    * head-to-head on ONE word universe: BPE's replace chain (tq31),
+    * unigram-LM's Viterbi lattice (tq39), and WordPiece's greedy
+    * longest-match (tq44), each running its complete encode unroll over
+    * the same [a-z0-9] distinct-word histogram, with per-lang subword
+    * totals, fertilities, and strictly-shortest occurrence counts (which
+    * algorithm wins on how much of the corpus). tq40 compares the first
+    * two on the raw-token universe; this completes the trilogy on the
+    * universe WordPiece's vocabulary covers. One frame carries all three
+    * unrolls — the oracle replays every lattice/chain and the hash
+    * checks the whole comparison. Vocab-bounded cost (histogram only,
+    * clone-invariant like its siblings). */
+  val tq46TokenizerTriple: QueryDef = sqlChecked(
+    "tq46_tokenizer_triple",
+    s"""WITH w0 AS (SELECT lang, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+       |  FROM documents),
+       |words AS (SELECT lang, w AS word, w AS norm, COUNT(*) AS freq
+       |  FROM w0 WHERE w <> '' AND len(w) <= ${Unigram.MaxUnroll}
+       |  GROUP BY lang, w),
+       |${Unigram.viterbiSql(Unigram.FixedPieces, Unigram.MaxUnroll)},
+       |${WordPiece.greedySql(WordPiece.FixedVocab, WordPiece.MaxUnroll)},
+       |b AS (SELECT vit.lang, vit.freq,
+       |    len(string_split(substr(vit_key, ${Unigram.KeyWidth + 2}, 100000), ' ')) AS uni_n,
+       |    ${Bpe.sqlEncode(Bpe.FixedMerges)} AS enc,
+       |    CAST(substr(z.wp, 3, 2) AS INT) AS wp_n
+       |  FROM vit JOIN wpz z ON vit.lang = z.lang AND vit.word = z.word),
+       |f AS (SELECT lang, freq, uni_n, wp_n,
+       |    len(enc) - len(replace(enc, chr(1), '')) AS bpe_n FROM b)
+       |SELECT lang,
+       |  COUNT(*) AS distinct_words,
+       |  CAST(SUM(freq) AS BIGINT) AS word_occurrences,
+       |  CAST(SUM(bpe_n * freq) AS BIGINT) AS bpe_subwords,
+       |  CAST(SUM(uni_n * freq) AS BIGINT) AS unigram_subwords,
+       |  CAST(SUM(wp_n * freq) AS BIGINT) AS wordpiece_subwords,
+       |  CAST(SUM(bpe_n * freq) AS DOUBLE) / SUM(freq) AS bpe_fertility,
+       |  CAST(SUM(uni_n * freq) AS DOUBLE) / SUM(freq) AS unigram_fertility,
+       |  CAST(SUM(wp_n * freq) AS DOUBLE) / SUM(freq) AS wordpiece_fertility,
+       |  CAST(SUM(CASE WHEN bpe_n < uni_n AND bpe_n < wp_n THEN freq ELSE 0 END) AS BIGINT)
+       |    AS bpe_strictly_shortest_occ,
+       |  CAST(SUM(CASE WHEN uni_n < bpe_n AND uni_n < wp_n THEN freq ELSE 0 END) AS BIGINT)
+       |    AS unigram_strictly_shortest_occ,
+       |  CAST(SUM(CASE WHEN wp_n < bpe_n AND wp_n < uni_n THEN freq ELSE 0 END) AS BIGINT)
+       |    AS wordpiece_strictly_shortest_occ
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select($"lang", explode(split(lower($"text"), "[^a-z0-9]+")).as("w"))
+      .filter($"w" =!= "" && length($"w") <= Unigram.MaxUnroll)
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("freq"))
+      .select($"lang", $"w".as("word"), $"w".as("norm"), $"freq")
+    val f = WordPiece.greedyFrame(
+        Unigram.viterbiFrame(words, Unigram.FixedPieces, Unigram.MaxUnroll),
+        WordPiece.FixedVocab, WordPiece.MaxUnroll)
+      .withColumn("uni_n", Unigram.vitNPieces($"vit_key"))
+      .withColumn("wp_n", WordPiece.wpNPieces($"wp"))
+      .withColumn("bpe_n",
+        Bpe.subwordCount($"norm", Bpe.encode($"norm", Bpe.FixedMerges)))
+    f.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("distinct_words"),
+        sum($"freq").cast("long").as("word_occurrences"),
+        sum($"bpe_n" * $"freq").cast("long").as("bpe_subwords"),
+        sum($"uni_n" * $"freq").cast("long").as("unigram_subwords"),
+        sum($"wp_n" * $"freq").cast("long").as("wordpiece_subwords"),
+        (sum($"bpe_n" * $"freq").cast("double") / sum($"freq")).as("bpe_fertility"),
+        (sum($"uni_n" * $"freq").cast("double") / sum($"freq")).as("unigram_fertility"),
+        (sum($"wp_n" * $"freq").cast("double") / sum($"freq")).as("wordpiece_fertility"),
+        sum(when($"bpe_n" < $"uni_n" && $"bpe_n" < $"wp_n", $"freq").otherwise(0L))
+          .cast("long").as("bpe_strictly_shortest_occ"),
+        sum(when($"uni_n" < $"bpe_n" && $"uni_n" < $"wp_n", $"freq").otherwise(0L))
+          .cast("long").as("unigram_strictly_shortest_occ"),
+        sum(when($"wp_n" < $"bpe_n" && $"wp_n" < $"uni_n", $"freq").otherwise(0L))
+          .cast("long").as("wordpiece_strictly_shortest_occ"))
+      .orderBy($"lang")
+  }
+
   val all: Seq[QueryDef] =
     Seq(tq29BpePairCounts, tq30BpeMerges, tq31BpeEncode, tq32TokenizerFertility,
       tq34BpeDecode, tq37UnigramSeed, tq38UnigramTrain, tq39UnigramEncode,
-      tq40TokenizerCompare, tq44WordpieceEncode)
+      tq40TokenizerCompare, tq44WordpieceEncode, tq46TokenizerTriple)
 }
