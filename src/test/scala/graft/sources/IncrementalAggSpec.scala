@@ -89,6 +89,24 @@ class IncrementalAggSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("retract is ingest's exact inverse: ingest(A∪B) then retract(B) equals init(A)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-iagg-ret").toString
+    val docs = Tables.documents(spark, dir).select($"lang", $"n_chars")
+    val keep = docs.filter(hash($"n_chars") % 3 =!= 0)
+    val gone = docs.exceptAll(keep)
+    // path 1: full history in, then the erased slice retracted
+    IncrementalAgg.init(spark, s"$base/r1", keep.unionAll(gone), "lang", "n_chars")
+    IncrementalAgg.retract(spark, s"$base/r1", gone, "lang", "n_chars")
+    // path 2: the erased slice never existed
+    IncrementalAgg.init(spark, s"$base/r2", keep, "lang", "n_chars")
+    val got = IncrementalAgg.read(spark, s"$base/r1", "lang")
+      .orderBy($"lang").collect().toSeq
+    val want = IncrementalAgg.read(spark, s"$base/r2", "lang")
+      .orderBy($"lang").collect().toSeq
+    assert(got == want, "retract did not land exactly where a clean build would")
+  }
+
   test("property: any 3-way split of history ingests to the one-shot aggregate") {
     import spark.implicits._
     // the monoid-merge property the whole primitive rests on: batch
