@@ -7,9 +7,10 @@ import javax.imageio.ImageIO
 /** Perceptual image hashing — DCT pHash (the pHash.org construction,
   * also the shape of Facebook's PDQ): decode → grayscale 32×32
   * (bilinear) → 2-D DCT-II → keep the top-left 8×8 low-frequency block →
-  * threshold each coefficient against the median (median computed over
-  * the 63 AC coefficients; the DC term carries overall brightness, not
-  * structure) → 64-bit fingerprint. Content-identical images that differ
+  * threshold the 63 AC coefficients against their median (DC carries
+  * overall brightness, not structure — its slot becomes an
+  * orientation-sign bit from the two gentlest frequencies, so all 64
+  * bits carry signal) → 64-bit fingerprint. Content-identical images that differ
   * in encoding, scale, or mild compression land within a few Hamming
   * bits; distinct content lands ~32 bits apart (random).
   *
@@ -97,11 +98,21 @@ object PHash {
       val ac = coef.drop(1).sorted
       val med = ac(ac.length / 2)
       var bits = 0L
-      var k = 0
+      var k = 1
       while (k < 64) {
         if (coef(k) > med) bits |= (1L << k)
         k += 1
       }
+      // DC (index 0) carries brightness, not structure, and always sits
+      // far above the AC median — thresholding it would yield a constant
+      // bit. Assign bit 0 from AC signal instead: the sign of the
+      // difference between the two gentlest frequencies (vertical-1 vs
+      // horizontal-1) — the orientation of the dominant structure.
+      // Balanced-by-symmetry across images, yet stable under resize /
+      // re-encode (both operands are the most codec-robust coefficients;
+      // a higher-frequency extra coefficient here flips under JPEG and
+      // breaks the d ≤ 7 band guarantee on real re-encodes).
+      if (coef(1) > coef(Block)) bits |= 1L
       Some(bits)
     } catch {
       case scala.util.control.NonFatal(_) => None

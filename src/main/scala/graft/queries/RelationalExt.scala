@@ -541,9 +541,20 @@ object RelationalExt {
       // rows grow LINEARLY with the table; Spark's default 1M-row
       // recursion guard is a runaway-loop safety valve, not a scaling
       // wall — the 100× probe (1.5M customers) trips it, so raise it to
-      // corpus scale here (depth stays log₁₀ N; each step is one join)
-      spark.conf.set("spark.sql.cteRecursionRowLimit", 100000000)
-      spark.sql(sparkSql)
+      // corpus scale here (depth stays log₁₀ N; each step is one join).
+      // The limit is read at EXECUTION time, so the raised value must be
+      // in effect when the frame runs, yet must not leak into every later
+      // query on the shared session: materialize eagerly inside the
+      // guarded window (the grouped result is depth-bounded, ~8 rows)
+      // and restore the previous value in a finally block.
+      val key = "spark.sql.cteRecursionRowLimit"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, 100000000)
+      try spark.sql(sparkSql).localCheckpoint(eager = true)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
   }
 

@@ -272,8 +272,14 @@ object TokenizerQueries {
         sum($"freq").cast("long").as("word_occurrences"),
         sum(size(split($"seg", " ")) * $"freq").cast("long").as("token_count"),
         sum($"sfp" * $"freq").cast("long").as("corpus_logprob_fp"),
-        md5(concat_ws("|",
-          array_sort(collect_list(concat($"word", lit(":"), $"seg"))))).as("seg_digest"))
+        // sort by word (structs sort field-by-field; words are distinct per
+        // lang group) to match the oracle's ORDER BY word — sorting the
+        // concatenated 'word:seg' strings diverges when one word is a
+        // proper prefix of another whose next char sorts below ':' (0x3a),
+        // e.g. 'agg' vs 'agg1'.
+        md5(concat_ws("|", transform(
+          array_sort(collect_list(struct($"word", $"seg"))),
+          e => concat(e("word"), lit(":"), e("seg"))))).as("seg_digest"))
     agg.join(longW, Seq("lang"))
       .withColumn("tokens_per_word",
         $"token_count".cast("double") / $"word_occurrences")
@@ -396,8 +402,14 @@ object TokenizerQueries {
         count(lit(1)).as("distinct_words"),
         sum($"freq").cast("long").as("word_occurrences"),
         sum($"n_pieces" * $"freq").cast("long").as("token_count"),
-        md5(concat_ws("|",
-          array_sort(collect_list(concat($"word", lit(":"), $"seg"))))).as("seg_digest"))
+        // sort by word (structs sort field-by-field; words are distinct per
+        // lang group) to match the oracle's ORDER BY word — sorting the
+        // concatenated 'word:seg' strings diverges when one word is a
+        // proper prefix of another whose next char sorts below ':' (0x3a),
+        // e.g. 'agg' vs 'agg1'.
+        md5(concat_ws("|", transform(
+          array_sort(collect_list(struct($"word", $"seg"))),
+          e => concat(e("word"), lit(":"), e("seg"))))).as("seg_digest"))
     agg.join(longW, Seq("lang"))
       .select($"lang", $"distinct_words", $"word_occurrences", $"token_count",
         ($"token_count".cast("double") / $"word_occurrences").as("tokens_per_word"),

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.avro.Schema
-import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
+import org.apache.avro.file.{DataFileReader, DataFileStream, DataFileWriter, SeekableByteArrayInput}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -81,11 +81,24 @@ object Avro {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.avro").load(path)
       .select($"path", $"content")
-    val head = files.select($"content").head()
-    val headerReader = new DataFileReader[GenericRecord](
-      new SeekableByteArrayInput(head.getAs[Array[Byte]](0)),
-      new GenericDatumReader[GenericRecord]())
-    val avroSchema = try headerReader.getSchema finally headerReader.close()
+    // header-only schema read: list via the filesystem and stream just
+    // the first file's header (DataFileStream parses magic + metadata on
+    // construction and consumes nothing past it) — the driver never
+    // holds a whole container file.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val first = fs.listStatus(hPath).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
+      .take(1).toSeq.headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no .avro files under $path"))
+    val in = fs.open(first.getPath)
+    val avroSchema =
+      try {
+        val dfsr = new DataFileStream[GenericRecord](
+          in, new GenericDatumReader[GenericRecord]())
+        try dfsr.getSchema finally dfsr.close()
+      } finally in.close()
     val schema = sparkSchema(avroSchema)
     val schemaJson = avroSchema.toString
     val fieldTypes = schema.fields.map(_.dataType)

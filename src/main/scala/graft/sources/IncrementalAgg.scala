@@ -82,6 +82,12 @@ object IncrementalAgg {
       val merged = slice.unionByName(batchAgg)
         .groupBy(col(keyCol), col("bucket"))
         .agg(sum(col("sum")).as("sum"), sum(col("cnt")).as("cnt"))
+        // a key whose entire history has been retracted nets to cnt = 0;
+        // a from-scratch rebuild would have no row for it at all, so the
+        // exact-inverse guarantee requires dropping it here rather than
+        // storing a phantom (key, 0, 0) row that read() would serve with
+        // a null avg.
+        .filter(col("cnt") =!= 0L)
       PartitionedLayout.withStaging(spark, path, merged) { staged =>
         staged.write.mode("overwrite").partitionBy("bucket").parquet(path)
       }

@@ -107,6 +107,21 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(got == want, "retract did not land exactly where a clean build would")
   }
 
+  test("retracting a key's ENTIRE history removes the key, not a phantom zero row") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-iagg-gone")
+      .toString + "/rollup"
+    val df = Seq(("en", 10L), ("en", 20L), ("de", 5L)).toDF("k", "v")
+    IncrementalAgg.init(spark, path, df, "k", "v")
+    // erase every 'en' row — a from-scratch build of the remainder has
+    // no 'en' row at all, so neither may the retracted rollup (a stored
+    // (en, 0, 0) would serve a null avg no clean build could produce)
+    IncrementalAgg.retract(spark, path, df.filter($"k" === "en"), "k", "v")
+    val got = IncrementalAgg.read(spark, path, "k")
+      .select($"k", $"sum", $"cnt").as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("de", 5L, 1L)), got.toString)
+  }
+
   test("property: any 3-way split of history ingests to the one-shot aggregate") {
     import spark.implicits._
     // the monoid-merge property the whole primitive rests on: batch
