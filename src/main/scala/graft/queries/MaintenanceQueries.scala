@@ -206,7 +206,62 @@ object MaintenanceQueries {
       .orderBy($"lang")
   }
 
+  /** Snapshot-HISTORY erasure round trip — the half of the GDPR story
+    * wq06 can't give: a snapshot-versioned table keeps every retained
+    * version readable (time travel), so deleting a key from the head
+    * still leaves it servable from any pre-erasure version. Here v1 is
+    * the full table and v2 an appended re-ingest that mentions the
+    * victims again (staged-manifest append, sharing v1's files); then
+    * [[graft.sources.Snapshots.erase]] rewrites history in place —
+    * contaminated files only, manifests republished under their original
+    * version numbers, victim bytes deleted last. The query reads BOTH
+    * versions back post-erase and aggregates per (version, lang); the
+    * oracle inlines each version's expected content minus the victims.
+    * A hash match proves no retained version can serve an erased key
+    * and no non-victim row moved. SnapshotsSpec pins the byte-level
+    * claims (clean files byte-identical, contaminated bytes gone). */
+  val wq07SnapshotErase: QueryDef = sqlChecked(
+    "wq07_snapshot_erase",
+    """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+      |extra AS (SELECT doc_id + 10000000 AS doc_id, lang, n_chars
+      |  FROM base WHERE lang = 'de'),
+      |u AS (
+      |  SELECT 1 AS version, * FROM base
+      |  UNION ALL SELECT 2 AS version, * FROM base
+      |  UNION ALL SELECT 2 AS version, * FROM extra),
+      |purged AS (SELECT * FROM u WHERE doc_id % 37 <> 0)
+      |SELECT version, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+      |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+      |FROM purged GROUP BY version, lang
+      |ORDER BY version, lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val path = graft.util.Scratch.tempDir("graft-snap-erase-q") + "/t"
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars")
+    val v1 = Snapshots.commit(spark, path, docs)
+    // appended re-ingest of the de slice under shifted ids — v2 shares
+    // v1's files, so the erase must chase victims through both versions
+    val vb = Snapshots.commit(spark, path,
+      docs.filter($"lang" === "de")
+        .select(($"doc_id" + 10000000L).as("doc_id"), $"lang", $"n_chars"))
+    val v2 = Snapshots.commitStaged(spark, path,
+      Snapshots.manifest(spark, path, v1) ++ Snapshots.manifest(spark, path, vb))
+    Snapshots.erase(spark, path, $"doc_id" % 37 === 0): Unit
+    def agg(v: Long, tag: Int) =
+      Snapshots.read(spark, path, v).withColumn("version", lit(tag))
+    agg(v1, 1).unionByName(agg(v2, 2))
+      .groupBy($"version", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("sum_chars"),
+        min($"doc_id").cast("long").as("min_id"),
+        max($"doc_id").cast("long").as("max_id"))
+      .orderBy($"version", $"lang")
+  }
+
   val all: Seq[QueryDef] = Seq(wq01UpsertRoundtrip, wq02CompactionRoundtrip,
     wq03IncrementalAggRoundtrip, wq04ZorderRoundtrip,
-    wq05SchemaEvolutionRoundtrip, wq06TargetedDelete)
+    wq05SchemaEvolutionRoundtrip, wq06TargetedDelete, wq07SnapshotErase)
 }

@@ -202,6 +202,102 @@ object Snapshots {
     spark.read.parquet(files.map(rel => new Path(root, rel).toString): _*)
   }
 
+  /** What [[erase]] did: which data files were rewritten (old → purged
+    * replacements, empty when the purge drained the file), which old
+    * files were physically deleted, and which versions' manifests were
+    * republished. */
+  final case class EraseReport(
+      rewritten: Map[String, Seq[String]],
+      deletedFiles: Seq[String],
+      versionsTouched: Seq[Long])
+
+  /** Erase rows matching `predicate` from EVERY retained snapshot — the
+    * history half of the GDPR erasure primitive. Time travel keeps old
+    * versions readable by design, so a key deleted from the HEAD
+    * (PartitionedLayout.delete / a new purged commit) remains servable
+    * from any pre-erasure version until the bytes themselves go; this
+    * rewrites history in place:
+    *
+    *   1. one scan over the union of all retained manifests' files finds
+    *      the CONTAMINATED files (`input_file_name`-grouped — cost is one
+    *      pushed-filter pass, and only file identities come back);
+    *   2. each contaminated file is rewritten without the victim rows to
+    *      a fresh `data/<uuid>` dir — clean files are never touched, so
+    *      the write cost is proportional to contaminated bytes, not
+    *      table bytes (the same bound PartitionedLayout.delete gives the
+    *      partitioned layout);
+    *   3. every retained manifest is republished with old→new file
+    *      substitutions (atomic replace per manifest: tmp + rename — a
+    *      deliberate history REWRITE, so version numbers are preserved,
+    *      unlike commits which only ever CAS new versions); readers keep
+    *      seeing complete manifests throughout;
+    *   4. only after all manifests flipped are the contaminated bytes
+    *      deleted from disk.
+    *
+    * Like [[vacuum]] this is a single-maintenance-writer operation: it
+    * may race readers (safely) but not another erase/vacuum of the same
+    * table. After it returns, no retained version can serve a victim
+    * row and no victim byte remains under the table root. */
+  def erase(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): EraseReport = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshots at $path")
+    val byVersion = vs.map(v => v -> manifest(spark, path, v)).toMap
+    val allRel = byVersion.values.flatten.toSeq.distinct
+    def abs(rel: String) = new Path(root, rel).toString
+    // 1. contaminated file identities — one pushed-filter scan
+    import org.apache.spark.sql.functions.input_file_name
+    val contaminatedUris = spark.read.parquet(allRel.map(abs): _*)
+      .filter(predicate).select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    val contaminated = allRel.filter(rel =>
+      contaminatedUris.exists(_.endsWith(rel)))
+    if (contaminated.isEmpty)
+      return EraseReport(Map.empty, Seq.empty, Seq.empty)
+    // 2. rewrite each contaminated file minus the victims (per-file jobs
+    //    — bounded by contaminated-file count, the erasure working set)
+    val uuid = java.util.UUID.randomUUID().toString
+    val rewritten: Map[String, Seq[String]] = contaminated.zipWithIndex.map {
+      case (rel, i) =>
+        val dst = new Path(root, s"data/$uuid/f$i")
+        spark.read.parquet(abs(rel)).filter(!predicate)
+          .write.parquet(dst.toString)
+        val parts = f.listStatus(dst).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(p => s"data/$uuid/f$i/${p.getName}").sorted.toSeq
+        rel -> parts
+    }.toMap
+    // 3. republish every manifest that references a contaminated file
+    val touched = vs.filter(v => byVersion(v).exists(rewritten.contains))
+    touched.foreach { v =>
+      val newFiles = byVersion(v).flatMap(rel =>
+        rewritten.getOrElse(rel, Seq(rel)))
+      val mDir = manifestDir(path)
+      val tmp = new Path(mDir, s".${java.util.UUID.randomUUID()}.txt.tmp")
+      val out = f.create(tmp, false)
+      try out.write(newFiles.mkString("\n").getBytes("UTF-8")) finally out.close()
+      val target = new Path(mDir, manifestName(v))
+      // atomic REPLACE: POSIX rename on the local FS; FileContext
+      // Rename.OVERWRITE (atomic at the namenode) elsewhere
+      val scheme = Option(f.getUri.getScheme).getOrElse("file")
+      if (scheme == "file") {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      } else {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, f.getConf)
+        fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    }
+    // 4. the victim bytes go last — every manifest already points away
+    contaminated.foreach(rel => f.delete(new Path(root, rel), false))
+    EraseReport(rewritten, contaminated, touched)
+  }
+
   /** Drop all but the newest `keep` versions and delete data files no
     * retained manifest references. Returns deleted data-file paths. */
   def vacuum(spark: SparkSession, path: String, keep: Int): Seq[String] = {

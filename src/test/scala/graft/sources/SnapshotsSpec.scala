@@ -60,6 +60,59 @@ class SnapshotsSpec extends AnyFunSuite {
     deleted.foreach(rel => assert(!new java.io.File(root, rel).exists()))
   }
 
+  test("erase purges a key from EVERY retained version; clean files byte-identical, victim bytes gone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = tbl()
+    // v1: full table including the victim, spread over several files
+    val a = (1 to 12).map(i => (i, s"row$i")).toDF("k", "s").repartition(4)
+    val v1 = Snapshots.commit(spark, path, a)
+    // v2: an appended batch that mentions the victim again, sharing v1's
+    // files (the append shape — erase must chase the key through BOTH)
+    val b = Seq((4, "victim-again"), (20, "row20")).toDF("k", "s")
+    val vb = Snapshots.commit(spark, path, b)
+    val v3 = Snapshots.commitStaged(spark, path,
+      Snapshots.manifest(spark, path, v1) ++ Snapshots.manifest(spark, path, vb))
+    def md5s(): Map[String, String] =
+      Snapshots.versions(spark, path)
+        .flatMap(v => Snapshots.manifest(spark, path, v)).distinct.map { rel =>
+          val bytes = java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path, rel))
+          rel -> java.security.MessageDigest.getInstance("MD5").digest(bytes)
+            .map("%02x".format(_)).mkString
+        }.toMap
+    val before = md5s()
+    val preByVersion = Snapshots.versions(spark, path).map(v =>
+      v -> Snapshots.read(spark, path, v).filter(col("k") =!= 4)
+        .as[(Int, String)].collect().toSet).toMap
+
+    val report = Snapshots.erase(spark, path, col("k") === 4)
+
+    assert(report.rewritten.nonEmpty && report.versionsTouched.nonEmpty)
+    // every retained version is still readable, victim-free, and
+    // otherwise row-identical to its pre-erase content
+    Snapshots.versions(spark, path).foreach { v =>
+      val rows = Snapshots.read(spark, path, v).as[(Int, String)].collect().toSet
+      assert(!rows.exists(_._1 == 4), s"v$v still serves the erased key")
+      assert(rows == preByVersion(v), s"v$v lost or mutated non-victim rows")
+    }
+    assert(Snapshots.versions(spark, path) == Seq(v1, vb, v3),
+      "erase must preserve version numbers — it rewrites history, not heads")
+    // contaminated bytes are physically gone
+    report.deletedFiles.foreach(rel =>
+      assert(!new java.io.File(new java.io.File(path), rel).exists(),
+        s"victim bytes survive at $rel"))
+    // files that never held a victim row are byte-identical
+    val after = md5s()
+    before.keys.filterNot(report.rewritten.contains).foreach { rel =>
+      assert(after.get(rel).contains(before(rel)),
+        s"clean file $rel was rewritten")
+    }
+    // an erase with no victims anywhere is a no-op
+    val noop = Snapshots.erase(spark, path, col("k") === 999999)
+    assert(noop.rewritten.isEmpty && noop.deletedFiles.isEmpty)
+  }
+
   test("CAS commit: a deterministically-injected racer forces retry, no lost manifest") {
     import spark.implicits._
     val path = tbl()
