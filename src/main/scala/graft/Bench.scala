@@ -77,9 +77,33 @@ object Bench {
     // quiet figure — the artifact itself now carries the evidence instead
     // of needing a by-hand SPARK_GRAFT_ONLY re-measure next session.
     val rerunN = sys.env.getOrElse("SPARK_GRAFT_RERUN", "8").toInt
+    // Cross-round regression tripwire (the tq31 lesson: a 3.5× in-bench
+    // delta vs the PREVIOUS round went unisolated because the in-run
+    // outlier gate only looked at this run's slowest queries). The
+    // committed bench_baseline.json carries the last quiet full-suite
+    // per-query map; any query now slower than max(1.5× baseline,
+    // baseline + 0.5 s) joins the isolated rerun set and is reported
+    // under "regressed_vs_baseline" with its baseline figure — so the
+    // artifact itself says whether a delta is contention (isolated time
+    // collapses) or real (stays slow), round over round.
+    val baseline: Map[String, Double] = {
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8")
+        val qblock = txt.split("\"queries\":\\{", 2).lift(1).map(_.takeWhile(_ != '}'))
+        qblock.map("\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(_)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap).getOrElse(Map.empty)
+      } catch { case _: Throwable => Map.empty }
+    }
+    val regressed = timings.filter { case (name, t) =>
+      baseline.get(name).exists(b => t > math.max(1.5 * b, b + 0.5))
+    }
     val isolated = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    if (only.isEmpty && rerunN > 0)
-      timings.toSeq.sortBy(-_._2).take(rerunN).foreach { case (name, _) =>
+    if (only.isEmpty && rerunN > 0) {
+      val rerunSet = (timings.toSeq.sortBy(-_._2).take(rerunN).map(_._1) ++
+        regressed.keys).distinct
+      rerunSet.foreach { name =>
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir)
@@ -88,12 +112,13 @@ object Bench {
         } catch { case _: Throwable => () }
         finally spark.catalog.clearCache()
       }
+    }
     def jnum(m: collection.Map[String, Double]) =
       m.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     def jstr(m: collection.Map[String, String]) =
       m.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    val line = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${jnum(timings)},"isolated_rerun":${jnum(isolated)},"errors":${jstr(errors)},"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${jnum(timings)},"isolated_rerun":${jnum(isolated)},"regressed_vs_baseline":${jnum(regressed.map { case (k, _) => k -> baseline(k) })},"errors":${jstr(errors)},"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // Also persist the line: the driver captures stdout, which has been
     // observed truncated at the head for long runs (BENCH_r03 lost the
