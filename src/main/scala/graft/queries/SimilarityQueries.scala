@@ -1304,12 +1304,14 @@ object SimilarityQueries {
   val sq02cLshBitScaling: QueryDef = sqlChecked(
     "sq02c_lsh_bit_scaling", bitScaleSql(BitScaleSettings)) { (spark, dir) =>
     import spark.implicits._
+    // the corpus frame feeds every arm's rerank joins plus bf/qs/nn —
+    // cache it once so the parquet scan doesn't multiply per arm
     val emb0 = Tables.embeddings(spark, dir)
       .select($"vec_id", toDouble($"embedding").as("v"))
+      .cache()
     val quant = emb0
       .select($"vec_id", transform($"v", x =>
         round(x * 1000).cast("long")).as("xqa"))
-      .cache()
     val nn = emb0.agg(count(lit(1)).as("n"))
     val mdf = java.security.MessageDigest.getInstance("MD5")
     def sign(p: Int, i: Int): Int = {
@@ -1326,21 +1328,25 @@ object SimilarityQueries {
       .filter($"rank" <= 5)
       .select($"qid", $"cid")
       .cache()
-    val el = quant
-      .select($"vec_id", posexplode($"xqa").as(Seq("i", "xq")))
-      .cache()
+    // The sign of plane p depends only on (p, i) — md5-parity, not the
+    // (bits, tables) setting — so the three arms' plane sets are NESTED
+    // PREFIXES of 0 until max(b·t): compute ALL projections once per
+    // vector with the fused-loop codegen expression (SignProjection —
+    // one in-row multiply-add nest; the explode × broadcast-signs join
+    // materialized rows·dim·planes tuples through the hash aggregate and
+    // an in-row HOF fold never codegens, both ~9-15 s shapes at 480
+    // planes) and let each arm take its prefix of the cached dots.
+    val maxPlanes = BitScaleSettings.map { case (b, t) => b * t }.max
+    val signsFlat = Array.tabulate(maxPlanes * 64)(
+      idx => sign(idx / 64, idx % 64).toByte)
+    val dots = quant.select($"vec_id",
+      graft.functions.SignProjection($"xqa", signsFlat, maxPlanes, 64)
+        .as("dots")).cache()
     val perSetting = BitScaleSettings.map { case (b, t) =>
       val planes = b * t
-      // projections as an explode × broadcast-signs equi-join + partial
-      // agg: everything stays inside whole-stage codegen. (An in-row
-      // transform/aggregate fold over a literal sign matrix was tried —
-      // higher-order functions DON'T codegen, and the interpreted fold
-      // measured 15.5 s in-bench vs 9.1 s for this shape.)
-      val signs = (0 until planes).flatMap(p =>
-        (0 until 64).map(i => (p, i, sign(p, i).toLong))).toDF("p", "i", "s")
-      val proj = el.join(broadcast(signs), Seq("i"))
-        .groupBy($"vec_id", $"p")
-        .agg(sum($"s" * $"xq").as("dot"))
+      val proj = dots
+        .select($"vec_id", posexplode($"dots").as(Seq("p", "dot")))
+        .filter($"p" < planes)
       val bits = proj
         .groupBy($"vec_id", ($"p" / b).cast("int").as("tbl"))
         .agg(array_join(transform(array_sort(collect_list(struct($"p",
