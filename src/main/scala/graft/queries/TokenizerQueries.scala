@@ -417,6 +417,79 @@ object TokenizerQueries {
       .orderBy($"lang")
   }
 
+  /** tq47's `max_input_chars_per_word`: set BELOW the corpus's longest
+    * words (max observed 8) so the [UNK] arm carries real weight — at
+    * the unroll bound (12) the tail would be empty and the fallback
+    * untested. The parameter is exactly what it is in production
+    * (HuggingFace defaults it to 100 for BERT's vocab); the unroll
+    * shrinks with it, so this arm is also the cheapest encoder. */
+  private val MaxChars = 6
+
+  /** WordPiece [UNK] fallback arm — what production BERT tokenization
+    * actually does with the long-word tail tq44 excludes: any word over
+    * max_input_chars_per_word (here 6, below the corpus max of 8, so the
+    * tail genuinely exercises the arm) is emitted as ONE [UNK] token,
+    * never segmented (Wu et al. 2016; HuggingFace
+    * `max_input_chars_per_word`). One frame carries both arms per lang —
+    * the greedy-encoded short words and the [UNK]-collapsed tail — and
+    * reports the tail's size as a FRACTION of word occurrences plus the
+    * resulting [UNK] token rate, the two numbers a pipeline checks
+    * before freezing a vocab (a high long-word fraction means the
+    * pre-tokenizer, not the vocab, is wrong). Histogram-compressed and
+    * clone-invariant like its siblings; the oracle replays the full
+    * greedy unroll and the fallback arithmetic. */
+  val tq47WordpieceUnkFallback: QueryDef = sqlChecked(
+    "tq47_wordpiece_unk_fallback",
+    s"""WITH w0 AS (SELECT lang, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+       |  FROM documents),
+       |words0 AS (SELECT lang, word, COUNT(*) AS freq FROM w0 WHERE word <> ''
+       |  GROUP BY lang, word),
+       |words AS (SELECT * FROM words0 WHERE len(word) <= $MaxChars),
+       |${WordPiece.greedySql(WordPiece.FixedVocab, MaxChars)},
+       |u AS (
+       |  SELECT lang, freq, CAST(substr(wp, 3, 2) AS INT) AS n_pieces, 0 AS unk
+       |  FROM wpz
+       |  UNION ALL
+       |  SELECT lang, freq, 1 AS n_pieces, 1 AS unk
+       |  FROM words0 WHERE len(word) > $MaxChars)
+       |SELECT lang,
+       |  COUNT(*) AS distinct_words,
+       |  CAST(SUM(freq) AS BIGINT) AS word_occurrences,
+       |  CAST(SUM(unk * freq) AS BIGINT) AS unk_word_occurrences,
+       |  CAST(SUM(unk * freq) AS DOUBLE) / SUM(freq) AS long_word_fraction,
+       |  CAST(SUM(n_pieces * freq) AS BIGINT) AS token_count,
+       |  CAST(SUM(unk * freq) AS DOUBLE) / SUM(n_pieces * freq) AS unk_rate,
+       |  CAST(SUM(n_pieces * freq) AS DOUBLE) / SUM(freq) AS tokens_per_word
+       |FROM u GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.tokenizer.WordPiece
+    val words0 = Tables.documents(spark, dir)
+      .select($"lang", explode(split(lower($"text"), "[^a-z0-9]+")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("freq"))
+    val wp = WordPiece.greedyFrame(
+      words0.filter(length($"word") <= MaxChars),
+      WordPiece.FixedVocab, MaxChars)
+    val shortArm = wp.select($"lang", $"freq",
+      WordPiece.wpNPieces($"wp").as("n_pieces"), lit(0).as("unk"))
+    val unkArm = words0.filter(length($"word") > MaxChars)
+      .select($"lang", $"freq", lit(1).as("n_pieces"), lit(1).as("unk"))
+    shortArm.unionByName(unkArm)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("distinct_words"),
+        sum($"freq").cast("long").as("word_occurrences"),
+        sum($"unk" * $"freq").cast("long").as("unk_word_occurrences"),
+        (sum($"unk" * $"freq").cast("double") / sum($"freq"))
+          .as("long_word_fraction"),
+        sum($"n_pieces" * $"freq").cast("long").as("token_count"),
+        (sum($"unk" * $"freq").cast("double") / sum($"n_pieces" * $"freq"))
+          .as("unk_rate"),
+        (sum($"n_pieces" * $"freq").cast("double") / sum($"freq"))
+          .as("tokens_per_word"))
+      .orderBy($"lang")
+  }
+
   /** Three-way tokenizer evaluation — the full production choice set
     * head-to-head on ONE word universe: BPE's replace chain (tq31),
     * unigram-LM's Viterbi lattice (tq39), and WordPiece's greedy
@@ -496,5 +569,6 @@ object TokenizerQueries {
   val all: Seq[QueryDef] =
     Seq(tq29BpePairCounts, tq30BpeMerges, tq31BpeEncode, tq32TokenizerFertility,
       tq34BpeDecode, tq37UnigramSeed, tq38UnigramTrain, tq39UnigramEncode,
-      tq40TokenizerCompare, tq44WordpieceEncode, tq46TokenizerTriple)
+      tq40TokenizerCompare, tq44WordpieceEncode, tq46TokenizerTriple,
+      tq47WordpieceUnkFallback)
 }
