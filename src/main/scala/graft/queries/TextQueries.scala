@@ -1380,6 +1380,99 @@ object TextQueries {
     bandNearDupSummary(hashed)
   }
 
+  /** DuckDB replay of the band-join verdict stage over a persisted
+    * fingerprint frame — (fp >> 8b) & 255 band keys are shift-mode
+    * independent under the mask, xor/bit_count are exact, so the whole
+    * candidate-generation + verification + accounting pipeline is
+    * portable once the (engine-side, non-SQL) fingerprints are on disk. */
+  private def bandVerdictSql(path: String): String =
+    s"""WITH fp AS (SELECT asset_id, orig_id, fp
+       |  FROM read_parquet('$path/*.parquet')),
+       |banded AS (SELECT asset_id, orig_id, fp, b, (fp >> (b * 8)) & 255 AS bits
+       |  FROM fp, (SELECT unnest(range(0, ${PHash.Bands})) AS b)),
+       |cand AS (SELECT DISTINCT a.asset_id AS ida, c.asset_id AS idb,
+       |    a.orig_id AS oa, c.orig_id AS ob, a.fp AS ha, c.fp AS hb
+       |  FROM banded a JOIN banded c
+       |    ON a.b = c.b AND a.bits = c.bits AND a.asset_id < c.asset_id),
+       |ver AS (SELECT *, bit_count(xor(ha, hb)) AS d FROM cand
+       |  WHERE bit_count(xor(ha, hb)) <= ${PHash.MaxHamming}),
+       |expd AS (SELECT CAST(SUM(g * (g - 1) // 2) AS BIGINT) AS n_dup_pairs_expected
+       |  FROM (SELECT COUNT(*) AS g FROM fp GROUP BY orig_id))
+       |SELECT
+       |  (SELECT COUNT(*) FROM fp) AS n_assets,
+       |  expd.n_dup_pairs_expected,
+       |  (SELECT COUNT(*) FROM cand) AS n_candidate_pairs,
+       |  (SELECT COUNT(*) FROM ver) AS n_verified_pairs,
+       |  (SELECT COUNT(*) FROM ver WHERE oa = ob) AS n_true_found,
+       |  (SELECT COUNT(*) FROM ver WHERE oa <> ob) AS n_false_positives,
+       |  (SELECT MAX(CASE WHEN oa = ob THEN d END) FROM ver) AS max_true_hamming
+       |FROM expd""".stripMargin
+
+  /** tq43's verdict stage, ORACLE-CHECKED (the round-10 ask): the pHash
+    * fingerprints — the only part SQL can't reproduce — are persisted as
+    * a parquet frame at plan time, then BOTH engines run the identical
+    * pipeline from that frame: 8×8-bit Hamming-band candidate join,
+    * bit_count(xor) verification at d ≤ 7, planted-truth accounting.
+    * A hash match upgrades the candidate generator, the verifier, and
+    * the bookkeeping from "planted proof says it worked" to
+    * independently replayed — only the DCT itself remains engine-side
+    * (PHashSpec + tq43 hold that). Same persisted-artifact shape as a
+    * production fingerprint store: dedup serving never re-decodes
+    * images, it joins the stored 8-byte hashes. */
+  val tq43bPhashVerdictReplay: QueryDef = sqlChecked(
+    "tq43b_phash_verdict_replay",
+    bandVerdictSql("/tmp/graft_oracle/tq43b_fp")) { (spark, dir) =>
+    import spark.implicits._
+    val store = "/tmp/graft_oracle/tq43b_fp"
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 180).select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val orig = PHash.encodePattern(64, 48, seed = id)
+        val variants =
+          Seq((id, orig)) ++
+            (if (id % 3 == 0)
+              Decode.resizeImage(orig, 44, 34).map(p => (id + 100000L, p))
+            else None) ++
+            (if (id % 5 == 0)
+              Some((id + 200000L, PHash.encodePattern(64, 48, seed = id, "jpg")))
+            else None)
+        variants.flatMap { case (aid, p) =>
+          PHash.phash(p).map(h => (aid, id, h))
+        }
+      }).toDF("asset_id", "orig_id", "fp")
+      .write.mode("overwrite").parquet(store)
+    bandNearDupSummary(spark.read.parquet(store))
+  }
+
+  /** tq45's verdict stage, oracle-checked from the persisted audio
+    * fingerprints — same replay as [[tq43bPhashVerdictReplay]], second
+    * modality, proving the band machinery is modality-blind once the
+    * 64-bit fingerprint contract is met. */
+  val tq45bAudioVerdictReplay: QueryDef = sqlChecked(
+    "tq45b_audio_verdict_replay",
+    bandVerdictSql("/tmp/graft_oracle/tq45b_fp")) { (spark, dir) =>
+    import spark.implicits._
+    import graft.multimodal.AudioFp
+    val store = "/tmp/graft_oracle/tq45b_fp"
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 180).select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val variants =
+          Seq((id, AudioFp.encodeClip(seed = id))) ++
+            (if (id % 3 == 0)
+              Some((id + 100000L, AudioFp.encodeClip(seed = id, gain = 0.55)))
+            else None) ++
+            (if (id % 5 == 0)
+              Some((id + 200000L, AudioFp.encodeClip(seed = id, sampleRate = 16000)))
+            else None)
+        variants.flatMap { case (aid, p) =>
+          AudioFp.fingerprint(p).map(h => (aid, id, h))
+        }
+      }).toDF("asset_id", "orig_id", "fp")
+      .write.mode("overwrite").parquet(store)
+    bandNearDupSummary(spark.read.parquet(store))
+  }
+
   val tq36FrameSample: QueryDef = sqlChecked(
     "tq36_frame_sample",
     """WITH docs AS (
@@ -1565,6 +1658,7 @@ object TextQueries {
     tq21CompressionRatio, tq21bDeflatePortable, tq22AudioDecode, tq23VideoDecode, tq24Mp4Probe,
     tq25WebmProbe, tq26Mp4Bitrate, tq27WebmBitrate, tq28SourceOverlap,
     tq33PerplexityBuckets, tq35ImageResize, tq36FrameSample,
-    tq43ImagePhashNearDup, tq45AudioFpNearDup, tq41ZipfSlope,
+    tq43ImagePhashNearDup, tq45AudioFpNearDup,
+    tq43bPhashVerdictReplay, tq45bAudioVerdictReplay, tq41ZipfSlope,
     tq42KneserNey)
 }
