@@ -144,6 +144,71 @@ class StoredIndexSearchSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("STREAMING rebuild under a lifecycle pin: micro-batches land invisible, promote flips serving, rollback restores") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.VectorOps.toDouble
+    import graft.ml.IndexLifecycle
+    import graft.streaming.StreamingIndexIngest
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val sample = emb.orderBy($"vec_id").limit(500)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val L = 8; val M = 4; val sub = 16; val K = 16; val NPROBE = 2
+    val coarse = Pq.trainCodebook(sample, L, seed = 101L).map(_.toSeq).toSeq
+    val cb = Pq.trainSubspaces(sample, M, sub, K)
+    val root = java.nio.file.Files.createTempDirectory("graft-sidx-stream-pin").toString
+    val registry = s"$root/registry"
+    // v1: batch build of the full corpus — registered and promoted
+    Pq.ivfPqEncode(emb, coarse, cb, sub).drop("v")
+      .write.partitionBy("list_id").parquet(s"$root/v1")
+    IndexLifecycle.register(spark, registry, "ann_live", "ann_ivfpq_index",
+      s"$root/v1", 1)
+    IndexLifecycle.promote(spark, registry, "ann_live", 1)
+    val qv = sample.head
+    def servedNow() = StoredIndex.servePinned(
+      spark, registry, "ann_live", -1L, qv, coarse, cb, sub, NPROBE, depth = 10)
+    val v1Result = servedNow().collect().toSeq
+    // v2 REBUILDS VIA THE STREAM (half the corpus) while v1 is pinned:
+    // every micro-batch must stay invisible to serving until promote
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val query = StreamingIndexIngest.start(
+      stream.toDF().toDF("vec_id", "v"), coarse, cb, sub,
+      s"$root/v2", s"$root/ckpt")
+    try {
+      val rows = emb.filter($"vec_id" % 2 === 0).as[(Long, Seq[Double])].collect()
+      rows.grouped(math.max(1, rows.length / 2)).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        query.processAllAvailable()
+        assert(servedNow().collect().toSeq == v1Result,
+          "a mid-rebuild micro-batch leaked into pinned serving")
+      }
+    } finally query.stop()
+    // registered but UNPROMOTED: still invisible, and the serving scan
+    // must physically read only v1's directories
+    IndexLifecycle.register(spark, registry, "ann_live", "ann_ivfpq_index",
+      s"$root/v2", 2)
+    val afterRegister = servedNow()
+    assert(afterRegister.collect().toSeq == v1Result)
+    val roots = afterRegister.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(roots.exists(_.contains("/v1")) && !roots.exists(_.contains("/v2")),
+      s"pinned serving read the wrong build: $roots")
+    // promote → the STREAMED build serves (half corpus ⇒ different top-k)
+    IndexLifecycle.promote(spark, registry, "ann_live", 2)
+    val v2Result = servedNow().collect().toSeq
+    assert(v2Result != v1Result, "promoting the streamed rebuild changed nothing")
+    v2Result.foreach(r => assert(r.getLong(r.fieldIndex("cid")) % 2 == 0,
+      "the streamed build must only contain the streamed vectors"))
+    // rollback → v1 serves again
+    assert(IndexLifecycle.rollback(spark, registry, "ann_live")
+      .contains("ann_live-v1"))
+    assert(servedNow().collect().toSeq == v1Result)
+    emb.unpersist()
+  }
+
   test("codes-table compaction: micro-batch fragments collapse, serving is byte-identical and still pruned") {
     import spark.implicits._
     import graft.similarity.VectorOps.toDouble
