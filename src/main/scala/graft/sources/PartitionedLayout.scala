@@ -133,7 +133,12 @@ object PartitionedLayout {
     * (untouched partitions keep byte-identical files — DeleteSpec
     * asserts it), and a partition whose every row is erased is removed
     * explicitly (dynamic overwrite's drained-partition blind spot, same
-    * as upsert's). Null-safe comparisons throughout. */
+    * as upsert's). Null-safe comparisons throughout.
+    *
+    * Scope: this erases the CURRENT state of a plain partitioned table.
+    * A snapshot-versioned table additionally keeps pre-erasure versions
+    * readable (time travel) — [[Snapshots.erase]] is the companion that
+    * rewrites retained history so no version can serve the key. */
   def delete(spark: SparkSession, path: String, keys: DataFrame,
       keyCol: String, partitionCol: String): Unit = withDynamicOverwrite(spark) {
     val delKeys = broadcast(keys.select(col(keyCol).as("__del_key")).distinct())
