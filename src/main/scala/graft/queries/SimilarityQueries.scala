@@ -1089,9 +1089,12 @@ object SimilarityQueries {
     * rerank → recall@5 vs in-query brute force) runs identically in both
     * engines. The Gaussian hyperplanes that keep sq02 rows-only become
     * sq05b's md5-parity Achlioptas signs (the oracle re-derives the
-    * matrix, it is not handed the answer); projections accumulate in
-    * DECIMAL(30,6) over once-rounded elements so no bucket bit can flip
-    * on summation order; the rerank ranks raw-double cosines with a cid
+    * matrix, it is not handed the answer); projections run over BIGINT
+    * micro-unit elements (round(x·10⁶) — the same once-rounded values
+    * the DECIMAL(30,6) fold used, scaled: signs identical, but exact
+    * integer arithmetic in both engines and, engine-side, one fused
+    * SignProjection codegen nest instead of an interpreted per-plane
+    * HOF fold); the rerank ranks raw-double cosines with a cid
     * tie-break (sq01's hash-green precedent). 10 tables × 4 sign bits —
     * the OR-construction: a neighbor is a candidate if it collides in
     * ANY table (bits per table sizes the buckets and scales with corpus
@@ -1115,7 +1118,7 @@ object SimilarityQueries {
       |  FROM (SELECT unnest(range(0, 40)) AS p), (SELECT unnest(range(0, 64)) AS i)),
       |el AS MATERIALIZED (
       |  SELECT vec_id, CAST(i0 AS INT) - 1 AS i,
-      |    CAST(round(v[i0], 6) AS DECIMAL(30,6)) AS xq
+      |    CAST(round(v[i0] * 1000000) AS BIGINT) AS xq
       |  FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i0 FROM base)),
       |proj AS (
       |  SELECT vec_id, p, SUM(s * xq) AS dot
@@ -1153,31 +1156,33 @@ object SimilarityQueries {
       |FROM qs LEFT JOIN nc USING (qid) LEFT JOIN hits USING (qid)""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val T = 10; val B = 4
-    val D = org.apache.spark.sql.types.DecimalType(30, 6)
     val mdf = java.security.MessageDigest.getInstance("MD5")
     def sign(p: Int, i: Int): Int = {
       val hex = mdf.digest(s"$p:$i".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       if (hex.charAt(0) <= '7') 1 else -1
     }
-    val signs = Seq.tabulate(T * B, 64)(sign)
+    val signsFlat = Array.tabulate(T * B * 64)(
+      idx => sign(idx / 64, idx % 64).toByte)
     val emb0 = Tables.embeddings(spark, dir)
       .select($"vec_id", toDouble($"embedding").as("v"))
-    val quant = emb0.withColumn("xq", transform($"v", x => round(x, 6).cast(D)))
-    def dot(p: Int) = {
-      val sArr = typedlit(signs(p))
-      aggregate(sequence(lit(0), lit(63)),
-        lit(java.math.BigDecimal.ZERO).cast(D),
-        (acc, i) => (acc + element_at(sArr, i + 1) * element_at($"xq", i + 1)).cast(D))
-    }
-    // one row per (vector, table): ids + 5 sign bits, nothing else —
+    // BIGINT micro-units: round(x·10⁶) is the DECIMAL(30,6) fold's exact
+    // values scaled by 10⁶, so every projection sign — hence every
+    // bucket bit, candidate, and the recall itself — is unchanged; the
+    // 40 per-plane interpreted HOF folds become one SignProjection nest
+    val quant = emb0.select($"vec_id",
+      transform($"v", x => round(x * 1000000).cast("long")).as("xqa"))
+    val dots = quant.select($"vec_id",
+      graft.functions.SignProjection($"xqa", signsFlat, T * B, 64).as("dots"))
+    // one row per (vector, table): ids + sign bits, nothing else —
     // the candidate join below shuffles 16-byte pairs, not vectors
     val buckets = (0 until T).map { t =>
       struct(lit(t).as("tbl"),
         concat((0 until B).map(b =>
-          when(dot(t * B + b) > 0, "1").otherwise("0")): _*).as("bits"))
+          when(element_at($"dots", t * B + b + 1) > 0, "1").otherwise("0")): _*)
+          .as("bits"))
     }
-    val emb = quant.select($"vec_id", explode(array(buckets: _*)).as("bk"))
+    val emb = dots.select($"vec_id", explode(array(buckets: _*)).as("bk"))
       .select($"vec_id", $"bk.tbl", $"bk.bits")
     val cand = emb.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"tbl", $"bits")
       .join(emb.select($"vec_id".as("cid"), $"tbl", $"bits"), Seq("tbl", "bits"))

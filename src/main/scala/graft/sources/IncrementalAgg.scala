@@ -88,8 +88,28 @@ object IncrementalAgg {
         // storing a phantom (key, 0, 0) row that read() would serve with
         // a null avg.
         .filter(col("cnt") =!= 0L)
+      // dropping cnt=0 keys can DRAIN a bucket entirely (a retract that
+      // erases every key the bucket held) — dynamic overwrite only
+      // replaces partitions present in the written data, so a drained
+      // bucket's old files must be deleted explicitly, exactly
+      // PartitionedLayout.delete's blind-spot handling. The affected
+      // list is ≤ NumBuckets values — bounded driver state.
+      val affectedVals = batchAgg.select(col("bucket")).distinct()
+        .collect().map(_.get(0))
       PartitionedLayout.withStaging(spark, path, merged) { staged =>
         staged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        val present = staged.select(col("bucket")).distinct()
+          .collect().map(_.get(0)).toSet
+        val drained = affectedVals.filterNot(present)
+        if (drained.nonEmpty) {
+          val root = new org.apache.hadoop.fs.Path(path)
+          val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+          drained.foreach { v =>
+            val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString("bucket", if (v == null) null else v.toString)
+            fs.delete(new org.apache.hadoop.fs.Path(root, dirName), true)
+          }
+        }
       }
     }
 
