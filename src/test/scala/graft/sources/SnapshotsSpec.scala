@@ -113,6 +113,30 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(noop.rewritten.isEmpty && noop.deletedFiles.isEmpty)
   }
 
+  test("erase composes with vacuum: retention keeps working and reclaims the purged rewrites") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = tbl()
+    (1 to 3).foreach(i =>
+      Snapshots.commit(spark, path,
+        (1 to 6).map(k => (k, s"v$i-r$k")).toDF("k", "s").repartition(2)))
+    Snapshots.erase(spark, path, col("k") === 3)
+    // vacuum after erase: only the newest version survives, still
+    // victim-free, and the dropped versions' REWRITTEN files are
+    // reclaimed like any other dead file
+    val deleted = Snapshots.vacuum(spark, path, keep = 1)
+    assert(deleted.nonEmpty)
+    assert(Snapshots.versions(spark, path) == Seq(3L))
+    val rows = Snapshots.read(spark, path).as[(Int, String)].collect().toSet
+    assert(!rows.exists(_._1 == 3) && rows.map(_._1) == Set(1, 2, 4, 5, 6))
+    deleted.foreach(rel =>
+      assert(!new java.io.File(new java.io.File(path), rel).exists()))
+    // and erase still works on the post-vacuum table
+    Snapshots.erase(spark, path, col("k") === 5)
+    assert(!Snapshots.read(spark, path).as[(Int, String)].collect()
+      .exists(_._1 == 5))
+  }
+
   test("CAS commit: a deterministically-injected racer forces retry, no lost manifest") {
     import spark.implicits._
     val path = tbl()
