@@ -1895,6 +1895,166 @@ object SimilarityQueries {
       .orderBy($"m")
   }
 
+  /** DuckDB CTEs for `rounds` NN-Descent iterations over `vecs(vec_id, v)`
+    * with `nn(n)`: deterministic SPREAD init — nbr = (src + 1 +
+    * (j·193 mod (n−1))) mod n for j = 1..k, a prime stride that lands
+    * the initial neighbors across the whole id space (a ±k ring would
+    * make 2-hop reach grow only linearly per round) and can never be
+    * self — then per round
+    * the neighbor-of-neighbor expansion over the UNDIRECTED graph
+    * (B = N ∪ N⁻¹; candidates = 2-hop pairs ∪ current edges), exact
+    * double-cosine scoring and a (cos DESC, nbr) top-k per node — the
+    * same deterministic rerank contract as sq01/sq02b. Ends in CTEs
+    * e_0 .. e_{rounds} plus `bf` (true top-k of the 16-query subset). */
+  private def nnDescentSql(k: Int, rounds: Int): String = {
+    def summary(r: Int) =
+      s"""sum_$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |  COUNT(*) AS n_edges,
+         |  round(CAST(SUM(CAST(round(cos, 6) AS DECIMAL(30,6))) AS DOUBLE)
+         |    / COUNT(*), 6) AS avg_nbr_cos,
+         |  CAST((SELECT COUNT(*) FROM (SELECT src, nbr FROM e_$r WHERE src < 16
+         |    INTERSECT SELECT src, nbr FROM bf)) AS DOUBLE) / (16 * $k) AS recall_at_k
+         |  FROM e_$r)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val prev = s"e_${r - 1}"
+      s"""b_$r AS MATERIALIZED (
+         |  SELECT src, nbr FROM $prev
+         |  UNION
+         |  SELECT nbr AS src, src AS nbr FROM $prev),
+         |c_$r AS MATERIALIZED (
+         |  SELECT a.src, b.nbr FROM b_$r a JOIN b_$r b ON a.nbr = b.src
+         |  WHERE a.src <> b.nbr
+         |  UNION
+         |  SELECT src, nbr FROM $prev),
+         |s_$r AS MATERIALIZED (
+         |  SELECT c.src, c.nbr, list_cosine_similarity(x.v, y.v) AS cos
+         |  FROM c_$r c JOIN vecs x ON c.src = x.vec_id
+         |  JOIN vecs y ON c.nbr = y.vec_id),
+         |e_$r AS MATERIALIZED (
+         |  SELECT src, nbr, cos FROM (
+         |    SELECT src, nbr, cos, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY cos DESC, nbr) AS rn FROM s_$r)
+         |  WHERE rn <= $k)""".stripMargin
+    }
+    s"""nn AS (SELECT COUNT(*) AS n FROM vecs),
+       |init AS (
+       |  SELECT DISTINCT v0.vec_id AS src,
+       |    (v0.vec_id + 1 + (j * 193) % (nn.n - 1)) % nn.n AS nbr
+       |  FROM vecs v0, (SELECT unnest(range(1, ${k + 1})) AS j) js, nn),
+       |e_0 AS MATERIALIZED (
+       |  SELECT i.src, i.nbr, list_cosine_similarity(x.v, y.v) AS cos
+       |  FROM init i JOIN vecs x ON i.src = x.vec_id
+       |  JOIN vecs y ON i.nbr = y.vec_id),
+       |bf AS MATERIALIZED (
+       |  SELECT src, nbr FROM (
+       |    SELECT q.vec_id AS src, c.vec_id AS nbr,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rn
+       |    FROM vecs q, vecs c WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id)
+       |  WHERE rn <= $k),
+       |${steps.mkString(",\n")},
+       |${(0 to rounds).map(summary).mkString(",\n")}""".stripMargin
+  }
+
+  /** Approximate k-NN GRAPH construction by NN-Descent (Dong et al.
+    * 2011, "Efficient K-Nearest Neighbor Graph Construction for Generic
+    * Similarity Measures") — the graph-based end of the ANN board next
+    * to the hashing (LSH) and quantization (IVF/PQ/OPQ) families, and
+    * the build stage every HNSW-style serving index starts from. The
+    * algorithm is pure relational algebra, which is why it fits Spark:
+    * start from any cheap graph (deterministic ring init here), then
+    * each round proposes every node's 2-HOP NEIGHBORHOOD over the
+    * undirected current graph (neighbors' neighbors — a self-join on
+    * the k·n edge list, never all-pairs), scores candidates with exact
+    * cosine, and keeps each node's top-k. "A neighbor of a neighbor is
+    * likely a neighbor" converges in a handful of rounds.
+    *
+    * The frame carries one row per round 0..3: edge count, mean
+    * neighbor cosine (decimal-exact average of once-rounded values —
+    * must rise monotonically as the graph improves), and recall@8 of
+    * the 16-query subset vs the in-query brute-force truth (ring init
+    * starts near 0; three rounds reach production-useful recall). The
+    * oracle replays ALL of it — init, every expansion round, scoring,
+    * tie-breaks, recall — so the whole construction is hash-checked.
+    *
+    * 100 TB: per round the shuffle is the 2-hop self-join on (k·n)
+    * edges — k² candidates per node, independent of corpus size; scoring
+    * joins fetch only candidate endpoints' vectors. This is the standard
+    * distributed kNN-graph recipe (NN-Descent MapReduce, Faiss's
+    * build-graph-by-blocks); the ring init swaps for LSH buckets (sq02)
+    * when a warm start is worth the extra scan. */
+  val sq21KnnGraphNnDescent: QueryDef = sqlChecked(
+    "sq21_knn_graph_nndescent",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${nnDescentSql(8, 4)}
+       |SELECT * FROM (
+       |  SELECT * FROM sum_0 UNION ALL SELECT * FROM sum_1
+       |  UNION ALL SELECT * FROM sum_2 UNION ALL SELECT * FROM sum_3
+       |  UNION ALL SELECT * FROM sum_4)
+       |ORDER BY round""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val k = 8; val rounds = 4
+    val D = org.apache.spark.sql.types.DecimalType(30, 6)
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .cache()
+    def score(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .join(vecs.select($"vec_id".as("src"), $"v".as("vs")), Seq("src"))
+      .join(vecs.select($"vec_id".as("nbr"), $"v".as("vn")), Seq("nbr"))
+      .select($"src", $"nbr", cosine($"vs", $"vn").as("cos"))
+    val nn = vecs.agg(count(lit(1)).as("n"))
+    // |Q|-bounded truth: broadcast the 16 queries, stream the corpus
+    // (BroadcastNestedLoopJoin, never a cartesian — sq02b's bf shape)
+    val bf = broadcast(vecs.filter($"vec_id" < 16)
+        .select($"vec_id".as("src"), $"v".as("qv")))
+      .join(vecs.select($"vec_id".as("nbr"), $"v".as("cv")), $"src" =!= $"nbr")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy(cosine($"qv", $"cv").desc, $"nbr")))
+      .filter($"rn" <= k).select($"src", $"nbr")
+      .cache()
+    def summary(r: Int, e: org.apache.spark.sql.DataFrame) = {
+      val hits = e.filter($"src" < 16).select($"src", $"nbr")
+        .join(bf, Seq("src", "nbr"), "left_semi")
+        .agg(count(lit(1)).as("nhit"))
+      e.agg(
+        count(lit(1)).as("n_edges"),
+        round(sum(round($"cos", 6).cast(D)).cast("double") / count(lit(1)), 6)
+          .as("avg_nbr_cos"))
+        .crossJoin(broadcast(hits))
+        .select(lit(r.toLong).as("round"), $"n_edges", $"avg_nbr_cos",
+          ($"nhit".cast("double") / (16 * k)).as("recall_at_k"))
+    }
+    val init = vecs.select($"vec_id".as("src"))
+      .crossJoin(broadcast(nn))
+      .select($"src", explode(sequence(lit(1), lit(k))).as("j"), $"n")
+      .select($"src",
+        pmod($"src" + 1 + pmod($"j" * 193, $"n" - 1), $"n").cast("long").as("nbr"))
+      .distinct()
+    // localCheckpoint, not cache: each round self-joins the previous
+    // graph, so an uncheckpointed lineage DOUBLES per round and Catalyst
+    // re-analysis dominates wall time (the dq09 lesson — cached frames
+    // still carry their full logical plan)
+    var e = score(init).localCheckpoint(true)
+    val sums = scala.collection.mutable.ArrayBuffer(summary(0, e))
+    for (r <- 1 to rounds) {
+      val undirected = e.select($"src", $"nbr")
+        .union(e.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
+      val cand = undirected.as("a")
+        .join(undirected.as("b"), $"a.nbr" === $"b.src")
+        .select($"a.src".as("src"), $"b.nbr".as("nbr"))
+        .filter($"src" =!= $"nbr")
+        .union(e.select($"src", $"nbr")).distinct()
+      e = score(cand)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
+        .filter($"rn" <= k).drop("rn")
+        .localCheckpoint(true)
+      sums += summary(r, e)
+    }
+    sums.reduce(_ unionByName _).orderBy($"round")
+  }
+
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
     sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
     sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall,
@@ -1902,5 +2062,5 @@ object SimilarityQueries {
     sq11HardNegatives, sq12MmrRerank, sq13EmbeddingAudit,
     sq14AnnStoredIndexSearch, sq15PcaPower, sq16MatryoshkaAudit,
     sq17AnnOpqRecall, sq19WhiteningAudit, sq04bAnnIvfRecallPortable,
-    sq02cLshBitScaling)
+    sq02cLshBitScaling, sq21KnnGraphNnDescent)
 }
