@@ -1999,11 +1999,6 @@ object SimilarityQueries {
     val vecs = Tables.embeddings(spark, dir)
       .select($"vec_id", toDouble($"embedding").as("v"))
       .cache()
-    def score(pairs: org.apache.spark.sql.DataFrame) = pairs
-      .join(vecs.select($"vec_id".as("src"), $"v".as("vs")), Seq("src"))
-      .join(vecs.select($"vec_id".as("nbr"), $"v".as("vn")), Seq("nbr"))
-      .select($"src", $"nbr", cosine($"vs", $"vn").as("cos"))
-    val nn = vecs.agg(count(lit(1)).as("n"))
     // |Q|-bounded truth: broadcast the 16 queries, stream the corpus
     // (BroadcastNestedLoopJoin, never a cartesian — sq02b's bf shape)
     val bf = broadcast(vecs.filter($"vec_id" < 16)
@@ -2025,19 +2020,34 @@ object SimilarityQueries {
         .select(lit(r.toLong).as("round"), $"n_edges", $"avg_nbr_cos",
           ($"nhit".cast("double") / (16 * k)).as("recall_at_k"))
     }
+    val es = nnDescentBuild(vecs, k, rounds)
+    es.zipWithIndex.map { case (e, r) => summary(r, e) }
+      .reduce(_ unionByName _).orderBy($"round")
+  }
+
+  /** The NN-Descent build rounds shared by sq21 (construction metrics)
+    * and sq22 (serving over the final graph): returns e_0..e_rounds,
+    * each (src, nbr, cos) localCheckpoint'd — the self-join lineage
+    * otherwise DOUBLES per round and Catalyst re-analysis dominates
+    * wall time (the dq09 lesson; cached frames still carry their full
+    * logical plan). */
+  private def nnDescentBuild(vecs: org.apache.spark.sql.DataFrame,
+      k: Int, rounds: Int): Seq[org.apache.spark.sql.DataFrame] = {
+    import vecs.sparkSession.implicits._
+    def score(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .join(vecs.select($"vec_id".as("src"), $"v".as("vs")), Seq("src"))
+      .join(vecs.select($"vec_id".as("nbr"), $"v".as("vn")), Seq("nbr"))
+      .select($"src", $"nbr", cosine($"vs", $"vn").as("cos"))
+    val nn = vecs.agg(count(lit(1)).as("n"))
     val init = vecs.select($"vec_id".as("src"))
       .crossJoin(broadcast(nn))
       .select($"src", explode(sequence(lit(1), lit(k))).as("j"), $"n")
       .select($"src",
         pmod($"src" + 1 + pmod($"j" * 193, $"n" - 1), $"n").cast("long").as("nbr"))
       .distinct()
-    // localCheckpoint, not cache: each round self-joins the previous
-    // graph, so an uncheckpointed lineage DOUBLES per round and Catalyst
-    // re-analysis dominates wall time (the dq09 lesson — cached frames
-    // still carry their full logical plan)
     var e = score(init).localCheckpoint(true)
-    val sums = scala.collection.mutable.ArrayBuffer(summary(0, e))
-    for (r <- 1 to rounds) {
+    val out = scala.collection.mutable.ArrayBuffer(e)
+    for (_ <- 1 to rounds) {
       val undirected = e.select($"src", $"nbr")
         .union(e.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
       val cand = undirected.as("a")
@@ -2050,7 +2060,133 @@ object SimilarityQueries {
           Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
         .filter($"rn" <= k).drop("rn")
         .localCheckpoint(true)
-      sums += summary(r, e)
+      out += e
+    }
+    out.toSeq
+  }
+
+  /** DuckDB CTEs for `rounds` greedy BEAM-SEARCH steps over the graph
+    * CTE `graph(src, nbr)`: deterministic entry node per query, each
+    * step expands the frontier through the UNDIRECTED edges, drops
+    * already-visited nodes, keeps the best `beam` new nodes by exact
+    * cosine, and accumulates the visited pool; per-step summaries
+    * report pool size and recall@k of the pool's best k vs `bf`. */
+  private def beamSql(k: Int, rounds: Int, graph: String): String = {
+    def ansAndSum(r: Int) =
+      s"""ans_$r AS (SELECT qid, node FROM (
+         |  SELECT p.qid, p.node, ROW_NUMBER() OVER (PARTITION BY p.qid
+         |    ORDER BY list_cosine_similarity(q.v, c.v) DESC, p.node) AS rn
+         |  FROM p_$r p JOIN qv q ON p.qid = q.qid
+         |  JOIN vecs c ON p.node = c.vec_id
+         |  WHERE p.node <> p.qid) WHERE rn <= $k),
+         |bsum_$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT COUNT(*) FROM p_$r) AS pool_nodes,
+         |  CAST((SELECT COUNT(*) FROM (SELECT qid, node FROM ans_$r
+         |    INTERSECT SELECT src, nbr FROM bf)) AS DOUBLE) / (16 * $k)
+         |    AS recall_at_k)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""x_$r AS (SELECT DISTINCT f.qid, u.nbr AS node
+         |  FROM f_${r - 1} f JOIN und u ON f.node = u.src),
+         |nw_$r AS (SELECT x.qid, x.node FROM x_$r x
+         |  ANTI JOIN p_${r - 1} p ON x.qid = p.qid AND x.node = p.node),
+         |sc_$r AS (SELECT n.qid, n.node, list_cosine_similarity(q.v, c.v) AS cos
+         |  FROM nw_$r n JOIN qv q ON n.qid = q.qid
+         |  JOIN vecs c ON n.node = c.vec_id),
+         |f_$r AS MATERIALIZED (SELECT qid, node FROM (
+         |  SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, node) AS rn FROM sc_$r) WHERE rn <= $k),
+         |p_$r AS MATERIALIZED (
+         |  SELECT qid, node FROM p_${r - 1}
+         |  UNION SELECT qid, node FROM f_$r)""".stripMargin
+    }
+    s"""und AS MATERIALIZED (
+       |  SELECT src, nbr FROM $graph UNION SELECT nbr, src FROM $graph),
+       |qv AS (SELECT vec_id AS qid, v FROM vecs WHERE vec_id < 16),
+       |p_0 AS MATERIALIZED (
+       |  SELECT q.qid, (q.qid * 37 + 1) % nn.n AS node FROM qv q, nn),
+       |f_0 AS (SELECT qid, node FROM p_0),
+       |${steps.mkString(",\n")},
+       |${(0 to rounds).map(ansAndSum).mkString(",\n")}""".stripMargin
+  }
+
+  /** Graph-ANN SERVING — greedy beam search over the NN-Descent graph
+    * sq21 builds, completing the graph family's build+serve pair the
+    * way sq14 does for IVF-PQ (this is HNSW's layer-0 search loop, the
+    * algorithm every graph index serves with): start each query at a
+    * deterministic entry node, repeatedly expand the current frontier
+    * through the undirected edges, keep the best `beam` UNVISITED nodes
+    * by exact cosine, and answer with the visited pool's top-k. One row
+    * per step shows the pool growing and recall@8 climbing — the
+    * beam-depth/recall trade a serving deployment tunes. The oracle
+    * replays the ENTIRE stack: the 4-round graph build, the entry
+    * choice, every beam step's expansion/dedup/tie-breaks, and the
+    * recall accounting.
+    *
+    * 100 TB: serving touches O(beam · k · steps) vectors per query —
+    * corpus-size-free once the graph is built; the graph itself is the
+    * k·n edge list, stored partitioned by src bucket exactly like
+    * sq14's codes table (the registry/pin lifecycle applies unchanged). */
+  val sq22GraphAnnServe: QueryDef = sqlChecked(
+    "sq22_graph_ann_serve",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${nnDescentSql(8, 4)},
+       |${beamSql(8, 4, "e_4")}
+       |SELECT * FROM (
+       |  SELECT * FROM bsum_0 UNION ALL SELECT * FROM bsum_1
+       |  UNION ALL SELECT * FROM bsum_2 UNION ALL SELECT * FROM bsum_3
+       |  UNION ALL SELECT * FROM bsum_4)
+       |ORDER BY round""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val k = 8; val buildRounds = 4; val beamRounds = 4
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .cache()
+    val graph = nnDescentBuild(vecs, k, buildRounds).last
+    val und = graph.select($"src", $"nbr")
+      .union(graph.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
+      .localCheckpoint(true)
+    val nn = vecs.agg(count(lit(1)).as("n"))
+    val qv = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
+    val bf = broadcast(qv.select($"qid".as("src"), $"v".as("qv")))
+      .join(vecs.select($"vec_id".as("nbr"), $"v".as("cv")), $"src" =!= $"nbr")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy(cosine($"qv", $"cv").desc, $"nbr")))
+      .filter($"rn" <= k)
+      .select($"src".as("qid"), $"nbr".as("node"))
+      .cache()
+    def bsummary(r: Int, pool: org.apache.spark.sql.DataFrame) = {
+      val ans = pool.filter($"node" =!= $"qid")
+        .join(broadcast(qv), Seq("qid"))
+        .join(vecs.select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
+        .filter($"rn" <= k).select($"qid", $"node")
+      val hits = ans.join(bf, Seq("qid", "node"), "left_semi")
+        .agg(count(lit(1)).as("nhit"))
+      pool.agg(count(lit(1)).as("pool_nodes"))
+        .crossJoin(broadcast(hits))
+        .select(lit(r.toLong).as("round"), $"pool_nodes",
+          ($"nhit".cast("double") / (16 * k)).as("recall_at_k"))
+    }
+    var pool = qv.crossJoin(broadcast(nn))
+      .select($"qid", pmod($"qid" * 37 + 1, $"n").cast("long").as("node"))
+      .localCheckpoint(true)
+    var frontier = pool
+    val sums = scala.collection.mutable.ArrayBuffer(bsummary(0, pool))
+    for (r <- 1 to beamRounds) {
+      val expanded = frontier.join(und, frontier("node") === und("src"))
+        .select(frontier("qid"), und("nbr").as("node")).distinct()
+      val fresh = expanded.join(pool, Seq("qid", "node"), "left_anti")
+      frontier = fresh
+        .join(broadcast(qv), Seq("qid"))
+        .join(vecs.select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
+        .filter($"rn" <= k).select($"qid", $"node")
+        .localCheckpoint(true)
+      pool = pool.union(frontier).distinct().localCheckpoint(true)
+      sums += bsummary(r, pool)
     }
     sums.reduce(_ unionByName _).orderBy($"round")
   }
@@ -2062,5 +2198,5 @@ object SimilarityQueries {
     sq11HardNegatives, sq12MmrRerank, sq13EmbeddingAudit,
     sq14AnnStoredIndexSearch, sq15PcaPower, sq16MatryoshkaAudit,
     sq17AnnOpqRecall, sq19WhiteningAudit, sq04bAnnIvfRecallPortable,
-    sq02cLshBitScaling, sq21KnnGraphNnDescent)
+    sq02cLshBitScaling, sq21KnnGraphNnDescent, sq22GraphAnnServe)
 }
