@@ -2026,44 +2026,12 @@ object SimilarityQueries {
   }
 
   /** The NN-Descent build rounds shared by sq21 (construction metrics)
-    * and sq22 (serving over the final graph): returns e_0..e_rounds,
-    * each (src, nbr, cos) localCheckpoint'd — the self-join lineage
-    * otherwise DOUBLES per round and Catalyst re-analysis dominates
-    * wall time (the dq09 lesson; cached frames still carry their full
-    * logical plan). */
+    * and sq22 (serving over the final graph) — the real implementation
+    * lives in [[graft.similarity.KnnGraph.build]] next to the stored
+    * layout and serving loop. */
   private def nnDescentBuild(vecs: org.apache.spark.sql.DataFrame,
-      k: Int, rounds: Int): Seq[org.apache.spark.sql.DataFrame] = {
-    import vecs.sparkSession.implicits._
-    def score(pairs: org.apache.spark.sql.DataFrame) = pairs
-      .join(vecs.select($"vec_id".as("src"), $"v".as("vs")), Seq("src"))
-      .join(vecs.select($"vec_id".as("nbr"), $"v".as("vn")), Seq("nbr"))
-      .select($"src", $"nbr", cosine($"vs", $"vn").as("cos"))
-    val nn = vecs.agg(count(lit(1)).as("n"))
-    val init = vecs.select($"vec_id".as("src"))
-      .crossJoin(broadcast(nn))
-      .select($"src", explode(sequence(lit(1), lit(k))).as("j"), $"n")
-      .select($"src",
-        pmod($"src" + 1 + pmod($"j" * 193, $"n" - 1), $"n").cast("long").as("nbr"))
-      .distinct()
-    var e = score(init).localCheckpoint(true)
-    val out = scala.collection.mutable.ArrayBuffer(e)
-    for (_ <- 1 to rounds) {
-      val undirected = e.select($"src", $"nbr")
-        .union(e.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
-      val cand = undirected.as("a")
-        .join(undirected.as("b"), $"a.nbr" === $"b.src")
-        .select($"a.src".as("src"), $"b.nbr".as("nbr"))
-        .filter($"src" =!= $"nbr")
-        .union(e.select($"src", $"nbr")).distinct()
-      e = score(cand)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
-        .filter($"rn" <= k).drop("rn")
-        .localCheckpoint(true)
-      out += e
-    }
-    out.toSeq
-  }
+      k: Int, rounds: Int): Seq[org.apache.spark.sql.DataFrame] =
+    graft.similarity.KnnGraph.build(vecs, k, rounds)
 
   /** DuckDB CTEs for `rounds` greedy BEAM-SEARCH steps over the graph
     * CTE `graph(src, nbr)`: deterministic entry node per query, each

@@ -1,0 +1,111 @@
+package graft.similarity
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The stored k-NN graph: bucket-partitioned adjacency makes each beam
+  * step a partition-pruned scan (sq14's plan property, graph edition),
+  * store-backed serving equals in-memory serving exactly, and the
+  * registry/pin lifecycle applies to the store path unchanged. */
+class StoredGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val K = 8
+
+  private def corpus() = {
+    import spark.implicits._
+    import graft.similarity.VectorOps.toDouble
+    graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+  }
+
+  test("a beam step's scan is partition-pruned to the frontier's buckets") {
+    import spark.implicits._
+    val vecs = corpus()
+    val graph = KnnGraph.build(vecs, K, rounds = 2).last
+    val store = java.nio.file.Files.createTempDirectory("graft-kgraph").toString + "/g"
+    KnnGraph.writeStore(graph, store)
+    // two frontier nodes → at most two distinct buckets may be read
+    val frontier = Seq((0L, 5L), (1L, 7L)).toDF("qid", "node")
+    val expanded = KnnGraph.expandStored(spark, store, frontier)
+    val expectedBuckets = Set(5L % KnnGraph.NumBuckets, 7L % KnnGraph.NumBuckets)
+    val scans = expanded.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("graft-kgraph")) => f
+    }
+    assert(scans.nonEmpty, "the expansion must read the stored graph")
+    scans.foreach { f =>
+      val selected = f.selectedPartitions.partitionCount
+      assert(selected <= expectedBuckets.size,
+        s"read $selected bucket dirs for a ${expectedBuckets.size}-bucket frontier")
+    }
+    // and the expansion itself is the graph's adjacency rows
+    val viaStore = expanded.as[(Long, Long)].collect().toSet
+    val und = graph.select($"src", $"nbr")
+      .union(graph.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
+    val inMem = frontier.join(und, frontier("node") === und("src"))
+      .select(frontier("qid"), und("nbr")).as[(Long, Long)].collect().toSet
+    assert(viaStore == inMem)
+    vecs.unpersist()
+  }
+
+  test("store-backed beam serving equals the in-memory loop exactly; lifecycle pin applies") {
+    import spark.implicits._
+    import graft.ml.IndexLifecycle
+    val vecs = corpus()
+    val graph = KnnGraph.build(vecs, K, rounds = 3).last
+    val root = java.nio.file.Files.createTempDirectory("graft-kgraph-serve").toString
+    KnnGraph.writeStore(graph, s"$root/v1")
+    val queries = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
+    val served = KnnGraph.serveStored(
+      spark, s"$root/v1", vecs, queries, K, beamRounds = 3)
+      .as[(Long, Long)].collect().toSet
+    // in-memory replica of the same loop (sq22's): identical pools ⇒
+    // identical answers — the store adds pruning, never changes results
+    val und = graph.select($"src", $"nbr")
+      .union(graph.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
+      .localCheckpoint(true)
+    val nn = vecs.agg(count(lit(1)).as("n"))
+    var pool = queries.crossJoin(broadcast(nn))
+      .select($"qid", pmod($"qid" * 37 + 1, $"n").cast("long").as("node"))
+      .localCheckpoint(true)
+    var frontier = pool
+    import org.apache.spark.sql.expressions.Window
+    import graft.similarity.VectorOps.cosine
+    for (_ <- 1 to 3) {
+      val fresh = frontier.join(und, frontier("node") === und("src"))
+        .select(frontier("qid"), und("nbr").as("node")).distinct()
+        .join(pool, Seq("qid", "node"), "left_anti")
+      frontier = fresh
+        .join(broadcast(queries), Seq("qid"))
+        .join(vecs.select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
+        .filter($"rn" <= K).select($"qid", $"node")
+        .localCheckpoint(true)
+      pool = pool.union(frontier).distinct().localCheckpoint(true)
+    }
+    val inMem = pool.filter($"node" =!= $"qid")
+      .join(broadcast(queries), Seq("qid"))
+      .join(vecs.select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
+      .filter($"rn" <= K).select($"qid", $"node")
+      .as[(Long, Long)].collect().toSet
+    assert(served == inMem, "store-backed serving diverged from the in-memory loop")
+    // the same registry lifecycle the other stored indexes use
+    val registry = s"$root/registry"
+    IndexLifecycle.register(spark, registry, "knn_graph", "knn_graph_index",
+      s"$root/v1", 1)
+    IndexLifecycle.promote(spark, registry, "knn_graph", 1)
+    val pinned = IndexLifecycle.pinnedPath(spark, registry, "knn_graph")
+    assert(pinned.contains(s"$root/v1"))
+    val servedPinned = KnnGraph.serveStored(
+      spark, pinned.get, vecs, queries, K, beamRounds = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(servedPinned == served)
+    vecs.unpersist()
+  }
+}
