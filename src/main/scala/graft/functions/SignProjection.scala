@@ -26,9 +26,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * 100 TB shape: signatures are embarrassingly map-side; this keeps the
   * entire signature stage at memory bandwidth so the candidate join
-  * (the only shuffle) stays the sole scaling term. Mirrors the
-  * reference's native signature kernels (lsh_index.rs sign loops) in
-  * Catalyst-codegen form.
+  * (the only shuffle) stays the sole scaling term.
   *
   * Semantics: null in → null out; vectors shorter than `dim` use the
   * available prefix (equal-length embeddings are the upstream contract).

@@ -1419,11 +1419,17 @@ object TextQueries {
     * (PHashSpec + tq43 hold that). Same persisted-artifact shape as a
     * production fingerprint store: dedup serving never re-decodes
     * images, it joins the stored 8-byte hashes. */
+  // per-run unique store paths (r11 ADVICE: the old fixed /tmp path let
+  // concurrent runs clobber each other); oracleDir survives JVM exit so
+  // the driver's DuckDB pass can still read the frames
+  private val tq43bStore = graft.util.Scratch.oracleDir("graft-tq43b-fp")
+  private val tq45bStore = graft.util.Scratch.oracleDir("graft-tq45b-fp")
+
   val tq43bPhashVerdictReplay: QueryDef = sqlChecked(
     "tq43b_phash_verdict_replay",
-    bandVerdictSql("/tmp/graft_oracle/tq43b_fp")) { (spark, dir) =>
+    bandVerdictSql(tq43bStore)) { (spark, dir) =>
     import spark.implicits._
-    val store = "/tmp/graft_oracle/tq43b_fp"
+    val store = tq43bStore
     Tables.documents(spark, dir)
       .filter($"doc_id" < 180).select($"doc_id").as[Long]
       .mapPartitions(_.flatMap { id =>
@@ -1450,10 +1456,10 @@ object TextQueries {
     * 64-bit fingerprint contract is met. */
   val tq45bAudioVerdictReplay: QueryDef = sqlChecked(
     "tq45b_audio_verdict_replay",
-    bandVerdictSql("/tmp/graft_oracle/tq45b_fp")) { (spark, dir) =>
+    bandVerdictSql(tq45bStore)) { (spark, dir) =>
     import spark.implicits._
     import graft.multimodal.AudioFp
-    val store = "/tmp/graft_oracle/tq45b_fp"
+    val store = tq45bStore
     Tables.documents(spark, dir)
       .filter($"doc_id" < 180).select($"doc_id").as[Long]
       .mapPartitions(_.flatMap { id =>

@@ -87,8 +87,15 @@ object Avro {
     // holds a whole container file.
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val first = fs.listStatus(hPath).iterator
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
+    // glob-aware listing so the header probe accepts the same paths the
+    // binaryFile load above does (globs, plain dirs); one directory
+    // level, matching the file source's non-recursive default
+    val roots = Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Seq.empty)
+    val first = roots.iterator.flatMap { st =>
+        if (st.isFile) Iterator.single(st)
+        else fs.listStatus(st.getPath).iterator.filter(_.isFile)
+      }
+      .filter(_.getPath.getName.endsWith(".avro"))
       .take(1).toSeq.headOption
       .getOrElse(throw new IllegalArgumentException(
         s"no .avro files under $path"))

@@ -252,8 +252,10 @@ object Snapshots {
     val contaminatedUris = spark.read.parquet(allRel.map(abs): _*)
       .filter(predicate).select(input_file_name()).distinct()
       .collect().map(_.getString(0)).toSet
+    // path-separator boundary: "/a/bc.parquet" must not match rel
+    // "c.parquet" — compare on a "/"-anchored suffix
     val contaminated = allRel.filter(rel =>
-      contaminatedUris.exists(_.endsWith(rel)))
+      contaminatedUris.exists(u => u == rel || u.endsWith("/" + rel)))
     if (contaminated.isEmpty)
       return EraseReport(Map.empty, Seq.empty, Seq.empty)
     // 2. rewrite each contaminated file minus the victims (per-file jobs
@@ -262,7 +264,12 @@ object Snapshots {
     val rewritten: Map[String, Seq[String]] = contaminated.zipWithIndex.map {
       case (rel, i) =>
         val dst = new Path(root, s"data/$uuid/f$i")
-        spark.read.parquet(abs(rel)).filter(!predicate)
+        // three-valued logic: keep rows where the predicate is NULL as
+        // well as FALSE — `!predicate` alone would silently erase rows
+        // with null predicate columns, moving non-victim history
+        spark.read.parquet(abs(rel))
+          .filter(!org.apache.spark.sql.functions.coalesce(
+            predicate, org.apache.spark.sql.functions.lit(false)))
           .write.parquet(dst.toString)
         val parts = f.listStatus(dst).map(_.getPath)
           .filter(_.getName.endsWith(".parquet"))

@@ -28,4 +28,12 @@ object Scratch {
     roots.add(p)
     p.toString
   }
+
+  /** A fresh per-run dir that SURVIVES JVM exit — for artifacts the
+    * driver's DuckDB oracle must read after the Spark process is gone
+    * (tq43b/tq45b fingerprint frames). Unique per run, so concurrent
+    * suite runs on one host never overwrite each other (r11 ADVICE);
+    * the few-KB frames left behind live under the OS tmp dir. */
+  def oracleDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
 }

@@ -113,6 +113,27 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(noop.rewritten.isEmpty && noop.deletedFiles.isEmpty)
   }
 
+  test("erase under a nullable predicate column: NULL-predicate rows are kept, not silently purged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = tbl()
+    // email is nullable; rows with NULL email make the erase predicate
+    // evaluate to NULL — three-valued logic must treat that as
+    // "not a victim" (r11 ADVICE: plain !predicate drops them)
+    val rows = Seq(
+      (1, Option("keep@a")), (2, Option("victim@x")),
+      (3, None: Option[String]), (4, Option("keep@b")),
+      (5, None: Option[String]))
+    Snapshots.commit(spark, path, rows.toDF("k", "email").repartition(1))
+    val report = Snapshots.erase(spark, path, col("email") === "victim@x")
+    assert(report.rewritten.nonEmpty)
+    val got = Snapshots.read(spark, path)
+      .as[(Int, Option[String])].collect().toSet
+    assert(got == rows.filterNot(_._1 == 2).toSet,
+      "rows with NULL predicate columns must survive the rewrite exactly " +
+        "like they survive in clean files")
+  }
+
   test("erase composes with vacuum: retention keeps working and reclaims the purged rewrites") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
