@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 /** Approximate k-NN graph: NN-Descent construction (Dong et al. 2011)
   * plus the stored-serving layout — the graph-index counterpart of
   * [[StoredIndex]]'s IVF-PQ pair. Build is pure relational algebra
-  * (2-hop self-joins + exact-cosine top-k per node, lineage
-  * localCheckpoint'd per round); serving is HNSW's layer-0 beam loop.
+  * (2-hop self-joins + exact-cosine top-k per node, each round
+  * persisted durably and restartable); serving is HNSW's layer-0
+  * beam loop.
   *
   * Storage layout: the UNDIRECTED adjacency partitioned by
   * `bucket = src % NumBuckets`, so one beam step reads only the
@@ -29,38 +30,69 @@ object KnnGraph {
   /** e_0..e_rounds of the NN-Descent build, each (src, nbr, cos):
     * prime-stride spread init (never self), then per round the 2-hop
     * expansion over the undirected current graph, exact double-cosine
-    * scoring and a (cos DESC, nbr) top-k per node. localCheckpoint per
-    * round — the self-join lineage otherwise DOUBLES per round and
-    * Catalyst re-analysis dominates wall time (cached frames still
-    * carry their full logical plan). */
-  def build(vecs: DataFrame, k: Int, rounds: Int): Seq[DataFrame] = {
-    import vecs.sparkSession.implicits._
+    * scoring and a (cos DESC, nbr) top-k per node. Rounds persist to a
+    * process-lifetime scratch dir via [[buildDurable]] — see there for
+    * why persistence (not localCheckpoint) is the round barrier. */
+  def build(vecs: DataFrame, k: Int, rounds: Int): Seq[DataFrame] =
+    buildDurable(vecs, k, rounds,
+      graft.util.Scratch.tempDir("graft-knng-build"))
+
+  /** The durable NN-Descent build: each round's edge frame lands as
+    * parquet under `workDir/e_<r>` and is read BACK as the next round's
+    * input, so (a) the self-join lineage never doubles (the round-10
+    * trap — Catalyst re-analysis otherwise dominates wall time), and
+    * (b) the build is RESTARTABLE: a round whose `_SUCCESS` marker
+    * exists is reloaded, not recomputed. The earlier localCheckpoint
+    * variant had property (a) only — checkpoint blocks live on
+    * executors, so at cluster scale one lost executor killed a
+    * multi-hour build unretryably (r11 verdict ask #1). Every stage is
+    * deterministic (prime-stride init, exact cosine, (cos DESC, nbr)
+    * tie-break), so a resumed build is bit-identical to an
+    * uninterrupted one — KnnGraphBuildSpec proves it.
+    *
+    * 100 TB: per-round cost is the k²-per-node candidate shuffle plus
+    * one k·n-row parquet write — the write is index-sized, not
+    * corpus-sized, and buys both fault tolerance and a warm resume. */
+  def buildDurable(vecs: DataFrame, k: Int, rounds: Int,
+      workDir: String): Seq[DataFrame] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val hfs = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def roundDir(r: Int) = s"$workDir/e_$r"
+    def done(r: Int) = hfs.exists(
+      new org.apache.hadoop.fs.Path(roundDir(r), "_SUCCESS"))
+    def persist(r: Int, df: DataFrame): DataFrame = {
+      if (!done(r)) df.write.mode("overwrite").parquet(roundDir(r))
+      spark.read.parquet(roundDir(r))
+    }
     def score(pairs: DataFrame) = pairs
       .join(vecs.select($"vec_id".as("src"), $"v".as("vs")), Seq("src"))
       .join(vecs.select($"vec_id".as("nbr"), $"v".as("vn")), Seq("nbr"))
       .select($"src", $"nbr", cosine($"vs", $"vn").as("cos"))
     val nn = vecs.agg(count(lit(1)).as("n"))
-    val init = vecs.select($"vec_id".as("src"))
+    def init = vecs.select($"vec_id".as("src"))
       .crossJoin(broadcast(nn))
       .select($"src", explode(sequence(lit(1), lit(k))).as("j"), $"n")
       .select($"src",
         pmod($"src" + 1 + pmod($"j" * 193, $"n" - 1), $"n").cast("long").as("nbr"))
       .distinct()
-    var e = score(init).localCheckpoint(true)
+    var e = persist(0, score(init))
     val out = scala.collection.mutable.ArrayBuffer(e)
-    for (_ <- 1 to rounds) {
-      val undirected = e.select($"src", $"nbr")
-        .union(e.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
-      val cand = undirected.as("a")
-        .join(undirected.as("b"), $"a.nbr" === $"b.src")
-        .select($"a.src".as("src"), $"b.nbr".as("nbr"))
-        .filter($"src" =!= $"nbr")
-        .union(e.select($"src", $"nbr")).distinct()
-      e = score(cand)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
-        .filter($"rn" <= k).drop("rn")
-        .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      e = persist(r, {
+        val undirected = e.select($"src", $"nbr")
+          .union(e.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
+        val cand = undirected.as("a")
+          .join(undirected.as("b"), $"a.nbr" === $"b.src")
+          .select($"a.src".as("src"), $"b.nbr".as("nbr"))
+          .filter($"src" =!= $"nbr")
+          .union(e.select($"src", $"nbr")).distinct()
+        score(cand)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
+          .filter($"rn" <= k).drop("rn")
+      })
       out += e
     }
     out.toSeq
@@ -74,6 +106,72 @@ object KnnGraph {
       .union(graph.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
       .withColumn("bucket", pmod($"src", lit(NumBuckets.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Erase victim NODES from the stored adjacency — the graph edition
+    * of [[graft.sources.PartitionedLayout.delete]]. A victim appears in
+    * TWO forms: its own adjacency rows (`src = victim`, all in the
+    * victim's bucket) and DANGLING edges in its neighbors' lists
+    * (`nbr = victim`, living in the neighbors' buckets) — deleting only
+    * the former leaves beam search still expanding INTO the victim.
+    * The rewrite is bucket-pruned to victim buckets ∪ the victims'
+    * neighbor buckets (every dangling edge's `src` is by construction a
+    * neighbor of the victim, so no other bucket can hold one), and the
+    * victims' surviving neighbors are RE-LINKED pairwise — the standard
+    * graph-index delete repair — so local connectivity, and with it
+    * recall, survives the hole instead of fragmenting around it.
+    *
+    * The driver holds only the victims' neighbor ids (≤ |victims|·k·2,
+    * bounded by the erasure request like the key lists in
+    * PartitionedLayout.delete); untouched buckets keep byte-identical
+    * files (StoredGraphSpec asserts it). Erasing the node's VECTOR from
+    * the corpus table (wq06's delete) composes with this: even a stale
+    * pool entry can never be ANSWERED once the vector row is gone,
+    * because serving scores via an inner join against the corpus. */
+  def eraseStored(spark: SparkSession, path: String,
+      victims: Seq[Long]): Unit = {
+    import spark.implicits._
+    import graft.sources.PartitionedLayout.{withDynamicOverwrite, withStaging}
+    require(victims.nonEmpty, "empty victim list")
+    val victimSet = victims.toSet
+    val victimBuckets = victims.map(_ % NumBuckets).distinct
+    // the victims' neighbor lists — one pruned scan of the victim
+    // buckets; bounded by |victims|·k (the erasure working set)
+    val nbrs = spark.read.parquet(path)
+      .filter($"bucket".isin(victimBuckets: _*))
+      .filter($"src".isin(victims: _*))
+      .groupBy($"src").agg(collect_set($"nbr").as("ns"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val nbrIds = nbrs.values.flatten.toSet -- victimSet
+    val touched = (victimBuckets ++ nbrIds.map(_ % NumBuckets))
+      .distinct.sorted
+    // pairwise re-link among each victim's surviving neighbors, both
+    // directions (the store is undirected)
+    val repair = nbrs.values.toSeq.flatMap { ns =>
+      val s = ns.filterNot(victimSet).distinct.sorted
+      for (a <- s; b <- s if a < b) yield Seq((a, b), (b, a))
+    }.flatten.distinct
+    val repairDf = repair.toDF("src", "nbr")
+      .withColumn("bucket", pmod($"src", lit(NumBuckets.toLong)).cast("int"))
+    withDynamicOverwrite(spark) {
+      val slice = spark.read.parquet(path)
+        .filter($"bucket".isin(touched: _*))
+        .filter(!$"src".isin(victims: _*) && !$"nbr".isin(victims: _*))
+        .select($"src", $"nbr", $"bucket")
+        .unionByName(repairDf).distinct()
+      withStaging(spark, path, slice) { staged =>
+        staged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        // a bucket whose every row was a victim edge drains — dynamic
+        // overwrite never touches its dir, so remove it explicitly
+        // (PartitionedLayout's drained-partition blind spot)
+        val present = staged.select($"bucket").distinct()
+          .as[Int].collect().toSet
+        val root = new org.apache.hadoop.fs.Path(path)
+        val f = root.getFileSystem(spark.sessionState.newHadoopConf())
+        touched.filterNot(b => present.contains(b.toInt)).foreach(b =>
+          f.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true))
+      }
+    }
   }
 
   /** One frontier expansion from the stored adjacency: reads ONLY the
@@ -90,26 +188,74 @@ object KnnGraph {
       .select(frontier("qid"), pruned("nbr").as("node")).distinct()
   }
 
-  /** Beam-search serve from the STORED graph: `beamRounds` pruned
-    * expansion steps, keeping the best `beam` unvisited nodes per query
-    * each step, answering with the visited pool's exact-cosine top-k.
-    * `queries` is (qid, v); entry node per query is (qid·37 + 1) mod n. */
-  def serveStored(spark: SparkSession, path: String, vecs: DataFrame,
-      queries: DataFrame, k: Int, beamRounds: Int): DataFrame = {
-    import spark.implicits._
+  /** The default RING entry: node (qid·37 + 1) mod n per query — zero
+    * extra I/O, but a cold start the beam must walk in from. */
+  def ringEntries(vecs: DataFrame, queries: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
     val nn = vecs.agg(count(lit(1)).as("n"))
-    def rankPool(pool: DataFrame, keep: Int) = pool
+    queries.crossJoin(broadcast(nn))
+      .select($"qid", pmod($"qid" * 37 + 1, $"n").cast("long").as("node"))
+  }
+
+  /** WARM entry by sampled medoid: score each query against every
+    * `stride`-th candidate node and enter at the best — one
+    * |Q|·(n/stride) broadcast pass (sq01's bounded brute-force shape),
+    * buying the beam a start already near the target neighborhood.
+    * `candidates` must be nodes PRESENT in the served graph. */
+  def sampledEntries(candidates: DataFrame, queries: DataFrame,
+      stride: Long): DataFrame = {
+    import candidates.sparkSession.implicits._
+    candidates.filter(pmod($"vec_id", lit(stride)) === 0)
+      .select($"vec_id".as("node"), $"v".as("cv"))
+      .crossJoin(broadcast(queries.select($"qid", $"v".as("qv"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy(cosine($"qv", $"cv").desc, $"node")))
+      .filter($"rn" === 1).select($"qid", $"node")
+  }
+
+  /** Beam-search serve from the STORED graph: `beamRounds` pruned
+    * expansion steps, keeping the best `k` unvisited nodes per query
+    * each step (the beam width equals `k`), answering with the visited
+    * pool's exact-cosine top-k. `queries` is (qid, v); the entry nodes
+    * default to [[ringEntries]] — pass [[sampledEntries]] (or any
+    * (qid, node) frame of graph nodes) for a warm start. */
+  def serveStored(spark: SparkSession, path: String, vecs: DataFrame,
+      queries: DataFrame, k: Int, beamRounds: Int,
+      entries: Option[DataFrame] = None): DataFrame =
+    rankPool(vecs, queries,
+      serveStoredTrace(spark, path, vecs, queries, k, beamRounds, entries)
+        .last._2, k)
+
+  /** The visited pool's exact-cosine top-`keep` per query — scoring is
+    * an inner join against the corpus, so a node whose VECTOR has been
+    * erased can never be answered even from a stale pool. */
+  private[graft] def rankPool(vecs: DataFrame, queries: DataFrame,
+      pool: DataFrame, keep: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    pool
       .filter($"node" =!= $"qid")
       .join(broadcast(queries), Seq("qid"))
       .join(vecs.select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
       .filter($"rn" <= keep).select($"qid", $"node")
-    var pool = queries.crossJoin(broadcast(nn))
-      .select($"qid", pmod($"qid" * 37 + 1, $"n").cast("long").as("node"))
+  }
+
+  /** The serving loop with its per-round visited pools exposed:
+    * (round, pool) for rounds 0..beamRounds — what sq22b's
+    * rounds-to-recall measurement and the insertion path build on.
+    * Pools are localCheckpoint'd: serving state is ephemeral per
+    * request, so executor-local blocks are the right durability (the
+    * BUILD is the durable side — [[buildDurable]]). */
+  def serveStoredTrace(spark: SparkSession, path: String, vecs: DataFrame,
+      queries: DataFrame, k: Int, beamRounds: Int,
+      entries: Option[DataFrame] = None): Seq[(Int, DataFrame)] = {
+    import spark.implicits._
+    var pool = entries.getOrElse(ringEntries(vecs, queries))
       .localCheckpoint(true)
     var frontier = pool
-    for (_ <- 1 to beamRounds) {
+    val out = scala.collection.mutable.ArrayBuffer(0 -> pool)
+    for (r <- 1 to beamRounds) {
       val fresh = expandStored(spark, path, frontier)
         .join(pool, Seq("qid", "node"), "left_anti")
       frontier = fresh
@@ -120,7 +266,8 @@ object KnnGraph {
         .filter($"rn" <= k).select($"qid", $"node")
         .localCheckpoint(true)
       pool = pool.union(frontier).distinct().localCheckpoint(true)
+      out += (r -> pool)
     }
-    rankPool(pool, k)
+    out.toSeq
   }
 }

@@ -32,7 +32,7 @@ object PartitionedLayout {
     * deleting target directories. What stages is only the affected-
     * partitions slice, bounded by update locality. (An ACID table format
     * subsumes all of this; this is the parquet-native equivalent.) */
-  private[sources] def withStaging(spark: SparkSession, path: String, df: DataFrame)(
+  private[graft] def withStaging(spark: SparkSession, path: String, df: DataFrame)(
       write: DataFrame => Unit): Unit = {
     val staging = path.stripSuffix("/") + "__staging"
     df.write.mode("overwrite").parquet(staging)
@@ -43,7 +43,7 @@ object PartitionedLayout {
     }
   }
 
-  private[sources] def withDynamicOverwrite(spark: SparkSession)(body: => Unit): Unit = {
+  private[graft] def withDynamicOverwrite(spark: SparkSession)(body: => Unit): Unit = {
     val modeKey = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(modeKey)
     spark.conf.set(modeKey, "dynamic")

@@ -51,6 +51,76 @@ class StoredGraphSpec extends AnyFunSuite {
     vecs.unpersist()
   }
 
+  test("eraseStored removes a node in BOTH directions, repairs around it, and serving never reaches it") {
+    import spark.implicits._
+    val vecs = corpus()
+    val graph = KnnGraph.build(vecs, K, rounds = 3).last
+    val store = java.nio.file.Files.createTempDirectory("graft-kgraph-erase").toString + "/g"
+    KnnGraph.writeStore(graph, store)
+    val queries = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
+    val before = KnnGraph.serveStored(spark, store, vecs, queries, K, beamRounds = 3)
+      .as[(Long, Long)].collect().toSet
+    // victim: a node that IS currently being served — the strongest case
+    // (and never one of the 16 query ids or their ring entry nodes, so
+    // post-erase serving must forget it via the GRAPH alone)
+    val n = vecs.count()
+    val entries = (0L until 16L).map(q => (q * 37 + 1) % n).toSet
+    val victim = before.map(_._2)
+      .find(v => v >= 16 && !entries.contains(v)).get
+    // file-identity snapshot of the buckets the erase must NOT touch
+    val und = spark.read.parquet(store).cache()
+    val nbrsOfVictim = und.filter($"src" === victim)
+      .select($"nbr").as[Long].collect().toSet
+    val touchable = (nbrsOfVictim + victim).map(_ % KnnGraph.NumBuckets)
+    und.unpersist()
+    def files(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(store)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val filesBefore = files()
+
+    KnnGraph.eraseStored(spark, store, Seq(victim))
+
+    // 1. no trace of the victim in either edge direction
+    val after = spark.read.parquet(store).cache()
+    assert(after.filter($"src" === victim || $"nbr" === victim).isEmpty,
+      "victim still present in the adjacency")
+    // 2. untouched buckets keep their exact files
+    val filesAfter = files()
+    filesBefore.foreach { case (rel, mtime) =>
+      val bucket = rel.split("/").head.stripPrefix("bucket=").toLong
+      if (!touchable.contains(bucket))
+        assert(filesAfter.get(rel).contains(mtime),
+          s"clean bucket file $rel was rewritten")
+    }
+    // 3. repair: the victim's surviving neighbors were re-linked
+    val survivors = nbrsOfVictim.filter(_ != victim)
+    if (survivors.size >= 2) {
+      val s = survivors.toSeq.sorted
+      val relinked = after
+        .filter($"src" === s.head && $"nbr" === s(1)).count()
+      assert(relinked == 1, "victim's neighbors were not re-linked")
+    }
+    // 4. serving: victim never expanded into (no dangling edge can
+    //    produce it, and it is no entry node), recall holds
+    val served = KnnGraph.serveStored(spark, store, vecs, queries, K, beamRounds = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(!served.exists(_._2 == victim), "erased node was served")
+    // recall floor vs pre-erase: losing one corpus node may cost at most
+    // its own slots; the repaired graph must not fragment beyond that
+    val beforeMinusVictim = before.filterNot(_._2 == victim)
+    val retained = served.intersect(beforeMinusVictim).size.toDouble /
+      beforeMinusVictim.size
+    assert(retained >= 0.9,
+      f"post-erase serving retained only $retained%.2f of pre-erase answers")
+    after.unpersist()
+    vecs.unpersist()
+  }
+
   test("store-backed beam serving equals the in-memory loop exactly; lifecycle pin applies") {
     import spark.implicits._
     import graft.ml.IndexLifecycle
