@@ -2159,6 +2159,78 @@ object SimilarityQueries {
     sums.reduce(_ unionByName _).orderBy($"round")
   }
 
+  /** Build-vs-serve latency split for the STORED k-NN graph — sq18b's
+    * measurement, graph edition (r11 verdict ask #3): sq22's hash-green
+    * rows prove beam-serving CORRECT but carry no wall cost (timings
+    * would break the oracle hash). This row builds ONCE (durably, the
+    * buildDurable path), stores the adjacency, then times the batched
+    * 16-query beam loop end to end — `serve_ms_per_query` is the
+    * number a serving deployment budgets. `recall_ring_final` must
+    * equal sq22's round-4 recall_at_k (GraphServingParitySpec asserts
+    * it — the timed path is the correct one, sq18b's matches_batch
+    * pattern).
+    *
+    * Entry A/B in the same frame: the deterministic RING entry
+    * (qid·37+1 mod n, zero extra I/O) vs a WARM entry from
+    * [[graft.similarity.KnnGraph.sampledEntries]] (best of every 8th
+    * node — a |Q|·n/8 broadcast pass), compared as
+    * rounds-to-recall@8 ≥ 0.5: a warm start should buy the beam one or
+    * more rounds, and the frame records whether it does.
+    *
+    * 100 TB: build cost is the per-round k²-candidate shuffle ONCE;
+    * each served batch touches O(beam·k·steps) vectors and ≤ frontier
+    * buckets of the k·n edge list regardless of corpus size — the
+    * split this row records. */
+  val sq22bGraphServingLatency: QueryDef = rowsOnly("sq22b_graph_serving_latency") { (spark, dir) =>
+    import spark.implicits._
+    import graft.similarity.KnnGraph
+    val k = 8; val buildRounds = 4; val beamRounds = 4
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val qv = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
+    val bf = broadcast(qv.select($"qid".as("src"), $"v".as("qv")))
+      .join(vecs.select($"vec_id".as("nbr"), $"v".as("cv")), $"src" =!= $"nbr")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy(cosine($"qv", $"cv").desc, $"nbr")))
+      .filter($"rn" <= k)
+      .select($"src".as("qid"), $"nbr".as("node"))
+      .cache()
+    val nq = qv.count()
+    val root = graft.util.Scratch.tempDir("graft-sq22b")
+    val tBuild0 = System.nanoTime()
+    val graph = KnnGraph.buildDurable(vecs, k, buildRounds, s"$root/build").last
+    val buildS = (System.nanoTime() - tBuild0) / 1e9
+    val tStore0 = System.nanoTime()
+    KnnGraph.writeStore(graph, s"$root/g")
+    val storeS = (System.nanoTime() - tStore0) / 1e9
+    def recallOf(pool: org.apache.spark.sql.DataFrame): Double =
+      KnnGraph.rankPool(vecs, qv, pool, k)
+        .join(bf, Seq("qid", "node"), "left_semi").count().toDouble / (nq * k)
+    // ring serve, timed end to end: trace pools are eagerly
+    // checkpointed, so the clock covers every beam step + final rank
+    val tServe0 = System.nanoTime()
+    val ringTrace = KnnGraph.serveStoredTrace(
+      spark, s"$root/g", vecs, qv, k, beamRounds)
+    val ringServed = KnnGraph.rankPool(vecs, qv, ringTrace.last._2, k).collect()
+    val serveMs = (System.nanoTime() - tServe0) / 1e6 / nq
+    val ringRecalls = ringTrace.map { case (r, p) => r -> recallOf(p) }
+    val warmTrace = KnnGraph.serveStoredTrace(
+      spark, s"$root/g", vecs, qv, k, beamRounds,
+      Some(KnnGraph.sampledEntries(vecs, qv, stride = 8)))
+    val warmRecalls = warmTrace.map { case (r, p) => r -> recallOf(p) }
+    def toHalf(rs: Seq[(Int, Double)]): Long =
+      rs.find(_._2 >= 0.5).map(_._1.toLong).getOrElse(-1L)
+    vecs.unpersist(); bf.unpersist()
+    Seq((nq, math.round(buildS * 1000) / 1000.0,
+        math.round(storeS * 1000) / 1000.0,
+        math.round(serveMs * 10) / 10.0, ringServed.length.toLong,
+        ringRecalls.last._2, toHalf(ringRecalls),
+        warmRecalls.last._2, toHalf(warmRecalls)))
+      .toDF("n_queries", "build_s", "store_write_s", "serve_ms_per_query",
+        "rows_served", "recall_ring_final", "rounds_to_half_ring",
+        "recall_warm_final", "rounds_to_half_warm")
+  }
+
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
     sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
     sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall,
@@ -2166,5 +2238,6 @@ object SimilarityQueries {
     sq11HardNegatives, sq12MmrRerank, sq13EmbeddingAudit,
     sq14AnnStoredIndexSearch, sq15PcaPower, sq16MatryoshkaAudit,
     sq17AnnOpqRecall, sq19WhiteningAudit, sq04bAnnIvfRecallPortable,
-    sq02cLshBitScaling, sq21KnnGraphNnDescent, sq22GraphAnnServe)
+    sq02cLshBitScaling, sq21KnnGraphNnDescent, sq22GraphAnnServe,
+    sq22bGraphServingLatency)
 }
