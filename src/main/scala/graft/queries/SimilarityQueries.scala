@@ -2231,6 +2231,69 @@ object SimilarityQueries {
         "recall_warm_final", "rounds_to_half_warm")
   }
 
+  /** Incremental graph maintenance measured — the cost/quality frame
+    * for [[graft.streaming.StreamingGraphIngest]] (r11 verdict ask #4
+    * stretch): build the NN-Descent graph WITHOUT a held-out slice,
+    * stream the slice back in through the HNSW-style insert path
+    * (beam-search k nearest over the current store, link mutually,
+    * append bucket-partitioned), and compare serving against a full
+    * rebuild over the same corpus. `insert_ms_per_node` is the
+    * maintenance budget; `recall_drift` (rebuild − streamed) is what
+    * greedy insertion costs vs re-tightening — the number that sets
+    * the offline-rebuild cadence (same freeze/refresh rhythm as the
+    * IVF family). The sign can go NEGATIVE at small corpus scale: each
+    * insert's mutual links add long-range shortcut edges a symmetric
+    * top-k rebuild deliberately lacks, which helps the cold ring-entry
+    * beam more than the slightly-stale neighborhoods hurt.
+    * StreamingGraphInsertSpec proves the streamed path's semantics
+    * (mutual links, findability, pin lifecycle); this row measures it.
+    *
+    * 100 TB: an insert touches O(beam·k·steps) vectors + ≤ beam
+    * buckets of the edge list — corpus-size-free; the rebuild it's
+    * compared against is the once-in-a-while durable build. */
+  val sq23GraphInsertDrift: QueryDef = rowsOnly("sq23_graph_insert_drift") { (spark, dir) =>
+    import spark.implicits._
+    import graft.similarity.KnnGraph
+    val k = 8; val buildRounds = 3; val beamRounds = 3
+    val all = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val n = all.count()
+    val nHold = math.min(256L, n / 10)
+    val base = all.filter($"vec_id" < n - nHold)
+    val held = all.filter($"vec_id" >= n - nHold)
+    val root = graft.util.Scratch.tempDir("graft-sq23")
+    KnnGraph.writeStore(
+      KnnGraph.buildDurable(base, k, buildRounds, s"$root/b1").last,
+      s"$root/grown")
+    // stream the slice back in, two batches (the micro-batch shape)
+    val batches = Seq(held.filter($"vec_id" % 2 === 0),
+      held.filter($"vec_id" % 2 =!= 0))
+    val tIns0 = System.nanoTime()
+    batches.foreach(b => graft.streaming.StreamingGraphIngest
+      .insertBatch(b, s"$root/grown", all, k, beamRounds))
+    val insMs = (System.nanoTime() - tIns0) / 1e6 / nHold
+    val queries = all.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
+    val bf = broadcast(queries.select($"qid".as("src"), $"v".as("qv")))
+      .join(all.select($"vec_id".as("nbr"), $"v".as("cv")), $"src" =!= $"nbr")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy(cosine($"qv", $"cv").desc, $"nbr")))
+      .filter($"rn" <= k).select($"src".as("qid"), $"nbr".as("node"))
+      .cache()
+    def recallFrom(path: String): Double =
+      KnnGraph.serveStored(spark, path, all, queries, k, beamRounds)
+        .join(bf, Seq("qid", "node"), "left_semi").count().toDouble / (16 * k)
+    val streamed = recallFrom(s"$root/grown")
+    KnnGraph.writeStore(
+      KnnGraph.buildDurable(all, k, buildRounds, s"$root/b2").last,
+      s"$root/rebuilt")
+    val rebuilt = recallFrom(s"$root/rebuilt")
+    all.unpersist(); bf.unpersist()
+    Seq((n - nHold, nHold, math.round(insMs * 10) / 10.0,
+        streamed, rebuilt, math.round((rebuilt - streamed) * 1e6) / 1e6))
+      .toDF("n_base", "n_inserted", "insert_ms_per_node",
+        "recall_streamed", "recall_rebuild", "recall_drift")
+  }
+
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
     sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
     sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall,
@@ -2239,5 +2302,5 @@ object SimilarityQueries {
     sq14AnnStoredIndexSearch, sq15PcaPower, sq16MatryoshkaAudit,
     sq17AnnOpqRecall, sq19WhiteningAudit, sq04bAnnIvfRecallPortable,
     sq02cLshBitScaling, sq21KnnGraphNnDescent, sq22GraphAnnServe,
-    sq22bGraphServingLatency)
+    sq22bGraphServingLatency, sq23GraphInsertDrift)
 }

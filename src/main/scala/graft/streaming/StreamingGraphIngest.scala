@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.similarity.KnnGraph
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental k-NN GRAPH maintenance — the graph counterpart of
+  * [[StreamingIndexIngest]]'s frozen-quantizer IVF append, and the way
+  * production graph indexes actually grow: an HNSW insert IS a search —
+  * beam-search the arriving vector's k nearest over the CURRENT stored
+  * graph, then link mutually (both edge directions, the undirected
+  * store contract). Each micro-batch appends its new edges
+  * bucket-partitioned, so freshly inserted nodes are reachable (and
+  * servable) as soon as the batch commits, and the search-side
+  * partition pruning is untouched.
+  *
+  * Contract: `corpus` must resolve vectors for every graph node and
+  * every arrival (in production it is a view over the corpus table the
+  * ingest also maintains — wq01's upsert). Entry points for the insert
+  * search come from ONE partition-pruned read of bucket 0 per batch —
+  * bounded, index-sized metadata, never the corpus.
+  *
+  * Why this shape survives 100 TB: an insert touches O(beam·k·steps)
+  * vectors + ≤ beam buckets of the k·n edge list — corpus-size-free,
+  * like serving; the append is |batch|·k·2 rows. No state store, no
+  * rebuild. A periodic offline rebuild (the durable [[KnnGraph.build]])
+  * re-tightens what greedy insertion loosens — the same freeze/refresh
+  * rhythm as the IVF family, and StreamingGraphInsertSpec bounds the
+  * drift: streamed-inserted serving stays within a recall floor of the
+  * full rebuild. */
+object StreamingGraphIngest {
+
+  /** Start the insertion stream: (vec_id, v: array<double>) arrivals →
+    * mutual k-NN edges appended under `storePath`. */
+  def start(newVecs: DataFrame, storePath: String, corpus: DataFrame,
+      k: Int, beamRounds: Int, checkpointDir: String,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val writer = newVecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        insertBatch(batch.toDF(), storePath, corpus, k, beamRounds)
+      }
+    trigger.fold(writer)(writer.trigger).start()
+  }
+
+  /** One batch of insertions — also the batch-mode backfill API.
+    * Sequencing is per micro-batch: arrivals in the SAME batch search
+    * the pre-batch graph (they link to each other only via later
+    * arrivals or the next rebuild), exactly like a bulk HNSW insert at
+    * one sequence point. */
+  def insertBatch(batch: DataFrame, storePath: String, corpus: DataFrame,
+      k: Int, beamRounds: Int): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val queries = batch.select($"vec_id".as("qid"), $"v")
+    // entry nodes must already BE in the graph: sample them from one
+    // pruned bucket of the stored adjacency (driver holds nothing;
+    // the bucket read is index-sized)
+    val bucket0 = spark.read.parquet(storePath)
+      .filter($"bucket" === 0).select($"src".as("vec_id")).distinct()
+    val entryCands = corpus.join(bucket0, Seq("vec_id"), "left_semi")
+    val entries = KnnGraph.sampledEntries(entryCands, queries, stride = 8)
+    val nbrs = KnnGraph.serveStored(
+      spark, storePath, corpus, queries, k, beamRounds, Some(entries))
+    // mutual link, both directions, bucket-partitioned append
+    nbrs.select($"qid".as("src"), $"node".as("nbr"))
+      .union(nbrs.select($"node".as("src"), $"qid".as("nbr")))
+      .withColumn("bucket",
+        pmod($"src", lit(KnnGraph.NumBuckets.toLong)).cast("int"))
+      .write.mode("append").partitionBy("bucket").parquet(storePath)
+  }
+}
