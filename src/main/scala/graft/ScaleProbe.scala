@@ -82,15 +82,21 @@ object ScaleProbe {
     }
     val base1 = s"$out/x1"
     val baseN = s"$out/x$factor"
+    // SPARK_GRAFT_SCALE_TABLES restricts replica materialization to the
+    // tables the probed queries actually read — at factor 100 building
+    // every replica would dominate the run
+    val allTables = Seq(
+      "documents" -> Seq("doc_id"),
+      "lineitem" -> Seq("l_orderkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "embeddings" -> Seq("vec_id"),
+      "orders" -> Seq("o_orderkey"),
+      "customer" -> Seq("c_custkey"),
+      "part" -> Seq("p_partkey"))
+    val wanted = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     for ((n, dir) <- Seq((1, base1), (factor, baseN));
-         (t, ks) <- Seq(
-           "documents" -> Seq("doc_id"),
-           "lineitem" -> Seq("l_orderkey"),
-           "events" -> Seq("event_id", "user_id"),
-           "embeddings" -> Seq("vec_id"),
-           "orders" -> Seq("o_orderkey"),
-           "customer" -> Seq("c_custkey"),
-           "part" -> Seq("p_partkey")))
+         (t, ks) <- allTables if wanted.forall(_.contains(t)))
       replicate(t, ks, n, dir)
 
     // JIT/codegen warm-up outside every timed region (see Bench)

@@ -241,6 +241,73 @@ object KnnGraph {
       .filter($"rn" <= keep).select($"qid", $"node")
   }
 
+  /** Persist the corpus VECTORS bucket-partitioned by `vec_id` — the
+    * serving-side companion of [[writeStore]]. The in-memory serve
+    * loop joins candidates against a provided corpus frame, which at
+    * 100 TB means a corpus SCAN per beam round; with this store the
+    * scan becomes a partition-pruned, filter-pushed point fetch of the
+    * round's ≤ |Q|·beam·k candidate ids ([[fetchVectors]]). Bucket
+    * count should scale with n (buckets ≈ n / rows-per-file keeps the
+    * pruned read proportional to the candidate set). */
+  def writeVectors(vecs: DataFrame, path: String,
+      numBuckets: Int = NumBuckets): Unit = {
+    import vecs.sparkSession.implicits._
+    vecs.select($"vec_id", $"v")
+      .withColumn("bucket", pmod($"vec_id", lit(numBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Point-fetch the vectors of a BOUNDED id frame from a
+    * [[writeVectors]] store: partition pruning cuts the scan to the
+    * ids' buckets, and the pushed `vec_id IN (...)` filter skips row
+    * groups inside them. `ids` must be serving-bounded (a frontier or
+    * visited pool — ≤ |Q|·(1+rounds·k) ids by construction; the
+    * driver-side list is the same boundedness [[expandStored]]'s
+    * bucket collect already relies on). */
+  def fetchVectors(spark: SparkSession, path: String, ids: DataFrame,
+      numBuckets: Int = NumBuckets): DataFrame = {
+    import spark.implicits._
+    val idList = ids.select($"node").distinct().as[Long].collect()
+    val buckets = idList.map(_ % numBuckets).distinct.toSeq
+    spark.read.parquet(path)
+      .filter($"bucket".isin(buckets: _*) && $"vec_id".isin(idList.toSeq: _*))
+      .select($"vec_id", $"v")
+  }
+
+  /** Beam-search serve where BOTH sides are stores: edges from the
+    * [[writeStore]] adjacency (pruned expansion), vectors from the
+    * [[writeVectors]] store (pruned point fetch) — no corpus frame
+    * anywhere in the loop, so one serve touches O(beam·k·steps)
+    * vectors and ≤ beam buckets of each store regardless of corpus
+    * size. Answers are EXACTLY [[serveStored]]'s (StoredGraphSpec
+    * asserts equality and the pruned plans). */
+  def serveFromStores(spark: SparkSession, graphPath: String,
+      vecPath: String, queries: DataFrame, k: Int, beamRounds: Int,
+      entries: Option[DataFrame] = None,
+      numBuckets: Int = NumBuckets): DataFrame = {
+    import spark.implicits._
+    def scoreKeep(cand: DataFrame, keep: Int) = cand
+      .join(broadcast(queries), Seq("qid"))
+      .join(fetchVectors(spark, vecPath, cand, numBuckets)
+        .select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
+      .filter($"rn" <= keep).select($"qid", $"node")
+    var pool = entries.getOrElse {
+      val nn = spark.read.parquet(vecPath).agg(count(lit(1)).as("n"))
+      queries.crossJoin(broadcast(nn))
+        .select($"qid", pmod($"qid" * 37 + 1, $"n").cast("long").as("node"))
+    }.localCheckpoint(true)
+    var frontier = pool
+    for (_ <- 1 to beamRounds) {
+      val fresh = expandStored(spark, graphPath, frontier)
+        .join(pool, Seq("qid", "node"), "left_anti")
+      frontier = scoreKeep(fresh, k).localCheckpoint(true)
+      pool = pool.union(frontier).distinct().localCheckpoint(true)
+    }
+    scoreKeep(pool.filter($"node" =!= $"qid"), k)
+  }
+
   /** The serving loop with its per-round visited pools exposed:
     * (round, pool) for rounds 0..beamRounds — what sq22b's
     * rounds-to-recall measurement and the insertion path build on.

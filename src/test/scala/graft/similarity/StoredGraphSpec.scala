@@ -51,6 +51,42 @@ class StoredGraphSpec extends AnyFunSuite {
     vecs.unpersist()
   }
 
+  test("serveFromStores: vector point-fetch is bucket-pruned and answers equal serveStored exactly") {
+    import spark.implicits._
+    val vecs = corpus()
+    val graph = KnnGraph.build(vecs, K, rounds = 2).last
+    val root = java.nio.file.Files.createTempDirectory("graft-kgraph-vs").toString
+    KnnGraph.writeStore(graph, s"$root/g")
+    KnnGraph.writeVectors(vecs, s"$root/vec")
+    // the pruned point-fetch: 3 ids spanning 2 buckets may read at most
+    // 2 bucket dirs, with the id filter pushed to the scan
+    val ids = Seq(5L, 37L, 70L).toDF("node") // buckets {5, 6}: 5%32 = 37%32 = 5, 70%32 = 6
+    val fetched = KnnGraph.fetchVectors(spark, s"$root/vec", ids)
+    val expectBuckets = Set(5L % 32, 37L % 32, 70L % 32)
+    val scans = fetched.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("graft-kgraph-vs")) => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      assert(f.selectedPartitions.partitionCount <= expectBuckets.size,
+        "vector fetch read more bucket dirs than the ids span")
+      assert(f.dataFilters.nonEmpty, "vec_id filter not pushed to the scan")
+    }
+    assert(fetched.select($"vec_id").as[Long].collect().toSet == Set(5L, 37L, 70L))
+    // full-loop equality: no corpus frame anywhere vs the corpus-frame loop
+    val queries = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
+    val viaStores = KnnGraph.serveFromStores(
+      spark, s"$root/g", s"$root/vec", queries, K, beamRounds = 3)
+      .as[(Long, Long)].collect().toSet
+    val viaCorpus = KnnGraph.serveStored(
+      spark, s"$root/g", vecs, queries, K, beamRounds = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(viaStores == viaCorpus,
+      "store-only serving diverged from corpus-frame serving")
+    vecs.unpersist()
+  }
+
   test("eraseStored removes a node in BOTH directions, repairs around it, and serving never reaches it") {
     import spark.implicits._
     val vecs = corpus()
