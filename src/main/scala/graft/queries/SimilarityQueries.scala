@@ -2165,10 +2165,13 @@ object SimilarityQueries {
     * would break the oracle hash). This row builds ONCE (durably, the
     * buildDurable path), stores the adjacency, then times the batched
     * 16-query beam loop end to end — `serve_ms_per_query` is the
-    * number a serving deployment budgets. `recall_ring_final` must
-    * equal sq22's round-4 recall_at_k (GraphServingParitySpec asserts
-    * it — the timed path is the correct one, sq18b's matches_batch
-    * pattern).
+    * number a serving deployment budgets — measured twice: against a
+    * cached corpus frame (`serve_ms_per_query`) and in the store-ONLY
+    * loop (`serve_ms_store_only`, [[KnnGraph.serveFromStores]] — the
+    * 100 TB shape where vectors come from a pruned point-fetch, never
+    * a corpus scan). `recall_ring_final` must equal sq22's round-4
+    * recall_at_k (GraphServingParitySpec asserts it — the timed path
+    * is the correct one, sq18b's matches_batch pattern).
     *
     * Entry A/B in the same frame: the deterministic RING entry
     * (qid·37+1 mod n, zero extra I/O) vs a WARM entry from
@@ -2202,6 +2205,7 @@ object SimilarityQueries {
     val buildS = (System.nanoTime() - tBuild0) / 1e9
     val tStore0 = System.nanoTime()
     KnnGraph.writeStore(graph, s"$root/g")
+    KnnGraph.writeVectors(vecs, s"$root/vec")
     val storeS = (System.nanoTime() - tStore0) / 1e9
     def recallOf(pool: org.apache.spark.sql.DataFrame): Double =
       KnnGraph.rankPool(vecs, qv, pool, k)
@@ -2214,6 +2218,13 @@ object SimilarityQueries {
     val ringServed = KnnGraph.rankPool(vecs, qv, ringTrace.last._2, k).collect()
     val serveMs = (System.nanoTime() - tServe0) / 1e6 / nq
     val ringRecalls = ringTrace.map { case (r, p) => r -> recallOf(p) }
+    // the store-ONLY loop (pruned vector point-fetch, no corpus frame
+    // anywhere — the 100 TB deployment shape), timed the same way;
+    // answers are provably identical (StoredGraphSpec)
+    val tStores0 = System.nanoTime()
+    val storeServed = KnnGraph.serveFromStores(
+      spark, s"$root/g", s"$root/vec", qv, k, beamRounds).collect()
+    val storeOnlyMs = (System.nanoTime() - tStores0) / 1e6 / nq
     val warmTrace = KnnGraph.serveStoredTrace(
       spark, s"$root/g", vecs, qv, k, beamRounds,
       Some(KnnGraph.sampledEntries(vecs, qv, stride = 8)))
@@ -2223,12 +2234,14 @@ object SimilarityQueries {
     vecs.unpersist(); bf.unpersist()
     Seq((nq, math.round(buildS * 1000) / 1000.0,
         math.round(storeS * 1000) / 1000.0,
-        math.round(serveMs * 10) / 10.0, ringServed.length.toLong,
+        math.round(serveMs * 10) / 10.0,
+        math.round(storeOnlyMs * 10) / 10.0,
+        math.max(ringServed.length, storeServed.length).toLong,
         ringRecalls.last._2, toHalf(ringRecalls),
         warmRecalls.last._2, toHalf(warmRecalls)))
       .toDF("n_queries", "build_s", "store_write_s", "serve_ms_per_query",
-        "rows_served", "recall_ring_final", "rounds_to_half_ring",
-        "recall_warm_final", "rounds_to_half_warm")
+        "serve_ms_store_only", "rows_served", "recall_ring_final",
+        "rounds_to_half_ring", "recall_warm_final", "rounds_to_half_warm")
   }
 
   /** Incremental graph maintenance measured — the cost/quality frame
