@@ -124,15 +124,25 @@ object KnnGraph {
     * The driver holds only the victims' neighbor ids (≤ |victims|·k·2,
     * bounded by the erasure request like the key lists in
     * PartitionedLayout.delete); untouched buckets keep byte-identical
-    * files (StoredGraphSpec asserts it). Erasing the node's VECTOR from
-    * the corpus table (wq06's delete) composes with this: even a stale
-    * pool entry can never be ANSWERED once the vector row is gone,
-    * because serving scores via an inner join against the corpus. */
+    * files (StoredGraphSpec asserts it). Pass `vecPath` to also erase
+    * the victims from the [[writeVectors]] store in the same call —
+    * then even a stale pool entry or a poisoned entry list can never
+    * ANSWER the victim, because serving scores via an inner join
+    * against that store (and the corpus table's own row is wq06's
+    * delete, unchanged). */
   def eraseStored(spark: SparkSession, path: String,
-      victims: Seq[Long]): Unit = {
+      victims: Seq[Long], vecPath: Option[String] = None): Unit = {
     import spark.implicits._
     import graft.sources.PartitionedLayout.{withDynamicOverwrite, withStaging}
     require(victims.nonEmpty, "empty victim list")
+    // the VECTOR store is a plain bucket-partitioned table keyed by
+    // vec_id — PartitionedLayout.delete IS its erasure (pruned rewrite,
+    // drained-dir removal, clean buckets byte-identical); composing it
+    // here makes the victim unanswerable even from a stale pool or a
+    // poisoned entry list, because serving scores via an inner join
+    // against this store
+    vecPath.foreach(vp => graft.sources.PartitionedLayout.delete(
+      spark, vp, victims.toDF("vec_id"), "vec_id", "bucket"))
     val victimSet = victims.toSet
     val victimBuckets = victims.map(_ % NumBuckets).distinct
     // the victims' neighbor lists — one pruned scan of the victim

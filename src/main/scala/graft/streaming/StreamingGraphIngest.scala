@@ -32,14 +32,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object StreamingGraphIngest {
 
   /** Start the insertion stream: (vec_id, v: array<double>) arrivals →
-    * mutual k-NN edges appended under `storePath`. */
+    * mutual k-NN edges appended under `storePath`; when `vecPath` is
+    * set, the arrivals' vectors also append into the [[KnnGraph
+    * .writeVectors]] store, so store-only serving
+    * ([[KnnGraph.serveFromStores]]) can answer them with no corpus
+    * frame anywhere. */
   def start(newVecs: DataFrame, storePath: String, corpus: DataFrame,
       k: Int, beamRounds: Int, checkpointDir: String,
-      trigger: Option[Trigger] = None): StreamingQuery = {
+      trigger: Option[Trigger] = None,
+      vecPath: Option[String] = None): StreamingQuery = {
     val writer = newVecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        insertBatch(batch.toDF(), storePath, corpus, k, beamRounds)
+        insertBatch(batch.toDF(), storePath, corpus, k, beamRounds, vecPath)
       }
     trigger.fold(writer)(writer.trigger).start()
   }
@@ -50,10 +55,16 @@ object StreamingGraphIngest {
     * arrivals or the next rebuild), exactly like a bulk HNSW insert at
     * one sequence point. */
   def insertBatch(batch: DataFrame, storePath: String, corpus: DataFrame,
-      k: Int, beamRounds: Int): Unit = {
+      k: Int, beamRounds: Int, vecPath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
+    vecPath.foreach { vp =>
+      batch.select($"vec_id", $"v")
+        .withColumn("bucket",
+          pmod($"vec_id", lit(KnnGraph.NumBuckets.toLong)).cast("int"))
+        .write.mode("append").partitionBy("bucket").parquet(vp)
+    }
     val queries = batch.select($"vec_id".as("qid"), $"v")
     // entry nodes must already BE in the graph: sample them from one
     // pruned bucket of the stored adjacency (driver holds nothing;

@@ -91,8 +91,10 @@ class StoredGraphSpec extends AnyFunSuite {
     import spark.implicits._
     val vecs = corpus()
     val graph = KnnGraph.build(vecs, K, rounds = 3).last
-    val store = java.nio.file.Files.createTempDirectory("graft-kgraph-erase").toString + "/g"
+    val eroot = java.nio.file.Files.createTempDirectory("graft-kgraph-erase").toString
+    val store = s"$eroot/g"
     KnnGraph.writeStore(graph, store)
+    KnnGraph.writeVectors(vecs, s"$eroot/vec")
     val queries = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
     val before = KnnGraph.serveStored(spark, store, vecs, queries, K, beamRounds = 3)
       .as[(Long, Long)].collect().toSet
@@ -119,7 +121,22 @@ class StoredGraphSpec extends AnyFunSuite {
     }
     val filesBefore = files()
 
-    KnnGraph.eraseStored(spark, store, Seq(victim))
+    KnnGraph.eraseStored(spark, store, Seq(victim),
+      vecPath = Some(s"$eroot/vec"))
+
+    // 0. the victim's VECTOR row is gone from the vector store, so
+    //    store-only serving is structurally unable to answer it even
+    //    from a poisoned entry list
+    assert(spark.read.parquet(s"$eroot/vec")
+      .filter($"vec_id" === victim).isEmpty,
+      "victim vector survives in the vector store")
+    val poisonedEntries = queries.select($"qid", lit(victim).as("node"))
+    val servedPoisoned = KnnGraph.serveFromStores(
+      spark, store, s"$eroot/vec", queries, K, beamRounds = 2,
+      entries = Some(poisonedEntries))
+      .as[(Long, Long)].collect().toSet
+    assert(!servedPoisoned.exists(_._2 == victim),
+      "erased node answered from a poisoned entry list")
 
     // 1. no trace of the victim in either edge direction
     val after = spark.read.parquet(store).cache()

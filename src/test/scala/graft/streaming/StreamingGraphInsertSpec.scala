@@ -25,6 +25,7 @@ class StreamingGraphInsertSpec extends AnyFunSuite {
     val base = all.filter(!$"vec_id".isin(newIds: _*))
     val root = java.nio.file.Files.createTempDirectory("graft-ggrow").toString
     KnnGraph.writeStore(KnnGraph.build(base, K, rounds = 3).last, s"$root/v1")
+    KnnGraph.writeVectors(base, s"$root/vec")
 
     // stream the 4 held-out nodes in two micro-batches
     implicit val sqlCtx = spark.sqlContext
@@ -33,7 +34,8 @@ class StreamingGraphInsertSpec extends AnyFunSuite {
       .as[(Long, Seq[Double])].collect().toMap
     val q = StreamingGraphIngest.start(
       stream.toDS().toDF("vec_id", "v"), s"$root/v1", all, K,
-      beamRounds = 3, checkpointDir = s"$root/ckpt")
+      beamRounds = 3, checkpointDir = s"$root/ckpt",
+      vecPath = Some(s"$root/vec"))
     try {
       stream.addData(newIds.take(2).map(id => (id, newVecs(id))))
       q.processAllAvailable()
@@ -67,6 +69,17 @@ class StreamingGraphInsertSpec extends AnyFunSuite {
         .select($"node").as[Long].collect().toSet
       assert(nodes.contains(id),
         s"probe with node $id's own vector did not serve $id")
+    }
+    // 2b. the vector store grew with the stream: STORE-ONLY serving
+    //     (no corpus frame anywhere) also finds the inserted nodes
+    val foundStoreOnly = KnnGraph.serveFromStores(
+      spark, s"$root/v1", s"$root/vec", probes, K, beamRounds = 4,
+      entries = Some(KnnGraph.sampledEntries(all, probes, stride = 8)))
+    newIds.foreach { id =>
+      val nodes = foundStoreOnly.filter($"qid" === id + 1000000L)
+        .select($"node").as[Long].collect().toSet
+      assert(nodes.contains(id),
+        s"store-only serving did not find streamed node $id")
     }
     // 3. recall floor vs a full rebuild over the same corpus
     val queries = all.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
