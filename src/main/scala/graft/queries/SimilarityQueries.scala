@@ -2207,9 +2207,25 @@ object SimilarityQueries {
     KnnGraph.writeStore(graph, s"$root/g")
     KnnGraph.writeVectors(vecs, s"$root/vec")
     val storeS = (System.nanoTime() - tStore0) / 1e9
-    def recallOf(pool: org.apache.spark.sql.DataFrame): Double =
-      KnnGraph.rankPool(vecs, qv, pool, k)
-        .join(bf, Seq("qid", "node"), "left_semi").count().toDouble / (nq * k)
+    // all of a trace's per-round recalls in ONE windowed job (the pools
+    // are tiny checkpointed frames; 5 separate count jobs would pay 5×
+    // the scheduling overhead for no reason)
+    def recallsOf(trace: Seq[(Int, org.apache.spark.sql.DataFrame)]): Seq[(Int, Double)] = {
+      val tagged = trace.map { case (r, p) => p.withColumn("rnd", lit(r)) }
+        .reduce(_ unionByName _)
+      val hits = tagged.filter($"node" =!= $"qid")
+        .join(broadcast(qv), Seq("qid"))
+        .join(vecs.select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"rnd", $"qid")
+            .orderBy(cosine($"v", $"cv").desc, $"node")))
+        .filter($"rn" <= k).select($"rnd", $"qid", $"node")
+        .join(bf, Seq("qid", "node"), "left_semi")
+        .groupBy($"rnd").agg(count(lit(1)).as("nhit"))
+        .as[(Int, Long)].collect().toMap
+      trace.map { case (r, _) =>
+        r -> hits.getOrElse(r, 0L).toDouble / (nq * k) }
+    }
     // ring serve, timed end to end: trace pools are eagerly
     // checkpointed, so the clock covers every beam step + final rank
     val tServe0 = System.nanoTime()
@@ -2217,7 +2233,7 @@ object SimilarityQueries {
       spark, s"$root/g", vecs, qv, k, beamRounds)
     val ringServed = KnnGraph.rankPool(vecs, qv, ringTrace.last._2, k).collect()
     val serveMs = (System.nanoTime() - tServe0) / 1e6 / nq
-    val ringRecalls = ringTrace.map { case (r, p) => r -> recallOf(p) }
+    val ringRecalls = recallsOf(ringTrace)
     // the store-ONLY loop (pruned vector point-fetch, no corpus frame
     // anywhere — the 100 TB deployment shape), timed the same way;
     // answers are provably identical (StoredGraphSpec)
@@ -2228,7 +2244,7 @@ object SimilarityQueries {
     val warmTrace = KnnGraph.serveStoredTrace(
       spark, s"$root/g", vecs, qv, k, beamRounds,
       Some(KnnGraph.sampledEntries(vecs, qv, stride = 8)))
-    val warmRecalls = warmTrace.map { case (r, p) => r -> recallOf(p) }
+    val warmRecalls = recallsOf(warmTrace)
     def toHalf(rs: Seq[(Int, Double)]): Long =
       rs.find(_._2 >= 0.5).map(_._1.toLong).getOrElse(-1L)
     vecs.unpersist(); bf.unpersist()
@@ -2271,7 +2287,7 @@ object SimilarityQueries {
     val all = Tables.embeddings(spark, dir)
       .select($"vec_id", toDouble($"embedding").as("v")).cache()
     val n = all.count()
-    val nHold = math.min(256L, n / 10)
+    val nHold = math.min(128L, n / 10)
     val base = all.filter($"vec_id" < n - nHold)
     val held = all.filter($"vec_id" >= n - nHold)
     val root = graft.util.Scratch.tempDir("graft-sq23")
