@@ -313,7 +313,10 @@ object KnnGraph {
       val fresh = expandStored(spark, graphPath, frontier)
         .join(pool, Seq("qid", "node"), "left_anti")
       frontier = scoreKeep(fresh, k).localCheckpoint(true)
-      pool = pool.union(frontier).distinct().localCheckpoint(true)
+      // frontiers are anti-joined against the pool, so the union is
+      // disjoint by construction — a lazy union of checkpoint-backed
+      // members, no distinct, no per-round pool materialization
+      pool = pool.union(frontier)
     }
     scoreKeep(pool.filter($"node" =!= $"qid"), k)
   }
@@ -321,9 +324,11 @@ object KnnGraph {
   /** The serving loop with its per-round visited pools exposed:
     * (round, pool) for rounds 0..beamRounds — what sq22b's
     * rounds-to-recall measurement and the insertion path build on.
-    * Pools are localCheckpoint'd: serving state is ephemeral per
-    * request, so executor-local blocks are the right durability (the
-    * BUILD is the durable side — [[buildDurable]]). */
+    * FRONTIERS are localCheckpoint'd (serving state is ephemeral per
+    * request, so executor-local blocks are the right durability — the
+    * BUILD is the durable side, [[buildDurable]]); the pool stays a
+    * lazy union of those checkpointed frontiers, disjoint by
+    * construction, costing no per-round materialization job. */
   def serveStoredTrace(spark: SparkSession, path: String, vecs: DataFrame,
       queries: DataFrame, k: Int, beamRounds: Int,
       entries: Option[DataFrame] = None): Seq[(Int, DataFrame)] = {
@@ -342,7 +347,10 @@ object KnnGraph {
           Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
         .filter($"rn" <= k).select($"qid", $"node")
         .localCheckpoint(true)
-      pool = pool.union(frontier).distinct().localCheckpoint(true)
+      // disjoint by construction (fresh is anti-joined) — keep the pool
+      // a lazy union of checkpoint-backed frontiers; only frontiers are
+      // materialized per round
+      pool = pool.union(frontier)
       out += (r -> pool)
     }
     out.toSeq
