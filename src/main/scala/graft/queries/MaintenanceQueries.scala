@@ -261,7 +261,68 @@ object MaintenanceQueries {
       .orderBy($"version", $"lang")
   }
 
+  /** Stored-GRAPH erasure, oracle-checked END TO END (r12 — the graph
+    * edition of wq06/wq07's discipline; until now KnnGraph.eraseStored
+    * was spec-only): build the NN-Descent graph, persist the
+    * bucket-partitioned undirected adjacency, erase two victim NODES
+    * through the real store machinery (both edge directions, pruned
+    * rewrite, pairwise neighbor re-link), then read the store back and
+    * summarize per bucket. DuckDB replays EVERYTHING: the 2-round
+    * NN-Descent build (sq21's unroll), the undirected store, the
+    * victims' neighbor discovery, the both-direction removal, the
+    * re-link pair algebra, and the per-bucket integer checksums — a
+    * hash match proves the physical erase transformed exactly the
+    * claimed edges and nothing else.
+    *
+    * 100 TB: the erase reads/rewrites only victim ∪ neighbor buckets
+    * (≤ 1 + k·|victims| dirs of the k·n edge list); cost is
+    * erasure-request-sized, never index- or corpus-sized
+    * (StoredGraphSpec holds the file-identity proof; the depth/bytes
+    * complexity is measured in COVERAGE's erase-depth probe). */
+  val wq08GraphErase: QueryDef = sqlChecked(
+    "wq08_graph_erase",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${SimilarityQueries.nnDescentSql(8, 2)},
+       |und AS MATERIALIZED (
+       |  SELECT src, nbr FROM e_2 UNION SELECT nbr, src FROM e_2),
+       |victims(vid) AS (VALUES (101), (202)),
+       |vn AS (SELECT u.src AS vid, u.nbr
+       |  FROM und u JOIN victims ON u.src = victims.vid
+       |  WHERE u.nbr NOT IN (SELECT vid FROM victims)),
+       |repair AS (
+       |  SELECT a.nbr AS src, b.nbr AS nbr FROM vn a JOIN vn b
+       |    ON a.vid = b.vid AND a.nbr < b.nbr
+       |  UNION
+       |  SELECT b.nbr AS src, a.nbr AS nbr FROM vn a JOIN vn b
+       |    ON a.vid = b.vid AND a.nbr < b.nbr),
+       |kept AS (SELECT src, nbr FROM und
+       |  WHERE src NOT IN (SELECT vid FROM victims)
+       |    AND nbr NOT IN (SELECT vid FROM victims)),
+       |final AS (SELECT src, nbr FROM kept UNION SELECT src, nbr FROM repair)
+       |SELECT CAST(src % 32 AS INT) AS bucket,
+       |  COUNT(*) AS n_edges,
+       |  CAST(SUM(src) AS BIGINT) AS src_sum,
+       |  CAST(SUM(src * 521 + nbr) AS BIGINT) AS edge_sum
+       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.similarity.{KnnGraph, VectorOps}
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", VectorOps.toDouble($"embedding").as("v")).cache()
+    val store = graft.util.Scratch.tempDir("graft-wq08") + "/g"
+    KnnGraph.writeStore(KnnGraph.build(vecs, 8, rounds = 2).last, store)
+    KnnGraph.eraseStored(spark, store, Seq(101L, 202L))
+    vecs.unpersist()
+    spark.read.parquet(store)
+      .groupBy($"bucket".cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum($"src").cast("long").as("src_sum"),
+        sum($"src" * 521 + $"nbr").cast("long").as("edge_sum"))
+      .orderBy($"bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(wq01UpsertRoundtrip, wq02CompactionRoundtrip,
     wq03IncrementalAggRoundtrip, wq04ZorderRoundtrip,
-    wq05SchemaEvolutionRoundtrip, wq06TargetedDelete, wq07SnapshotErase)
+    wq05SchemaEvolutionRoundtrip, wq06TargetedDelete, wq07SnapshotErase,
+    wq08GraphErase)
 }

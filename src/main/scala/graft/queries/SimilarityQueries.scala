@@ -1906,7 +1906,7 @@ object SimilarityQueries {
     * double-cosine scoring and a (cos DESC, nbr) top-k per node — the
     * same deterministic rerank contract as sq01/sq02b. Ends in CTEs
     * e_0 .. e_{rounds} plus `bf` (true top-k of the 16-query subset). */
-  private def nnDescentSql(k: Int, rounds: Int): String = {
+  private[queries] def nnDescentSql(k: Int, rounds: Int): String = {
     def summary(r: Int) =
       s"""sum_$r AS (SELECT CAST($r AS BIGINT) AS round,
          |  COUNT(*) AS n_edges,
