@@ -2165,11 +2165,16 @@ object SimilarityQueries {
     * would break the oracle hash). This row builds ONCE (durably, the
     * buildDurable path), stores the adjacency, then times the batched
     * 16-query beam loop end to end — `serve_ms_per_query` is the
-    * number a serving deployment budgets — measured twice: against a
-    * cached corpus frame (`serve_ms_per_query`) and in the store-ONLY
-    * loop (`serve_ms_store_only`, [[KnnGraph.serveFromStores]] — the
-    * 100 TB shape where vectors come from a pruned point-fetch, never
-    * a corpus scan). `recall_ring_final` must equal sq22's round-4
+    * number a serving deployment budgets — measured three ways:
+    * against a cached corpus frame (`serve_ms_per_query`), in the
+    * store-ONLY distributed loop (`serve_ms_store_only`,
+    * [[KnnGraph.serveFromStores]] — the 100 TB batch shape where
+    * vectors come from a pruned point-fetch, never a corpus scan), and
+    * through the COORDINATED head (`serve_ms_coordinated`,
+    * [[KnnGraph.serveCoordinated]] — beam state on the driver, two
+    * pruned point-reads per round for the whole batch: the online-
+    * endpoint shape, answers provably identical).
+    * `recall_ring_final` must equal sq22's round-4
     * recall_at_k (GraphServingParitySpec asserts it — the timed path
     * is the correct one, sq18b's matches_batch pattern).
     *
@@ -2241,6 +2246,15 @@ object SimilarityQueries {
     val storeServed = KnnGraph.serveFromStores(
       spark, s"$root/g", s"$root/vec", qv, k, beamRounds).collect()
     val storeOnlyMs = (System.nanoTime() - tStores0) / 1e6 / nq
+    // the coordinated head: beam state on the driver, two pruned
+    // point-reads per round for the whole batch — the online-endpoint
+    // shape; answers provably identical (StoredGraphSpec)
+    val qLocal = qv.as[(Long, Seq[Double])].collect()
+      .map { case (q, v) => q -> v.toArray }.toSeq
+    val tCoord0 = System.nanoTime()
+    val coordServed = KnnGraph.serveCoordinated(
+      spark, s"$root/g", s"$root/vec", qLocal, k, beamRounds)
+    val coordMs = (System.nanoTime() - tCoord0) / 1e6 / nq
     val warmTrace = KnnGraph.serveStoredTrace(
       spark, s"$root/g", vecs, qv, k, beamRounds,
       Some(KnnGraph.sampledEntries(vecs, qv, stride = 8)))
@@ -2252,12 +2266,15 @@ object SimilarityQueries {
         math.round(storeS * 1000) / 1000.0,
         math.round(serveMs * 10) / 10.0,
         math.round(storeOnlyMs * 10) / 10.0,
-        math.max(ringServed.length, storeServed.length).toLong,
+        math.round(coordMs * 10) / 10.0,
+        math.max(math.max(ringServed.length, storeServed.length),
+          coordServed.length).toLong,
         ringRecalls.last._2, toHalf(ringRecalls),
         warmRecalls.last._2, toHalf(warmRecalls)))
       .toDF("n_queries", "build_s", "store_write_s", "serve_ms_per_query",
-        "serve_ms_store_only", "rows_served", "recall_ring_final",
-        "rounds_to_half_ring", "recall_warm_final", "rounds_to_half_warm")
+        "serve_ms_store_only", "serve_ms_coordinated", "rows_served",
+        "recall_ring_final", "rounds_to_half_ring", "recall_warm_final",
+        "rounds_to_half_warm")
   }
 
   /** Incremental graph maintenance measured — the cost/quality frame

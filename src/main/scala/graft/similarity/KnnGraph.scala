@@ -321,6 +321,104 @@ object KnnGraph {
     scoreKeep(pool.filter($"node" =!= $"qid"), k)
   }
 
+  /** Driver-side replica of [[graft.functions.CosineSimilarity]]'s
+    * arithmetic — same accumulation order, same final division, so the
+    * coordinated loop's tie-breaks are bit-identical to the
+    * distributed one's. */
+  private def cosineLocal(x: Array[Double], y: Array[Double]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+    }
+    dot / math.sqrt(nx * ny)
+  }
+
+  /** Spark's descending double ordering (NaN greatest → first under
+    * DESC), then ascending node — the row_number tie-break both
+    * distributed loops use. */
+  private def keepTopK(cands: Seq[(Long, Double)], k: Int): Seq[(Long, Double)] =
+    cands.sortWith { case ((na, ca), (nb, cb)) =>
+      val c = java.lang.Double.compare(cb, ca)
+      c < 0 || (c == 0 && na < nb)
+    }.take(k)
+
+  /** LOW-LATENCY serving head: the beam state (≤ |Q|·(1+rounds·k)
+    * (node, cos) rows) lives on the COORDINATOR; the cluster serves
+    * only two pruned point-reads per round — frontier adjacency from
+    * the [[writeStore]] layout and candidate vectors from the
+    * [[writeVectors]] store. Each beam round therefore costs TWO scan
+    * jobs for the whole request batch instead of the distributed
+    * loop's join/window/checkpoint chain — the graph analogue of
+    * sq14's batched stored-index serving, and the shape an online
+    * serving endpoint runs (coordinator holds beams, storage nodes
+    * answer pruned gets). Answers are EXACTLY [[serveFromStores]]'s:
+    * same entries, same candidate sets, and [[cosineLocal]] replays
+    * the native expression's arithmetic bit for bit (StoredGraphSpec
+    * asserts equality). For |Q| in the thousands the per-round state
+    * outgrows a coordinator — use [[serveFromStores]] there; the
+    * boundedness contract HERE is the request batch. */
+  def serveCoordinated(spark: SparkSession, graphPath: String,
+      vecPath: String, queries: Seq[(Long, Array[Double])], k: Int,
+      beamRounds: Int, entries: Option[Map[Long, Long]] = None,
+      numBuckets: Int = NumBuckets): Seq[(Long, Long)] = {
+    import spark.implicits._
+    val entry: Map[Long, Long] = entries.getOrElse {
+      val n = spark.read.parquet(vecPath).count()
+      queries.map { case (qid, _) => qid -> (qid * 37 + 1) % n }.toMap
+    }
+    def fetchVecs(ids: Set[Long]): Map[Long, Array[Double]] =
+      if (ids.isEmpty) Map.empty
+      else {
+        val bs = ids.map(_ % numBuckets).toSeq
+        spark.read.parquet(vecPath)
+          .filter($"bucket".isin(bs: _*) && $"vec_id".isin(ids.toSeq: _*))
+          .select($"vec_id", $"v").as[(Long, Seq[Double])]
+          .collect().map { case (id, v) => id -> v.toArray }.toMap
+      }
+    val qv = queries.toMap
+    // visited = the distributed loop's pool frame (dedup semantics);
+    // scores = what the final scoring join would see — a visited node
+    // whose vector is absent (e.g. erased) dedups but never answers,
+    // exactly like the inner join drops it
+    val entryVecs = fetchVecs(entry.values.toSet)
+    val visited = scala.collection.mutable.Map(queries.map { case (qid, _) =>
+      qid -> scala.collection.mutable.LinkedHashSet(entry(qid)) }: _*)
+    val scores = scala.collection.mutable.Map(queries.map { case (qid, _) =>
+      val e = entry(qid)
+      qid -> scala.collection.mutable.LinkedHashMap(
+        entryVecs.get(e).map(v => e -> cosineLocal(qv(qid), v)).toSeq: _*)
+    }: _*)
+    var frontier: Map[Long, Seq[Long]] =
+      queries.map { case (qid, _) => qid -> Seq(entry(qid)) }.toMap
+    for (_ <- 1 to beamRounds if frontier.valuesIterator.exists(_.nonEmpty)) {
+      val fNodes = frontier.valuesIterator.flatten.toSet
+      val fBuckets = fNodes.map(_ % numBuckets).toSeq
+      // pruned adjacency point-read: one job for the whole batch
+      val adj = spark.read.parquet(graphPath)
+        .filter($"bucket".isin(fBuckets: _*) && $"src".isin(fNodes.toSeq: _*))
+        .select($"src", $"nbr").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (s, a) => s -> a.map(_._2).toSeq }
+      val cands: Map[Long, Seq[Long]] = frontier.map { case (qid, fs) =>
+        qid -> fs.flatMap(adj.getOrElse(_, Seq.empty)).distinct
+          .filterNot(visited(qid).contains)
+      }
+      // pruned vector point-read: the round's other job
+      val vecs = fetchVecs(cands.valuesIterator.flatten.toSet)
+      frontier = cands.map { case (qid, cs) =>
+        val kept = keepTopK(
+          cs.flatMap(c => vecs.get(c).map(v => c -> cosineLocal(qv(qid), v))), k)
+        kept.foreach { case (node, cos) =>
+          visited(qid) += node; scores(qid)(node) = cos }
+        qid -> kept.map(_._1)
+      }
+    }
+    queries.flatMap { case (qid, _) =>
+      keepTopK(scores(qid).toSeq.filterNot(_._1 == qid), k)
+        .map { case (node, _) => qid -> node }
+    }
+  }
+
   /** The serving loop with its per-round visited pools exposed:
     * (round, pool) for rounds 0..beamRounds — what sq22b's
     * rounds-to-recall measurement and the insertion path build on.

@@ -84,6 +84,15 @@ class StoredGraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(viaStores == viaCorpus,
       "store-only serving diverged from corpus-frame serving")
+    // the COORDINATED head (beam state on the driver, two pruned
+    // point-reads per round) must answer identically too — its local
+    // cosine replays the native expression's arithmetic bit for bit
+    val qLocal = queries.as[(Long, Seq[Double])].collect()
+      .map { case (qid, v) => qid -> v.toArray }.toSeq
+    val viaCoordinator = KnnGraph.serveCoordinated(
+      spark, s"$root/g", s"$root/vec", qLocal, K, beamRounds = 3).toSet
+    assert(viaCoordinator == viaCorpus,
+      "coordinated serving diverged from the distributed loop")
     vecs.unpersist()
   }
 
