@@ -2311,12 +2311,16 @@ object SimilarityQueries {
     KnnGraph.writeStore(
       KnnGraph.buildDurable(base, k, buildRounds, s"$root/b1").last,
       s"$root/grown")
-    // stream the slice back in, two batches (the micro-batch shape)
+    KnnGraph.writeVectors(base, s"$root/vec")
+    // stream the slice back in, two batches (the micro-batch shape);
+    // with the vector store present the inserts run through the
+    // coordinated head — the online insert path
     val batches = Seq(held.filter($"vec_id" % 2 === 0),
       held.filter($"vec_id" % 2 =!= 0))
     val tIns0 = System.nanoTime()
     batches.foreach(b => graft.streaming.StreamingGraphIngest
-      .insertBatch(b, s"$root/grown", all, k, beamRounds))
+      .insertBatch(b, s"$root/grown", all, k, beamRounds,
+        vecPath = Some(s"$root/vec")))
     val insMs = (System.nanoTime() - tIns0) / 1e6 / nHold
     val queries = all.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
     val bf = broadcast(queries.select($"qid".as("src"), $"v".as("qv")))

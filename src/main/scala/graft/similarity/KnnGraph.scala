@@ -325,7 +325,7 @@ object KnnGraph {
     * arithmetic — same accumulation order, same final division, so the
     * coordinated loop's tie-breaks are bit-identical to the
     * distributed one's. */
-  private def cosineLocal(x: Array[Double], y: Array[Double]): Double = {
+  private[graft] def cosineLocal(x: Array[Double], y: Array[Double]): Double = {
     val n = math.min(x.length, y.length)
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {

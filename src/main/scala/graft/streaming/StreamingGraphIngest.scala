@@ -65,19 +65,44 @@ object StreamingGraphIngest {
           pmod($"vec_id", lit(KnnGraph.NumBuckets.toLong)).cast("int"))
         .write.mode("append").partitionBy("bucket").parquet(vp)
     }
-    val queries = batch.select($"vec_id".as("qid"), $"v")
     // entry nodes must already BE in the graph: sample them from one
-    // pruned bucket of the stored adjacency (driver holds nothing;
-    // the bucket read is index-sized)
+    // pruned bucket of the stored adjacency (the bucket read is
+    // index-sized; driver holds only the sample)
     val bucket0 = spark.read.parquet(storePath)
       .filter($"bucket" === 0).select($"src".as("vec_id")).distinct()
     val entryCands = corpus.join(bucket0, Seq("vec_id"), "left_semi")
-    val entries = KnnGraph.sampledEntries(entryCands, queries, stride = 8)
-    val nbrs = KnnGraph.serveStored(
-      spark, storePath, corpus, queries, k, beamRounds, Some(entries))
+    val nbrPairs: Seq[(Long, Long)] = vecPath match {
+      case Some(vp) =>
+        // a micro-batch is coordinator-sized by the trigger contract,
+        // and an HNSW insert IS a coordinator-driven search — serve
+        // through the COORDINATED head: two pruned point-reads per
+        // beam round for the whole batch, warm-started at each
+        // arrival's best sampled node (sampledEntries' argmax,
+        // computed locally over the pruned sample)
+        val arrivals = batch.select($"vec_id", $"v")
+          .as[(Long, Seq[Double])].collect()
+          .map { case (id, v) => id -> v.toArray }.toSeq
+        val sample = entryCands.filter(pmod($"vec_id", lit(8L)) === 0)
+          .select($"vec_id", $"v").as[(Long, Seq[Double])]
+          .collect().map { case (id, v) => id -> v.toArray }
+        val entries = arrivals.map { case (qid, qvec) =>
+          qid -> sample.maxBy { case (node, cv) =>
+            (KnnGraph.cosineLocal(qvec, cv), -node) }._1
+        }.toMap
+        KnnGraph.serveCoordinated(spark, storePath, vp, arrivals, k,
+          beamRounds, entries = Some(entries))
+      case None =>
+        // no vector store: the distributed loop scores against the
+        // corpus frame
+        val queries = batch.select($"vec_id".as("qid"), $"v")
+        KnnGraph.serveStored(spark, storePath, corpus, queries, k,
+          beamRounds,
+          Some(KnnGraph.sampledEntries(entryCands, queries, stride = 8)))
+          .as[(Long, Long)].collect().toSeq
+    }
     // mutual link, both directions, bucket-partitioned append
-    nbrs.select($"qid".as("src"), $"node".as("nbr"))
-      .union(nbrs.select($"node".as("src"), $"qid".as("nbr")))
+    nbrPairs.toDF("src", "nbr")
+      .union(nbrPairs.map(_.swap).toDF("src", "nbr"))
       .withColumn("bucket",
         pmod($"src", lit(KnnGraph.NumBuckets.toLong)).cast("int"))
       .write.mode("append").partitionBy("bucket").parquet(storePath)
