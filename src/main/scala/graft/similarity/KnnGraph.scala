@@ -98,14 +98,44 @@ object KnnGraph {
     out.toSeq
   }
 
+  /** The bucket count is a property OF THE STORE, not of the code: the
+    * writer records it in `_graft_buckets` and every reader derives it
+    * from there — a writer/reader modulus mismatch would silently
+    * mis-prune (empty expansions, quiet recall loss), and at 100 TB
+    * the count must scale with n (buckets ≈ n / rows-per-file keeps a
+    * pruned read proportional to its candidate set), so it cannot be
+    * a constant. Stores written before the marker read as the old
+    * default. */
+  private def writeBucketMeta(spark: SparkSession, path: String,
+      n: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The store's recorded bucket count (see [[writeBucketMeta]]). */
+  def bucketsOf(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) NumBuckets
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
   /** Persist the UNDIRECTED adjacency of a built graph, partitioned by
     * src bucket — the layout that makes each beam step a pruned scan. */
-  def writeStore(graph: DataFrame, path: String): Unit = {
+  def writeStore(graph: DataFrame, path: String,
+      numBuckets: Int = NumBuckets): Unit = {
     import graph.sparkSession.implicits._
     graph.select($"src", $"nbr")
       .union(graph.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
-      .withColumn("bucket", pmod($"src", lit(NumBuckets.toLong)).cast("int"))
+      .withColumn("bucket", pmod($"src", lit(numBuckets.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeBucketMeta(graph.sparkSession, path, numBuckets)
   }
 
   /** Erase victim NODES from the stored adjacency — the graph edition
@@ -144,7 +174,8 @@ object KnnGraph {
     vecPath.foreach(vp => graft.sources.PartitionedLayout.delete(
       spark, vp, victims.toDF("vec_id"), "vec_id", "bucket"))
     val victimSet = victims.toSet
-    val victimBuckets = victims.map(_ % NumBuckets).distinct
+    val nb = bucketsOf(spark, path)
+    val victimBuckets = victims.map(_ % nb).distinct
     // the victims' neighbor lists — one pruned scan of the victim
     // buckets; bounded by |victims|·k (the erasure working set)
     val nbrs = spark.read.parquet(path)
@@ -153,7 +184,7 @@ object KnnGraph {
       .groupBy($"src").agg(collect_set($"nbr").as("ns"))
       .as[(Long, Seq[Long])].collect().toMap
     val nbrIds = nbrs.values.flatten.toSet -- victimSet
-    val touched = (victimBuckets ++ nbrIds.map(_ % NumBuckets))
+    val touched = (victimBuckets ++ nbrIds.map(_ % nb))
       .distinct.sorted
     // pairwise re-link among each victim's surviving neighbors, both
     // directions (the store is undirected)
@@ -162,7 +193,7 @@ object KnnGraph {
       for (a <- s; b <- s if a < b) yield Seq((a, b), (b, a))
     }.flatten.distinct
     val repairDf = repair.toDF("src", "nbr")
-      .withColumn("bucket", pmod($"src", lit(NumBuckets.toLong)).cast("int"))
+      .withColumn("bucket", pmod($"src", lit(nb.toLong)).cast("int"))
     withDynamicOverwrite(spark) {
       val slice = spark.read.parquet(path)
         .filter($"bucket".isin(touched: _*))
@@ -190,8 +221,9 @@ object KnnGraph {
   def expandStored(spark: SparkSession, path: String,
       frontier: DataFrame): DataFrame = {
     import spark.implicits._
+    val nb = bucketsOf(spark, path)
     val buckets = frontier
-      .select(pmod($"node", lit(NumBuckets.toLong)).cast("int").as("b"))
+      .select(pmod($"node", lit(nb.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val pruned = spark.read.parquet(path).filter($"bucket".isin(buckets: _*))
     frontier.join(pruned, frontier("node") === pruned("src"))
@@ -265,6 +297,7 @@ object KnnGraph {
     vecs.select($"vec_id", $"v")
       .withColumn("bucket", pmod($"vec_id", lit(numBuckets.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeBucketMeta(vecs.sparkSession, path, numBuckets)
   }
 
   /** Point-fetch the vectors of a BOUNDED id frame from a
@@ -274,9 +307,10 @@ object KnnGraph {
     * visited pool — ≤ |Q|·(1+rounds·k) ids by construction; the
     * driver-side list is the same boundedness [[expandStored]]'s
     * bucket collect already relies on). */
-  def fetchVectors(spark: SparkSession, path: String, ids: DataFrame,
-      numBuckets: Int = NumBuckets): DataFrame = {
+  def fetchVectors(spark: SparkSession, path: String,
+      ids: DataFrame): DataFrame = {
     import spark.implicits._
+    val numBuckets = bucketsOf(spark, path)
     val idList = ids.select($"node").distinct().as[Long].collect()
     val buckets = idList.map(_ % numBuckets).distinct.toSeq
     spark.read.parquet(path)
@@ -293,12 +327,11 @@ object KnnGraph {
     * asserts equality and the pruned plans). */
   def serveFromStores(spark: SparkSession, graphPath: String,
       vecPath: String, queries: DataFrame, k: Int, beamRounds: Int,
-      entries: Option[DataFrame] = None,
-      numBuckets: Int = NumBuckets): DataFrame = {
+      entries: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     def scoreKeep(cand: DataFrame, keep: Int) = cand
       .join(broadcast(queries), Seq("qid"))
-      .join(fetchVectors(spark, vecPath, cand, numBuckets)
+      .join(fetchVectors(spark, vecPath, cand)
         .select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
@@ -360,9 +393,12 @@ object KnnGraph {
     * boundedness contract HERE is the request batch. */
   def serveCoordinated(spark: SparkSession, graphPath: String,
       vecPath: String, queries: Seq[(Long, Array[Double])], k: Int,
-      beamRounds: Int, entries: Option[Map[Long, Long]] = None,
-      numBuckets: Int = NumBuckets): Seq[(Long, Long)] = {
+      beamRounds: Int,
+      entries: Option[Map[Long, Long]] = None): Seq[(Long, Long)] = {
     import spark.implicits._
+    // each store carries its own recorded bucket count
+    val graphNb = bucketsOf(spark, graphPath)
+    val vecNb = bucketsOf(spark, vecPath)
     val entry: Map[Long, Long] = entries.getOrElse {
       val n = spark.read.parquet(vecPath).count()
       queries.map { case (qid, _) => qid -> (qid * 37 + 1) % n }.toMap
@@ -370,7 +406,7 @@ object KnnGraph {
     def fetchVecs(ids: Set[Long]): Map[Long, Array[Double]] =
       if (ids.isEmpty) Map.empty
       else {
-        val bs = ids.map(_ % numBuckets).toSeq
+        val bs = ids.map(_ % vecNb).toSeq
         spark.read.parquet(vecPath)
           .filter($"bucket".isin(bs: _*) && $"vec_id".isin(ids.toSeq: _*))
           .select($"vec_id", $"v").as[(Long, Seq[Double])]
@@ -393,7 +429,7 @@ object KnnGraph {
       queries.map { case (qid, _) => qid -> Seq(entry(qid)) }.toMap
     for (_ <- 1 to beamRounds if frontier.valuesIterator.exists(_.nonEmpty)) {
       val fNodes = frontier.valuesIterator.flatten.toSet
-      val fBuckets = fNodes.map(_ % numBuckets).toSeq
+      val fBuckets = fNodes.map(_ % graphNb).toSeq
       // pruned adjacency point-read: one job for the whole batch
       val adj = spark.read.parquet(graphPath)
         .filter($"bucket".isin(fBuckets: _*) && $"src".isin(fNodes.toSeq: _*))

@@ -59,10 +59,13 @@ object StreamingGraphIngest {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
+    // appends follow each store's RECORDED bucket count — a modulus
+    // mismatch with the writer would silently mis-prune later reads
     vecPath.foreach { vp =>
       batch.select($"vec_id", $"v")
         .withColumn("bucket",
-          pmod($"vec_id", lit(KnnGraph.NumBuckets.toLong)).cast("int"))
+          pmod($"vec_id",
+            lit(KnnGraph.bucketsOf(spark, vp).toLong)).cast("int"))
         .write.mode("append").partitionBy("bucket").parquet(vp)
     }
     // entry nodes must already BE in the graph: sample them from one
@@ -104,7 +107,8 @@ object StreamingGraphIngest {
     nbrPairs.toDF("src", "nbr")
       .union(nbrPairs.map(_.swap).toDF("src", "nbr"))
       .withColumn("bucket",
-        pmod($"src", lit(KnnGraph.NumBuckets.toLong)).cast("int"))
+        pmod($"src",
+          lit(KnnGraph.bucketsOf(spark, storePath).toLong)).cast("int"))
       .write.mode("append").partitionBy("bucket").parquet(storePath)
   }
 }

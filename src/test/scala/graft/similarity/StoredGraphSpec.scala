@@ -96,6 +96,35 @@ class StoredGraphSpec extends AnyFunSuite {
     vecs.unpersist()
   }
 
+  test("bucket count is a store property: a 64-bucket store serves and erases identically") {
+    import spark.implicits._
+    val vecs = corpus()
+    val graph = KnnGraph.build(vecs, K, rounds = 2).last
+    val r32 = java.nio.file.Files.createTempDirectory("graft-kg-b32").toString
+    val r64 = java.nio.file.Files.createTempDirectory("graft-kg-b64").toString
+    KnnGraph.writeStore(graph, s"$r32/g")
+    KnnGraph.writeVectors(vecs, s"$r32/vec")
+    KnnGraph.writeStore(graph, s"$r64/g", numBuckets = 64)
+    KnnGraph.writeVectors(vecs, s"$r64/vec", numBuckets = 64)
+    assert(KnnGraph.bucketsOf(spark, s"$r64/g") == 64 &&
+      KnnGraph.bucketsOf(spark, s"$r32/g") == 32)
+    val queries = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
+    def serve(root: String) = KnnGraph.serveFromStores(
+      spark, s"$root/g", s"$root/vec", queries, K, beamRounds = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(serve(r64) == serve(r32),
+      "64-bucket store serves differently from 32-bucket store")
+    // erase works against the recorded count too (victim rows land in
+    // different bucket dirs under each modulus)
+    val victim = serve(r32).head._2
+    KnnGraph.eraseStored(spark, s"$r64/g", Seq(victim),
+      vecPath = Some(s"$r64/vec"))
+    val after = spark.read.parquet(s"$r64/g")
+    assert(after.filter($"src" === victim || $"nbr" === victim).isEmpty,
+      "victim survived in the 64-bucket store")
+    vecs.unpersist()
+  }
+
   test("eraseStored removes a node in BOTH directions, repairs around it, and serving never reaches it") {
     import spark.implicits._
     val vecs = corpus()
