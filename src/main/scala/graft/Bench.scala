@@ -120,6 +120,12 @@ object Bench {
     val total = timings.values.sum
     val line = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${jnum(timings)},"isolated_rerun":${jnum(isolated)},"regressed_vs_baseline":${jnum(regressed.map { case (k, _) => k -> baseline(k) })},"errors":${jstr(errors)},"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     println(line)
+    // the full line above is ~7 KB at 237 queries and the driver's
+    // stdout capture truncates from the HEAD — emit a compact summary
+    // LAST so a truncated tail still carries one complete, parseable
+    // JSON line (the per-query map lives in the file below and in the
+    // committed bench_out.json)
+    println(s"""{"metric":"total_compact","value":${"%.3f".format(total)},"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"n_regressed":${regressed.size},"sf":"$sfDir"}""")
     // Also persist the line: the driver captures stdout, which has been
     // observed truncated at the head for long runs (BENCH_r03 lost the
     // aq-jq rows) — a committed file survives that. Filtered dev runs

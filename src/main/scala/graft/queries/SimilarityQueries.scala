@@ -2308,10 +2308,12 @@ object SimilarityQueries {
     val base = all.filter($"vec_id" < n - nHold)
     val held = all.filter($"vec_id" >= n - nHold)
     val root = graft.util.Scratch.tempDir("graft-sq23")
+    val tB1 = System.nanoTime()
     KnnGraph.writeStore(
       KnnGraph.buildDurable(base, k, buildRounds, s"$root/b1").last,
       s"$root/grown")
     KnnGraph.writeVectors(base, s"$root/vec")
+    val buildBaseS = (System.nanoTime() - tB1) / 1e9
     // stream the slice back in, two batches (the micro-batch shape);
     // with the vector store present the inserts run through the
     // coordinated head — the online insert path
@@ -2333,14 +2335,20 @@ object SimilarityQueries {
       KnnGraph.serveStored(spark, path, all, queries, k, beamRounds)
         .join(bf, Seq("qid", "node"), "left_semi").count().toDouble / (16 * k)
     val streamed = recallFrom(s"$root/grown")
+    val tB2 = System.nanoTime()
     KnnGraph.writeStore(
       KnnGraph.buildDurable(all, k, buildRounds, s"$root/b2").last,
       s"$root/rebuilt")
+    val buildRebuildS = (System.nanoTime() - tB2) / 1e9
     val rebuilt = recallFrom(s"$root/rebuilt")
     all.unpersist(); bf.unpersist()
-    Seq((n - nHold, nHold, math.round(insMs * 10) / 10.0,
+    Seq((n - nHold, nHold,
+        math.round(buildBaseS * 1000) / 1000.0,
+        math.round(buildRebuildS * 1000) / 1000.0,
+        math.round(insMs * 10) / 10.0,
         streamed, rebuilt, math.round((rebuilt - streamed) * 1e6) / 1e6))
-      .toDF("n_base", "n_inserted", "insert_ms_per_node",
+      .toDF("n_base", "n_inserted", "build_base_s", "build_rebuild_s",
+        "insert_ms_per_node",
         "recall_streamed", "recall_rebuild", "recall_drift")
   }
 

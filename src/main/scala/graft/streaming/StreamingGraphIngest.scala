@@ -59,33 +59,20 @@ object StreamingGraphIngest {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
-    // appends follow each store's RECORDED bucket count — a modulus
-    // mismatch with the writer would silently mis-prune later reads
-    vecPath.foreach { vp =>
-      batch.select($"vec_id", $"v")
-        .withColumn("bucket",
-          pmod($"vec_id",
-            lit(KnnGraph.bucketsOf(spark, vp).toLong)).cast("int"))
-        .write.mode("append").partitionBy("bucket").parquet(vp)
-    }
-    // entry nodes must already BE in the graph: sample them from one
-    // pruned bucket of the stored adjacency (the bucket read is
-    // index-sized; driver holds only the sample)
-    val bucket0 = spark.read.parquet(storePath)
-      .filter($"bucket" === 0).select($"src".as("vec_id")).distinct()
-    val entryCands = corpus.join(bucket0, Seq("vec_id"), "left_semi")
     val nbrPairs: Seq[(Long, Long)] = vecPath match {
       case Some(vp) =>
-        // a micro-batch is coordinator-sized by the trigger contract,
-        // and an HNSW insert IS a coordinator-driven search — serve
-        // through the COORDINATED head: two pruned point-reads per
-        // beam round for the whole batch, warm-started at each
-        // arrival's best sampled node (sampledEntries' argmax,
-        // computed locally over the pruned sample)
+        // STORE-ONLY insert: a micro-batch is coordinator-sized by the
+        // trigger contract, and an HNSW insert IS a coordinator-driven
+        // search — serve through the COORDINATED head (two pruned
+        // point-reads per beam round for the whole batch), warm-started
+        // at each arrival's best node from ONE pruned bucket of the
+        // vector store. The vector store tracks graph membership
+        // exactly (base build + previously linked arrivals), so its
+        // rows are valid entries — no corpus frame anywhere.
         val arrivals = batch.select($"vec_id", $"v")
           .as[(Long, Seq[Double])].collect()
           .map { case (id, v) => id -> v.toArray }.toSeq
-        val sample = entryCands.filter(pmod($"vec_id", lit(8L)) === 0)
+        val sample = spark.read.parquet(vp).filter($"bucket" === 0)
           .select($"vec_id", $"v").as[(Long, Seq[Double])]
           .collect().map { case (id, v) => id -> v.toArray }
         val entries = arrivals.map { case (qid, qvec) =>
@@ -96,14 +83,28 @@ object StreamingGraphIngest {
           beamRounds, entries = Some(entries))
       case None =>
         // no vector store: the distributed loop scores against the
-        // corpus frame
+        // corpus frame, entering from one pruned adjacency bucket
+        val bucket0 = spark.read.parquet(storePath)
+          .filter($"bucket" === 0).select($"src".as("vec_id")).distinct()
+        val entryCands = corpus.join(bucket0, Seq("vec_id"), "left_semi")
         val queries = batch.select($"vec_id".as("qid"), $"v")
         KnnGraph.serveStored(spark, storePath, corpus, queries, k,
           beamRounds,
           Some(KnnGraph.sampledEntries(entryCands, queries, stride = 8)))
           .as[(Long, Long)].collect().toSeq
     }
-    // mutual link, both directions, bucket-partitioned append
+    // publish AFTER the searches: vectors first, then both edge
+    // directions — a node becomes visible fully linked, and a
+    // same-batch arrival can never be sampled as an entry while it is
+    // still edgeless. Appends follow each store's RECORDED bucket
+    // count (a modulus mismatch would silently mis-prune later reads).
+    vecPath.foreach { vp =>
+      batch.select($"vec_id", $"v")
+        .withColumn("bucket",
+          pmod($"vec_id",
+            lit(KnnGraph.bucketsOf(spark, vp).toLong)).cast("int"))
+        .write.mode("append").partitionBy("bucket").parquet(vp)
+    }
     nbrPairs.toDF("src", "nbr")
       .union(nbrPairs.map(_.swap).toDF("src", "nbr"))
       .withColumn("bucket",
