@@ -59,23 +59,33 @@ object EraseDepthProbe {
       val report = Snapshots.erase(spark, path, pred)
       ((System.nanoTime() - t0) / 1e9, report.deletedFiles.size)
     }
+    // each loop iteration of buildTable makes TWO commits (the tiny
+    // append's own version plus the staged combination), so report the
+    // table's ACTUAL retained-version count, not the loop depth
+    def nVersions(path: String): Int = Snapshots.versions(spark, path).size
 
     // series 1: fixed contamination (one key -> ~1 base file), growing
     // version depth — wall must stay ~flat
     for (depth <- Seq(5, 25, 50)) {
       val path = buildTable(depth)
+      val nv = nVersions(path)
       val (s, files) = timeErase(path, $"doc_id" === 1234)
-      println(f"""{"probe":"erase_depth","versions":$depth,"contaminated_files":$files,"erase_s":$s%.2f}""")
+      println(f"""{"probe":"erase_depth","versions":$nv,"contaminated_files":$files,"erase_s":$s%.2f}""")
     }
-    // series 2: fixed depth 50, growing contaminated bytes — wall must
-    // track bytes (1 file, ~half the files, all 16 files)
+    // series 2: fixed depth, growing contaminated FILE SET — wall must
+    // track contaminated files/bytes. The base's 16 files are
+    // hash-distributed, so the mod predicates touch all of them; the
+    // file-count axis comes from the per-version appended files
+    // (one_key: 1 base file; mod3: +every third append; mod2: +every
+    // second append) plus the rewrite output volume.
     for ((label, pred) <- Seq(
         "one_key" -> ($"doc_id" === 1234),
-        "half_rows" -> ($"doc_id" % 2 === 0),
-        "all_rows_mod3" -> ($"doc_id" % 3 === 0))) {
+        "mod3_rows" -> ($"doc_id" % 3 === 0),
+        "mod2_rows" -> ($"doc_id" % 2 === 0))) {
       val path = buildTable(50)
+      val nv = nVersions(path)
       val (s, files) = timeErase(path, pred)
-      println(f"""{"probe":"erase_bytes","pred":"$label","versions":50,"contaminated_files":$files,"erase_s":$s%.2f}""")
+      println(f"""{"probe":"erase_bytes","pred":"$label","versions":$nv,"contaminated_files":$files,"erase_s":$s%.2f}""")
     }
     spark.stop()
   }

@@ -37,11 +37,15 @@ object GraphEraseProbe {
         KnnGraph.buildDurable(vecs, 8, rounds = 2, s"$work/b").last,
         s"$work/g")
       KnnGraph.writeVectors(vecs, s"$work/vec")
+      val erased = scala.collection.mutable.Set.empty[Long]
       for (nv <- Seq(1, 8, 32)) {
-        // fresh victim ids per series step (erase is destructive);
-        // spread across buckets via a prime stride
-        val victims = (0 until nv).map(i => (101L + i * 61L * nv) % n)
-          .distinct
+        // fresh victim ids per series step (erase is destructive, so a
+        // re-erased id would be a cheap no-op that skews the series);
+        // a prime stride spreads them across buckets, and the used-set
+        // guarantees disjointness between steps
+        val victims = Iterator.from(0).map(i => (101L + i * 61L) % n)
+          .filterNot(erased).distinct.take(nv).toSeq
+        erased ++= victims
         val t0 = System.nanoTime()
         KnnGraph.eraseStored(spark, s"$work/g", victims,
           vecPath = Some(s"$work/vec"))

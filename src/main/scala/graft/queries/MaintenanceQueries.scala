@@ -300,7 +300,7 @@ object MaintenanceQueries {
        |  WHERE src NOT IN (SELECT vid FROM victims)
        |    AND nbr NOT IN (SELECT vid FROM victims)),
        |final AS (SELECT src, nbr FROM kept UNION SELECT src, nbr FROM repair)
-       |SELECT CAST(src % 32 AS INT) AS bucket,
+       |SELECT CAST(src % ${graft.similarity.KnnGraph.NumBuckets} AS INT) AS bucket,
        |  COUNT(*) AS n_edges,
        |  CAST(SUM(src) AS BIGINT) AS src_sum,
        |  CAST(SUM(src * 521 + nbr) AS BIGINT) AS edge_sum
@@ -310,7 +310,10 @@ object MaintenanceQueries {
     val vecs = Tables.embeddings(spark, dir)
       .select($"vec_id", VectorOps.toDouble($"embedding").as("v")).cache()
     val store = graft.util.Scratch.tempDir("graft-wq08") + "/g"
-    KnnGraph.writeStore(KnnGraph.build(vecs, 8, rounds = 2).last, store)
+    // write with the default the oracle's modulus interpolates — the
+    // two sides share the ONE constant by construction
+    KnnGraph.writeStore(KnnGraph.build(vecs, 8, rounds = 2).last, store,
+      numBuckets = KnnGraph.NumBuckets)
     KnnGraph.eraseStored(spark, store, Seq(101L, 202L))
     vecs.unpersist()
     spark.read.parquet(store)

@@ -59,6 +59,25 @@ object KnnGraph {
     import spark.implicits._
     val hfs = new org.apache.hadoop.fs.Path(workDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a resume must fail LOUDLY if the workDir was built under different
+    // parameters — otherwise stale rounds reload silently and the
+    // "resumed ≡ uninterrupted" contract is quietly broken. The
+    // fingerprint is (k, n): it catches the k-change and corpus-resize
+    // cases; same-size content changes remain the caller's contract
+    // (the workDir names the corpus).
+    val metaPath = new org.apache.hadoop.fs.Path(workDir, "_graft_build")
+    val fingerprint = s"k=$k,n=${vecs.count()}"
+    if (hfs.exists(metaPath)) {
+      val in = hfs.open(metaPath)
+      val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(prev == fingerprint,
+        s"workDir $workDir holds a build with parameters [$prev]; " +
+          s"refusing to resume with [$fingerprint] — use a fresh workDir")
+    } else {
+      val out = hfs.create(metaPath, true)
+      try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
+    }
     def roundDir(r: Int) = s"$workDir/e_$r"
     def done(r: Int) = hfs.exists(
       new org.apache.hadoop.fs.Path(roundDir(r), "_SUCCESS"))
@@ -165,14 +184,35 @@ object KnnGraph {
     import spark.implicits._
     import graft.sources.PartitionedLayout.{withDynamicOverwrite, withStaging}
     require(victims.nonEmpty, "empty victim list")
-    // the VECTOR store is a plain bucket-partitioned table keyed by
-    // vec_id — PartitionedLayout.delete IS its erasure (pruned rewrite,
-    // drained-dir removal, clean buckets byte-identical); composing it
-    // here makes the victim unanswerable even from a stale pool or a
-    // poisoned entry list, because serving scores via an inner join
-    // against this store
-    vecPath.foreach(vp => graft.sources.PartitionedLayout.delete(
-      spark, vp, victims.toDF("vec_id"), "vec_id", "bucket"))
+    // the VECTOR store erases through a bucket-pruned rewrite: the
+    // victims' buckets are ARITHMETIC (vec_id % recorded count), so
+    // unlike the generic PartitionedLayout.delete no table scan is
+    // needed to find them — the read below prunes to victim buckets
+    // only, keeping the erase request-sized even though the vector
+    // store is the corpus-sized artifact. Composing it here makes the
+    // victim unanswerable even from a stale pool or a poisoned entry
+    // list, because serving scores via an inner join against this
+    // store.
+    vecPath.foreach { vp =>
+      import graft.sources.PartitionedLayout.{withDynamicOverwrite, withStaging}
+      val vnb = bucketsOf(spark, vp)
+      val vBuckets = victims.map(_ % vnb).distinct
+      withDynamicOverwrite(spark) {
+        val slice = spark.read.parquet(vp)
+          .filter($"bucket".isin(vBuckets: _*))
+          .filter(!$"vec_id".isin(victims: _*))
+          .select($"vec_id", $"v", $"bucket")
+        withStaging(spark, vp, slice) { staged =>
+          staged.write.mode("overwrite").partitionBy("bucket").parquet(vp)
+          val present = staged.select($"bucket").distinct()
+            .as[Int].collect().toSet
+          val root = new org.apache.hadoop.fs.Path(vp)
+          val f = root.getFileSystem(spark.sessionState.newHadoopConf())
+          vBuckets.filterNot(b => present.contains(b.toInt)).foreach(b =>
+            f.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true))
+        }
+      }
+    }
     val victimSet = victims.toSet
     val nb = bucketsOf(spark, path)
     val victimBuckets = victims.map(_ % nb).distinct
@@ -313,9 +353,12 @@ object KnnGraph {
     val numBuckets = bucketsOf(spark, path)
     val idList = ids.select($"node").distinct().as[Long].collect()
     val buckets = idList.map(_ % numBuckets).distinct.toSeq
+    // distinct: streamed appends are retry-safe at the ANSWER level —
+    // a replayed micro-batch may leave duplicate physical rows, and
+    // without the dedup one node could occupy several top-k slots
     spark.read.parquet(path)
       .filter($"bucket".isin(buckets: _*) && $"vec_id".isin(idList.toSeq: _*))
-      .select($"vec_id", $"v")
+      .select($"vec_id", $"v").distinct()
   }
 
   /** Beam-search serve where BOTH sides are stores: edges from the
@@ -336,22 +379,25 @@ object KnnGraph {
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
       .filter($"rn" <= keep).select($"qid", $"node")
-    var pool = entries.getOrElse {
-      val nn = spark.read.parquet(vecPath).agg(count(lit(1)).as("n"))
-      queries.crossJoin(broadcast(nn))
-        .select($"qid", pmod($"qid" * 37 + 1, $"n").cast("long").as("node"))
-    }.localCheckpoint(true)
+    var pool = entries
+      .getOrElse(ringEntries(spark.read.parquet(vecPath), queries))
+      .localCheckpoint(true)
     var frontier = pool
     for (_ <- 1 to beamRounds) {
+      // checkpoint the candidate set ONCE: scoreKeep evaluates its
+      // input twice (the driver-side id collect for the pruned fetch,
+      // then the scoring join) — without this the pruned store scan
+      // and anti-join would re-run per evaluation
       val fresh = expandStored(spark, graphPath, frontier)
         .join(pool, Seq("qid", "node"), "left_anti")
+        .localCheckpoint(true)
       frontier = scoreKeep(fresh, k).localCheckpoint(true)
       // frontiers are anti-joined against the pool, so the union is
       // disjoint by construction — a lazy union of checkpoint-backed
       // members, no distinct, no per-round pool materialization
       pool = pool.union(frontier)
     }
-    scoreKeep(pool.filter($"node" =!= $"qid"), k)
+    scoreKeep(pool.filter($"node" =!= $"qid").localCheckpoint(true), k)
   }
 
   /** Driver-side replica of [[graft.functions.CosineSimilarity]]'s

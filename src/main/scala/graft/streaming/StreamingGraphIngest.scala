@@ -59,21 +59,34 @@ object StreamingGraphIngest {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
+    /** The first NON-EMPTY bucket of `path`, as its pruned frame —
+      * bucket dirs can drain (eraseStored removes them explicitly), so
+      * hard-wiring bucket 0 would silently lose arrivals. An empty
+      * store is a loud error, never a dropped batch. */
+    def sampleBucket(path: String): DataFrame = {
+      val nb = KnnGraph.bucketsOf(spark, path)
+      (0 until nb).iterator
+        .map(b => spark.read.parquet(path).filter($"bucket" === b))
+        .find(!_.isEmpty)
+        .getOrElse(throw new IllegalStateException(
+          s"no entry candidates: every bucket of $path is empty"))
+    }
     val nbrPairs: Seq[(Long, Long)] = vecPath match {
       case Some(vp) =>
         // STORE-ONLY insert: a micro-batch is coordinator-sized by the
         // trigger contract, and an HNSW insert IS a coordinator-driven
         // search — serve through the COORDINATED head (two pruned
         // point-reads per beam round for the whole batch), warm-started
-        // at each arrival's best node from ONE pruned bucket of the
+        // at each arrival's best node from one pruned bucket of the
         // vector store. The vector store tracks graph membership
         // exactly (base build + previously linked arrivals), so its
         // rows are valid entries — no corpus frame anywhere.
         val arrivals = batch.select($"vec_id", $"v")
           .as[(Long, Seq[Double])].collect()
           .map { case (id, v) => id -> v.toArray }.toSeq
-        val sample = spark.read.parquet(vp).filter($"bucket" === 0)
-          .select($"vec_id", $"v").as[(Long, Seq[Double])]
+        val sample = sampleBucket(vp)
+          .select($"vec_id", $"v").distinct()
+          .as[(Long, Seq[Double])]
           .collect().map { case (id, v) => id -> v.toArray }
         val entries = arrivals.map { case (qid, qvec) =>
           qid -> sample.maxBy { case (node, cv) =>
@@ -84,20 +97,32 @@ object StreamingGraphIngest {
       case None =>
         // no vector store: the distributed loop scores against the
         // corpus frame, entering from one pruned adjacency bucket
-        val bucket0 = spark.read.parquet(storePath)
-          .filter($"bucket" === 0).select($"src".as("vec_id")).distinct()
-        val entryCands = corpus.join(bucket0, Seq("vec_id"), "left_semi")
+        val entryCands = corpus.join(
+          sampleBucket(storePath).select($"src".as("vec_id")).distinct(),
+          Seq("vec_id"), "left_semi")
         val queries = batch.select($"vec_id".as("qid"), $"v")
         KnnGraph.serveStored(spark, storePath, corpus, queries, k,
           beamRounds,
-          Some(KnnGraph.sampledEntries(entryCands, queries, stride = 8)))
+          Some(KnnGraph.sampledEntries(entryCands, queries, stride = 1)))
           .as[(Long, Long)].collect().toSeq
     }
-    // publish AFTER the searches: vectors first, then both edge
-    // directions — a node becomes visible fully linked, and a
-    // same-batch arrival can never be sampled as an entry while it is
-    // still edgeless. Appends follow each store's RECORDED bucket
-    // count (a modulus mismatch would silently mis-prune later reads).
+    // publish AFTER the searches, EDGES FIRST: a crash between the two
+    // appends then leaves edges pointing at a vector-less node — which
+    // every reader already treats as absent (scoring inner-joins the
+    // vector store), and which can never be sampled as an entry (entry
+    // samples come from the vector store). The reverse order would
+    // surface an edgeless node to entry sampling. Replayed micro-batch
+    // retries may append duplicate rows; readers dedup (expansion is
+    // distinct, vector fetches are distinct), so retries are safe at
+    // the answer level — storage-level exactly-once belongs to a
+    // snapshot-backed store. Appends follow each store's RECORDED
+    // bucket count (a modulus mismatch would silently mis-prune).
+    nbrPairs.toDF("src", "nbr")
+      .union(nbrPairs.map(_.swap).toDF("src", "nbr"))
+      .withColumn("bucket",
+        pmod($"src",
+          lit(KnnGraph.bucketsOf(spark, storePath).toLong)).cast("int"))
+      .write.mode("append").partitionBy("bucket").parquet(storePath)
     vecPath.foreach { vp =>
       batch.select($"vec_id", $"v")
         .withColumn("bucket",
@@ -105,11 +130,5 @@ object StreamingGraphIngest {
             lit(KnnGraph.bucketsOf(spark, vp).toLong)).cast("int"))
         .write.mode("append").partitionBy("bucket").parquet(vp)
     }
-    nbrPairs.toDF("src", "nbr")
-      .union(nbrPairs.map(_.swap).toDF("src", "nbr"))
-      .withColumn("bucket",
-        pmod($"src",
-          lit(KnnGraph.bucketsOf(spark, storePath).toLong)).cast("int"))
-      .write.mode("append").partitionBy("bucket").parquet(storePath)
   }
 }

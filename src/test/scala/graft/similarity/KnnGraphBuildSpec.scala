@@ -48,6 +48,16 @@ class KnnGraphBuildSpec extends AnyFunSuite {
     vecs.unpersist()
   }
 
+  test("resuming a workDir built under different parameters fails loudly, never silently reloads") {
+    val vecs = corpus()
+    val work = java.nio.file.Files.createTempDirectory("graft-knng-mismatch").toString
+    KnnGraph.buildDurable(vecs, K, rounds = 1, work)
+    val e = intercept[IllegalArgumentException](
+      KnnGraph.buildDurable(vecs, K + 4, rounds = 1, work))
+    assert(e.getMessage.contains("refusing to resume"))
+    vecs.unpersist()
+  }
+
   test("the persisted final round serves identically to the in-memory frame") {
     import spark.implicits._
     val vecs = corpus()
