@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Serving-head crossover probe: [[graft.similarity.KnnGraph
+  * .serveCoordinated]]'s scaladoc claims the coordinated head wins for
+  * request-batch-sized |Q| and the distributed loop
+  * ([[graft.similarity.KnnGraph.serveFromStores]]) for |Q| in the
+  * thousands — this measures the crossover instead of arguing it.
+  * Both heads serve the SAME stored graph + vector store with ring
+  * entries at |Q| ∈ {16, 128, 1024}; answers are equality-proven in
+  * StoredGraphSpec, so only wall differs. One JSON line per cell.
+  *
+  * Run after ScaleProbe has materialized /tmp/graft_scale100 (the x1
+  * and x100 embeddings replicas are the corpora). */
+object GraphServeProbe {
+
+  def main(args: Array[String]): Unit = {
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale100")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Sessions.local("graft-graph-serve-probe", cpus)
+    import spark.implicits._
+    import graft.similarity.{KnnGraph, VectorOps}
+
+    for ((label, dir) <- Seq("x1" -> s"$scaleDir/x1", "x100" -> s"$scaleDir/x100")) {
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", VectorOps.toDouble($"embedding").as("v")).cache()
+      val work = graft.util.Scratch.tempDir(s"graft-gsp-$label")
+      KnnGraph.writeStore(
+        KnnGraph.buildDurable(vecs, 8, rounds = 2, s"$work/b").last,
+        s"$work/g")
+      KnnGraph.writeVectors(vecs, s"$work/vec")
+      for (q <- Seq(16, 128, 1024)) {
+        val queries = vecs.filter($"vec_id" < q)
+          .select($"vec_id".as("qid"), $"v").cache()
+        queries.count()
+        // warm both paths once (codegen + listings), then time
+        val qLocal = queries.as[(Long, Seq[Double])].collect()
+          .map { case (id, v) => id -> v.toArray }.toSeq
+        KnnGraph.serveCoordinated(spark, s"$work/g", s"$work/vec",
+          qLocal, 8, beamRounds = 3): Unit
+        val tC = System.nanoTime()
+        val nC = KnnGraph.serveCoordinated(spark, s"$work/g", s"$work/vec",
+          qLocal, 8, beamRounds = 3).size
+        val cMs = (System.nanoTime() - tC) / 1e6 / q
+        KnnGraph.serveFromStores(spark, s"$work/g", s"$work/vec",
+          queries, 8, beamRounds = 3).count(): Unit
+        val tD = System.nanoTime()
+        val nD = KnnGraph.serveFromStores(spark, s"$work/g", s"$work/vec",
+          queries, 8, beamRounds = 3).count()
+        val dMs = (System.nanoTime() - tD) / 1e6 / q
+        require(nC.toLong == nD, s"answer count mismatch $nC vs $nD")
+        println(f"""{"probe":"graph_serve","corpus":"$label","n_q":$q,"coordinated_ms_per_q":$cMs%.1f,"distributed_ms_per_q":$dMs%.1f}""")
+        queries.unpersist()
+      }
+      vecs.unpersist()
+    }
+    spark.stop()
+  }
+}
