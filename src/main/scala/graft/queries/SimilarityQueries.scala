@@ -2293,9 +2293,22 @@ object SimilarityQueries {
     * beam more than the slightly-stale neighborhoods hurt.
     * StreamingGraphInsertSpec proves the streamed path's semantics
     * (mutual links, findability, pin lifecycle); this row measures it.
+    * Between those ends sits [[KnnGraph.refineDurable]] — ONE
+    * NN-Descent tightening round seeded from the grown store
+    * (`refine_s`, `recall_refined`): the three rungs in one frame are
+    * what set a deployment's insert→refine→rebuild cadence. At small
+    * scale the recalls land streamed > refined > rebuild, the same
+    * shortcut-edge effect read the other way: refine provably tightens
+    * every neighborhood (KnnGraphRefineSpec's dominance case) and in
+    * doing so REMOVES the long-range insert edges, walking cold-entry
+    * beam recall back toward the symmetric rebuild's — neighbor
+    * quality and cold-start searchability are different axes, which is
+    * exactly why HNSW keeps a layer hierarchy and why sq22b measures
+    * warm entries.
     *
     * 100 TB: an insert touches O(beam·k·steps) vectors + ≤ beam
-    * buckets of the edge list — corpus-size-free; the rebuild it's
+    * buckets of the edge list — corpus-size-free; a refine round costs
+    * one build round (k² candidates per node); the rebuild it's
     * compared against is the once-in-a-while durable build. */
   val sq23GraphInsertDrift: QueryDef = rowsOnly("sq23_graph_insert_drift") { (spark, dir) =>
     import spark.implicits._
@@ -2335,6 +2348,20 @@ object SimilarityQueries {
       KnnGraph.serveStored(spark, path, all, queries, k, beamRounds)
         .join(bf, Seq("qid", "node"), "left_semi").count().toDouble / (16 * k)
     val streamed = recallFrom(s"$root/grown")
+    // the maintenance MIDDLE rung: one NN-Descent tightening round
+    // seeded from the streamed-grown store (KnnGraph.refineDurable) —
+    // re-tightens every stale neighborhood at one round's cost instead
+    // of the rebuild's full ladder; refine_s vs build_rebuild_s and
+    // recall_refined vs the two recall ends are the numbers that set
+    // the insert→refine→rebuild cadence
+    val tRef0 = System.nanoTime()
+    KnnGraph.writeStore(
+      KnnGraph.refineDurable(all,
+        spark.read.parquet(s"$root/grown").select($"src", $"nbr"),
+        k, rounds = 1, s"$root/ref"),
+      s"$root/refined")
+    val refineS = (System.nanoTime() - tRef0) / 1e9
+    val refined = recallFrom(s"$root/refined")
     val tB2 = System.nanoTime()
     KnnGraph.writeStore(
       KnnGraph.buildDurable(all, k, buildRounds, s"$root/b2").last,
@@ -2345,11 +2372,14 @@ object SimilarityQueries {
     Seq((n - nHold, nHold,
         math.round(buildBaseS * 1000) / 1000.0,
         math.round(buildRebuildS * 1000) / 1000.0,
+        math.round(refineS * 1000) / 1000.0,
         math.round(insMs * 10) / 10.0,
-        streamed, rebuilt, math.round((rebuilt - streamed) * 1e6) / 1e6))
+        streamed, refined, rebuilt,
+        math.round((rebuilt - streamed) * 1e6) / 1e6))
       .toDF("n_base", "n_inserted", "build_base_s", "build_rebuild_s",
-        "insert_ms_per_node",
-        "recall_streamed", "recall_rebuild", "recall_drift")
+        "refine_s", "insert_ms_per_node",
+        "recall_streamed", "recall_refined", "recall_rebuild",
+        "recall_drift")
   }
 
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,

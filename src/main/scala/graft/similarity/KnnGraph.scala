@@ -85,10 +85,6 @@ object KnnGraph {
       if (!done(r)) df.write.mode("overwrite").parquet(roundDir(r))
       spark.read.parquet(roundDir(r))
     }
-    def score(pairs: DataFrame) = pairs
-      .join(vecs.select($"vec_id".as("src"), $"v".as("vs")), Seq("src"))
-      .join(vecs.select($"vec_id".as("nbr"), $"v".as("vn")), Seq("nbr"))
-      .select($"src", $"nbr", cosine($"vs", $"vn").as("cos"))
     val nn = vecs.agg(count(lit(1)).as("n"))
     def init = vecs.select($"vec_id".as("src"))
       .crossJoin(broadcast(nn))
@@ -96,25 +92,100 @@ object KnnGraph {
       .select($"src",
         pmod($"src" + 1 + pmod($"j" * 193, $"n" - 1), $"n").cast("long").as("nbr"))
       .distinct()
-    var e = persist(0, score(init))
+    var e = persist(0, scoreEdges(vecs, init))
     val out = scala.collection.mutable.ArrayBuffer(e)
     for (r <- 1 to rounds) {
-      e = persist(r, {
-        val undirected = e.select($"src", $"nbr")
-          .union(e.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
-        val cand = undirected.as("a")
-          .join(undirected.as("b"), $"a.nbr" === $"b.src")
-          .select($"a.src".as("src"), $"b.nbr".as("nbr"))
-          .filter($"src" =!= $"nbr")
-          .union(e.select($"src", $"nbr")).distinct()
-        score(cand)
-          .withColumn("rn", row_number().over(
-            Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
-          .filter($"rn" <= k).drop("rn")
-      })
+      e = persist(r, tighten(vecs, e, k))
       out += e
     }
     out.toSeq
+  }
+
+  /** Exact-cosine scoring of an edge frame: fetch both endpoints'
+    * vectors (candidate-bounded joins, never a corpus pass per edge). */
+  private def scoreEdges(vecs: DataFrame, pairs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    pairs
+      .join(vecs.select($"vec_id".as("src"), $"v".as("vs")), Seq("src"))
+      .join(vecs.select($"vec_id".as("nbr"), $"v".as("vn")), Seq("nbr"))
+      .select($"src", $"nbr", cosine($"vs", $"vn").as("cos"))
+  }
+
+  /** ONE NN-Descent tightening round over edge frame `e` (src, nbr,
+    * ...): 2-hop candidates through the undirected closure, union the
+    * current edges, exact-cosine score, (cos DESC, nbr) top-k per
+    * node. The shared step of [[buildDurable]] and [[refineDurable]];
+    * since candidates ⊇ the current edges, each node's kept list
+    * dominates its old one elementwise — per-node neighbor quality is
+    * monotone non-decreasing (KnnGraphRefineSpec pins it). */
+  private def tighten(vecs: DataFrame, e: DataFrame, k: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val undirected = e.select($"src", $"nbr")
+      .union(e.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
+    val cand = undirected.as("a")
+      .join(undirected.as("b"), $"a.nbr" === $"b.src")
+      .select($"a.src".as("src"), $"b.nbr".as("nbr"))
+      .filter($"src" =!= $"nbr")
+      .union(e.select($"src", $"nbr")).distinct()
+    scoreEdges(vecs, cand)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
+      .filter($"rn" <= k).drop("rn")
+  }
+
+  /** REFINE — NN-Descent tightening rounds seeded from an EXISTING
+    * graph (typically the stored adjacency after a run of streamed
+    * [[graft.streaming.StreamingGraphIngest]] inserts): the middle
+    * rung of the maintenance ladder. Inserts are cheap but greedy
+    * (neighborhoods go stale, sq23's measured drift); a full
+    * [[buildDurable]] rebuild re-derives everything from the ring
+    * init; refine reuses the graph already built — its 2-hop
+    * neighborhoods are exactly NN-Descent's candidate generator, so
+    * one round re-tightens every stale list at one round's cost
+    * (DiskANN's consolidate / FreshDiskANN's background merge play
+    * the same role). Durable like the build: each round persists
+    * under `workDir/r_<i>` with `_SUCCESS` resume and a (k, n)
+    * fingerprint guard. Returns the final refined (src, nbr, cos)
+    * frame — write it to a NEW store version and promote through the
+    * lifecycle registry (never overwrite a pinned serving store in
+    * place).
+    *
+    * Two properties make it safe to run any time (KnnGraphRefineSpec):
+    * the exact k-NN graph is a FIXPOINT (candidates ⊇ current edges,
+    * and nothing beats the true top-k), and per-node neighbor quality
+    * never decreases (same argument, elementwise).
+    *
+    * 100 TB: a round costs the k²-per-node candidate shuffle + one
+    * index-sized parquet write — identical to a build round, but you
+    * run ONE instead of the build's full ladder. */
+  def refineDurable(vecs: DataFrame, graph: DataFrame, k: Int,
+      rounds: Int, workDir: String): DataFrame = {
+    val spark = vecs.sparkSession
+    val hfs = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(workDir, "_graft_refine")
+    val fingerprint = s"k=$k,n=${vecs.count()}"
+    if (hfs.exists(metaPath)) {
+      val in = hfs.open(metaPath)
+      val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(prev == fingerprint,
+        s"workDir $workDir holds a refine with parameters [$prev]; " +
+          s"refusing to resume with [$fingerprint] — use a fresh workDir")
+    } else {
+      val out = hfs.create(metaPath, true)
+      try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
+    }
+    def roundDir(r: Int) = s"$workDir/r_$r"
+    def done(r: Int) = hfs.exists(
+      new org.apache.hadoop.fs.Path(roundDir(r), "_SUCCESS"))
+    def persist(r: Int, df: => DataFrame): DataFrame = {
+      if (!done(r)) df.write.mode("overwrite").parquet(roundDir(r))
+      spark.read.parquet(roundDir(r))
+    }
+    var e = graph
+    for (r <- 1 to rounds) e = persist(r, tighten(vecs, e, k))
+    e
   }
 
   /** The bucket count is a property OF THE STORE, not of the code: the
@@ -436,7 +507,14 @@ object KnnGraph {
     * the native expression's arithmetic bit for bit (StoredGraphSpec
     * asserts equality). For |Q| in the thousands the per-round state
     * outgrows a coordinator — use [[serveFromStores]] there; the
-    * boundedness contract HERE is the request batch. */
+    * boundedness contract HERE is the request batch. MEASURED
+    * ([[graft.GraphServeProbe]], same stores, answers equal): on the
+    * 100× corpus this head reads 270/38/50 ms-per-query at
+    * |Q|=16/128/1024 vs the distributed loop's 334/61/23 — the wall
+    * crossover sits between 128 and 1024 queries, where the per-round
+    * `isin` candidate filters and driver collects outgrow the
+    * distributed join; on the 1× corpus the point-reads are so cheap
+    * the coordinated head wins at every measured |Q|. */
   def serveCoordinated(spark: SparkSession, graphPath: String,
       vecPath: String, queries: Seq[(Long, Array[Double])], k: Int,
       beamRounds: Int,
