@@ -2392,6 +2392,232 @@ object SimilarityQueries {
         "recall_rebuild", "recall_drift")
   }
 
+  /** DuckDB CTEs replaying PQ-guided beam search over the graph CTE
+    * `graph(src, nbr)` from the codebook FIXTURE at `store` (the
+    * tq43b persisted-artifact pattern): codes and per-query LUTs are
+    * RE-DERIVED from the fixture with the exact left-associated
+    * arithmetic Spark's `aggregate(zip_with(...))` fold produces
+    * (explicit j-ordered term sums — bit-identical IEEE doubles, so
+    * argmin/rank tie-breaks agree), each beam step ranks fresh
+    * candidates by ADC distance (mi-ordered list extract sum), and
+    * each round's answer re-ranks the pool's ADC-top-2k shortlist by
+    * exact cosine. Only the k-means TRAINING stays engine-side —
+    * encode, LUTs, every beam step, the re-rank, and the recall
+    * accounting are all independently replayed. */
+  private def pqBeamSql(k: Int, rounds: Int, m: Int, sub: Int,
+      graph: String, store: String): String = {
+    // left-assoc explicit sum over j = Spark's zip_with/aggregate fold
+    def pdExpr(vcol: String, mi: Int) =
+      (1 to sub).map { j =>
+        val d = s"($vcol[${mi * sub + j}] - c.vec[$j])"
+        s"($d * $d)"
+      }.mkString(" + ")
+    val cdBranches = (0 until m).map(mi =>
+      s"""SELECT v.vec_id, $mi AS mi, c.ki, ${pdExpr("v.v", mi)} AS pd
+         |    FROM vecs v JOIN cbt c ON c.mi = $mi""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    // ADC distance of every (qid, node) pair in CTE `src`: the node's m
+    // codes look up the query's LUT rows; mi-ordered list extract keeps
+    // the addition order identical to Spark's reduce over mi
+    def adcOf(name: String, src: String) = {
+      val sumExpr = (1 to m).map(i => s"ls[$i]").mkString(" + ")
+      s"""$name AS MATERIALIZED (SELECT qid, node, $sumExpr AS adist FROM (
+         |  SELECT p.qid, p.node, list(l.pd ORDER BY l.mi) AS ls
+         |  FROM $src p JOIN codes cs ON p.node = cs.vec_id
+         |  JOIN lut l ON l.qid = p.qid AND l.mi = cs.mi AND l.ki = cs.ki
+         |  GROUP BY p.qid, p.node))""".stripMargin
+    }
+    def ansAndSum(r: Int) =
+      s"""${adcOf(s"pa_$r", s"(SELECT qid, node FROM p_$r WHERE node <> qid)")},
+         |shl_$r AS (SELECT qid, node, adist FROM (
+         |  SELECT qid, node, adist, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY adist ASC, node) AS rn FROM pa_$r) WHERE rn <= ${2 * k}),
+         |aadc_$r AS (SELECT qid, node FROM (
+         |  SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY adist ASC, node) AS rn FROM shl_$r) WHERE rn <= $k),
+         |ans_$r AS (SELECT qid, node FROM (
+         |  SELECT s.qid, s.node, ROW_NUMBER() OVER (PARTITION BY s.qid
+         |    ORDER BY list_cosine_similarity(q.v, cv.v) DESC, s.node) AS rn
+         |  FROM shl_$r s JOIN qvv q ON s.qid = q.qid
+         |  JOIN vecs cv ON s.node = cv.vec_id) WHERE rn <= $k),
+         |qsum_$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT COUNT(*) FROM p_$r) AS pool_nodes,
+         |  CAST((SELECT COUNT(*) FROM (SELECT qid, node FROM aadc_$r
+         |    INTERSECT SELECT src, nbr FROM bf)) AS DOUBLE) / (16 * $k)
+         |    AS recall_adc,
+         |  CAST((SELECT COUNT(*) FROM (SELECT qid, node FROM ans_$r
+         |    INTERSECT SELECT src, nbr FROM bf)) AS DOUBLE) / (16 * $k)
+         |    AS recall_at_k)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""x_$r AS (SELECT DISTINCT f.qid, u.nbr AS node
+         |  FROM f_${r - 1} f JOIN undq u ON f.node = u.src),
+         |nw_$r AS (SELECT x.qid, x.node FROM x_$r x
+         |  ANTI JOIN p_${r - 1} p ON x.qid = p.qid AND x.node = p.node),
+         |${adcOf(s"sc_$r", s"nw_$r")},
+         |f_$r AS MATERIALIZED (SELECT qid, node FROM (
+         |  SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY adist ASC, node) AS rn FROM sc_$r) WHERE rn <= $k),
+         |p_$r AS MATERIALIZED (
+         |  SELECT qid, node FROM p_${r - 1}
+         |  UNION SELECT qid, node FROM f_$r)""".stripMargin
+    }
+    s"""cbt AS MATERIALIZED (
+       |  SELECT mi, ki, vec FROM read_parquet('$store/*.parquet')),
+       |cd AS MATERIALIZED (
+       |  ${cdBranches}),
+       |codes AS MATERIALIZED (SELECT vec_id, mi, ki FROM (
+       |  SELECT vec_id, mi, ki, ROW_NUMBER() OVER (PARTITION BY vec_id, mi
+       |    ORDER BY pd ASC, ki) AS rn FROM cd) WHERE rn = 1),
+       |lut AS MATERIALIZED (
+       |  SELECT vec_id AS qid, mi, ki, pd FROM cd WHERE vec_id < 16),
+       |undq AS MATERIALIZED (
+       |  SELECT src, nbr FROM $graph UNION SELECT nbr, src FROM $graph),
+       |qvv AS (SELECT vec_id AS qid, v FROM vecs WHERE vec_id < 16),
+       |p_0 AS MATERIALIZED (
+       |  SELECT q.qid, (q.qid * 37 + 1) % nn.n AS node FROM qvv q, nn),
+       |f_0 AS (SELECT qid, node FROM p_0),
+       |${steps.mkString(",\n")},
+       |${(0 to rounds).map(ansAndSum).mkString(",\n")}""".stripMargin
+  }
+
+  // the codebook fixture the sq24 oracle replays from; oracleDir
+  // survives JVM exit so the driver's DuckDB pass can read it
+  private val sq24Store = graft.util.Scratch.oracleDir("graft-sq24-cb")
+
+  /** PQ-GUIDED graph serving with exact re-rank — the DiskANN serving
+    * design (Subramanya et al. 2019: graph walk steered by
+    * product-quantized distances held in memory, full-precision
+    * vectors touched only for the final candidates) composed from this
+    * repo's two proven halves: sq21's NN-Descent graph and sq09's PQ
+    * codebook/ADC machinery. Each beam round ranks fresh candidates by
+    * ADC distance over their M=8 4-bit codes — 4 BYTES per candidate
+    * instead of a 512-byte vector, so the beam's working set is 128×
+    * smaller and the vector store is NOT read inside the loop at all —
+    * then each round's answer takes the pool's ADC-top-2k shortlist
+    * and re-ranks it by exact cosine (the only full-vector reads,
+    * 2k per query). `recall_adc` vs `recall_at_k` in the same row
+    * shows what the re-rank buys at every beam depth.
+    *
+    * The oracle replays EVERYTHING below the k-means training from the
+    * persisted codebook fixture ([[pqBeamSql]]): code assignment, the
+    * query LUTs, every ADC-ranked beam step, the exact re-rank, and
+    * the recall accounting — hash-green end to end, unlike sq09 whose
+    * ADC stage is engine-only.
+    *
+    * 100 TB: the beam loop touches only the graph's edge buckets and
+    * an 0.4 GB-per-10^9-vector code sidecar (broadcastable shards or a
+    * bucket-pruned point-read exactly like [[KnnGraph.fetchVectors]]);
+    * full vectors stream only through the per-query 2k-row re-rank
+    * join. Graph build + PQ train/encode are the amortized index cost,
+    * shared with sq21/sq09. */
+  val sq24GraphPqServe: QueryDef = sqlChecked(
+    "sq24_graph_pq_serve",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${nnDescentSql(8, 4)},
+       |${pqBeamSql(8, 4, 8, 8, "e_4", sq24Store)}
+       |SELECT * FROM (
+       |  SELECT * FROM qsum_0 UNION ALL SELECT * FROM qsum_1
+       |  UNION ALL SELECT * FROM qsum_2 UNION ALL SELECT * FROM qsum_3
+       |  UNION ALL SELECT * FROM qsum_4)
+       |ORDER BY round""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val k = 8; val buildRounds = 4; val beamRounds = 4
+    val M = 8; val sub = 8; val K = 16
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .cache()
+    // codebooks: driver-side seeded Lloyd's on the deterministic
+    // ordered sample (sq09's recipe), persisted for the oracle replay
+    val sample = vecs.select($"vec_id", $"v").orderBy($"vec_id").limit(20000)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val cb: Seq[Seq[Seq[Double]]] = graft.similarity.Pq
+      .trainSubspaces(sample, M, sub, K)
+    cb.zipWithIndex.flatMap { case (entries, mi) =>
+      entries.zipWithIndex.map { case (vec, ki) => (mi, ki, vec) }
+    }.toDF("mi", "ki", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(sq24Store)
+    def subDist(vCol: org.apache.spark.sql.Column, mi: Int) =
+      transform(typedlit(cb(mi)), c =>
+        aggregate(zip_with(slice(vCol, mi * sub + 1, sub), c,
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+    // 4-bit codes: the beam's entire per-candidate working set
+    val codes = (0 until M).foldLeft(vecs.toDF()) { (df, mi) =>
+        df.withColumn(s"d$mi", subDist($"v", mi))
+          .withColumn(s"c$mi",
+            (array_position(col(s"d$mi"), array_min(col(s"d$mi"))) - 1).cast("int"))
+          .drop(s"d$mi")
+      }
+      .select(($"vec_id".as("node") +: (0 until M).map(mi => col(s"c$mi"))): _*)
+      .localCheckpoint(true)
+    val qv = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
+    // per-query M×K LUTs of partial squared distances (sq09's shape)
+    val qluts = (0 until M).foldLeft(qv.toDF()) { (df, mi) =>
+      df.withColumn(s"lut$mi", subDist($"v", mi))
+    }.drop("v")
+    val adc = (0 until M).map(mi =>
+      element_at(col(s"lut$mi"), col(s"c$mi") + 1)).reduce(_ + _)
+    val graph = nnDescentBuild(vecs, k, buildRounds).last
+    val und = graph.select($"src", $"nbr")
+      .union(graph.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
+      .localCheckpoint(true)
+    val nn = vecs.agg(count(lit(1)).as("n"))
+    val bf = broadcast(qv.select($"qid".as("src"), $"v".as("qv")))
+      .join(vecs.select($"vec_id".as("nbr"), $"v".as("cv")), $"src" =!= $"nbr")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy(cosine($"qv", $"cv").desc, $"nbr")))
+      .filter($"rn" <= k)
+      .select($"src".as("qid"), $"nbr".as("node"))
+      .cache()
+    def adcScored(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .join(broadcast(qluts), Seq("qid"))
+      .join(codes, Seq("node"))
+      .withColumn("adist", adc)
+      .select($"qid", $"node", $"adist")
+    def qsummary(r: Int, pool: org.apache.spark.sql.DataFrame) = {
+      val shl = adcScored(pool.filter($"node" =!= $"qid"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"adist".asc, $"node")))
+        .filter($"rn" <= 2 * k)
+      val hitsAdc = shl.filter($"rn" <= k).select($"qid", $"node")
+        .join(bf, Seq("qid", "node"), "left_semi")
+        .agg(count(lit(1)).as("nhit_adc"))
+      val hits = shl.select($"qid", $"node")
+        .join(broadcast(qv), Seq("qid"))
+        .join(vecs.select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
+        .withColumn("rr", row_number().over(
+          Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
+        .filter($"rr" <= k).select($"qid", $"node")
+        .join(bf, Seq("qid", "node"), "left_semi")
+        .agg(count(lit(1)).as("nhit"))
+      pool.agg(count(lit(1)).as("pool_nodes"))
+        .crossJoin(broadcast(hitsAdc))
+        .crossJoin(broadcast(hits))
+        .select(lit(r.toLong).as("round"), $"pool_nodes",
+          ($"nhit_adc".cast("double") / (16 * k)).as("recall_adc"),
+          ($"nhit".cast("double") / (16 * k)).as("recall_at_k"))
+    }
+    var pool = qv.crossJoin(broadcast(nn))
+      .select($"qid", pmod($"qid" * 37 + 1, $"n").cast("long").as("node"))
+      .localCheckpoint(true)
+    var frontier = pool
+    val sums = scala.collection.mutable.ArrayBuffer(qsummary(0, pool))
+    for (r <- 1 to beamRounds) {
+      val expanded = frontier.join(und, frontier("node") === und("src"))
+        .select(frontier("qid"), und("nbr").as("node")).distinct()
+      val fresh = expanded.join(pool, Seq("qid", "node"), "left_anti")
+      // the round's ranking reads 4-byte codes, never vectors
+      frontier = adcScored(fresh)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"adist".asc, $"node")))
+        .filter($"rn" <= k).select($"qid", $"node")
+        .localCheckpoint(true)
+      pool = pool.union(frontier).distinct().localCheckpoint(true)
+      sums += qsummary(r, pool)
+    }
+    sums.reduce(_ unionByName _).orderBy($"round")
+  }
+
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
     sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
     sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall,
@@ -2400,5 +2626,5 @@ object SimilarityQueries {
     sq14AnnStoredIndexSearch, sq15PcaPower, sq16MatryoshkaAudit,
     sq17AnnOpqRecall, sq19WhiteningAudit, sq04bAnnIvfRecallPortable,
     sq02cLshBitScaling, sq21KnnGraphNnDescent, sq22GraphAnnServe,
-    sq22bGraphServingLatency, sq23GraphInsertDrift)
+    sq22bGraphServingLatency, sq23GraphInsertDrift, sq24GraphPqServe)
 }
