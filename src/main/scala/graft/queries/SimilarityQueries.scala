@@ -2553,23 +2553,16 @@ object SimilarityQueries {
       entries.zipWithIndex.map { case (vec, ki) => (mi, ki, vec) }
     }.toDF("mi", "ki", "vec")
       .coalesce(1).write.mode("overwrite").parquet(sq24Store)
-    def subDist(vCol: org.apache.spark.sql.Column, mi: Int) =
-      transform(typedlit(cb(mi)), c =>
-        aggregate(zip_with(slice(vCol, mi * sub + 1, sub), c,
-          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
     // 4-bit codes: the beam's entire per-candidate working set
-    val codes = (0 until M).foldLeft(vecs.toDF()) { (df, mi) =>
-        df.withColumn(s"d$mi", subDist($"v", mi))
-          .withColumn(s"c$mi",
-            (array_position(col(s"d$mi"), array_min(col(s"d$mi"))) - 1).cast("int"))
-          .drop(s"d$mi")
-      }
-      .select(($"vec_id".as("node") +: (0 until M).map(mi => col(s"c$mi"))): _*)
+    // (graft.similarity.Pq.pqEncode — one implementation shared with
+    // the stored-codes serving path, KnnGraph.serveFromStoresPq)
+    val codes = graft.similarity.Pq.pqEncode(vecs, cb, sub)
+      .withColumnRenamed("vec_id", "node")
       .localCheckpoint(true)
     val qv = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
     // per-query M×K LUTs of partial squared distances (sq09's shape)
     val qluts = (0 until M).foldLeft(qv.toDF()) { (df, mi) =>
-      df.withColumn(s"lut$mi", subDist($"v", mi))
+      df.withColumn(s"lut$mi", graft.similarity.Pq.lutCol($"v", cb, sub, mi))
     }.drop("v")
     val adc = (0 until M).map(mi =>
       element_at(col(s"lut$mi"), col(s"c$mi") + 1)).reduce(_ + _)

@@ -471,6 +471,93 @@ object KnnGraph {
     scoreKeep(pool.filter($"node" =!= $"qid").localCheckpoint(true), k)
   }
 
+  /** Persist flat-PQ CODES bucket-partitioned by `vec_id` — the
+    * quantized sidecar of [[writeVectors]] (DiskANN's in-memory
+    * companion structure, stored): one row per vector holding M small
+    * integer codes, so a pruned point-read of a beam round's
+    * candidates moves M bytes per candidate instead of a d×8-byte
+    * vector. Input is [[Pq.pqEncode]]'s output (`vec_id`, `c0..c{M-1}`). */
+  def writeCodes(codes: DataFrame, path: String,
+      numBuckets: Int = NumBuckets): Unit = {
+    import codes.sparkSession.implicits._
+    codes
+      .withColumn("bucket", pmod($"vec_id", lit(numBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeBucketMeta(codes.sparkSession, path, numBuckets)
+  }
+
+  /** Point-fetch the CODES of a bounded id frame from a [[writeCodes]]
+    * store — [[fetchVectors]]'s shape (bucket pruning + pushed id
+    * filter + retry-dedup), returning `node` + the code columns. */
+  def fetchCodes(spark: SparkSession, path: String,
+      ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    val numBuckets = bucketsOf(spark, path)
+    val idList = ids.select($"node").distinct().as[Long].collect()
+    val buckets = idList.map(_ % numBuckets).distinct.toSeq
+    spark.read.parquet(path)
+      .filter($"bucket".isin(buckets: _*) && $"vec_id".isin(idList.toSeq: _*))
+      .drop("bucket").distinct()
+      .withColumnRenamed("vec_id", "node")
+  }
+
+  /** PQ-GUIDED stored serving — sq24's algorithm lifted onto the
+    * stored layout: every beam round ranks fresh candidates by ADC
+    * distance over codes POINT-FETCHED from the [[writeCodes]] store
+    * (M bytes per candidate; the vector store is untouched inside the
+    * loop), and only the final answer re-ranks the pool's ADC-top-2k
+    * shortlist by exact cosine from the [[writeVectors]] store. The
+    * codebook (`cb`, a few KB) rides in the query LUT broadcast —
+    * serving deployments hold it in memory like sq14's quantizers.
+    * Compared to [[serveFromStores]], each round's fetch shrinks by
+    * d·8/M (128× at d=64, M=8) at the measured recall cost sq24
+    * reports (the walk follows quantized distances); the exact final
+    * re-rank touches ≤ 2k vectors per query.
+    * StoredPqServeSpec replays the whole loop driver-side with
+    * bit-identical arithmetic and asserts the answers equal exactly. */
+  def serveFromStoresPq(spark: SparkSession, graphPath: String,
+      codesPath: String, vecPath: String, queries: DataFrame,
+      cb: Seq[Seq[Seq[Double]]], k: Int, beamRounds: Int,
+      entries: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val m = cb.length
+    val sub = cb.head.head.length
+    val qluts = (0 until m).foldLeft(queries.toDF()) { (df, mi) =>
+      df.withColumn(s"lut$mi", Pq.lutCol($"v", cb, sub, mi))
+    }.drop("v")
+    val adc = (0 until m).map(mi =>
+      element_at(col(s"lut$mi"), col(s"c$mi") + 1)).reduce(_ + _)
+    def adcKeep(cand: DataFrame, keep: Int) = cand
+      .join(broadcast(qluts), Seq("qid"))
+      .join(fetchCodes(spark, codesPath, cand), Seq("node"))
+      .withColumn("adist", adc)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"adist".asc, $"node")))
+      .filter($"rn" <= keep).select($"qid", $"node")
+    var pool = entries
+      .getOrElse(ringEntries(spark.read.parquet(codesPath), queries))
+      .localCheckpoint(true)
+    var frontier = pool
+    for (_ <- 1 to beamRounds) {
+      val fresh = expandStored(spark, graphPath, frontier)
+        .join(pool, Seq("qid", "node"), "left_anti")
+        .localCheckpoint(true)
+      frontier = adcKeep(fresh, k).localCheckpoint(true)
+      pool = pool.union(frontier)
+    }
+    val shortlist = adcKeep(
+      pool.filter($"node" =!= $"qid").localCheckpoint(true), 2 * k)
+      .localCheckpoint(true)
+    // the loop's ONLY full-precision reads: ≤ 2k vectors per query
+    shortlist
+      .join(broadcast(queries), Seq("qid"))
+      .join(fetchVectors(spark, vecPath, shortlist)
+        .select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
+      .filter($"rn" <= k).select($"qid", $"node")
+  }
+
   /** Driver-side replica of [[graft.functions.CosineSimilarity]]'s
     * arithmetic — same accumulation order, same final division, so the
     * coordinated loop's tie-breaks are bit-identical to the

@@ -115,6 +115,33 @@ object Pq {
       s
     }
 
+  /** Per-subspace K-entry LUT column: squared distances of `v`'s
+    * `mi`-th subspace slice to every codebook entry, as the
+    * left-associated zip_with/aggregate fold (the arithmetic the
+    * DuckDB oracles replay with explicit j-ordered sums — keep them in
+    * lockstep). Shared by flat-PQ encode, query LUTs (sq24), and the
+    * stored-codes serving path. */
+  def lutCol(v: Column, cb: Seq[Seq[Seq[Double]]], sub: Int, mi: Int): Column =
+    transform(typedlit(cb(mi)), c =>
+      aggregate(zip_with(slice(v, mi * sub + 1, sub), c,
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+
+  /** Flat-PQ encode (no coarse stage): `vec_id` + one 4-bit code per
+    * subspace as columns `c0..c{M-1}` — argmin via
+    * array_position(d, array_min(d)), first-index-wins like the
+    * oracle's (pd ASC, ki) rank. The per-candidate working set of
+    * PQ-guided serving. */
+  def pqEncode(vecs: DataFrame, cb: Seq[Seq[Seq[Double]]], sub: Int): DataFrame = {
+    val m = cb.length
+    (0 until m).foldLeft(vecs.select(col("vec_id"), col("v"))) { (df, mi) =>
+        df.withColumn(s"d$mi", lutCol(col("v"), cb, sub, mi))
+          .withColumn(s"c$mi",
+            (array_position(col(s"d$mi"), array_min(col(s"d$mi"))) - 1).cast("int"))
+          .drop(s"d$mi")
+      }
+      .drop("v")
+  }
+
   /** IVF-PQ encode as a pure COLUMN projection over frozen quantizers —
     * the shared arithmetic of the batch index build (sq10) and the
     * streaming incremental maintenance path: coarse-assign each vector
