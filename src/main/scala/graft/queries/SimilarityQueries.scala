@@ -2189,7 +2189,12 @@ object SimilarityQueries {
     * through the COORDINATED head (`serve_ms_coordinated`,
     * [[KnnGraph.serveCoordinated]] — beam state on the driver, two
     * pruned point-reads per round for the whole batch: the online-
-    * endpoint shape, answers provably identical).
+    * endpoint shape, answers provably identical), and through the
+    * QUANTIZED store head (`serve_ms_pq_store`,
+    * [[KnnGraph.serveFromStoresPq]] — rounds fetch M-byte codes, the
+    * vector store only serves the final re-rank; `recall_pq_final`
+    * records what the quantized walk costs next to the ring's exact
+    * walk).
     * `recall_ring_final` must equal sq22's round-4
     * recall_at_k (GraphServingParitySpec asserts it — the timed path
     * is the correct one, sq18b's matches_batch pattern).
@@ -2271,6 +2276,21 @@ object SimilarityQueries {
     val coordServed = KnnGraph.serveCoordinated(
       spark, s"$root/g", s"$root/vec", qLocal, k, beamRounds)
     val coordMs = (System.nanoTime() - tCoord0) / 1e6 / nq
+    // the QUANTIZED stored head (serveFromStoresPq): beam rounds fetch
+    // M-byte codes, vectors only at the final re-rank — the
+    // 128×-smaller-read path, timed after its one-off train/encode
+    val sample = vecs.select($"vec_id", $"v").orderBy($"vec_id")
+      .limit(20000).collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val cbq = graft.similarity.Pq.trainSubspaces(sample, 8, 8, 16)
+    KnnGraph.writeCodes(
+      graft.similarity.Pq.pqEncode(vecs, cbq, 8), s"$root/codes")
+    val tPq0 = System.nanoTime()
+    val pqServed = KnnGraph.serveFromStoresPq(spark, s"$root/g",
+        s"$root/codes", s"$root/vec", qv, cbq, k, beamRounds)
+      .as[(Long, Long)].collect()
+    val pqMs = (System.nanoTime() - tPq0) / 1e6 / nq
+    val bfSet = bf.as[(Long, Long)].collect().toSet
+    val pqRecall = pqServed.count(bfSet.contains).toDouble / (nq * k)
     val warmTrace = KnnGraph.serveStoredTrace(
       spark, s"$root/g", vecs, qv, k, beamRounds,
       Some(KnnGraph.sampledEntries(vecs, qv, stride = 8)))
@@ -2283,14 +2303,16 @@ object SimilarityQueries {
         math.round(serveMs * 10) / 10.0,
         math.round(storeOnlyMs * 10) / 10.0,
         math.round(coordMs * 10) / 10.0,
+        math.round(pqMs * 10) / 10.0,
         math.max(math.max(ringServed.length, storeServed.length),
           coordServed.length).toLong,
         ringRecalls.last._2, toHalf(ringRecalls),
-        warmRecalls.last._2, toHalf(warmRecalls)))
+        warmRecalls.last._2, toHalf(warmRecalls), pqRecall))
       .toDF("n_queries", "build_s", "store_write_s", "serve_ms_per_query",
-        "serve_ms_store_only", "serve_ms_coordinated", "rows_served",
+        "serve_ms_store_only", "serve_ms_coordinated", "serve_ms_pq_store",
+        "rows_served",
         "recall_ring_final", "rounds_to_half_ring", "recall_warm_final",
-        "rounds_to_half_warm")
+        "rounds_to_half_warm", "recall_pq_final")
   }
 
   /** Incremental graph maintenance measured — the cost/quality frame
