@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
+    // the probe times repeated runs of one query — the shared graph
+    // build cache would make the timed run a reload of the warm run's
+    // build and the ratio would measure parquet reads, not construction
+    System.setProperty("graft.noBuildCache", "1")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

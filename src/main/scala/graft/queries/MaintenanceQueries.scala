@@ -312,7 +312,8 @@ object MaintenanceQueries {
     val store = graft.util.Scratch.tempDir("graft-wq08") + "/g"
     // write with the default the oracle's modulus interpolates — the
     // two sides share the ONE constant by construction
-    KnnGraph.writeStore(KnnGraph.build(vecs, 8, rounds = 2).last, store,
+    KnnGraph.writeStore(
+      KnnGraph.buildCached(vecs, dir, 8, rounds = 2).last, store,
       numBuckets = KnnGraph.NumBuckets)
     KnnGraph.eraseStored(spark, store, Seq(101L, 202L))
     vecs.unpersist()

@@ -2020,18 +2020,27 @@ object SimilarityQueries {
         .select(lit(r.toLong).as("round"), $"n_edges", $"avg_nbr_cos",
           ($"nhit".cast("double") / (16 * k)).as("recall_at_k"))
     }
-    val es = nnDescentBuild(vecs, k, rounds)
+    // sq21 IS the construction query: it always builds fresh (its
+    // bench/probe number means "what a build costs"); the serving
+    // queries share the cached build instead (nnDescentBuild)
+    val es = graft.similarity.KnnGraph.build(vecs, k, rounds)
     es.zipWithIndex.map { case (e, r) => summary(r, e) }
       .reduce(_ unionByName _).orderBy($"round")
   }
 
   /** The NN-Descent build rounds shared by sq21 (construction metrics)
-    * and sq22 (serving over the final graph) — the real implementation
-    * lives in [[graft.similarity.KnnGraph.build]] next to the stored
-    * layout and serving loop. */
+    * and every full-corpus serving query over the final graph
+    * (sq22/sq24/sq25/sq26) — the real implementation lives in
+    * [[graft.similarity.KnnGraph.build]] next to the stored layout and
+    * serving loop, and the rounds are PROCESS-SHARED through
+    * [[graft.similarity.KnnGraph.buildCached]]: the first query pays
+    * the build, the rest reload its persisted rounds (bit-identical by
+    * the durable-resume proof — build once, serve many, exactly like a
+    * deployment). Queries over a MODIFIED corpus (sq23's held-out
+    * slices) or that TIME the build (sq22b) keep their own workDirs. */
   private def nnDescentBuild(vecs: org.apache.spark.sql.DataFrame,
-      k: Int, rounds: Int): Seq[org.apache.spark.sql.DataFrame] =
-    graft.similarity.KnnGraph.build(vecs, k, rounds)
+      dir: String, k: Int, rounds: Int): Seq[org.apache.spark.sql.DataFrame] =
+    graft.similarity.KnnGraph.buildCached(vecs, dir, k, rounds)
 
   /** DuckDB CTEs for `rounds` greedy BEAM-SEARCH steps over the graph
     * CTE `graph(src, nbr)`: deterministic entry node per query, each
@@ -2039,40 +2048,42 @@ object SimilarityQueries {
     * already-visited nodes, keeps the best `beam` new nodes by exact
     * cosine, and accumulates the visited pool; per-step summaries
     * report pool size and recall@k of the pool's best k vs `bf`. */
-  private def beamSql(k: Int, rounds: Int, graph: String): String = {
+  private def beamSql(k: Int, rounds: Int, graph: String,
+      prefix: String = ""): String = {
+    val P = prefix
     def ansAndSum(r: Int) =
-      s"""ans_$r AS (SELECT qid, node FROM (
+      s"""${P}ans_$r AS (SELECT qid, node FROM (
          |  SELECT p.qid, p.node, ROW_NUMBER() OVER (PARTITION BY p.qid
          |    ORDER BY list_cosine_similarity(q.v, c.v) DESC, p.node) AS rn
-         |  FROM p_$r p JOIN qv q ON p.qid = q.qid
+         |  FROM ${P}p_$r p JOIN ${P}qv q ON p.qid = q.qid
          |  JOIN vecs c ON p.node = c.vec_id
          |  WHERE p.node <> p.qid) WHERE rn <= $k),
-         |bsum_$r AS (SELECT CAST($r AS BIGINT) AS round,
-         |  (SELECT COUNT(*) FROM p_$r) AS pool_nodes,
-         |  CAST((SELECT COUNT(*) FROM (SELECT qid, node FROM ans_$r
+         |${P}bsum_$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT COUNT(*) FROM ${P}p_$r) AS pool_nodes,
+         |  CAST((SELECT COUNT(*) FROM (SELECT qid, node FROM ${P}ans_$r
          |    INTERSECT SELECT src, nbr FROM bf)) AS DOUBLE) / (16 * $k)
          |    AS recall_at_k)""".stripMargin
     val steps = (1 to rounds).map { r =>
-      s"""x_$r AS (SELECT DISTINCT f.qid, u.nbr AS node
-         |  FROM f_${r - 1} f JOIN und u ON f.node = u.src),
-         |nw_$r AS (SELECT x.qid, x.node FROM x_$r x
-         |  ANTI JOIN p_${r - 1} p ON x.qid = p.qid AND x.node = p.node),
-         |sc_$r AS (SELECT n.qid, n.node, list_cosine_similarity(q.v, c.v) AS cos
-         |  FROM nw_$r n JOIN qv q ON n.qid = q.qid
+      s"""${P}x_$r AS (SELECT DISTINCT f.qid, u.nbr AS node
+         |  FROM ${P}f_${r - 1} f JOIN ${P}und u ON f.node = u.src),
+         |${P}nw_$r AS (SELECT x.qid, x.node FROM ${P}x_$r x
+         |  ANTI JOIN ${P}p_${r - 1} p ON x.qid = p.qid AND x.node = p.node),
+         |${P}sc_$r AS (SELECT n.qid, n.node, list_cosine_similarity(q.v, c.v) AS cos
+         |  FROM ${P}nw_$r n JOIN ${P}qv q ON n.qid = q.qid
          |  JOIN vecs c ON n.node = c.vec_id),
-         |f_$r AS MATERIALIZED (SELECT qid, node FROM (
+         |${P}f_$r AS MATERIALIZED (SELECT qid, node FROM (
          |  SELECT qid, node, ROW_NUMBER() OVER (PARTITION BY qid
-         |    ORDER BY cos DESC, node) AS rn FROM sc_$r) WHERE rn <= $k),
-         |p_$r AS MATERIALIZED (
-         |  SELECT qid, node FROM p_${r - 1}
-         |  UNION SELECT qid, node FROM f_$r)""".stripMargin
+         |    ORDER BY cos DESC, node) AS rn FROM ${P}sc_$r) WHERE rn <= $k),
+         |${P}p_$r AS MATERIALIZED (
+         |  SELECT qid, node FROM ${P}p_${r - 1}
+         |  UNION SELECT qid, node FROM ${P}f_$r)""".stripMargin
     }
-    s"""und AS MATERIALIZED (
+    s"""${P}und AS MATERIALIZED (
        |  SELECT src, nbr FROM $graph UNION SELECT nbr, src FROM $graph),
-       |qv AS (SELECT vec_id AS qid, v FROM vecs WHERE vec_id < 16),
-       |p_0 AS MATERIALIZED (
-       |  SELECT q.qid, (q.qid * 37 + 1) % nn.n AS node FROM qv q, nn),
-       |f_0 AS (SELECT qid, node FROM p_0),
+       |${P}qv AS (SELECT vec_id AS qid, v FROM vecs WHERE vec_id < 16),
+       |${P}p_0 AS MATERIALIZED (
+       |  SELECT q.qid, (q.qid * 37 + 1) % nn.n AS node FROM ${P}qv q, nn),
+       |${P}f_0 AS (SELECT qid, node FROM ${P}p_0),
        |${steps.mkString(",\n")},
        |${(0 to rounds).map(ansAndSum).mkString(",\n")}""".stripMargin
   }
@@ -2110,7 +2121,7 @@ object SimilarityQueries {
     val vecs = Tables.embeddings(spark, dir)
       .select($"vec_id", toDouble($"embedding").as("v"))
       .cache()
-    val graph = nnDescentBuild(vecs, k, buildRounds).last
+    val graph = nnDescentBuild(vecs, dir, k, buildRounds).last
     val und = graph.select($"src", $"nbr")
       .union(graph.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
       .localCheckpoint(true)
@@ -2153,26 +2164,18 @@ object SimilarityQueries {
       nn: org.apache.spark.sql.DataFrame,
       k: Int, beamRounds: Int): Seq[(Int, org.apache.spark.sql.DataFrame)] = {
     import vecs.sparkSession.implicits._
-    var pool = qv.crossJoin(broadcast(nn))
-      .select($"qid", pmod($"qid" * 37 + 1, $"n").cast("long").as("node"))
-      .localCheckpoint(true)
-    var frontier = pool
-    val out = scala.collection.mutable.ArrayBuffer(0 -> pool)
-    for (r <- 1 to beamRounds) {
-      val expanded = frontier.join(und, frontier("node") === und("src"))
-        .select(frontier("qid"), und("nbr").as("node")).distinct()
-      val fresh = expanded.join(pool, Seq("qid", "node"), "left_anti")
-      frontier = fresh
+    graft.similarity.KnnGraph.beamTrace(
+      qv.crossJoin(broadcast(nn))
+        .select($"qid", pmod($"qid" * 37 + 1, $"n").cast("long").as("node")),
+      frontier => frontier.join(und, frontier("node") === und("src"))
+        .select(frontier("qid"), und("nbr").as("node")).distinct(),
+      fresh => fresh
         .join(broadcast(qv), Seq("qid"))
         .join(vecs.select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
         .withColumn("rn", row_number().over(
           Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
-        .filter($"rn" <= k).select($"qid", $"node")
-        .localCheckpoint(true)
-      pool = pool.union(frontier).distinct().localCheckpoint(true)
-      out += r -> pool
-    }
-    out.toSeq
+        .filter($"rn" <= k).select($"qid", $"node"),
+      beamRounds)
   }
 
   /** Build-vs-serve latency split for the STORED k-NN graph — sq18b's
@@ -2588,7 +2591,7 @@ object SimilarityQueries {
     }.drop("v")
     val adc = (0 until M).map(mi =>
       element_at(col(s"lut$mi"), col(s"c$mi") + 1)).reduce(_ + _)
-    val graph = nnDescentBuild(vecs, k, buildRounds).last
+    val graph = nnDescentBuild(vecs, dir, k, buildRounds).last
     val und = graph.select($"src", $"nbr")
       .union(graph.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
       .localCheckpoint(true)
@@ -2628,25 +2631,19 @@ object SimilarityQueries {
           ($"nhit_adc".cast("double") / (16 * k)).as("recall_adc"),
           ($"nhit".cast("double") / (16 * k)).as("recall_at_k"))
     }
-    var pool = qv.crossJoin(broadcast(nn))
-      .select($"qid", pmod($"qid" * 37 + 1, $"n").cast("long").as("node"))
-      .localCheckpoint(true)
-    var frontier = pool
-    val sums = scala.collection.mutable.ArrayBuffer(qsummary(0, pool))
-    for (r <- 1 to beamRounds) {
-      val expanded = frontier.join(und, frontier("node") === und("src"))
-        .select(frontier("qid"), und("nbr").as("node")).distinct()
-      val fresh = expanded.join(pool, Seq("qid", "node"), "left_anti")
+    graft.similarity.KnnGraph.beamTrace(
+      qv.crossJoin(broadcast(nn))
+        .select($"qid", pmod($"qid" * 37 + 1, $"n").cast("long").as("node")),
+      frontier => frontier.join(und, frontier("node") === und("src"))
+        .select(frontier("qid"), und("nbr").as("node")).distinct(),
       // the round's ranking reads 4-byte codes, never vectors
-      frontier = adcScored(fresh)
+      fresh => adcScored(fresh)
         .withColumn("rn", row_number().over(
           Window.partitionBy($"qid").orderBy($"adist".asc, $"node")))
-        .filter($"rn" <= k).select($"qid", $"node")
-        .localCheckpoint(true)
-      pool = pool.union(frontier).distinct().localCheckpoint(true)
-      sums += qsummary(r, pool)
-    }
-    sums.reduce(_ unionByName _).orderBy($"round")
+        .filter($"rn" <= k).select($"qid", $"node"),
+      beamRounds)
+      .map { case (r, pool) => qsummary(r, pool) }
+      .reduce(_ unionByName _).orderBy($"round")
   }
 
   /** DuckDB CTEs for the FILTERED answer stages over [[beamSql]]'s
@@ -2730,7 +2727,7 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
     val vecs = emb.select($"vec_id", toDouble($"embedding").as("v")).cache()
     val lbl = emb.select($"vec_id".as("node"), $"label")
-    val graph = nnDescentBuild(vecs, k, buildRounds).last
+    val graph = nnDescentBuild(vecs, dir, k, buildRounds).last
     val und = graph.select($"src", $"nbr")
       .union(graph.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
       .localCheckpoint(true)
@@ -2789,6 +2786,155 @@ object SimilarityQueries {
       .reduce(_ unionByName _).orderBy($"round")
   }
 
+  /** DuckDB CTEs replaying [[graft.similarity.KnnGraph.robustPrune]]'s
+    * greedy over candidate CTE `cand(src, nbr, cos)`: `r` unrolled
+    * rounds of [top-1 remaining per src by (cos DESC, nbr)] →
+    * [discard remaining candidates the pick α-covers], ending in
+    * `pruned(src, nbr)` = the union of the picks. α must be a
+    * binary-exact literal (1.25 here) so DuckDB's decimal parse and
+    * Spark's double literal agree bit for bit. */
+  private def pruneSql(r: Int, alpha: String): String = {
+    val rounds = (1 to r).map { i =>
+      s"""pk_$i AS MATERIALIZED (SELECT src, nbr, cos FROM (
+         |  SELECT src, nbr, cos, ROW_NUMBER() OVER (PARTITION BY src
+         |    ORDER BY cos DESC, nbr) AS rn FROM rem_${i - 1}) WHERE rn = 1),
+         |rem_$i AS MATERIALIZED (
+         |  SELECT r.src, r.nbr, r.cos
+         |  FROM rem_${i - 1} r JOIN pk_$i p ON r.src = p.src
+         |  JOIN vecs pv ON p.nbr = pv.vec_id
+         |  JOIN vecs cv ON r.nbr = cv.vec_id
+         |  WHERE r.nbr <> p.nbr
+         |    AND NOT ($alpha * (1 - list_cosine_similarity(pv.v, cv.v))
+         |      <= (1 - r.cos)))""".stripMargin
+    }
+    s"""rem_0 AS MATERIALIZED (SELECT src, nbr, cos FROM cand),
+       |${rounds.mkString(",\n")},
+       |pruned AS MATERIALIZED (
+       |${(1 to r).map(i => s"  SELECT src, nbr FROM pk_$i")
+           .mkString("\n  UNION ALL\n")})""".stripMargin
+  }
+
+  /** GRAPH DIVERSIFICATION — Vamana's α-robust prune (Subramanya et
+    * al. 2019, DiskANN; HNSW's "select neighbors by heuristic" is the
+    * same rule) measured against the plain k-NN graph at the SAME
+    * degree budget. The plain graph spends all 8 slots on the 8
+    * closest neighbors — one tight cluster, so a COLD ring-entry beam
+    * crawls in hop by hop; the pruned graph picks from a richer
+    * candidate pool (the NN-Descent top-8 ∪ the ring init's spread
+    * edges — Vamana's random-init-plus-prune recipe) and keeps only
+    * neighbors no earlier pick α-covers, which provably retains
+    * long-range edges: a far candidate c has d(pick, c) ≈ d(src, c)
+    * against every near pick, so α·d(pick, c) > d(src, c) at α > 1
+    * and c survives to take a slot. One frame, both walks, cold ring
+    * entries: `recall_plain` per round (which must EQUAL sq22's
+    * hash-green recall column — same build, same walk) next to
+    * `recall_pruned`, with the two graphs' edge counts. The oracle
+    * replays EVERYTHING: the 4-round build, the candidate union, all
+    * 8 greedy prune rounds with their α-cover tests and tie-breaks,
+    * both 4-round beam walks, and both recall accountings.
+    *
+    * 100 TB: the prune is r passes over the index-sized candidate
+    * list (candidate-bounded joins, never corpus-sized) — cheaper
+    * than one NN-Descent round; it changes WHICH k·n edges the store
+    * holds, not how many, so every serving path (stored, PQ-guided,
+    * coordinated) rides it unchanged. */
+  val sq26GraphAlphaPrune: QueryDef = sqlChecked(
+    "sq26_graph_alpha_prune",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${nnDescentSql(8, 4)},
+       |b_5 AS MATERIALIZED (
+       |  SELECT src, nbr FROM e_4
+       |  UNION
+       |  SELECT nbr AS src, src AS nbr FROM e_4),
+       |c_5 AS MATERIALIZED (
+       |  SELECT a.src, b.nbr FROM b_5 a JOIN b_5 b ON a.nbr = b.src
+       |  WHERE a.src <> b.nbr
+       |  UNION
+       |  SELECT src, nbr FROM e_4),
+       |s_5 AS MATERIALIZED (
+       |  SELECT c.src, c.nbr, list_cosine_similarity(x.v, y.v) AS cos
+       |  FROM c_5 c JOIN vecs x ON c.src = x.vec_id
+       |  JOIN vecs y ON c.nbr = y.vec_id),
+       |cand AS MATERIALIZED (
+       |  SELECT src, nbr, cos FROM s_5
+       |  UNION
+       |  SELECT src, nbr, cos FROM e_0),
+       |${pruneSql(8, "1.25")},
+       |${beamSql(8, 4, "e_4")},
+       |${beamSql(8, 4, "pruned", prefix = "pr")}
+       |SELECT b.round,
+       |  b.pool_nodes AS pool_plain, b.recall_at_k AS recall_plain,
+       |  p.pool_nodes AS pool_pruned, p.recall_at_k AS recall_pruned,
+       |  (SELECT COUNT(*) FROM e_4) AS edges_plain,
+       |  (SELECT COUNT(*) FROM pruned) AS edges_pruned
+       |FROM (
+       |  SELECT * FROM bsum_0 UNION ALL SELECT * FROM bsum_1
+       |  UNION ALL SELECT * FROM bsum_2 UNION ALL SELECT * FROM bsum_3
+       |  UNION ALL SELECT * FROM bsum_4) b
+       |JOIN (
+       |  SELECT * FROM prbsum_0 UNION ALL SELECT * FROM prbsum_1
+       |  UNION ALL SELECT * FROM prbsum_2 UNION ALL SELECT * FROM prbsum_3
+       |  UNION ALL SELECT * FROM prbsum_4) p USING (round)
+       |ORDER BY round""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val k = 8; val buildRounds = 4; val beamRounds = 4; val degree = 8
+    val alpha = 1.25
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .cache()
+    val es = nnDescentBuild(vecs, dir, k, buildRounds)
+    val plain = es.last
+    // the diversification pool: one more NN-Descent candidate stage
+    // (each node's scored 2-hop neighborhood, k² per node) ∪ the ring
+    // init's spread edges — Vamana prunes from search-visited sets;
+    // this is the relational equivalent, wide AND long candidates
+    val cand = graft.similarity.KnnGraph.scoredCandidates(vecs, plain)
+      .union(es.head.select($"src", $"nbr", $"cos"))
+      .distinct().localCheckpoint(true)
+    val pruned = graft.similarity.KnnGraph
+      .robustPrune(vecs, cand, degree, alpha)
+      .select($"src", $"nbr").localCheckpoint(true)
+    val nn = vecs.agg(count(lit(1)).as("n"))
+    val qv = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
+    val bf = broadcast(qv.select($"qid".as("src"), $"v".as("qv")))
+      .join(vecs.select($"vec_id".as("nbr"), $"v".as("cv")), $"src" =!= $"nbr")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy(cosine($"qv", $"cv").desc, $"nbr")))
+      .filter($"rn" <= k)
+      .select($"src".as("qid"), $"nbr".as("node"))
+      .cache()
+    def closure(g: org.apache.spark.sql.DataFrame) =
+      g.select($"src", $"nbr")
+        .union(g.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
+        .localCheckpoint(true)
+    def recallRows(pools: Seq[(Int, org.apache.spark.sql.DataFrame)]) =
+      pools.map { case (r, pool) =>
+        val ans = pool.filter($"node" =!= $"qid")
+          .join(broadcast(qv), Seq("qid"))
+          .join(vecs.select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
+          .filter($"rn" <= k).select($"qid", $"node")
+        val hits = ans.join(bf, Seq("qid", "node"), "left_semi")
+          .agg(count(lit(1)).as("nhit"))
+        pool.agg(count(lit(1)).as("pool_nodes"))
+          .crossJoin(broadcast(hits))
+          .select(lit(r.toLong).as("round"), $"pool_nodes",
+            ($"nhit".cast("double") / (16 * k)).as("recall_at_k"))
+      }.reduce(_ unionByName _)
+    val a = recallRows(blindBeamPools(vecs, closure(plain), qv, nn, k, beamRounds))
+      .select($"round", $"pool_nodes".as("pool_plain"),
+        $"recall_at_k".as("recall_plain"))
+    val b = recallRows(blindBeamPools(vecs, closure(pruned), qv, nn, k, beamRounds))
+      .select($"round", $"pool_nodes".as("pool_pruned"),
+        $"recall_at_k".as("recall_pruned"))
+    a.join(b, Seq("round"))
+      .crossJoin(broadcast(plain.agg(count(lit(1)).as("edges_plain"))))
+      .crossJoin(broadcast(pruned.agg(count(lit(1)).as("edges_pruned"))))
+      .orderBy($"round")
+  }
+
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
     sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
     sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall,
@@ -2798,5 +2944,5 @@ object SimilarityQueries {
     sq17AnnOpqRecall, sq19WhiteningAudit, sq04bAnnIvfRecallPortable,
     sq02cLshBitScaling, sq21KnnGraphNnDescent, sq22GraphAnnServe,
     sq22bGraphServingLatency, sq23GraphInsertDrift, sq24GraphPqServe,
-    sq25FilteredGraphAnn)
+    sq25FilteredGraphAnn, sq26GraphAlphaPrune)
 }

@@ -101,6 +101,34 @@ object KnnGraph {
     out.toSeq
   }
 
+  private val sharedBuildDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), String]()
+
+  /** PROCESS-SHARED durable build: the first caller for a given
+    * (corpusKey, k, rounds) pays the build; every later caller reloads
+    * the persisted rounds through [[buildDurable]]'s `_SUCCESS` resume
+    * (bit-identical by KnnGraphBuildSpec's resumed ≡ uninterrupted
+    * proof — every stage is deterministic, so sharing cannot change
+    * any query's answer). This is the deployment reality — a graph is
+    * built once and served by many consumers — and in a batch run it
+    * collapses N serving queries' builds into one. `corpusKey` must
+    * identify the corpus CONTENT (the sf dir path here); callers with
+    * a modified corpus (held-out slices, erasures) must NOT share and
+    * should call [[buildDurable]] with their own workDir. Callers whose
+    * MEASUREMENT is the build itself (sq21's construction metrics,
+    * sq22b's build_s, [[graft.ScaleProbe]]'s warm-then-time pattern)
+    * must not ride the cache either — ScaleProbe disables it
+    * process-wide via the `graft.noBuildCache` system property, which
+    * restores the build-fresh-per-call behavior. */
+  def buildCached(vecs: DataFrame, corpusKey: String, k: Int,
+      rounds: Int): Seq[DataFrame] = {
+    if (sys.props.get("graft.noBuildCache").contains("1"))
+      return build(vecs, k, rounds)
+    val wd = sharedBuildDirs.computeIfAbsent((corpusKey, k, rounds),
+      _ => graft.util.Scratch.tempDir(s"graft-knng-$k-$rounds"))
+    buildDurable(vecs, k, rounds, wd)
+  }
+
   /** Exact-cosine scoring of an edge frame: fetch both endpoints'
     * vectors (candidate-bounded joins, never a corpus pass per edge). */
   private def scoreEdges(vecs: DataFrame, pairs: DataFrame): DataFrame = {
@@ -118,7 +146,18 @@ object KnnGraph {
     * since candidates ⊇ the current edges, each node's kept list
     * dominates its old one elementwise — per-node neighbor quality is
     * monotone non-decreasing (KnnGraphRefineSpec pins it). */
-  private def tighten(vecs: DataFrame, e: DataFrame, k: Int): DataFrame = {
+  private def tighten(vecs: DataFrame, e: DataFrame, k: Int): DataFrame =
+    scoredCandidates(vecs, e)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))))
+      .filter(col("rn") <= k).drop("rn")
+
+  /** The scored candidate frame of one NN-Descent round — each node's
+    * 2-hop neighborhood through the undirected closure ∪ its current
+    * edges, exact-cosine scored (k² candidates per node). [[tighten]]
+    * keeps its per-node top-k; [[robustPrune]] consumes it whole as
+    * the diversification pool (sq26). */
+  private[graft] def scoredCandidates(vecs: DataFrame, e: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
     val undirected = e.select($"src", $"nbr")
       .union(e.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
@@ -128,9 +167,6 @@ object KnnGraph {
       .filter($"src" =!= $"nbr")
       .union(e.select($"src", $"nbr")).distinct()
     scoreEdges(vecs, cand)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
-      .filter($"rn" <= k).drop("rn")
   }
 
   /** REFINE — NN-Descent tightening rounds seeded from an EXISTING
@@ -144,8 +180,10 @@ object KnnGraph {
     * one round re-tightens every stale list at one round's cost
     * (DiskANN's consolidate / FreshDiskANN's background merge play
     * the same role). Durable like the build: each round persists
-    * under `workDir/r_<i>` with `_SUCCESS` resume and a (k, n)
-    * fingerprint guard. Returns the final refined (src, nbr, cos)
+    * under `workDir/r_<i>` with `_SUCCESS` resume and a fingerprint
+    * guard over (k, n, seed-graph digest) — the digest makes resuming
+    * a workDir against a DIFFERENT same-size seed a loud error rather
+    * than a silent stale reload. Returns the final refined (src, nbr, cos)
     * frame — write it to a NEW store version and promote through the
     * lifecycle registry (never overwrite a pinned serving store in
     * place).
@@ -164,7 +202,13 @@ object KnnGraph {
     val hfs = new org.apache.hadoop.fs.Path(workDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaPath = new org.apache.hadoop.fs.Path(workDir, "_graft_refine")
-    val fingerprint = s"k=$k,n=${vecs.count()}"
+    // unlike buildDurable (whose output is a pure function of (vecs, k)),
+    // the SEED GRAPH is a varying input here — a workDir resumed with a
+    // different same-size seed (an erased store, or the rebuilt graph of
+    // the same corpus) would silently return the OLD seed's refined
+    // rounds. The fingerprint therefore includes a content digest of the
+    // seed's edge set (count + order-independent XOR of edge hashes).
+    val fingerprint = s"k=$k,n=${vecs.count()},seed=${graphDigest(graph)}"
     if (hfs.exists(metaPath)) {
       val in = hfs.open(metaPath)
       val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -186,6 +230,65 @@ object KnnGraph {
     var e = graph
     for (r <- 1 to rounds) e = persist(r, tighten(vecs, e, k))
     e
+  }
+
+  /** Order-independent content digest of an edge frame: row count plus
+    * the XOR of per-edge hashes (XOR so partitioning and row order are
+    * irrelevant; edge frames hold distinct (src, nbr) pairs, so
+    * pair-cancellation cannot occur). One index-sized aggregate. */
+  private def graphDigest(graph: DataFrame): String = {
+    val row = graph
+      .agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("nbr"))))
+      .head()
+    s"${row.getLong(0)}:${if (row.isNullAt(1)) 0L else row.getLong(1)}"
+  }
+
+  /** ROBUST PRUNE — Vamana's α-diversification (Subramanya et al.
+    * 2019, DiskANN; the same rule HNSW's "select neighbors heuristic"
+    * applies): from each node's scored candidate list `cand`
+    * (src, nbr, cos), greedily keep the closest remaining candidate
+    * and DISCARD every candidate c that the new pick c* already covers
+    * — α·d(c*, c) ≤ d(src, c) with d = 1 − cos — until `r` neighbors
+    * are kept or candidates run out. A plain top-r list spends the
+    * whole degree budget on one tight cluster; the pruned list spends
+    * it on DIRECTIONS (each kept neighbor is provably not α-reachable
+    * through an earlier one), and α > 1 keeps useful LONG edges: a far
+    * candidate has d(c*, c) ≈ d(src, c) against every near pick, so
+    * α·d(c*, c) > d(src, c) and it survives to take a slot. That is
+    * what a cold-entry beam needs to cross the corpus (sq26 measures
+    * it against the plain graph at the same degree budget).
+    *
+    * Pure relational algebra, deterministic, ORACLE-REPLAYABLE: r
+    * unrolled rounds of [pick the (cos DESC, nbr) top-1 remaining per
+    * src] → [anti-prune the remainder through one candidate-bounded
+    * cosine join against the pick]. Rounds are r (the degree bound),
+    * never data-sized; each round's frames are candidate-bounded
+    * (≤ |cand| rows), so at 100 TB the cost is r passes over the
+    * index-sized candidate list — the same shape as one NN-Descent
+    * round, cheaper by k²/|cand|. */
+  def robustPrune(vecs: DataFrame, cand: DataFrame, r: Int,
+      alpha: Double): DataFrame = {
+    import vecs.sparkSession.implicits._
+    var remaining = cand.select($"src", $"nbr", $"cos").localCheckpoint(true)
+    var kept: DataFrame = null
+    for (_ <- 1 to r) {
+      val pick = remaining.withColumn("rn", row_number().over(
+          Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
+        .filter($"rn" === 1).drop("rn").localCheckpoint(true)
+      kept = if (kept == null) pick else kept.union(pick)
+      val pickV = pick
+        .join(vecs.select($"vec_id".as("nbr"), $"v"), Seq("nbr"))
+        .select($"src", $"nbr".as("pnbr"), $"v".as("pv"))
+      remaining = remaining
+        .join(pickV, Seq("src"))
+        .filter($"nbr" =!= $"pnbr")
+        .join(vecs.select($"vec_id".as("nbr"), $"v".as("cv")), Seq("nbr"))
+        .filter(!(lit(alpha) * (lit(1.0) - cosine($"pv", $"cv")) <=
+          (lit(1.0) - $"cos")))
+        .select($"src", $"nbr", $"cos")
+        .localCheckpoint(true)
+    }
+    kept
   }
 
   /** The bucket count is a property OF THE STORE, not of the code: the
@@ -249,41 +352,27 @@ object KnnGraph {
     * then even a stale pool entry or a poisoned entry list can never
     * ANSWER the victim, because serving scores via an inner join
     * against that store (and the corpus table's own row is wq06's
-    * delete, unchanged). */
+    * delete, unchanged). Pass `codesPath` to erase the victims' PQ
+    * code rows from the [[writeCodes]] sidecar in the same call — a
+    * surviving code row is still a (quantized) representation of the
+    * victim, so erasure must reach it. */
   def eraseStored(spark: SparkSession, path: String,
-      victims: Seq[Long], vecPath: Option[String] = None): Unit = {
+      victims: Seq[Long], vecPath: Option[String] = None,
+      codesPath: Option[String] = None): Unit = {
     import spark.implicits._
     import graft.sources.PartitionedLayout.{withDynamicOverwrite, withStaging}
     require(victims.nonEmpty, "empty victim list")
-    // the VECTOR store erases through a bucket-pruned rewrite: the
-    // victims' buckets are ARITHMETIC (vec_id % recorded count), so
-    // unlike the generic PartitionedLayout.delete no table scan is
-    // needed to find them — the read below prunes to victim buckets
-    // only, keeping the erase request-sized even though the vector
-    // store is the corpus-sized artifact. Composing it here makes the
-    // victim unanswerable even from a stale pool or a poisoned entry
-    // list, because serving scores via an inner join against this
-    // store.
-    vecPath.foreach { vp =>
-      import graft.sources.PartitionedLayout.{withDynamicOverwrite, withStaging}
-      val vnb = bucketsOf(spark, vp)
-      val vBuckets = victims.map(_ % vnb).distinct
-      withDynamicOverwrite(spark) {
-        val slice = spark.read.parquet(vp)
-          .filter($"bucket".isin(vBuckets: _*))
-          .filter(!$"vec_id".isin(victims: _*))
-          .select($"vec_id", $"v", $"bucket")
-        withStaging(spark, vp, slice) { staged =>
-          staged.write.mode("overwrite").partitionBy("bucket").parquet(vp)
-          val present = staged.select($"bucket").distinct()
-            .as[Int].collect().toSet
-          val root = new org.apache.hadoop.fs.Path(vp)
-          val f = root.getFileSystem(spark.sessionState.newHadoopConf())
-          vBuckets.filterNot(b => present.contains(b.toInt)).foreach(b =>
-            f.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true))
-        }
-      }
-    }
+    // the VECTOR store (and the codes sidecar) erase through a
+    // bucket-pruned rewrite: the victims' buckets are ARITHMETIC
+    // (vec_id % recorded count), so unlike the generic
+    // PartitionedLayout.delete no table scan is needed to find them —
+    // the read prunes to victim buckets only, keeping the erase
+    // request-sized even though the stores are the corpus-sized
+    // artifacts. Composing it here makes the victim unanswerable even
+    // from a stale pool or a poisoned entry list, because serving
+    // scores via an inner join against these stores.
+    vecPath.foreach(eraseFromIdStore(spark, _, victims))
+    codesPath.foreach(eraseFromIdStore(spark, _, victims))
     val victimSet = victims.toSet
     val nb = bucketsOf(spark, path)
     val victimBuckets = victims.map(_ % nb).distinct
@@ -321,6 +410,35 @@ object KnnGraph {
         val root = new org.apache.hadoop.fs.Path(path)
         val f = root.getFileSystem(spark.sessionState.newHadoopConf())
         touched.filterNot(b => present.contains(b.toInt)).foreach(b =>
+          f.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true))
+      }
+    }
+  }
+
+  /** Bucket-pruned erase of victim rows from any `vec_id`-bucketed
+    * store ([[writeVectors]], [[writeCodes]]): rewrite only the
+    * victims' arithmetic buckets (all other buckets keep byte-identical
+    * files), schema-agnostic — every non-bucket column of the store
+    * survives untouched — and a bucket whose every row was a victim
+    * has its directory removed explicitly (dynamic overwrite never
+    * touches a partition it writes no rows for). */
+  private def eraseFromIdStore(spark: SparkSession, path: String,
+      victims: Seq[Long]): Unit = {
+    import spark.implicits._
+    import graft.sources.PartitionedLayout.{withDynamicOverwrite, withStaging}
+    val nb = bucketsOf(spark, path)
+    val vBuckets = victims.map(_ % nb).distinct
+    withDynamicOverwrite(spark) {
+      val slice = spark.read.parquet(path)
+        .filter($"bucket".isin(vBuckets: _*))
+        .filter(!$"vec_id".isin(victims: _*))
+      withStaging(spark, path, slice) { staged =>
+        staged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        val present = staged.select($"bucket").distinct()
+          .as[Int].collect().toSet
+        val root = new org.apache.hadoop.fs.Path(path)
+        val f = root.getFileSystem(spark.sessionState.newHadoopConf())
+        vBuckets.filterNot(b => present.contains(b.toInt)).foreach(b =>
           f.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true))
       }
     }
@@ -450,24 +568,15 @@ object KnnGraph {
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
       .filter($"rn" <= keep).select($"qid", $"node")
-    var pool = entries
-      .getOrElse(ringEntries(spark.read.parquet(vecPath), queries))
-      .localCheckpoint(true)
-    var frontier = pool
-    for (_ <- 1 to beamRounds) {
+    val pool = beamTrace(
+      entries.getOrElse(ringEntries(spark.read.parquet(vecPath), queries)),
+      expandStored(spark, graphPath, _),
       // checkpoint the candidate set ONCE: scoreKeep evaluates its
       // input twice (the driver-side id collect for the pruned fetch,
       // then the scoring join) — without this the pruned store scan
       // and anti-join would re-run per evaluation
-      val fresh = expandStored(spark, graphPath, frontier)
-        .join(pool, Seq("qid", "node"), "left_anti")
-        .localCheckpoint(true)
-      frontier = scoreKeep(fresh, k).localCheckpoint(true)
-      // frontiers are anti-joined against the pool, so the union is
-      // disjoint by construction — a lazy union of checkpoint-backed
-      // members, no distinct, no per-round pool materialization
-      pool = pool.union(frontier)
-    }
+      fresh => scoreKeep(fresh.localCheckpoint(true), k),
+      beamRounds).last._2
     scoreKeep(pool.filter($"node" =!= $"qid").localCheckpoint(true), k)
   }
 
@@ -514,7 +623,17 @@ object KnnGraph {
     * reports (the walk follows quantized distances); the exact final
     * re-rank touches ≤ 2k vectors per query.
     * StoredPqServeSpec replays the whole loop driver-side with
-    * bit-identical arithmetic and asserts the answers equal exactly. */
+    * bit-identical arithmetic and asserts the answers equal exactly.
+    *
+    * CONTRACT: the codes store must cover every servable graph node —
+    * the ADC rank inner-joins it, so a node with a vector but no code
+    * row can be EXPANDED INTO but never kept or answered by this head
+    * (the exact [[serveFromStores]] loop on the same stores would find
+    * it; the degradation is silent recall loss, not an error). Keep
+    * the sidecar in lockstep: streamed inserts append codes via
+    * [[graft.streaming.StreamingGraphIngest.insertBatch]]'s `codes`
+    * option, and erasure removes them via [[eraseStored]]'s
+    * `codesPath`. */
   def serveFromStoresPq(spark: SparkSession, graphPath: String,
       codesPath: String, vecPath: String, queries: DataFrame,
       cb: Seq[Seq[Seq[Double]]], k: Int, beamRounds: Int,
@@ -534,17 +653,11 @@ object KnnGraph {
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy($"adist".asc, $"node")))
       .filter($"rn" <= keep).select($"qid", $"node")
-    var pool = entries
-      .getOrElse(ringEntries(spark.read.parquet(codesPath), queries))
-      .localCheckpoint(true)
-    var frontier = pool
-    for (_ <- 1 to beamRounds) {
-      val fresh = expandStored(spark, graphPath, frontier)
-        .join(pool, Seq("qid", "node"), "left_anti")
-        .localCheckpoint(true)
-      frontier = adcKeep(fresh, k).localCheckpoint(true)
-      pool = pool.union(frontier)
-    }
+    val pool = beamTrace(
+      entries.getOrElse(ringEntries(spark.read.parquet(codesPath), queries)),
+      expandStored(spark, graphPath, _),
+      fresh => adcKeep(fresh.localCheckpoint(true), k),
+      beamRounds).last._2
     val shortlist = adcKeep(
       pool.filter($"node" =!= $"qid").localCheckpoint(true), 2 * k)
       .localCheckpoint(true)
@@ -678,23 +791,44 @@ object KnnGraph {
       queries: DataFrame, k: Int, beamRounds: Int,
       entries: Option[DataFrame] = None): Seq[(Int, DataFrame)] = {
     import spark.implicits._
-    var pool = entries.getOrElse(ringEntries(vecs, queries))
-      .localCheckpoint(true)
-    var frontier = pool
-    val out = scala.collection.mutable.ArrayBuffer(0 -> pool)
-    for (r <- 1 to beamRounds) {
-      val fresh = expandStored(spark, path, frontier)
-        .join(pool, Seq("qid", "node"), "left_anti")
-      frontier = fresh
+    beamTrace(
+      entries.getOrElse(ringEntries(vecs, queries)),
+      expandStored(spark, path, _),
+      fresh => fresh
         .join(broadcast(queries), Seq("qid"))
         .join(vecs.select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
         .withColumn("rn", row_number().over(
           Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
-        .filter($"rn" <= k).select($"qid", $"node")
-        .localCheckpoint(true)
-      // disjoint by construction (fresh is anti-joined) — keep the pool
-      // a lazy union of checkpoint-backed frontiers; only frontiers are
-      // materialized per round
+        .filter($"rn" <= k).select($"qid", $"node"),
+      beamRounds)
+  }
+
+  /** THE beam-walk skeleton every serving loop shares — entries become
+    * round-0's pool; each round expands the frontier, anti-joins the
+    * pool (dedup), keeps `keep`'s top candidates as the next frontier
+    * (checkpointed — serving state is ephemeral per request, so
+    * executor-local blocks are the right durability; the BUILD is the
+    * durable side), and grows the pool as a LAZY union of the
+    * checkpoint-backed frontiers — disjoint by construction (the
+    * anti-join), so no distinct and no per-round pool materialization.
+    * Returns (round, pool) for rounds 0..rounds. `expand` maps a
+    * frontier to candidate (qid, node) pairs; `keep` ranks a fresh
+    * candidate frame down to the next frontier (checkpointing its
+    * input first if it evaluates it more than once). One skeleton, four
+    * scorers: exact-from-corpus ([[serveStoredTrace]]), exact-from-store
+    * ([[serveFromStores]]), ADC-from-codes ([[serveFromStoresPq]]), and
+    * the in-memory query loops (sq22/sq24/sq25) — a walk fix lands once. */
+  private[graft] def beamTrace(entries: DataFrame,
+      expand: DataFrame => DataFrame,
+      keep: DataFrame => DataFrame,
+      rounds: Int): Seq[(Int, DataFrame)] = {
+    var pool = entries.localCheckpoint(true)
+    var frontier = pool
+    val out = scala.collection.mutable.ArrayBuffer(0 -> pool)
+    for (r <- 1 to rounds) {
+      val fresh = expand(frontier)
+        .join(pool, Seq("qid", "node"), "left_anti")
+      frontier = keep(fresh).localCheckpoint(true)
       pool = pool.union(frontier)
       out += (r -> pool)
     }

@@ -67,6 +67,11 @@ object Pq {
   import org.apache.spark.sql.{Column, DataFrame}
   import org.apache.spark.sql.functions._
 
+  /** Squared distance as the left-associated zip_with/aggregate fold —
+    * the ONE definition of the arithmetic every DuckDB oracle replays
+    * with explicit j-ordered sums ([[lutCol]], [[ivfPqEncode]]'s coarse
+    * routing, and through lutCol every encode/LUT path). Keep them in
+    * lockstep: a fold-order change here changes hashes everywhere. */
   private def sqd(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
@@ -122,9 +127,7 @@ object Pq {
     * lockstep). Shared by flat-PQ encode, query LUTs (sq24), and the
     * stored-codes serving path. */
   def lutCol(v: Column, cb: Seq[Seq[Seq[Double]]], sub: Int, mi: Int): Column =
-    transform(typedlit(cb(mi)), c =>
-      aggregate(zip_with(slice(v, mi * sub + 1, sub), c,
-        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+    transform(typedlit(cb(mi)), c => sqd(slice(v, mi * sub + 1, sub), c))
 
   /** Flat-PQ encode (no coarse stage): `vec_id` + one 4-bit code per
     * subspace as columns `c0..c{M-1}` — argmin via
@@ -158,8 +161,7 @@ object Pq {
       rot: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val m = cb.length
     val coarseLit = typedlit(coarse)
-    def subDist(vCol: Column, mi: Int) =
-      transform(typedlit(cb(mi)), c => sqd(slice(vCol, mi * sub + 1, sub), c))
+    def subDist(vCol: Column, mi: Int) = lutCol(vCol, cb, sub, mi)
     val rawRes = zip_with(col("v"), element_at(coarseLit, col("list_id") + 1),
       (x, y) => x - y)
     val assigned = vecs

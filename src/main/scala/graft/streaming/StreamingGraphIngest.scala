@@ -36,15 +36,22 @@ object StreamingGraphIngest {
     * set, the arrivals' vectors also append into the [[KnnGraph
     * .writeVectors]] store, so store-only serving
     * ([[KnnGraph.serveFromStores]]) can answer them with no corpus
-    * frame anywhere. */
+    * frame anywhere. When `codes` = (codesPath, codebook) is set, the
+    * arrivals' flat-PQ codes append into the [[KnnGraph.writeCodes]]
+    * sidecar too — required if the graph is served through the
+    * quantized head ([[KnnGraph.serveFromStoresPq]]), whose ADC rank
+    * inner-joins that store: without the append, inserted nodes would
+    * silently never be kept or answered by it. */
   def start(newVecs: DataFrame, storePath: String, corpus: DataFrame,
       k: Int, beamRounds: Int, checkpointDir: String,
       trigger: Option[Trigger] = None,
-      vecPath: Option[String] = None): StreamingQuery = {
+      vecPath: Option[String] = None,
+      codes: Option[(String, Seq[Seq[Seq[Double]]])] = None): StreamingQuery = {
     val writer = newVecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        insertBatch(batch.toDF(), storePath, corpus, k, beamRounds, vecPath)
+        insertBatch(batch.toDF(), storePath, corpus, k, beamRounds, vecPath,
+          codes)
       }
     trigger.fold(writer)(writer.trigger).start()
   }
@@ -55,7 +62,8 @@ object StreamingGraphIngest {
     * arrivals or the next rebuild), exactly like a bulk HNSW insert at
     * one sequence point. */
   def insertBatch(batch: DataFrame, storePath: String, corpus: DataFrame,
-      k: Int, beamRounds: Int, vecPath: Option[String] = None): Unit = {
+      k: Int, beamRounds: Int, vecPath: Option[String] = None,
+      codes: Option[(String, Seq[Seq[Seq[Double]]])] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
@@ -129,6 +137,19 @@ object StreamingGraphIngest {
           pmod($"vec_id",
             lit(KnnGraph.bucketsOf(spark, vp).toLong)).cast("int"))
         .write.mode("append").partitionBy("bucket").parquet(vp)
+    }
+    // the PQ codes sidecar appends LAST: a crash window leaves a node
+    // with a vector but no code — invisible to the quantized head's
+    // ADC rank (recall-only degradation the next refine/rebuild
+    // republishes), while every exact loop already serves it; codes
+    // use the FROZEN codebook like the IVF family's frozen quantizers.
+    codes.foreach { case (cp, cb) =>
+      graft.similarity.Pq
+        .pqEncode(batch.select($"vec_id", $"v"), cb, cb.head.head.length)
+        .withColumn("bucket",
+          pmod($"vec_id",
+            lit(KnnGraph.bucketsOf(spark, cp).toLong)).cast("int"))
+        .write.mode("append").partitionBy("bucket").parquet(cp)
     }
   }
 }

@@ -5,9 +5,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** sq25's filtered serving answers from the SAME blind walk sq22
   * hash-freezes (one shared loop, blindBeamPools) — so its unfiltered
-  * recall column must equal sq22's exactly, and the filtered recall
-  * can never exceed the unfiltered at any depth (the filtered truth is
-  * at least as hard to hit from a filter-blind pool). */
+  * recall column must equal sq22's exactly. The second case is a
+  * FIXTURE PIN, not a theorem: on this corpus/label layout the
+  * filtered recall lands at or below the unfiltered at the final
+  * depth. (It is NOT an invariant — filtered recall is scored against
+  * the label-pruned truth, unfiltered against the global truth, and a
+  * label slice small enough makes every matching pool member a truth
+  * hit; if the fixture or labeling changes and this fires, re-derive
+  * the expected relation rather than assuming a bug in the walk.) */
 class FilteredGraphAnnSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -24,8 +29,8 @@ class FilteredGraphAnnSpec extends AnyFunSuite {
       assert(unf == sq22(r),
         s"round $r: sq25's blind walk diverged from sq22 ($unf vs ${sq22(r)})")
     }
-    // a filter-blind pool can't serve the filtered target better than
-    // the unfiltered one at the final depth, where the pool is richest
+    // fixture pin (see scaladoc): on THIS corpus/labeling the filter
+    // only costs at the final depth — not a general invariant
     val (_, unfLast, fLast) = sq25.last
     assert(fLast <= unfLast + 1e-12,
       s"filtered recall $fLast above unfiltered $unfLast at final depth")

@@ -99,6 +99,17 @@ class KnnGraphRefineSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       KnnGraph.refineDurable(vecs, seed, K + 4, rounds = 1, work))
     assert(e.getMessage.contains("refusing to resume"))
+    // unlike the build, the SEED is a varying input: resuming the same
+    // workDir with a different same-size seed graph must fail loudly
+    // (the fingerprint digests the seed's edge set) — otherwise the
+    // old seed's refined rounds would reload silently, e.g. after an
+    // erasure changed the store the refine was seeded from
+    val otherSeed = seed.filter($"src" =!= 0L)
+    assert(otherSeed.count() < seed.count(), "mutation must change the seed")
+    val e2 = intercept[IllegalArgumentException](
+      KnnGraph.refineDurable(vecs, otherSeed, K, rounds = 1, work))
+    assert(e2.getMessage.contains("refusing to resume"),
+      "a changed seed graph must not resume against stale rounds")
     vecs.unpersist()
   }
 }

@@ -118,4 +118,61 @@ class StoredPqServeSpec extends AnyFunSuite {
       "stored PQ serving diverged from the bit-exact driver replay")
     vecs.unpersist()
   }
+
+  test("codes sidecar stays in lockstep: streamed inserts append codes, erasure removes them") {
+    import spark.implicits._
+    val vecs = corpus()
+    val sample = vecs.select($"vec_id", $"v").orderBy($"vec_id").limit(20000)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val cb = Pq.trainSubspaces(sample, M, Sub, 16)
+    val root = java.nio.file.Files.createTempDirectory("graft-pqlock").toString
+    val newId = 173L
+    val base = vecs.filter($"vec_id" =!= newId)
+    KnnGraph.writeStore(KnnGraph.build(base, K, rounds = 2).last, s"$root/g")
+    KnnGraph.writeVectors(base, s"$root/vec")
+    KnnGraph.writeCodes(Pq.pqEncode(base, cb, Sub), s"$root/codes")
+    val newVec = vecs.filter($"vec_id" === newId)
+      .select($"v").as[Seq[Double]].head()
+
+    // an insert with the codes option appends the arrival's code row
+    // into its arithmetic bucket — the PQ head's serving contract
+    graft.streaming.StreamingGraphIngest.insertBatch(
+      Seq((newId, newVec)).toDF("vec_id", "v"), s"$root/g", vecs, K,
+      beamRounds = 3, vecPath = Some(s"$root/vec"),
+      codes = Some((s"$root/codes", cb)))
+    val codeRow = spark.read.parquet(s"$root/codes")
+      .filter($"vec_id" === newId)
+    assert(codeRow.count() == 1, "insert must append exactly one code row")
+    assert(codeRow.select($"bucket").as[Int].head() ==
+      (newId % KnnGraph.bucketsOf(spark, s"$root/codes")).toInt,
+      "code row landed outside the store's recorded bucket arithmetic")
+    // the appended code equals the frozen-codebook encode of the vector
+    val appended = codeRow
+      .select((0 until M).map(mi => col(s"c$mi")): _*).head()
+    val direct = Pq.pqEncode(Seq((newId, newVec)).toDF("vec_id", "v"), cb, Sub)
+      .select((0 until M).map(mi => col(s"c$mi")): _*).head()
+    assert(appended == direct, "appended code diverged from the encode")
+
+    // findable THROUGH the quantized head — would fail without the
+    // codes append (the ADC rank inner-joins the codes store)
+    val probe = Seq((newId + 1000000L, newVec)).toDF("qid", "v")
+    def pqServe() = KnnGraph.serveFromStoresPq(spark, s"$root/g",
+        s"$root/codes", s"$root/vec", probe, cb, K, beamRounds = 4,
+        entries = Some(KnnGraph.sampledEntries(vecs, probe, stride = 8)))
+      .as[(Long, Long)].collect()
+    assert(pqServe().exists(_._2 == newId),
+      s"quantized head did not find inserted node $newId")
+
+    // erasure reaches the sidecar: the victim's code row — still a
+    // (quantized) representation of the victim — is physically gone,
+    // and the quantized head can never answer the victim again
+    KnnGraph.eraseStored(spark, s"$root/g", Seq(newId),
+      vecPath = Some(s"$root/vec"), codesPath = Some(s"$root/codes"))
+    assert(spark.read.parquet(s"$root/codes")
+      .filter($"vec_id" === newId).isEmpty,
+      "victim's code row survived the erase")
+    assert(!pqServe().exists(_._2 == newId),
+      "quantized head served an erased victim")
+    vecs.unpersist()
+  }
 }
