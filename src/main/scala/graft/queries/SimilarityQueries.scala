@@ -2856,8 +2856,12 @@ object SimilarityQueries {
        |  SELECT c.src, c.nbr, list_cosine_similarity(x.v, y.v) AS cos
        |  FROM c_5 c JOIN vecs x ON c.src = x.vec_id
        |  JOIN vecs y ON c.nbr = y.vec_id),
+       |s5top AS MATERIALIZED (
+       |  SELECT src, nbr, cos FROM (
+       |    SELECT src, nbr, cos, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, nbr) AS rn FROM s_5) WHERE rn <= 24),
        |cand AS MATERIALIZED (
-       |  SELECT src, nbr, cos FROM s_5
+       |  SELECT src, nbr, cos FROM s5top
        |  UNION
        |  SELECT src, nbr, cos FROM e_0),
        |${pruneSql(8, "1.25")},
@@ -2885,11 +2889,14 @@ object SimilarityQueries {
       .cache()
     val es = nnDescentBuild(vecs, dir, k, buildRounds)
     val plain = es.last
-    // the diversification pool: one more NN-Descent candidate stage
-    // (each node's scored 2-hop neighborhood, k² per node) ∪ the ring
-    // init's spread edges — Vamana prunes from search-visited sets;
-    // this is the relational equivalent, wide AND long candidates
+    // the diversification pool: the BOUNDED top of one more NN-Descent
+    // candidate stage (each node's 24 best scored 2-hop candidates —
+    // Vamana's search-list bound L) ∪ the ring init's spread edges, so
+    // the pool is wide AND long while staying L·n rows at any scale
     val cand = graft.similarity.KnnGraph.scoredCandidates(vecs, plain)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
+      .filter($"rn" <= 24).drop("rn")
       .union(es.head.select($"src", $"nbr", $"cos"))
       .distinct().localCheckpoint(true)
     val pruned = graft.similarity.KnnGraph
@@ -2935,6 +2942,104 @@ object SimilarityQueries {
       .orderBy($"round")
   }
 
+  /** LOCALITY-BUCKETED graph storage measured — the I/O-layout
+    * counterpart of sq26's edge-selection result: the same undirected
+    * adjacency stored two ways, hash (`src % N`, the default layout)
+    * vs CLUSTERED ([[graft.similarity.KnnGraph.writeStoreClustered]] —
+    * partition by the source vector's nearest coarse centroid, each
+    * edge carrying its neighbor's bucket so the walk always knows
+    * where to read next — no node→bucket dictionary, no extra round
+    * trip). The frame reports, per beam round, the frontier size and
+    * BOTH layouts' bucket footprints — batch-union AND per-query
+    * average (computed from one shared trace: the walk, and therefore
+    * the answers, are provably layout-independent,
+    * StoredClusteredSpec) — plus the timed store-only serve through
+    * each layout and the answer-match count.
+    *
+    * Measured honestly: on this fixture's WEAKLY clustered embeddings
+    * (mq11's silhouette ≈ 0.37) the per-query footprint gap is modest
+    * — ≈ 5.6–6.3 cells clustered vs 7.0–7.3 hash buckets per request
+    * at sf0.01 — because a beam over near-unclustered vectors is only
+    * mildly spatially coherent. The STRUCTURAL difference is what
+    * scales: the hash footprint approaches min(|frontier|, N) as the
+    * bucket count N grows with the store (≈ n / rows-per-file, so a
+    * per-request read touches ~8 of N ever-smaller slices scattered
+    * across the store), while the clustered footprint is bounded by
+    * the beam's cluster membership, independent of N — and tightens
+    * with real cluster structure. StoredClusteredSpec pins the
+    * mechanism exactly: a one-cluster frontier reads ONE bucket
+    * directory regardless of how many nodes it holds. */
+  val sq27ClusteredGraphStore: QueryDef = rowsOnly("sq27_clustered_graph_store") { (spark, dir) =>
+    import spark.implicits._
+    import graft.similarity.{KnnGraph, Pq}
+    val k = 8; val buildRounds = 4; val beamRounds = 4; val cells = 16
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val graph = nnDescentBuild(vecs, dir, k, buildRounds).last
+    val root = graft.util.Scratch.tempDir("graft-sq27")
+    val sample = vecs.select($"vec_id", $"v").orderBy($"vec_id").limit(20000)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val cents = Pq.trainCodebook(sample, cells).map(_.toSeq).toSeq
+    KnnGraph.writeStore(graph, s"$root/hash")
+    KnnGraph.writeStoreClustered(graph, vecs, s"$root/clus", cents)
+    KnnGraph.writeVectors(vecs, s"$root/vec")
+    val nbHash = KnnGraph.bucketsOf(spark, s"$root/hash")
+    val qv = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
+    val nq = qv.count()
+    val ring = KnnGraph.ringEntries(vecs, qv).localCheckpoint(true)
+    val entryVecs = ring
+      .join(vecs.select($"vec_id".as("node"), $"v"), Seq("node"))
+      .select($"qid", $"node", $"v")
+    // ONE trace yields both layouts' per-round footprints: the walk is
+    // layout-independent, frontier_r = pool_r \ pool_{r-1}, and each
+    // frontier's bucket sets follow from the two routing functions
+    val trace = KnnGraph.serveStoredTrace(spark, s"$root/hash", vecs, qv,
+      k, beamRounds, entries = Some(ring))
+    val perRound = (1 to beamRounds).map { r =>
+      val frontier = trace(r)._2
+        .join(trace(r - 1)._2, Seq("qid", "node"), "left_anti")
+        .join(vecs.select($"vec_id".as("node"), $"v"), Seq("node"))
+        .withColumn("bh", pmod($"node", lit(nbHash.toLong)).cast("int"))
+        .withColumn("bc", KnnGraph.clusterOf($"v", cents))
+        .localCheckpoint(true)
+      val n = frontier.select($"node").distinct().count()
+      // batch-union footprints (what one driver-batched scan prunes to)
+      val bh = frontier.select($"bh").distinct().count()
+      val bc = frontier.select($"bc").distinct().count()
+      // per-QUERY footprints — the number a per-request serving
+      // endpoint reads, and the one that stays flat as bucket counts
+      // scale with n: a beam is spatially local under the clustered
+      // routing, uniform under the hash routing
+      val row = frontier.groupBy($"qid")
+        .agg(countDistinct($"bh").as("h"), countDistinct($"bc").as("c"))
+        .agg(avg($"h"), avg($"c")).head()
+      (r.toLong, n, bh, bc,
+        math.round(row.getDouble(0) * 100) / 100.0,
+        math.round(row.getDouble(1) * 100) / 100.0)
+    }
+    val tH0 = System.nanoTime()
+    val hashServed = KnnGraph.serveFromStores(spark, s"$root/hash",
+        s"$root/vec", qv, k, beamRounds, entries = Some(ring))
+      .as[(Long, Long)].collect()
+    val hashMs = (System.nanoTime() - tH0) / 1e6 / nq
+    val tC0 = System.nanoTime()
+    val clusServed = KnnGraph.serveFromStoresClustered(spark, s"$root/clus",
+        s"$root/vec", qv, k, beamRounds, entryVecs = entryVecs)
+      .as[(Long, Long)].collect()
+    val clusMs = (System.nanoTime() - tC0) / 1e6 / nq
+    val matches = clusServed.toSet.intersect(hashServed.toSet).size.toLong
+    vecs.unpersist()
+    perRound.map { case (r, n, bh, bc, ah, ac) =>
+      (r, n, bh, bc, ah, ac, hashServed.length.toLong, matches,
+        math.round(hashMs * 10) / 10.0, math.round(clusMs * 10) / 10.0,
+        cells.toLong, nbHash.toLong)
+    }.toDF("round", "frontier_nodes", "buckets_hash", "buckets_clustered",
+      "per_query_hash", "per_query_clustered",
+      "rows_served", "rows_matching", "serve_ms_hash", "serve_ms_clustered",
+      "n_cells", "n_hash_buckets")
+      .orderBy($"round")
+  }
+
   val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
     sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
     sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall,
@@ -2944,5 +3049,5 @@ object SimilarityQueries {
     sq17AnnOpqRecall, sq19WhiteningAudit, sq04bAnnIvfRecallPortable,
     sq02cLshBitScaling, sq21KnnGraphNnDescent, sq22GraphAnnServe,
     sq22bGraphServingLatency, sq23GraphInsertDrift, sq24GraphPqServe,
-    sq25FilteredGraphAnn, sq26GraphAlphaPrune)
+    sq25FilteredGraphAnn, sq26GraphAlphaPrune, sq27ClusteredGraphStore)
 }

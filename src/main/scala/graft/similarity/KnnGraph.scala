@@ -124,9 +124,15 @@ object KnnGraph {
       rounds: Int): Seq[DataFrame] = {
     if (sys.props.get("graft.noBuildCache").contains("1"))
       return build(vecs, k, rounds)
-    val wd = sharedBuildDirs.computeIfAbsent((corpusKey, k, rounds),
-      _ => graft.util.Scratch.tempDir(s"graft-knng-$k-$rounds"))
-    buildDurable(vecs, k, rounds, wd)
+    // serialized: two concurrent first-callers must not race the same
+    // workDir's round writes (query runners are sequential today; this
+    // keeps the cache safe if that ever changes — a resume hit returns
+    // quickly, so the coarse lock costs nothing steady-state)
+    sharedBuildDirs.synchronized {
+      val wd = sharedBuildDirs.computeIfAbsent((corpusKey, k, rounds),
+        _ => graft.util.Scratch.tempDir(s"graft-knng-$k-$rounds"))
+      buildDurable(vecs, k, rounds, wd)
+    }
   }
 
   /** Exact-cosine scoring of an edge frame: fetch both endpoints'
@@ -260,32 +266,41 @@ object KnnGraph {
     *
     * Pure relational algebra, deterministic, ORACLE-REPLAYABLE: r
     * unrolled rounds of [pick the (cos DESC, nbr) top-1 remaining per
-    * src] → [anti-prune the remainder through one candidate-bounded
-    * cosine join against the pick]. Rounds are r (the degree bound),
-    * never data-sized; each round's frames are candidate-bounded
-    * (≤ |cand| rows), so at 100 TB the cost is r passes over the
-    * index-sized candidate list — the same shape as one NN-Descent
-    * round, cheaper by k²/|cand|. */
+    * src] → [anti-prune the remainder through the pick's α-cover
+    * test]. Rounds are r (the degree bound), never data-sized; each
+    * round's frames are candidate-bounded (≤ |cand| rows, shrinking).
+    * `cand` should be BOUNDED per node — Vamana's search-list
+    * parameter L plays exactly this role (sq26 uses the top-24 scored
+    * 2-hop candidates ∪ the ring init's spread edges ≈ L = 32); an
+    * unbounded 2-hop pool at 100× corpus scale is a k²·n-row frame
+    * with vectors attached, which is what the L bound exists to
+    * prevent. At 100 TB the cost is r passes over the L·n-row
+    * candidate list — the same shape as one NN-Descent round. */
   def robustPrune(vecs: DataFrame, cand: DataFrame, r: Int,
       alpha: Double): DataFrame = {
     import vecs.sparkSession.implicits._
-    var remaining = cand.select($"src", $"nbr", $"cos").localCheckpoint(true)
+    // candidate vectors attach ONCE — the r prune rounds then join only
+    // the picks frame, never the corpus (at 100× the per-round re-fetch
+    // was the memory killer; the attached frame is |cand| rows and
+    // shrinks every round)
+    var remaining = cand.select($"src", $"nbr", $"cos")
+      .join(vecs.select($"vec_id".as("nbr"), $"v".as("cv")), Seq("nbr"))
+      .select($"src", $"nbr", $"cos", $"cv")
+      .localCheckpoint(true)
     var kept: DataFrame = null
     for (_ <- 1 to r) {
       val pick = remaining.withColumn("rn", row_number().over(
           Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
         .filter($"rn" === 1).drop("rn").localCheckpoint(true)
-      kept = if (kept == null) pick else kept.union(pick)
-      val pickV = pick
-        .join(vecs.select($"vec_id".as("nbr"), $"v"), Seq("nbr"))
-        .select($"src", $"nbr".as("pnbr"), $"v".as("pv"))
+      val pickEdges = pick.select($"src", $"nbr", $"cos")
+      kept = if (kept == null) pickEdges else kept.union(pickEdges)
+      val pickV = pick.select($"src", $"nbr".as("pnbr"), $"cv".as("pv"))
       remaining = remaining
         .join(pickV, Seq("src"))
         .filter($"nbr" =!= $"pnbr")
-        .join(vecs.select($"vec_id".as("nbr"), $"v".as("cv")), Seq("nbr"))
         .filter(!(lit(alpha) * (lit(1.0) - cosine($"pv", $"cv")) <=
           (lit(1.0) - $"cos")))
-        .select($"src", $"nbr", $"cos")
+        .select($"src", $"nbr", $"cos", $"cv")
         .localCheckpoint(true)
     }
     kept
@@ -443,6 +458,266 @@ object KnnGraph {
       }
     }
   }
+
+  /** LOCALITY-bucketed adjacency store: partition by the SOURCE
+    * VECTOR's nearest coarse centroid (IVF's routing, applied to
+    * storage layout) instead of `src % N`, and carry each edge's
+    * NEIGHBOR bucket as a column. Graph neighborhoods are spatially
+    * coherent, and a query's beam stays inside a few cells — so a beam
+    * round reads the frontier's FEW distinct cluster buckets instead
+    * of `min(|frontier|, N)` hash buckets (with ring/hash layout a
+    * 128-node frontier touches essentially every bucket). The
+    * `nbr_bucket` column closes the lookup problem a non-arithmetic
+    * bucket function creates: the expansion that DISCOVERS a node also
+    * tells the next round where that node's adjacency lives, so no
+    * node→bucket dictionary and no extra round trip — only the ENTRY
+    * nodes need their bucket computed, and entries always come with
+    * their vectors (centroid assign is one broadcast argmin,
+    * [[clusterOf]]). Centroids persist in a `_graft_centroids` sidecar
+    * next to the bucket-count marker; answers are provably identical
+    * to the hash store's ([[StoredGraphSpec]]) — the layout changes
+    * WHERE edges live, never which edges exist.
+    *
+    * 100 TB: bucket count scales like IVF's nlist (≈ √n cells keeps
+    * cells row-group-sized); a beam round's scan is proportional to
+    * the query batch's CLUSTER footprint, not to the bucket count. */
+  def writeStoreClustered(graph: DataFrame, vecs: DataFrame, path: String,
+      centroids: Seq[Seq[Double]]): Unit = {
+    import graph.sparkSession.implicits._
+    val assign = vecs.select($"vec_id",
+      clusterOf($"v", centroids).as("cb"))
+    graph.select($"src", $"nbr")
+      .union(graph.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
+      .join(assign.select($"vec_id".as("nbr"), $"cb".as("nbr_bucket")), Seq("nbr"))
+      .join(assign.select($"vec_id".as("src"), $"cb".as("bucket")), Seq("src"))
+      .select($"src", $"nbr", $"nbr_bucket", $"bucket")
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeBucketMeta(graph.sparkSession, path, centroids.length)
+    // underscore-prefixed dirs are invisible to the store's own scans
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_centroids")
+  }
+
+  /** Nearest-centroid id of vector column `v` — the storage-routing
+    * twin of IVF's coarse assign (first-index-wins tie-break, the
+    * arithmetic [[graft.similarity.Pq.ivfPqEncode]] uses). */
+  def clusterOf(v: org.apache.spark.sql.Column,
+      centroids: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
+    val d = transform(typedlit(centroids), c =>
+      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** The centroids a [[writeStoreClustered]] store was routed by. */
+  def centroidsOf(spark: SparkSession, path: String): Seq[Seq[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/_graft_centroids")
+      .orderBy($"cid").select($"centroid")
+      .as[Seq[Double]].collect().toSeq
+  }
+
+  /** Erase victim nodes from a CLUSTERED adjacency store — the
+    * [[eraseStored]] contract (both edge directions removed, surviving
+    * neighbors re-linked pairwise, untouched buckets byte-identical)
+    * on the [[writeStoreClustered]] layout. The carried buckets make
+    * the erase request-sized WITHOUT arithmetic routing: the victims'
+    * own buckets come from [[clusterOf]] over their vectors (read from
+    * the vector store BEFORE it is erased — pass the same `vecPath`
+    * the serving loop uses), and every dangling edge's location is
+    * named by the victim's own rows (`nbr` + `nbr_bucket` — the
+    * neighbor holding the reverse edge and the bucket it lives in), so
+    * the rewrite prunes to victim buckets ∪ carried neighbor buckets.
+    * Re-linked pairs inherit their endpoints' carried buckets. When
+    * `vecPath`/`codesPath` erase is wanted too, this must run FIRST —
+    * it needs the victims' vectors to route. */
+  def eraseStoredClustered(spark: SparkSession, path: String,
+      victims: Seq[Long], vecPath: String,
+      eraseVectors: Boolean = false,
+      codesPath: Option[String] = None): Unit = {
+    import spark.implicits._
+    import graft.sources.PartitionedLayout.{withDynamicOverwrite, withStaging}
+    require(victims.nonEmpty, "empty victim list")
+    val cents = centroidsOf(spark, path)
+    val vicFrame = fetchVectors(spark, vecPath,
+      victims.toDF("node"))
+    val vicBuckets = vicFrame
+      .select(clusterOf($"v", cents).as("b")).distinct()
+      .as[Int].collect().toSeq
+    require(vicBuckets.nonEmpty,
+      s"victims ${victims.take(4).mkString(",")}... have no vectors in " +
+        s"$vecPath — clustered erase routes by vector; erase the graph " +
+        "before the vector store")
+    val victimSet = victims.toSet
+    // the victims' own rows: one pruned read; each row carries the
+    // neighbor AND the bucket its reverse edge lives in
+    val vicRows = spark.read.parquet(path)
+      .filter($"bucket".isin(vicBuckets: _*))
+      .filter($"src".isin(victims: _*))
+      .select($"src", $"nbr", $"nbr_bucket")
+      .as[(Long, Long, Int)].collect()
+    val nbrs = vicRows.groupBy(_._1)
+      .map { case (s, rows) => s -> rows.map(r => (r._2, r._3)).toSeq }
+    val nbrBuckets = vicRows.filterNot(r => victimSet(r._2)).map(_._3)
+      .distinct.toSeq
+    val touched = (vicBuckets ++ nbrBuckets).distinct.sorted
+    // pairwise re-link among each victim's surviving neighbors, both
+    // directions, each row routed by its OWN carried source bucket
+    val repair = nbrs.values.toSeq.flatMap { ns =>
+      val s = ns.filterNot(n => victimSet(n._1)).distinctBy(_._1)
+        .sortBy(_._1)
+      for {
+        (a, ab) <- s; (b, bb) <- s if a < b
+      } yield Seq((a, b, bb, ab), (b, a, ab, bb))
+    }.flatten.distinct
+    val repairDf = repair.toDF("src", "nbr", "nbr_bucket", "bucket")
+    withDynamicOverwrite(spark) {
+      val slice = spark.read.parquet(path)
+        .filter($"bucket".isin(touched: _*))
+        .filter(!$"src".isin(victims: _*) && !$"nbr".isin(victims: _*))
+        .select($"src", $"nbr", $"nbr_bucket", $"bucket")
+        .unionByName(repairDf).distinct()
+      withStaging(spark, path, slice) { staged =>
+        staged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        val present = staged.select($"bucket").distinct()
+          .as[Int].collect().toSet
+        val root = new org.apache.hadoop.fs.Path(path)
+        val f = root.getFileSystem(spark.sessionState.newHadoopConf())
+        touched.filterNot(present.contains).foreach(b =>
+          f.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true))
+      }
+    }
+    // a victim can linger as a CELL ENTRY ([[writeEntries]]) — a stale
+    // entry would re-seed every pool with the victim, so the sidecar
+    // drops those rows (the cell then routes to the next-nearest
+    // present cell until the next writeEntries refresh)
+    val entriesPath = new org.apache.hadoop.fs.Path(path, "_graft_entries")
+    val hfs = entriesPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (hfs.exists(entriesPath)) {
+      val kept = spark.read.parquet(entriesPath.toString)
+        .filter(!$"node".isin(victims: _*))
+        .collect()
+      val schema = spark.read.parquet(entriesPath.toString).schema
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(kept: _*)), schema)
+        .coalesce(1).write.mode("overwrite").parquet(entriesPath.toString)
+    }
+    if (eraseVectors) eraseFromIdStore(spark, vecPath, victims)
+    codesPath.foreach(eraseFromIdStore(spark, _, victims))
+  }
+
+  /** One frontier expansion from the CLUSTERED store: the frontier
+    * carries each node's bucket (`node_bucket` — known from the edge
+    * that discovered it), so the scan prunes to the frontier's
+    * DISTINCT CLUSTER buckets, and the result carries the next
+    * frontier's buckets. Returns (qid, node, node_bucket). */
+  def expandClustered(spark: SparkSession, path: String,
+      frontier: DataFrame): DataFrame = {
+    import spark.implicits._
+    val buckets = frontier.select($"node_bucket").distinct()
+      .as[Int].collect().toSeq
+    val pruned = spark.read.parquet(path).filter($"bucket".isin(buckets: _*))
+    frontier.join(pruned, frontier("node") === pruned("src"))
+      .select(frontier("qid"), pruned("nbr").as("node"),
+        pruned("nbr_bucket").as("node_bucket"))
+      .distinct()
+  }
+
+  /** Store-only beam serving over the CLUSTERED layout — the same
+    * walk as [[serveFromStores]] (one skeleton, [[beamTrace]]) with
+    * bucket-carrying frontiers; answers are IDENTICAL, the scan per
+    * round shrinks from `min(|frontier|, N)` hash buckets to the
+    * frontier's cluster footprint (StoredClusteredSpec asserts both).
+    * Entries resolve their buckets via [[clusterOf]] against the
+    * store's recorded centroids — entries always carry vectors. */
+  def serveFromStoresClustered(spark: SparkSession, graphPath: String,
+      vecPath: String, queries: DataFrame, k: Int, beamRounds: Int,
+      entryVecs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cents = centroidsOf(spark, graphPath)
+    serveClusteredFrom(spark, graphPath, vecPath, queries, k, beamRounds,
+      entryVecs.select($"qid", $"node", clusterOf($"v", cents).as("node_bucket")))
+  }
+
+  /** The clustered walk with EXPLICIT (qid, node, node_bucket) entries
+    * — what [[storedEntries]] feeds. */
+  private def serveClusteredFrom(spark: SparkSession, graphPath: String,
+      vecPath: String, queries: DataFrame, k: Int, beamRounds: Int,
+      entries: DataFrame): DataFrame = {
+    import spark.implicits._
+    def scoreKeep(cand: DataFrame, keep: Int) = cand
+      .join(broadcast(queries), Seq("qid"))
+      .join(fetchVectors(spark, vecPath, cand)
+        .select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
+      .filter($"rn" <= keep)
+      .select($"qid", $"node", $"node_bucket")
+    val pool = beamTrace(entries,
+      expandClustered(spark, graphPath, _),
+      fresh => scoreKeep(fresh.localCheckpoint(true), k),
+      beamRounds).last._2
+    scoreKeep(pool.filter($"node" =!= $"qid").localCheckpoint(true), k)
+      .select($"qid", $"node")
+  }
+
+  /** Persist per-cell ENTRY POINTS next to a clustered store: for each
+    * centroid, the graph node whose vector is nearest to it (ties →
+    * smallest id), with the node's own routing bucket. This is HNSW's
+    * upper-layer hierarchy collapsed onto the store's cells — a warm
+    * start that costs ZERO corpus I/O at serve time ([[storedEntries]]
+    * reads the |cells|-row sidecar and broadcasts; compare
+    * [[sampledEntries]], whose warm start scans n/stride corpus rows
+    * per batch). One corpus pass at WRITE time, like every other
+    * sidecar. */
+  def writeEntries(vecs: DataFrame, path: String): Unit = {
+    import vecs.sparkSession.implicits._
+    val cents = centroidsOf(vecs.sparkSession, path)
+    val d = transform(typedlit(cents), c =>
+      aggregate(zip_with($"v", c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+    // each cell's entry is its own nearest MEMBER (one corpus pass, n
+    // rows through the per-cell window — not n×cells); its routing
+    // bucket is therefore the cell itself
+    vecs.select($"vec_id", $"v")
+      .withColumn("cid", clusterOf($"v", cents))
+      .withColumn("dist", element_at(d, $"cid" + 1))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"cid").orderBy($"dist".asc, $"vec_id")))
+      .filter($"rn" === 1)
+      .select($"cid", $"vec_id".as("node"), $"cid".as("node_bucket"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_entries")
+  }
+
+  /** Serve-time entry resolution from the [[writeEntries]] sidecar:
+    * route each query to its nearest centroid AMONG CELLS THAT HAVE AN
+    * ENTRY (an empty cell has no member to enter at), enter at that
+    * cell's stored node. Touches the |cells|-row sidecar and the
+    * broadcast centroid list — NO corpus scan. */
+  def storedEntries(spark: SparkSession, path: String,
+      queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cents = centroidsOf(spark, path)
+    val entries = spark.read.parquet(s"$path/_graft_entries")
+    val present = entries.select($"cid").as[Int].collect().sorted.toSeq
+    val presentCents = present.map(cents(_))
+    queries
+      .select($"qid", clusterOf($"v", presentCents).as("pidx"))
+      .withColumn("cid", element_at(typedlit(present), $"pidx" + 1))
+      .join(broadcast(entries), Seq("cid"))
+      .select($"qid", $"node", $"node_bucket")
+  }
+
+  /** Clustered serving warm-started from the stored per-cell entries —
+    * the fully store-resident serving head: graph, vectors, centroids,
+    * and entry points all come from the store; a request batch touches
+    * O(beam·k·rounds) vectors, the frontier's cluster buckets, and one
+    * broadcast-sized sidecar. */
+  def serveFromStoresClusteredWarm(spark: SparkSession, graphPath: String,
+      vecPath: String, queries: DataFrame, k: Int,
+      beamRounds: Int): DataFrame =
+    serveClusteredFrom(spark, graphPath, vecPath, queries, k, beamRounds,
+      storedEntries(spark, graphPath, queries))
 
   /** One frontier expansion from the stored adjacency: reads ONLY the
     * frontier nodes' buckets (≤ NumBuckets values, driver-bounded) and

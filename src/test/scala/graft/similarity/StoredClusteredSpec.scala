@@ -1,0 +1,213 @@
+package graft.similarity
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[KnnGraph.writeStoreClustered]] / [[KnnGraph.serveFromStoresClustered]]
+  * — the locality-bucketed adjacency layout. Three contracts: the
+  * layout changes WHERE edges live, never which edges exist (clustered
+  * serving answers EQUAL the hash store's on the same graph and
+  * entries); a beam round's scan prunes to the frontier's distinct
+  * CLUSTER buckets (plan-asserted), which on a spatially-coherent
+  * frontier is strictly narrower than the hash layout's
+  * min(|frontier|, N) buckets; and the centroid sidecar round-trips. */
+class StoredClusteredSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val K = 8
+  private val Cells = 16
+
+  test("clustered store: answers equal the hash store, scans prune to the cluster footprint") {
+    import spark.implicits._
+    import graft.similarity.VectorOps.toDouble
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val graph = KnnGraph.build(vecs, K, rounds = 2).last
+    val root = java.nio.file.Files.createTempDirectory("graft-clus").toString
+    val sample = vecs.select($"v").as[Seq[Double]].collect()
+      .map(_.toArray).toIndexedSeq
+    val cents = Pq.trainCodebook(sample, Cells).map(_.toSeq).toSeq
+    KnnGraph.writeStore(graph, s"$root/hash")
+    KnnGraph.writeStoreClustered(graph, vecs, s"$root/clus", cents)
+    KnnGraph.writeVectors(vecs, s"$root/vec")
+
+    // the two layouts hold the SAME undirected edge set
+    val eh = spark.read.parquet(s"$root/hash").select($"src", $"nbr")
+      .as[(Long, Long)].collect().toSet
+    val ec = spark.read.parquet(s"$root/clus").select($"src", $"nbr")
+      .as[(Long, Long)].collect().toSet
+    assert(ec == eh, "clustered layout changed the edge set")
+    // and every edge's nbr_bucket is the neighbor's own routing bucket
+    val assignments = vecs.select($"vec_id",
+        KnnGraph.clusterOf($"v", cents).as("cb"))
+      .as[(Long, Int)].collect().toMap
+    val wrong = spark.read.parquet(s"$root/clus")
+      .select($"nbr", $"nbr_bucket").as[(Long, Int)].collect()
+      .filter { case (nbr, b) => assignments(nbr) != b }
+    assert(wrong.isEmpty, s"${wrong.length} edges carry a wrong nbr_bucket")
+    assert(KnnGraph.centroidsOf(spark, s"$root/clus") == cents,
+      "centroid sidecar did not round-trip")
+
+    // identical answers from identical entries
+    val queries = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
+    val nq = queries.count()
+    val ring = KnnGraph.ringEntries(vecs, queries)
+    val entryVecs = ring
+      .join(vecs.select($"vec_id".as("node"), $"v"), Seq("node"))
+      .select($"qid", $"node", $"v")
+    val hashServed = KnnGraph.serveFromStores(spark, s"$root/hash",
+        s"$root/vec", queries, K, beamRounds = 3, entries = Some(ring))
+      .as[(Long, Long)].collect().toSet
+    val clusServed = KnnGraph.serveFromStoresClustered(spark, s"$root/clus",
+        s"$root/vec", queries, K, beamRounds = 3, entryVecs = entryVecs)
+      .as[(Long, Long)].collect().toSet
+    assert(clusServed == hashServed,
+      "clustered serving diverged from the hash store's answers")
+
+    // pruning: a one-cluster frontier reads exactly one bucket dir of
+    // the clustered store, regardless of how many nodes it holds
+    val oneCell = spark.read.parquet(s"$root/clus")
+      .filter($"bucket" === assignments.head._2)
+      .select($"src".as("node"), $"bucket".as("node_bucket"))
+      .distinct().limit(8).withColumn("qid", lit(0L))
+      .select($"qid", $"node", $"node_bucket")
+    val expanded = KnnGraph.expandClustered(spark, s"$root/clus", oneCell)
+    val scans = expanded.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("graft-clus")) => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach(f => assert(f.selectedPartitions.partitionCount == 1,
+      "a one-cluster frontier must read exactly one bucket"))
+    assert(expanded.count() > 0)
+
+    // erasure parity: the clustered erase removes both edge directions,
+    // re-links survivors, leaves clean buckets byte-identical, and the
+    // two layouts keep serving the SAME answers after the same erase
+    val victim = 101L
+    val vBucket = assignments(victim)
+    val cleanBefore = new java.io.File(s"$root/clus").listFiles()
+      .filter(d => d.getName.startsWith("bucket=") &&
+        d.getName != s"bucket=$vBucket")
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath ->
+        java.nio.file.Files.getLastModifiedTime(f.toPath)).toMap
+    val vicNbrBuckets = spark.read.parquet(s"$root/clus")
+      .filter($"src" === victim).select($"nbr_bucket")
+      .as[Int].collect().toSet
+    KnnGraph.eraseStoredClustered(spark, s"$root/clus", Seq(victim),
+      vecPath = s"$root/vec")
+    KnnGraph.eraseStored(spark, s"$root/hash", Seq(victim))
+    val after = spark.read.parquet(s"$root/clus").cache()
+    assert(after.filter($"src" === victim || $"nbr" === victim).isEmpty,
+      "victim edges survived the clustered erase in some direction")
+    // the edge sets still agree layout-to-layout after the repair
+    val ehA = spark.read.parquet(s"$root/hash").select($"src", $"nbr")
+      .as[(Long, Long)].collect().toSet
+    val ecA = after.select($"src", $"nbr").as[(Long, Long)].collect().toSet
+    assert(ecA == ehA, "the two layouts diverged after the same erase")
+    // a clean bucket (not the victim's, not a dangling-edge holder)
+    // kept byte-identical files
+    val untouched = cleanBefore.keys.filterNot(p =>
+      vicNbrBuckets.exists(b => p.contains(s"bucket=$b/")))
+    assert(untouched.nonEmpty, "fixture left no untouched bucket to check")
+    untouched.foreach { p =>
+      assert(java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(p)) == cleanBefore(p),
+        s"clean bucket file $p was rewritten")
+    }
+    // and serving stays answer-identical across layouts (victim gone)
+    val hashAfter = KnnGraph.serveFromStores(spark, s"$root/hash",
+        s"$root/vec", queries, K, beamRounds = 3, entries = Some(ring))
+      .as[(Long, Long)].collect().toSet
+    val clusAfter = KnnGraph.serveFromStoresClustered(spark, s"$root/clus",
+        s"$root/vec", queries, K, beamRounds = 3, entryVecs = entryVecs)
+      .as[(Long, Long)].collect().toSet
+    assert(clusAfter == hashAfter,
+      "post-erase serving diverged between layouts")
+    assert(!clusAfter.exists(_._2 == victim), "served an erased victim")
+    after.unpersist(); vecs.unpersist()
+  }
+
+  test("stored entry points: per-cell nearest members, zero corpus scan at serve, erase-aware") {
+    import spark.implicits._
+    import graft.similarity.VectorOps.toDouble
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val graph = KnnGraph.build(vecs, K, rounds = 2).last
+    val root = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val sample = vecs.select($"v").as[Seq[Double]].collect()
+      .map(_.toArray).toIndexedSeq
+    val cents = Pq.trainCodebook(sample, Cells).map(_.toSeq).toSeq
+    KnnGraph.writeStoreClustered(graph, vecs, s"$root/clus", cents)
+    KnnGraph.writeVectors(vecs, s"$root/vec")
+    KnnGraph.writeEntries(vecs, s"$root/clus")
+
+    // sidecar correctness vs a driver replay: one row per nonempty
+    // cell, each the cell's nearest member (dist ASC, id tie-break)
+    val vLocal = vecs.as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.toArray }.toMap
+    def sqd(a: Array[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def cellOf(v: Array[Double], cs: Seq[Seq[Double]]): Int =
+      cs.zipWithIndex.minBy { case (c, i) => (sqd(v, c), i) }._2
+    val expected = vLocal.toSeq
+      .map { case (id, v) => (cellOf(v, cents), id, sqd(v, cents(cellOf(v, cents)))) }
+      .groupBy(_._1).map { case (cid, rows) =>
+        cid -> rows.minBy { case (_, id, d) => (d, id) }._2 }
+    val sidecar = spark.read.parquet(s"$root/clus/_graft_entries")
+      .select($"cid", $"node", $"node_bucket").as[(Int, Long, Int)]
+      .collect()
+    assert(sidecar.map(r => r._1 -> r._2).toMap == expected,
+      "entry sidecar diverged from the per-cell nearest member")
+    sidecar.foreach { case (cid, _, b) =>
+      assert(b == cid, "an entry's routing bucket must be its own cell") }
+
+    // entry resolution reads the sidecar only — no corpus scan. The
+    // probe carries the vector of a DIRECT GRAPH NEIGHBOR of its
+    // cell's entry (same cell as the entry, so the walk starts there
+    // and reaches it in one expansion by construction — a findability
+    // guarantee that does not depend on this rough graph's longer-range
+    // navigability; entry QUALITY is sq22b's measured subject)
+    val entryNode = sidecar.head._2
+    val target = spark.read.parquet(s"$root/clus")
+      .filter($"src" === entryNode)
+      .join(vecs.select($"vec_id".as("nbr"), $"v"), Seq("nbr"))
+      .withColumn("cid", KnnGraph.clusterOf($"v", cents))
+      .filter($"cid" === sidecar.head._1)
+      .orderBy($"nbr").select($"nbr", $"v").as[(Long, Seq[Double])]
+      .head()
+    val probe = Seq((target._1 + 1000000L, target._2)).toDF("qid", "v")
+    val resolved = KnnGraph.storedEntries(spark, s"$root/clus", probe)
+    val scanned = resolved.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scanned.forall(_.contains("_graft_entries")),
+      s"entry resolution scanned beyond the sidecar: $scanned")
+    assert(resolved.select($"node").as[Long].head() == entryNode,
+      "probe did not route to its cell's stored entry")
+
+    // the fully store-resident warm serve finds the target
+    val served = KnnGraph.serveFromStoresClusteredWarm(spark, s"$root/clus",
+        s"$root/vec", probe, K, beamRounds = 3)
+      .as[(Long, Long)].collect()
+    assert(served.exists(_._2 == target._1),
+      "warm stored-entry serving did not find the entry's own neighbor; " +
+        s"served=${served.map(_._2).mkString(",")}")
+
+    // erasing a node that IS a cell entry drops it from the sidecar
+    val entryVictim = sidecar.head._2
+    KnnGraph.eraseStoredClustered(spark, s"$root/clus", Seq(entryVictim),
+      vecPath = s"$root/vec")
+    val sidecarAfter = spark.read.parquet(s"$root/clus/_graft_entries")
+      .select($"node").as[Long].collect().toSet
+    assert(!sidecarAfter.contains(entryVictim),
+      "an erased victim survived as a stored entry point")
+    vecs.unpersist()
+  }
+}
