@@ -2942,6 +2942,64 @@ object SimilarityQueries {
       .orderBy($"round")
   }
 
+  /** The OTHER side of sq25's flip point, made concrete: below some
+    * selectivity, filtered ANN should not walk a filter-blind graph at
+    * all — it should run the EXACT top-k over a LABEL-PARTITIONED
+    * vector store, reading only the target labels' partitions. This
+    * query serves 16 filtered queries (target label = qid % 3, so only
+    * labels {0,1,2} of 10 are touched — the scan provably prunes 7/10
+    * partitions, FilteredExactStoreSpec plan-asserts it) from such a
+    * store and is HASH-GREEN: DuckDB replays the label-filtered exact
+    * rank, so the storage path's answers are oracle-anchored, and its
+    * recall is 1.0 by construction — against sq25's measured 0.28
+    * post-filter recall at beam depth 4. The flip: the pruned exact
+    * scan reads |label-slice| vectors per query batch (~10% of the
+    * corpus at sq25's selectivity) and is EXACT; the blind walk reads
+    * O(beam·k·rounds) vectors but HALVES recall at matching depth —
+    * so below the selectivity where a label slice outgrows the beam's
+    * touch count, the partitioned scan wins on both axes at once.
+    *
+    * 100 TB: label partitioning is the same layout discipline as
+    * every PartitionedLayout table — the filtered exact scan is a
+    * partition-pruned, filter-pushed columnar read, embarrassingly
+    * parallel, no index maintenance at all. */
+  val sq25bFilteredExactStored: QueryDef = sqlChecked(
+    "sq25b_filtered_exact_stored",
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |lbl AS (SELECT vec_id, label FROM embeddings),
+       |qv AS (SELECT vec_id AS qid, v FROM vecs WHERE vec_id < 16),
+       |tgt AS (SELECT qid, qid % 3 AS tl FROM qv)
+       |SELECT qid, node FROM (
+       |  SELECT q.qid, c.vec_id AS node,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid
+       |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rn
+       |  FROM qv q JOIN tgt t ON q.qid = t.qid
+       |  JOIN vecs c ON c.vec_id <> q.qid
+       |  JOIN lbl l ON l.vec_id = c.vec_id AND l.label = t.tl)
+       |WHERE rn <= 8
+       |ORDER BY qid, node""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val k = 8
+    val emb = Tables.embeddings(spark, dir)
+    val root = graft.util.Scratch.tempDir("graft-sq25b")
+    emb.select($"vec_id", toDouble($"embedding").as("v"), $"label")
+      .write.partitionBy("label").mode("overwrite").parquet(root)
+    val qv = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("qid"), toDouble($"embedding").as("v"),
+        pmod($"vec_id", lit(3L)).as("tl"))
+    val targets = Seq(0, 1, 2)
+    spark.read.parquet(root)
+      .filter($"label".isin(targets: _*))
+      .join(broadcast(qv.select($"qid", $"v".as("qv"), $"tl")),
+        $"label" === $"tl" && $"vec_id" =!= $"qid")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy(cosine($"qv", $"v").desc, $"vec_id")))
+      .filter($"rn" <= k)
+      .select($"qid", $"vec_id".as("node"))
+      .orderBy($"qid", $"node")
+  }
+
   /** LOCALITY-BUCKETED graph storage measured — the I/O-layout
     * counterpart of sq26's edge-selection result: the same undirected
     * adjacency stored two ways, hash (`src % N`, the default layout)
@@ -3049,5 +3107,6 @@ object SimilarityQueries {
     sq17AnnOpqRecall, sq19WhiteningAudit, sq04bAnnIvfRecallPortable,
     sq02cLshBitScaling, sq21KnnGraphNnDescent, sq22GraphAnnServe,
     sq22bGraphServingLatency, sq23GraphInsertDrift, sq24GraphPqServe,
-    sq25FilteredGraphAnn, sq26GraphAlphaPrune, sq27ClusteredGraphStore)
+    sq25FilteredGraphAnn, sq25bFilteredExactStored, sq26GraphAlphaPrune,
+    sq27ClusteredGraphStore)
 }

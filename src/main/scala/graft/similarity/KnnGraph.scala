@@ -102,7 +102,7 @@ object KnnGraph {
   }
 
   private val sharedBuildDirs =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
   /** PROCESS-SHARED durable build: the first caller for a given
     * (corpusKey, k, rounds) pays the build; every later caller reloads
@@ -129,8 +129,13 @@ object KnnGraph {
     // keeps the cache safe if that ever changes — a resume hit returns
     // quickly, so the coarse lock costs nothing steady-state)
     sharedBuildDirs.synchronized {
-      val wd = sharedBuildDirs.computeIfAbsent((corpusKey, k, rounds),
-        _ => graft.util.Scratch.tempDir(s"graft-knng-$k-$rounds"))
+      // keyed by (corpus, k) ONLY: buildDurable's per-round _SUCCESS
+      // markers make different round counts over one workDir a safe
+      // prefix-share — a 2-round caller reloads rounds 0..2 of a
+      // 4-round build, and a later deeper caller extends in place
+      // (the fingerprint is (k, n), deliberately not rounds)
+      val wd = sharedBuildDirs.computeIfAbsent((corpusKey, k),
+        _ => graft.util.Scratch.tempDir(s"graft-knng-$k"))
       buildDurable(vecs, k, rounds, wd)
     }
   }
@@ -279,6 +284,7 @@ object KnnGraph {
   def robustPrune(vecs: DataFrame, cand: DataFrame, r: Int,
       alpha: Double): DataFrame = {
     import vecs.sparkSession.implicits._
+    require(r > 0, s"degree budget r must be positive, got $r")
     // candidate vectors attach ONCE — the r prune rounds then join only
     // the picks frame, never the corpus (at 100× the per-round re-fetch
     // was the memory killer; the attached frame is |cand| rows and
@@ -540,14 +546,19 @@ object KnnGraph {
     require(victims.nonEmpty, "empty victim list")
     val cents = centroidsOf(spark, path)
     val vicFrame = fetchVectors(spark, vecPath,
-      victims.toDF("node"))
+      victims.toDF("node")).localCheckpoint(true)
+    // EVERY victim must resolve a vector — a missing one would silently
+    // keep its own bucket (and its dangling edges) out of the rewrite,
+    // half-completing an erasure request with no error
+    val found = vicFrame.select($"vec_id").as[Long].collect().toSet
+    val missing = victims.filterNot(found)
+    require(missing.isEmpty,
+      s"victims ${missing.mkString(",")} have no vector in $vecPath — " +
+        "clustered erase routes by vector; erase the graph before the " +
+        "vector store (or re-insert the vectors first)")
     val vicBuckets = vicFrame
       .select(clusterOf($"v", cents).as("b")).distinct()
       .as[Int].collect().toSeq
-    require(vicBuckets.nonEmpty,
-      s"victims ${victims.take(4).mkString(",")}... have no vectors in " +
-        s"$vecPath — clustered erase routes by vector; erase the graph " +
-        "before the vector store")
     val victimSet = victims.toSet
     // the victims' own rows: one pruned read; each row carries the
     // neighbor AND the bucket its reverse edge lives in
@@ -594,13 +605,10 @@ object KnnGraph {
     val entriesPath = new org.apache.hadoop.fs.Path(path, "_graft_entries")
     val hfs = entriesPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (hfs.exists(entriesPath)) {
-      val kept = spark.read.parquet(entriesPath.toString)
-        .filter(!$"node".isin(victims: _*))
-        .collect()
-      val schema = spark.read.parquet(entriesPath.toString).schema
+      val sidecar = spark.read.parquet(entriesPath.toString)
+      val kept = sidecar.filter(!$"node".isin(victims: _*)).collect()
       spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](
-            java.util.Arrays.asList(kept: _*)), schema)
+          java.util.Arrays.asList(kept: _*), sidecar.schema)
         .coalesce(1).write.mode("overwrite").parquet(entriesPath.toString)
     }
     if (eraseVectors) eraseFromIdStore(spark, vecPath, victims)
@@ -678,10 +686,14 @@ object KnnGraph {
       aggregate(zip_with($"v", c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
     // each cell's entry is its own nearest MEMBER (one corpus pass, n
     // rows through the per-cell window — not n×cells); its routing
-    // bucket is therefore the cell itself
+    // bucket is therefore the cell itself. The distance array
+    // materializes ONCE: cid and dist both derive from it (rebuilding
+    // it per column would double the cells×dim arithmetic per row)
     vecs.select($"vec_id", $"v")
-      .withColumn("cid", clusterOf($"v", cents))
-      .withColumn("dist", element_at(d, $"cid" + 1))
+      .withColumn("ds", d)
+      .withColumn("cid",
+        (array_position($"ds", array_min($"ds")) - 1).cast("int"))
+      .withColumn("dist", array_min($"ds")).drop("ds")
       .withColumn("rn", row_number().over(
         Window.partitionBy($"cid").orderBy($"dist".asc, $"vec_id")))
       .filter($"rn" === 1)

@@ -128,6 +128,12 @@ class StoredClusteredSpec extends AnyFunSuite {
     assert(clusAfter == hashAfter,
       "post-erase serving diverged between layouts")
     assert(!clusAfter.exists(_._2 == victim), "served an erased victim")
+    // a victim the vector store can't resolve must fail LOUDLY — a
+    // silent skip would half-complete the erasure request
+    val e = intercept[IllegalArgumentException](
+      KnnGraph.eraseStoredClustered(spark, s"$root/clus", Seq(9999999L),
+        vecPath = s"$root/vec"))
+    assert(e.getMessage.contains("no vector"))
     after.unpersist(); vecs.unpersist()
   }
 
