@@ -152,4 +152,47 @@ object StreamingGraphIngest {
         .write.mode("append").partitionBy("bucket").parquet(cp)
     }
   }
+
+  /** [[insertBatch]] for the CLUSTERED layout
+    * ([[KnnGraph.writeStoreClustered]]): arrivals search the current
+    * store through the fully store-resident warm head (stored entry
+    * points — no corpus frame, no entry sampling scan), link mutually,
+    * and append with CARRIED buckets — each new edge row records its
+    * source's routing cell as the partition and its neighbor's cell in
+    * `nbr_bucket`, so the walk's no-dictionary invariant survives
+    * ingestion. Arrival cells come from [[KnnGraph.clusterOf]] over
+    * the batch's own vectors; neighbor cells from one bounded
+    * (|batch|·k) point-fetch of the vector store. Edges publish before
+    * vectors — the same crash-window ordering as the hash path (a
+    * vector-less node can be expanded into but never answered or
+    * sampled). */
+  def insertClusteredBatch(batch: DataFrame, storePath: String,
+      vecPath: String, k: Int, beamRounds: Int): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val cents = KnnGraph.centroidsOf(spark, storePath)
+    val queries = batch.select($"vec_id".as("qid"), $"v")
+    val found = KnnGraph.serveFromStoresClusteredWarm(spark, storePath,
+        vecPath, queries, k, beamRounds)
+      .as[(Long, Long)].collect()
+    val newCell = batch
+      .select($"vec_id", KnnGraph.clusterOf($"v", cents).as("c"))
+      .as[(Long, Int)].collect().toMap
+    val nbrCell = KnnGraph.fetchVectors(spark, vecPath,
+        found.map(_._2).distinct.toSeq.toDF("node"))
+      .select($"vec_id", KnnGraph.clusterOf($"v", cents).as("c"))
+      .as[(Long, Int)].collect().toMap
+    val rows = found.flatMap { case (newId, nbr) =>
+      Seq((newId, nbr, nbrCell(nbr), newCell(newId)),
+        (nbr, newId, newCell(newId), nbrCell(nbr)))
+    }.distinct.toSeq
+    rows.toDF("src", "nbr", "nbr_bucket", "bucket")
+      .write.mode("append").partitionBy("bucket").parquet(storePath)
+    batch.select($"vec_id", $"v")
+      .withColumn("bucket",
+        pmod($"vec_id",
+          lit(KnnGraph.bucketsOf(spark, vecPath).toLong)).cast("int"))
+      .write.mode("append").partitionBy("bucket").parquet(vecPath)
+  }
 }

@@ -216,4 +216,53 @@ class StoredClusteredSpec extends AnyFunSuite {
       "an erased victim survived as a stored entry point")
     vecs.unpersist()
   }
+
+  test("clustered ingest: streamed inserts append mutual edges with correct carried buckets") {
+    import spark.implicits._
+    import graft.similarity.VectorOps.toDouble
+    val all = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val newId = 289L
+    val base = all.filter($"vec_id" =!= newId)
+    val root = java.nio.file.Files.createTempDirectory("graft-cgrow").toString
+    val sample = base.select($"v").as[Seq[Double]].collect()
+      .map(_.toArray).toIndexedSeq
+    val cents = Pq.trainCodebook(sample, Cells).map(_.toSeq).toSeq
+    KnnGraph.writeStoreClustered(KnnGraph.build(base, K, rounds = 2).last,
+      base, s"$root/clus", cents)
+    KnnGraph.writeVectors(base, s"$root/vec")
+    KnnGraph.writeEntries(base, s"$root/clus")
+    val newVec = all.filter($"vec_id" === newId)
+      .select($"v").as[Seq[Double]].head()
+    graft.streaming.StreamingGraphIngest.insertClusteredBatch(
+      Seq((newId, newVec)).toDF("vec_id", "v"), s"$root/clus",
+      s"$root/vec", K, beamRounds = 3)
+    val adj = spark.read.parquet(s"$root/clus").cache()
+    val out = adj.filter($"src" === newId)
+      .select($"nbr", $"nbr_bucket", $"bucket").as[(Long, Int, Int)].collect()
+    assert(out.length == K, s"inserted node has ${out.length} != $K out-edges")
+    val assign = all.select($"vec_id",
+        KnnGraph.clusterOf($"v", cents).as("c"))
+      .as[(Long, Int)].collect().toMap
+    out.foreach { case (nbr, nb, b) =>
+      assert(b == assign(newId), "new edge routed outside its own cell")
+      assert(nb == assign(nbr), s"edge to $nbr carries wrong nbr_bucket")
+    }
+    val back = adj.filter($"nbr" === newId)
+      .select($"src", $"nbr_bucket", $"bucket").as[(Long, Int, Int)].collect()
+    assert(back.map(_._1).toSet == out.map(_._1).toSet,
+      "inserted node's edges are not mutual")
+    back.foreach { case (src, nb, b) =>
+      assert(b == assign(src) && nb == assign(newId),
+        s"reverse edge from $src carries wrong buckets")
+    }
+    // findable through the fully store-resident warm head
+    val probe = Seq((newId + 1000000L, newVec)).toDF("qid", "v")
+    val served = KnnGraph.serveFromStoresClusteredWarm(spark, s"$root/clus",
+        s"$root/vec", probe, K, beamRounds = 4)
+      .as[(Long, Long)].collect()
+    assert(served.exists(_._2 == newId),
+      "warm clustered serving did not find the streamed insert")
+    adj.unpersist(); all.unpersist()
+  }
 }
