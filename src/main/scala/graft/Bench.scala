@@ -118,14 +118,24 @@ object Bench {
     def jstr(m: collection.Map[String, String]) =
       m.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    val line = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${jnum(timings)},"isolated_rerun":${jnum(isolated)},"regressed_vs_baseline":${jnum(regressed.map { case (k, _) => k -> baseline(k) })},"errors":${jstr(errors)},"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+    // two subtotals (VERDICT r12 #4): deliberate measurement rows
+    // (build+store+serve latency/recall splits) accumulate wall every
+    // round, and inside one grand total they would drown a regression
+    // in a 1-second engine query — report both trends separately
+    val measured = SparkEntry.measurementRows
+    val engineSec = timings.collect {
+      case (n, t) if !measured(n) => t }.sum
+    val measurementSec = total - engineSec
+    val nMeas = timings.count { case (n, _) => measured(n) }
+    val subtotals = s""""engine_queries_sec":${"%.3f".format(engineSec)},"measurement_rows_sec":${"%.3f".format(measurementSec)},"n_engine":${timings.size - nMeas},"n_measurement":$nMeas"""
+    val line = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",$subtotals,"queries":${jnum(timings)},"isolated_rerun":${jnum(isolated)},"regressed_vs_baseline":${jnum(regressed.map { case (k, _) => k -> baseline(k) })},"errors":${jstr(errors)},"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // the full line above is ~7 KB at 237 queries and the driver's
     // stdout capture truncates from the HEAD — emit a compact summary
     // LAST so a truncated tail still carries one complete, parseable
     // JSON line (the per-query map lives in the file below and in the
     // committed bench_out.json)
-    println(s"""{"metric":"total_compact","value":${"%.3f".format(total)},"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"n_regressed":${regressed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":${"%.3f".format(total)},"unit":"sec",$subtotals,"n_ok":${timings.size},"n_err":${errors.size},"n_regressed":${regressed.size},"sf":"$sfDir"}""")
     // Also persist the line: the driver captures stdout, which has been
     // observed truncated at the head for long runs (BENCH_r03 lost the
     // aq-jq rows) — a committed file survives that. Filtered dev runs

@@ -9,10 +9,16 @@ import org.apache.spark.sql.functions._
   * ways: victim-count series at fixed corpus (wall should grow with
   * touched buckets and saturate at the bucket count), and corpus-size
   * series at fixed victims (wall should stay ~flat from 2 k to 200 k
-  * nodes — the 100× replica — because only touched buckets rewrite,
-  * though bucket FILES grow with n/buckets at a fixed bucket count;
-  * n-scaled bucket counts, which the store property supports, keep
-  * even that flat). One JSON line per measurement.
+  * nodes — the 100× replica — because only touched buckets rewrite).
+  *
+  * Each corpus runs TWO layout arms: `fixed` (the legacy 32-bucket
+  * constant) and `scaled` ([[graft.similarity.KnnGraph.scaledBuckets]]
+  * at 64 rows/bucket — n-proportional). At a fixed count, bucket FILES
+  * grow with n, so the per-touched-bucket rewrite quietly inherits an
+  * O(n/nb) term (the r12 residual: +26–51% wall at 100×); the scaled
+  * arm holds rows-per-bucket constant, so the same erasure request
+  * should cost the same wall at any corpus size. One JSON line per
+  * measurement, mode + bucket count carried in-row.
   *
   * Run after ScaleProbe has materialized /tmp/graft_scale100 (the x1
   * and x100 embeddings replicas are reused as the corpora). */
@@ -33,24 +39,29 @@ object GraphEraseProbe {
       val vecs = corpus(dir)
       val n = vecs.count()
       val work = graft.util.Scratch.tempDir(s"graft-gep-$label")
-      KnnGraph.writeStore(
-        KnnGraph.buildDurable(vecs, 8, rounds = 2, s"$work/b").last,
-        s"$work/g")
-      KnnGraph.writeVectors(vecs, s"$work/vec")
-      val erased = scala.collection.mutable.Set.empty[Long]
-      for (nv <- Seq(1, 8, 32)) {
-        // fresh victim ids per series step (erase is destructive, so a
-        // re-erased id would be a cheap no-op that skews the series);
-        // a prime stride spreads them across buckets, and the used-set
-        // guarantees disjointness between steps
-        val victims = Iterator.from(0).map(i => (101L + i * 61L) % n)
-          .filterNot(erased).distinct.take(nv).toSeq
-        erased ++= victims
-        val t0 = System.nanoTime()
-        KnnGraph.eraseStored(spark, s"$work/g", victims,
-          vecPath = Some(s"$work/vec"))
-        val s = (System.nanoTime() - t0) / 1e9
-        println(f"""{"probe":"graph_erase","corpus":"$label","n_nodes":$n,"n_victims":${victims.size},"erase_s":$s%.2f}""")
+      // ONE durable build per corpus; both layout arms re-partition the
+      // same final round, so the arms differ only in bucket count
+      val built = KnnGraph.buildDurable(vecs, 8, rounds = 2, s"$work/b").last
+      for ((mode, nb) <- Seq(
+          "fixed" -> KnnGraph.NumBuckets,
+          "scaled" -> KnnGraph.scaledBuckets(n, targetRowsPerBucket = 64))) {
+        KnnGraph.writeStore(built, s"$work/g_$mode", nb)
+        KnnGraph.writeVectors(vecs, s"$work/vec_$mode", nb)
+        val erased = scala.collection.mutable.Set.empty[Long]
+        for (nv <- Seq(1, 8, 32)) {
+          // fresh victim ids per series step (erase is destructive, so a
+          // re-erased id would be a cheap no-op that skews the series);
+          // a prime stride spreads them across buckets, and the used-set
+          // guarantees disjointness between steps
+          val victims = Iterator.from(0).map(i => (101L + i * 61L) % n)
+            .filterNot(erased).distinct.take(nv).toSeq
+          erased ++= victims
+          val t0 = System.nanoTime()
+          KnnGraph.eraseStored(spark, s"$work/g_$mode", victims,
+            vecPath = Some(s"$work/vec_$mode"))
+          val s = (System.nanoTime() - t0) / 1e9
+          println(f"""{"probe":"graph_erase","corpus":"$label","mode":"$mode","n_buckets":$nb,"n_nodes":$n,"n_victims":${victims.size},"erase_s":$s%.2f}""")
+        }
       }
       vecs.unpersist()
     }

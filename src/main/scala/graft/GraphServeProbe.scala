@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * thousands — this measures the crossover instead of arguing it.
   * Both heads serve the SAME stored graph + vector store with ring
   * entries at |Q| ∈ {16, 128, 1024}; answers are equality-proven in
-  * StoredGraphSpec, so only wall differs. One JSON line per cell.
+  * StoredGraphSpec, so only wall differs. Two layout arms per corpus —
+  * `fixed` 32 buckets vs `scaled` ([[graft.similarity.KnnGraph
+  * .scaledBuckets]], n-proportional) — measure what the bucket-count
+  * policy costs or buys at serve time. One JSON line per cell.
   *
   * Run after ScaleProbe has materialized /tmp/graft_scale100 (the x1
   * and x100 embeddings replicas are the corpora). */
@@ -25,33 +28,39 @@ object GraphServeProbe {
     for ((label, dir) <- Seq("x1" -> s"$scaleDir/x1", "x100" -> s"$scaleDir/x100")) {
       val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
         .select($"vec_id", VectorOps.toDouble($"embedding").as("v")).cache()
+      val n = vecs.count()
       val work = graft.util.Scratch.tempDir(s"graft-gsp-$label")
-      KnnGraph.writeStore(
-        KnnGraph.buildDurable(vecs, 8, rounds = 2, s"$work/b").last,
-        s"$work/g")
-      KnnGraph.writeVectors(vecs, s"$work/vec")
-      for (q <- Seq(16, 128, 1024)) {
-        val queries = vecs.filter($"vec_id" < q)
-          .select($"vec_id".as("qid"), $"v").cache()
-        queries.count()
-        // warm both paths once (codegen + listings), then time
-        val qLocal = queries.as[(Long, Seq[Double])].collect()
-          .map { case (id, v) => id -> v.toArray }.toSeq
-        KnnGraph.serveCoordinated(spark, s"$work/g", s"$work/vec",
-          qLocal, 8, beamRounds = 3): Unit
-        val tC = System.nanoTime()
-        val nC = KnnGraph.serveCoordinated(spark, s"$work/g", s"$work/vec",
-          qLocal, 8, beamRounds = 3).size
-        val cMs = (System.nanoTime() - tC) / 1e6 / q
-        KnnGraph.serveFromStores(spark, s"$work/g", s"$work/vec",
-          queries, 8, beamRounds = 3).count(): Unit
-        val tD = System.nanoTime()
-        val nD = KnnGraph.serveFromStores(spark, s"$work/g", s"$work/vec",
-          queries, 8, beamRounds = 3).count()
-        val dMs = (System.nanoTime() - tD) / 1e6 / q
-        require(nC.toLong == nD, s"answer count mismatch $nC vs $nD")
-        println(f"""{"probe":"graph_serve","corpus":"$label","n_q":$q,"coordinated_ms_per_q":$cMs%.1f,"distributed_ms_per_q":$dMs%.1f}""")
-        queries.unpersist()
+      // ONE durable build per corpus; the layout arms re-partition the
+      // same final round, so serving differs only in bucket count
+      val built = KnnGraph.buildDurable(vecs, 8, rounds = 2, s"$work/b").last
+      for ((mode, nb) <- Seq(
+          "fixed" -> KnnGraph.NumBuckets,
+          "scaled" -> KnnGraph.scaledBuckets(n, targetRowsPerBucket = 64))) {
+        KnnGraph.writeStore(built, s"$work/g_$mode", nb)
+        KnnGraph.writeVectors(vecs, s"$work/vec_$mode", nb)
+        for (q <- Seq(16, 128, 1024)) {
+          val queries = vecs.filter($"vec_id" < q)
+            .select($"vec_id".as("qid"), $"v").cache()
+          queries.count()
+          // warm both paths once (codegen + listings), then time
+          val qLocal = queries.as[(Long, Seq[Double])].collect()
+            .map { case (id, v) => id -> v.toArray }.toSeq
+          KnnGraph.serveCoordinated(spark, s"$work/g_$mode", s"$work/vec_$mode",
+            qLocal, 8, beamRounds = 3): Unit
+          val tC = System.nanoTime()
+          val nC = KnnGraph.serveCoordinated(spark, s"$work/g_$mode",
+            s"$work/vec_$mode", qLocal, 8, beamRounds = 3).size
+          val cMs = (System.nanoTime() - tC) / 1e6 / q
+          KnnGraph.serveFromStores(spark, s"$work/g_$mode", s"$work/vec_$mode",
+            queries, 8, beamRounds = 3).count(): Unit
+          val tD = System.nanoTime()
+          val nD = KnnGraph.serveFromStores(spark, s"$work/g_$mode",
+            s"$work/vec_$mode", queries, 8, beamRounds = 3).count()
+          val dMs = (System.nanoTime() - tD) / 1e6 / q
+          require(nC.toLong == nD, s"answer count mismatch $nC vs $nD")
+          println(f"""{"probe":"graph_serve","corpus":"$label","mode":"$mode","n_buckets":$nb,"n_q":$q,"coordinated_ms_per_q":$cMs%.1f,"distributed_ms_per_q":$dMs%.1f}""")
+          queries.unpersist()
+        }
       }
       vecs.unpersist()
     }

@@ -10,7 +10,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    measurement: Boolean = false) {
+  /** Tag this row as a MEASUREMENT row: its output is a metric about
+    * the engine (recall, latency split, drift, footprint, candidate
+    * fraction), not a query answer a user would consume. Bench reports
+    * engine-query and measurement-row subtotals separately, so a
+    * regression in a 1-second engine query stays visible as the
+    * deliberate measurement rows accumulate wall. */
+  def measured: QueryDef = copy(measurement = true)
+}
 
 object QueryDef {
   def sqlChecked(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =

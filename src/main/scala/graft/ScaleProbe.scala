@@ -31,8 +31,14 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     // the probe times repeated runs of one query — the shared graph
     // build cache would make the timed run a reload of the warm run's
-    // build and the ratio would measure parquet reads, not construction
-    System.setProperty("graft.noBuildCache", "1")
+    // build and the ratio would measure parquet reads, not construction.
+    // SPARK_GRAFT_KEEP_BUILD_CACHE=1 opts back in for rows whose
+    // SUBJECT is the post-build path (sq28's store+serve+lifecycle —
+    // its build scaling is sq21's separately-probed measurement):
+    // there the cache mirrors deployment, where an index is built once
+    // and every serving/maintenance consumer reloads it.
+    if (!sys.env.get("SPARK_GRAFT_KEEP_BUILD_CACHE").contains("1"))
+      System.setProperty("graft.noBuildCache", "1")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

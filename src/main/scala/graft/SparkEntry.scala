@@ -39,4 +39,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     catalogs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** The names tagged [[QueryDef.measured]] — rows whose output is an
+    * engine metric (recall, latency split, drift, footprint), not a
+    * query answer. Bench subtotals them apart from the engine queries. */
+  def measurementRows: Set[String] =
+    catalogs.filter(_.measurement).map(_.name).toSet
 }

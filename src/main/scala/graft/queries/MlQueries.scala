@@ -345,9 +345,73 @@ object MlQueries {
         "val_auc", "test_auc")
   }
 
+  /** FROZEN-MODEL INFERENCE, hash-checked (r12 verdict #6): the
+    * reference's model-serving path (streamlit_app.py:556-640 — load
+    * the persisted model → assemble the 16 features → predict → clamp
+    * to the position tier → IT bonus) with the trained forest's trees
+    * frozen as published constants ([[graft.ml.FrozenSalaryRf]],
+    * provenance in [[graft.ml.FreezeRf]]) — jq08's frozen-centroid
+    * move applied to the RF. mq03/mq05 stay rows-only because TRAINING
+    * outcomes aren't SQL-expressible; INFERENCE over published
+    * parameters is exactly specified IEEE arithmetic, so the oracle
+    * replays every tree walk, the forest average, the tier clamp, and
+    * the bonus — the first hash-green trained-model serving row.
+    *
+    * 100 TB: pure per-row projection over the ETL output — one
+    * codegen'd CASE nest, no shuffle, no model object in the hot path
+    * (the registry's load happens once at plan build, as constants). */
+  val mq13FrozenRfInference: QueryDef = QueryDef.sqlChecked(
+    "mq13_frozen_rf_inference", {
+      val flags = Seq(
+        "is_hcm" -> ("city_clean", "hồ chí minh|hcm"),
+        "is_hanoi" -> ("city_clean", "hà nội|ha noi|hanoi"),
+        "is_danang" -> ("city_clean", "đà nẵng|da nang"),
+        "is_it" -> ("job_fields", "it|phần mềm|developer|lập trình|data|ai|software"),
+        "is_sales" -> ("job_fields", "bán hàng|kinh doanh|sales|tiếp thị|marketing"),
+        "is_finance" -> ("job_fields", "tài chính|ngân hàng|kế toán|finance|banking"),
+        "is_education" -> ("job_fields", "giáo dục|đào tạo|giáo viên|education"),
+        "is_engineering" -> ("job_fields", "kỹ thuật|cơ khí|điện|xây dựng|engineer"),
+        "is_intern" -> ("position_level", "thực tập|intern|internship"),
+        "is_fresher" -> ("position_level", "fresher|mới ra trường|sinh viên mới"),
+        "is_junior" -> ("position_level", "junior"),
+        "is_staff" -> ("position_level", "nhân viên|chuyên viên|staff|employee"),
+        "is_senior" -> ("position_level", "senior|chuyên gia|chuyên viên cao cấp"),
+        "is_team_lead" -> ("position_level", "trưởng nhóm|team lead|leader|tech lead"),
+        "is_manager" -> ("position_level", "trưởng phòng|quản lý|giám đốc|manager|head|director"))
+      val flagExprs = flags.map { case (nm, (src, pat)) =>
+        s"    CAST(CASE WHEN regexp_matches(lower($src), '$pat') THEN 1.0 ELSE 0.0 END AS DOUBLE) AS $nm"
+      }.mkString(",\n")
+      val featIdx: Int => String =
+        i => graft.ml.FrozenSalaryRf.featureNames(i)
+      s"""WITH ${graft.etl.JobsFixture.duckParsedSql},
+         |labeled AS (
+         |  SELECT *,
+         |    coalesce(salary_avg, (salary_min + salary_max) / 2, 0.0) AS salary_final,
+         |    coalesce(exp_avg_year, exp_min_year, 0.0) AS exp_final
+         |  FROM etl),
+         |postings AS (
+         |  SELECT * FROM labeled
+         |  WHERE salary_final > 0 AND salary_final <= 200
+         |    AND exp_final >= 0 AND exp_final <= 30),
+         |feats AS (
+         |  SELECT job_id, exp_final,
+         |$flagExprs
+         |  FROM postings)
+         |SELECT job_id,
+         |  ${graft.ml.FrozenSalaryRf.predictionSql(featIdx, nm => nm)} AS pred_salary
+         |FROM feats""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val df = featurizedJobs(spark, dir)
+    df.select($"job_id",
+      graft.ml.FrozenSalaryRf.predictionCol(
+        i => col(graft.ml.FrozenSalaryRf.featureNames(i)), col)
+        .as("pred_salary"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     mq01KmeansEmbeddings, mq02KmeansJobs, mq03RfSalary, mq04GbtHotScore,
     mq05LogisticAttractiveness, mq06TfidfDocs, mq07Word2vecSynonyms,
     mq08LdaTopics, mq09AttractivenessLrV1, mq10QualityFilterLr, mq11SemDedup,
-    mq12CvTuning)
+    mq12CvTuning, mq13FrozenRfInference)
 }

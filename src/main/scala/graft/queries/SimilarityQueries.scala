@@ -1393,6 +1393,170 @@ object SimilarityQueries {
     perSetting.reduce(_ unionByName _).orderBy($"bits_per_table")
   }
 
+  /** The adaptive-LSH sizing rule sq02d runs and its oracle replays:
+    * the smallest b ∈ [4, 14] with 2^b · 32 ≥ n (per-table buckets hold
+    * ~32 rows at any corpus size — the corpus-stats gate, one COUNT),
+    * and t = b·(b−2) tables (the integer-exact stand-in for the
+    * OR-construction's ln-based table count, calibrated against
+    * sq02c's measured sweep: (4,8)/(6,24)/(8,48) vs the sweep's
+    * (4,10)/(6,30)/(8,60) — integer-exact so both engines derive the
+    * SAME setting with no float-boundary risk). */
+  private[graft] def adaptiveLshSetting(n: Long): (Int, Int) = {
+    val b = (4 to 14).find(bb => (1L << bb) * 32 >= n).getOrElse(14)
+    (b, b * (b - 2))
+  }
+
+  /** ADAPTIVE LSH — closes the sq02c loop (r12 verdict #5): the
+    * signature width is no longer a scaladoc promise ("production
+    * scales bits with corpus") but IS picked from a cheap corpus-stats
+    * gate ([[adaptiveLshSetting]] over one COUNT — dq03's pairStats
+    * pattern), and the ADAPTIVITY ITSELF is hash-checked: the oracle
+    * re-derives (b, t) from its own COUNT(*) in a params CTE, so an
+    * engine/oracle disagreement on the sizing rule — not just on the
+    * pipeline — fails the gate. Pipeline is sq02c's portable arm
+    * (md5-parity signs, exact BIGINT milli-unit projections via one
+    * fused SignProjection nest, per-table buckets, candidate union,
+    * exact-cosine rerank, recall@5 vs in-query brute force) at the
+    * derived setting.
+    *
+    * 100 TB: per-table buckets hold ~32 rows regardless of n, so the
+    * candidate fraction per query ~ t·32/n FALLS with corpus size
+    * instead of the fixed-width arm's constant ~0.5 (the r12 audit's
+    * flagged weak spot — sq02c's 4-bit arm measured 32.6 at the 100×
+    * probe because its candidate set was half the corpus at any n).
+    * [[graft.LshAdaptiveProbe]] measures the adaptive arm's fraction
+    * 1×→100×. */
+  val sq02dAnnLshAdaptive: QueryDef = sqlChecked(
+    "sq02d_lsh_adaptive",
+    """WITH base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nn AS (SELECT COUNT(*) AS n FROM base),
+      |params AS (
+      |  SELECT b, b * (b - 2) AS t, b * b * (b - 2) AS planes
+      |  FROM (SELECT COALESCE(MIN(b), 14) AS b
+      |        FROM (SELECT unnest(range(4, 15)) AS b), nn
+      |        WHERE (CAST(1 AS BIGINT) << b) * 32 >= n)),
+      |el AS MATERIALIZED (
+      |  SELECT vec_id, CAST(i0 AS INT) - 1 AS i,
+      |    CAST(round(v[i0] * 1000) AS BIGINT) AS xq
+      |  FROM (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i0 FROM base)),
+      |signs AS MATERIALIZED (
+      |  SELECT p, i,
+      |    CASE WHEN substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)
+      |      BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(0, 2352)) AS p), (SELECT unnest(range(0, 64)) AS i)
+      |  WHERE p < (SELECT planes FROM params)),
+      |proj AS (
+      |  SELECT vec_id, p, SUM(s * xq) AS dot
+      |  FROM el JOIN signs ON el.i = signs.i
+      |  GROUP BY vec_id, p),
+      |bits AS MATERIALIZED (
+      |  SELECT vec_id, p // (SELECT b FROM params) AS tbl,
+      |    string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+      |  FROM proj GROUP BY vec_id, p // (SELECT b FROM params)),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+      |  FROM bits q JOIN bits c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      |  WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id),
+      |ann AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT c0.qid, c0.cid, ROW_NUMBER() OVER (PARTITION BY c0.qid
+      |        ORDER BY list_cosine_similarity(qv.v, cv.v) DESC, c0.cid) AS rank
+      |    FROM cand c0 JOIN base qv ON c0.qid = qv.vec_id
+      |    JOIN base cv ON c0.cid = cv.vec_id)
+      |  WHERE rank <= 5),
+      |bf AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+      |    FROM base q, base c WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= 5),
+      |hits AS (SELECT qid, COUNT(*) AS n_hit
+      |  FROM (SELECT * FROM ann INTERSECT SELECT * FROM bf) GROUP BY qid),
+      |nc AS (SELECT qid, COUNT(*) AS n_cand FROM cand GROUP BY qid),
+      |qs AS (SELECT vec_id AS qid FROM base WHERE vec_id < 16)
+      |SELECT p.b AS bits_per_table, p.t AS n_tables, nn.n AS n_vectors,
+      |  COUNT(*) AS n_queries,
+      |  round(CAST(SUM(COALESCE(n_cand, 0)) AS DOUBLE) / COUNT(*) / nn.n, 6) AS cand_fraction,
+      |  CAST(SUM(COALESCE(n_hit, 0)) AS DOUBLE) / (5 * COUNT(*)) AS recall_at_5
+      |FROM qs LEFT JOIN nc USING (qid) LEFT JOIN hits USING (qid), params p, nn
+      |GROUP BY p.b, p.t, nn.n""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val emb0 = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v"))
+      .cache()
+    // THE GATE: one count — the only corpus statistic the sizing needs
+    val n = emb0.count()
+    val (b, t) = adaptiveLshSetting(n)
+    val planes = b * t
+    val nn = emb0.agg(count(lit(1)).as("n"))
+    val mdf = java.security.MessageDigest.getInstance("MD5")
+    def sign(p: Int, i: Int): Int = {
+      val hex = mdf.digest(s"$p:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) <= '7') 1 else -1
+    }
+    val signsFlat = Array.tabulate(planes * 64)(
+      idx => sign(idx / 64, idx % 64).toByte)
+    val quant = emb0.select($"vec_id", transform($"v", x =>
+      round(x * 1000).cast("long")).as("xqa"))
+    val dots = quant.select($"vec_id",
+      graft.functions.SignProjection($"xqa", signsFlat, planes, 64)
+        .as("dots"))
+    // posexplode + groupBy (sq02c's arm shape): the bucket strings are
+    // built by aggregation, not by a planes-wide static expression —
+    // the derived plane count is data-dependent and an expression per
+    // plane would blow up the plan at large b (the r10 lesson)
+    val proj = dots
+      .select($"vec_id", posexplode($"dots").as(Seq("p", "dot")))
+    val bits = proj
+      .groupBy($"vec_id", ($"p" / b).cast("int").as("tbl"))
+      .agg(array_join(transform(array_sort(collect_list(struct($"p",
+        when($"dot" > 0, "1").otherwise("0").as("bit")))), _.getField("bit")),
+        "").as("bucket"))
+    val cand = bits.filter($"vec_id" < 16)
+      .select($"vec_id".as("qid"), $"tbl", $"bucket")
+      .join(bits.select($"vec_id".as("cid"), $"tbl", $"bucket"),
+        Seq("tbl", "bucket"))
+      .filter($"qid" =!= $"cid")
+      .select($"qid", $"cid").distinct()
+    val wAnn = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val ann = cand
+      .join(broadcast(emb0.filter($"vec_id" < 16)
+        .select($"vec_id".as("qid"), $"v".as("qv"))), Seq("qid"))
+      .join(emb0.select($"vec_id".as("cid"), $"v".as("cv")), Seq("cid"))
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wAnn))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val wBf = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    val bf = broadcast(
+        emb0.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v".as("qv")))
+      .join(emb0.select($"vec_id".as("cid"), $"v".as("cv")), $"qid" =!= $"cid")
+      .withColumn("cos", cosine($"qv", $"cv"))
+      .withColumn("rank", row_number().over(wBf))
+      .filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val hits = ann.intersect(bf).groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+    val nc = cand.groupBy($"qid").agg(count(lit(1)).as("n_cand"))
+    emb0.filter($"vec_id" < 16).select($"vec_id".as("qid"))
+      .join(nc, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .crossJoin(broadcast(nn))
+      .groupBy($"n")
+      .agg(
+        lit(b.toLong).as("bits_per_table"),
+        lit(t.toLong).as("n_tables"),
+        count(lit(1)).as("n_queries"),
+        round(sum(coalesce($"n_cand", lit(0L))).cast("double") /
+          count(lit(1)) / first($"n"), 6).as("cand_fraction"),
+        (sum(coalesce($"n_hit", lit(0L))).cast("double") / (count(lit(1)) * 5))
+          .as("recall_at_5"))
+      .select($"bits_per_table", $"n_tables", $"n".as("n_vectors"),
+        $"n_queries", $"cand_fraction", $"recall_at_5")
+  }
+
   /** DuckDB CTEs for `rounds` fixed Lloyd iterations over the integer
     * element frame `el(vec_id, i, xq)` starting from `cent0(k, i, c)`:
     * each round assigns every vector to its nearest centroid by EXACT
@@ -3098,15 +3262,174 @@ object SimilarityQueries {
       .orderBy($"round")
   }
 
-  val all: Seq[QueryDef] = Seq(sq01KnnBruteForce, sq02AnnLshRecall,
-    sq03LabelCentroids, sq04AnnIvfRecall, sq05EmbeddingNearDup,
-    sq06Int8Quantization, sq09AnnPqRecall, sq10AnnIvfPqRecall,
-    sq05bEmbeddingNearDupPortable, sq02bAnnLshRecallPortable,
+  /** THE COMPOSED PRODUCTION GRAPH INDEX (r12 verdict #1): every piece
+    * the graph family proved separately, composed into ONE stored
+    * artifact and taken through its whole lifecycle — the DiskANN/
+    * Vamana deployment shape end-to-end:
+    *
+    *   1. α-robust-pruned adjacency (sq26's recipe: NN-Descent
+    *      candidates' top-24 ∪ ring init = the L bound, durable prune
+    *      with `_SUCCESS` resume) written through the CLUSTERED layout
+    *      (sq27 — locality buckets, carried nbr_bucket, n-scaled
+    *      bucket counts via [[graft.similarity.KnnGraph
+    *      .scaledBuckets]]), with `_graft_centroids` + `_graft_entries`
+    *      sidecars;
+    *   2. PQ codes sidecar (sq22b/sq24's quantized head) + bucketed
+    *      vector store, both n-scaled;
+    *   3. served through the fully store-resident WARM QUANTIZED head
+    *      ([[graft.similarity.KnnGraph.serveFromStoresClusteredPqWarm]]
+    *      — stored entries, clustered expansion, ADC ranking, one
+    *      exact re-rank), recall + per-query latency in-row;
+    *   4. then insert → erase → refine → re-serve ON THE SAME STORE:
+    *      streamed clustered insert WITH code append (sq23's rung),
+    *      clustered erase reaching vectors + codes + entries (wq08's
+    *      contract), one NN-Descent refine round promoted as a v2
+    *      store (the maintenance ladder's middle rung).
+    *
+    * Rows-only by nature (walls are measured), but the answers are
+    * anchored: ComposedGraphStoreSpec proves the composed head's
+    * answers EQUAL the hash-layout quantized head's over the same
+    * edges and entries, and the lifecycle invariants (inserted nodes
+    * found by the quantized head, erased victims unanswerable, refine
+    * serves) are asserted both here (in-row counters) and in the spec.
+    *
+    * 100 TB: each phase's cost shape is the one its component query
+    * measured — index-sized build/prune/refine passes, request-sized
+    * insert/erase rewrites, corpus-size-free serving. */
+  val sq28ComposedGraphStore: QueryDef = rowsOnly("sq28_composed_graph_store") { (spark, dir) =>
+    import spark.implicits._
+    import graft.similarity.{KnnGraph, Pq}
+    val k = 8; val buildRounds = 4; val beamRounds = 4
+    val degree = 8; val alpha = 1.25
+    val cells = 16; val m = 8; val sub = 8
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val n = vecs.count()
+    val es = nnDescentBuild(vecs, dir, k, buildRounds)
+    // sq26's bounded diversification pool: top-24 scored 2-hop ∪ ring
+    val cand = KnnGraph.scoredCandidates(vecs, es.last)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
+      .filter($"rn" <= 24).drop("rn")
+      .union(es.head.select($"src", $"nbr", $"cos"))
+      .distinct().localCheckpoint(true)
+    val tP0 = System.nanoTime()
+    val pruned = KnnGraph.robustPrune(vecs, cand, degree, alpha,
+        workDir = Some(graft.util.Scratch.tempDir("graft-sq28-prune")))
+      .select($"src", $"nbr").localCheckpoint(true)
+    val pruneS = (System.nanoTime() - tP0) / 1e9
+    val edgesPruned = pruned.count()
+    val root = graft.util.Scratch.tempDir("graft-sq28")
+    val sample = vecs.select($"vec_id", $"v").orderBy($"vec_id").limit(20000)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val cents = Pq.trainCodebook(sample, cells).map(_.toSeq).toSeq
+    val cb = Pq.trainSubspaces(sample, m, sub, 16)
+    // ONE composed store: clustered α-pruned adjacency + entries +
+    // centroids, n-scaled bucketed vectors, n-scaled PQ codes sidecar
+    val nb = KnnGraph.scaledBuckets(n, targetRowsPerBucket = 64)
+    val tS0 = System.nanoTime()
+    KnnGraph.writeStoreClustered(pruned, vecs, s"$root/g", cents)
+    KnnGraph.writeEntries(vecs, s"$root/g")
+    KnnGraph.writeVectors(vecs, s"$root/vec", nb)
+    KnnGraph.writeCodes(Pq.pqEncode(vecs, cb, sub), s"$root/codes", nb)
+    val storeS = (System.nanoTime() - tS0) / 1e9
+    val qv = vecs.filter($"vec_id" < 16)
+      .select($"vec_id".as("qid"), $"v").cache()
+    val nq = qv.count()
+    val bf = broadcast(qv.select($"qid", $"v".as("qv")))
+      .join(vecs.select($"vec_id".as("node"), $"v".as("cv")), $"qid" =!= $"node")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy(cosine($"qv", $"cv").desc, $"node")))
+      .filter($"rn" <= k).select($"qid", $"node").cache()
+    bf.count()
+    def serveRecall(graphPath: String): (Double, Double, Long) = {
+      val t0 = System.nanoTime()
+      val ans = KnnGraph.serveFromStoresClusteredPqWarm(spark, graphPath,
+        s"$root/codes", s"$root/vec", qv, cb, k, beamRounds)
+        .localCheckpoint(true)
+      val nAns = ans.count()
+      val ms = (System.nanoTime() - t0) / 1e6 / nq
+      val hit = ans.join(bf, Seq("qid", "node"), "left_semi").count()
+      (hit.toDouble / (nq * k), ms, nAns)
+    }
+    val (recall0, serveMs0, nAns0) = serveRecall(s"$root/g")
+    // LIFECYCLE on the same store. Arrivals: 4 clone vectors under new
+    // ids — a realistic insert (new members near existing mass)
+    val arrivals = vecs.filter($"vec_id" < 4)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"v")
+      .localCheckpoint(true)
+    val tI0 = System.nanoTime()
+    graft.streaming.StreamingGraphIngest.insertClusteredBatch(
+      arrivals, s"$root/g", s"$root/vec", k, beamRounds,
+      codes = Some((s"$root/codes", cb)))
+    val insertS = (System.nanoTime() - tI0) / 1e9
+    // the QUANTIZED head must find each inserted node from its own
+    // vector — proof the code append kept the sidecar in lockstep
+    val probes = arrivals
+      .select(($"vec_id" + 4000000L).as("qid"), $"v")
+    val foundIns = KnnGraph.serveFromStoresClusteredPqWarm(spark,
+        s"$root/g", s"$root/codes", s"$root/vec", probes, cb, k, beamRounds)
+      .filter($"node" === $"qid" - 4000000L).count()
+    // erase the arrivals again — vectors, codes, entries, both edge
+    // directions (erase must run BEFORE the vector rows vanish)
+    val victims = (0 until 4).map(_ + 1000000L)
+    val tE0 = System.nanoTime()
+    KnnGraph.eraseStoredClustered(spark, s"$root/g", victims,
+      vecPath = s"$root/vec", eraseVectors = true,
+      codesPath = Some(s"$root/codes"))
+    val eraseS = (System.nanoTime() - tE0) / 1e9
+    val (recallPost, serveMsPost, _) = serveRecall(s"$root/g")
+    val victimsServed = KnnGraph.serveFromStoresClusteredPqWarm(spark,
+        s"$root/g", s"$root/codes", s"$root/vec", probes, cb, k, beamRounds)
+      .filter($"node".isin(victims: _*)).count()
+    // REFINE rung: one NN-Descent tightening round seeded from the
+    // store's current edges, promoted as a NEW store version (never an
+    // in-place overwrite of a serving store)
+    val tR0 = System.nanoTime()
+    val seed = spark.read.parquet(s"$root/g").select($"src", $"nbr")
+    val refined = KnnGraph.refineDurable(vecs, seed, k, rounds = 1,
+      graft.util.Scratch.tempDir("graft-sq28-refine"))
+    KnnGraph.writeStoreClustered(refined.select($"src", $"nbr"), vecs,
+      s"$root/g2", cents)
+    KnnGraph.writeEntries(vecs, s"$root/g2")
+    val refineS = (System.nanoTime() - tR0) / 1e9
+    val (recallV2, serveMsV2, _) = serveRecall(s"$root/g2")
+    vecs.unpersist(); qv.unpersist(); bf.unpersist()
+    def r2(x: Double) = math.round(x * 100) / 100.0
+    def r3(x: Double) = math.round(x * 1000) / 1000.0
+    Seq(
+      (0L, "prune", r2(pruneS), None: Option[Double], edgesPruned),
+      (1L, "write_store", r2(storeS), None, n),
+      (2L, "serve_pq_warm", r2(serveMs0 / 1000 * nq), Some(r3(recall0)), nAns0),
+      (3L, "insert_with_codes", r2(insertS), Some(foundIns / 4.0), 4L),
+      (4L, "erase_full", r2(eraseS), Some(victimsServed.toDouble), victims.size.toLong),
+      (5L, "serve_post_erase", r2(serveMsPost / 1000 * nq), Some(r3(recallPost)), nq * k),
+      (6L, "refine_v2", r2(refineS), None, n),
+      (7L, "serve_v2", r2(serveMsV2 / 1000 * nq), Some(r3(recallV2)), nq * k))
+      .toDF("phase_id", "phase", "wall_s", "metric", "n_rows")
+      .orderBy($"phase_id")
+  }
+
+  // `.measured` rows output engine METRICS (recall, latency splits,
+  // drift, footprints, candidate fractions) rather than query answers —
+  // Bench subtotals them separately from the engine queries
+  val all: Seq[QueryDef] = Seq(sq01KnnBruteForce,
+    sq02AnnLshRecall.measured,
+    sq03LabelCentroids, sq04AnnIvfRecall.measured, sq05EmbeddingNearDup,
+    sq06Int8Quantization, sq09AnnPqRecall.measured,
+    sq10AnnIvfPqRecall.measured,
+    sq05bEmbeddingNearDupPortable, sq02bAnnLshRecallPortable.measured,
     sq11HardNegatives, sq12MmrRerank, sq13EmbeddingAudit,
-    sq14AnnStoredIndexSearch, sq15PcaPower, sq16MatryoshkaAudit,
-    sq17AnnOpqRecall, sq19WhiteningAudit, sq04bAnnIvfRecallPortable,
-    sq02cLshBitScaling, sq21KnnGraphNnDescent, sq22GraphAnnServe,
-    sq22bGraphServingLatency, sq23GraphInsertDrift, sq24GraphPqServe,
-    sq25FilteredGraphAnn, sq25bFilteredExactStored, sq26GraphAlphaPrune,
-    sq27ClusteredGraphStore)
+    sq14AnnStoredIndexSearch.measured, sq15PcaPower, sq16MatryoshkaAudit,
+    sq17AnnOpqRecall.measured, sq19WhiteningAudit,
+    sq04bAnnIvfRecallPortable.measured,
+    sq02cLshBitScaling.measured, sq02dAnnLshAdaptive.measured,
+    sq21KnnGraphNnDescent.measured,
+    sq22GraphAnnServe,
+    sq22bGraphServingLatency.measured, sq23GraphInsertDrift.measured,
+    sq24GraphPqServe,
+    sq25FilteredGraphAnn, sq25bFilteredExactStored.measured,
+    sq26GraphAlphaPrune.measured,
+    sq27ClusteredGraphStore.measured,
+    sq28ComposedGraphStore.measured)
 }

@@ -103,6 +103,8 @@ object KnnGraph {
 
   private val sharedBuildDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+  private val sharedBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
 
   /** PROCESS-SHARED durable build: the first caller for a given
     * (corpusKey, k, rounds) pays the build; every later caller reloads
@@ -124,17 +126,20 @@ object KnnGraph {
       rounds: Int): Seq[DataFrame] = {
     if (sys.props.get("graft.noBuildCache").contains("1"))
       return build(vecs, k, rounds)
-    // serialized: two concurrent first-callers must not race the same
-    // workDir's round writes (query runners are sequential today; this
-    // keeps the cache safe if that ever changes — a resume hit returns
-    // quickly, so the coarse lock costs nothing steady-state)
-    sharedBuildDirs.synchronized {
+    // serialized PER KEY: two concurrent first-callers for the SAME
+    // (corpus, k) must not race one workDir's round writes, but callers
+    // for a different key must not queue behind an unrelated
+    // multi-minute build — the lock is a per-key monitor, not one
+    // global mutex (a resume hit returns quickly, so even the per-key
+    // lock costs nothing steady-state)
+    val key = (corpusKey, k)
+    sharedBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
       // keyed by (corpus, k) ONLY: buildDurable's per-round _SUCCESS
       // markers make different round counts over one workDir a safe
       // prefix-share — a 2-round caller reloads rounds 0..2 of a
       // 4-round build, and a later deeper caller extends in place
       // (the fingerprint is (k, n), deliberately not rounds)
-      val wd = sharedBuildDirs.computeIfAbsent((corpusKey, k),
+      val wd = sharedBuildDirs.computeIfAbsent(key,
         _ => graft.util.Scratch.tempDir(s"graft-knng-$k"))
       buildDurable(vecs, k, rounds, wd)
     }
@@ -244,14 +249,22 @@ object KnnGraph {
   }
 
   /** Order-independent content digest of an edge frame: row count plus
-    * the XOR of per-edge hashes (XOR so partitioning and row order are
-    * irrelevant; edge frames hold distinct (src, nbr) pairs, so
-    * pair-cancellation cannot occur). One index-sized aggregate. */
+    * the XOR of per-edge hashes in TWO independent hash streams (both
+    * order/partitioning-independent). Distinct (src, nbr) pairs rule
+    * out pairwise cancellation, but one XOR stream can still cancel
+    * coincidentally across four or more edges (h(a)⊕h(b) ==
+    * h(c)⊕h(d)); the second, independently-keyed stream would have to
+    * cancel on the SAME edge set simultaneously (~2⁻¹²⁸), making the
+    * resume guard collision-negligible by construction. One
+    * index-sized aggregate. */
   private def graphDigest(graph: DataFrame): String = {
+    val h = xxhash64(col("src"), col("nbr"))
     val row = graph
-      .agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("nbr"))))
+      .agg(count(lit(1)), bit_xor(h), bit_xor(xxhash64(h, lit(0x9e3779b9L))))
       .head()
-    s"${row.getLong(0)}:${if (row.isNullAt(1)) 0L else row.getLong(1)}"
+    val x1 = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val x2 = if (row.isNullAt(2)) 0L else row.getLong(2)
+    s"${row.getLong(0)}:$x1:$x2"
   }
 
   /** ROBUST PRUNE — Vamana's α-diversification (Subramanya et al.
@@ -282,34 +295,101 @@ object KnnGraph {
     * prevent. At 100 TB the cost is r passes over the L·n-row
     * candidate list — the same shape as one NN-Descent round. */
   def robustPrune(vecs: DataFrame, cand: DataFrame, r: Int,
-      alpha: Double): DataFrame = {
+      alpha: Double, workDir: Option[String] = None): DataFrame = {
     import vecs.sparkSession.implicits._
     require(r > 0, s"degree budget r must be positive, got $r")
     // candidate vectors attach ONCE — the r prune rounds then join only
     // the picks frame, never the corpus (at 100× the per-round re-fetch
     // was the memory killer; the attached frame is |cand| rows and
     // shrinks every round)
-    var remaining = cand.select($"src", $"nbr", $"cos")
+    def attached = cand.select($"src", $"nbr", $"cos")
       .join(vecs.select($"vec_id".as("nbr"), $"v".as("cv")), Seq("nbr"))
       .select($"src", $"nbr", $"cos", $"cv")
-      .localCheckpoint(true)
-    var kept: DataFrame = null
-    for (_ <- 1 to r) {
-      val pick = remaining.withColumn("rn", row_number().over(
-          Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
-        .filter($"rn" === 1).drop("rn").localCheckpoint(true)
-      val pickEdges = pick.select($"src", $"nbr", $"cos")
-      kept = if (kept == null) pickEdges else kept.union(pickEdges)
-      val pickV = pick.select($"src", $"nbr".as("pnbr"), $"cv".as("pv"))
-      remaining = remaining
-        .join(pickV, Seq("src"))
-        .filter($"nbr" =!= $"pnbr")
-        .filter(!(lit(alpha) * (lit(1.0) - cosine($"pv", $"cv")) <=
-          (lit(1.0) - $"cos")))
-        .select($"src", $"nbr", $"cos", $"cv")
-        .localCheckpoint(true)
+    workDir match {
+      case Some(wd) =>
+        // BUILD-side durability: the prune's output becomes the stored
+        // index, so like buildDurable/refineDurable each round persists
+        // under the workDir with `_SUCCESS` resume — a lost executor
+        // mid-prune costs one round's recompute after a job restart,
+        // never the whole prune. Every stage is deterministic ((cos
+        // DESC, nbr) picks, pure filters), so a resumed prune is
+        // bit-identical to an uninterrupted one (GraphPruneSpec).
+        val spark = vecs.sparkSession
+        val hfs = new org.apache.hadoop.fs.Path(wd)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // loud-resume guard, the refineDurable pattern: a workDir holds
+        // ONE prune — same degree budget, same α, same candidate set
+        val metaPath = new org.apache.hadoop.fs.Path(wd, "_graft_prune")
+        val fingerprint = s"r=$r,alpha=$alpha,cand=${graphDigest(cand)}"
+        if (hfs.exists(metaPath)) {
+          val in = hfs.open(metaPath)
+          val prev = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()
+          require(prev == fingerprint,
+            s"workDir $wd holds a prune with parameters [$prev]; " +
+              s"refusing to resume with [$fingerprint] — use a fresh workDir")
+        } else {
+          val out = hfs.create(metaPath, true)
+          try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
+        }
+        def done(name: String) = hfs.exists(
+          new org.apache.hadoop.fs.Path(s"$wd/$name", "_SUCCESS"))
+        def persist(name: String, df: => DataFrame): DataFrame = {
+          if (!done(name)) df.write.mode("overwrite").parquet(s"$wd/$name")
+          spark.read.parquet(s"$wd/$name")
+        }
+        var remaining = persist("m_0", attached)
+        var kept: DataFrame = null
+        for (i <- 1 to r) {
+          if (done(s"k_$i") && done(s"m_$i")) {
+            kept = spark.read.parquet(s"$wd/k_$i")
+            remaining = spark.read.parquet(s"$wd/m_$i")
+          } else {
+            val (pickEdges, next) = pruneRound(remaining, alpha)
+            // k_i holds the CUMULATIVE kept set so a resume needs only
+            // the latest complete round; if a crash landed between the
+            // two writes, the k_i recompute from m_{i-1} is
+            // deterministic and persist() skips the already-done write
+            kept = persist(s"k_$i",
+              if (kept == null) pickEdges else kept.union(pickEdges))
+            remaining = persist(s"m_$i", next)
+          }
+        }
+        kept
+      case None =>
+        // ephemeral path (in-memory prunes over query-sized or
+        // fixture-sized candidate frames): localCheckpoint is the right
+        // round barrier — executor-local blocks, no workDir to clean up;
+        // an index-build prune should pass a workDir instead
+        var remaining = attached.localCheckpoint(true)
+        var kept: DataFrame = null
+        for (_ <- 1 to r) {
+          val (pickEdges, next) = pruneRound(remaining, alpha)
+          kept = if (kept == null) pickEdges else kept.union(pickEdges)
+          remaining = next.localCheckpoint(true)
+        }
+        kept
     }
-    kept
+  }
+
+  /** One α-prune greedy round over the vector-attached remainder frame
+    * (src, nbr, cos, cv): the (cos DESC, nbr) top-1 pick per src, and
+    * the remainder surviving the pick's α-cover test — the step both
+    * [[robustPrune]] paths share. */
+  private def pruneRound(remaining: DataFrame,
+      alpha: Double): (DataFrame, DataFrame) = {
+    import remaining.sparkSession.implicits._
+    val pick = remaining.withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
+      .filter($"rn" === 1).drop("rn").localCheckpoint(true)
+    val pickV = pick.select($"src", $"nbr".as("pnbr"), $"cv".as("pv"))
+    val next = remaining
+      .join(pickV, Seq("src"))
+      .filter($"nbr" =!= $"pnbr")
+      .filter(!(lit(alpha) * (lit(1.0) - cosine($"pv", $"cv")) <=
+        (lit(1.0) - $"cos")))
+      .select($"src", $"nbr", $"cos", $"cv")
+    (pick.select($"src", $"nbr", $"cos"), next)
   }
 
   /** The bucket count is a property OF THE STORE, not of the code: the
@@ -327,6 +407,15 @@ object KnnGraph {
     val out = f.create(p, true)
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
   }
+
+  /** THE driver-side bucket function — Math.floorMod, the arithmetic
+    * twin of the `pmod` every writer partitions by. Scala's `%` agrees
+    * only for non-negative ids; a negative vec_id routed by `%` would
+    * be written to a valid bucket (pmod) but silently unfindable at
+    * read time (`%` names a bucket that doesn't exist). Readers and
+    * writers must share ONE modulus definition; this is it. */
+  private[graft] def bucketOf(id: Long, nb: Int): Int =
+    Math.floorMod(id, nb.toLong).toInt
 
   /** The store's recorded bucket count (see [[writeBucketMeta]]). */
   def bucketsOf(spark: SparkSession, path: String): Int = {
@@ -396,7 +485,7 @@ object KnnGraph {
     codesPath.foreach(eraseFromIdStore(spark, _, victims))
     val victimSet = victims.toSet
     val nb = bucketsOf(spark, path)
-    val victimBuckets = victims.map(_ % nb).distinct
+    val victimBuckets = victims.map(bucketOf(_, nb)).distinct
     // the victims' neighbor lists — one pruned scan of the victim
     // buckets; bounded by |victims|·k (the erasure working set)
     val nbrs = spark.read.parquet(path)
@@ -405,8 +494,8 @@ object KnnGraph {
       .groupBy($"src").agg(collect_set($"nbr").as("ns"))
       .as[(Long, Seq[Long])].collect().toMap
     val nbrIds = nbrs.values.flatten.toSet -- victimSet
-    val touched = (victimBuckets ++ nbrIds.map(_ % nb))
-      .distinct.sorted
+    val touched = (victimBuckets ++ nbrIds.map(bucketOf(_, nb)))
+      .toSeq.distinct.sorted
     // pairwise re-link among each victim's surviving neighbors, both
     // directions (the store is undirected)
     val repair = nbrs.values.toSeq.flatMap { ns =>
@@ -448,7 +537,7 @@ object KnnGraph {
     import spark.implicits._
     import graft.sources.PartitionedLayout.{withDynamicOverwrite, withStaging}
     val nb = bucketsOf(spark, path)
-    val vBuckets = victims.map(_ % nb).distinct
+    val vBuckets = victims.map(bucketOf(_, nb)).distinct
     withDynamicOverwrite(spark) {
       val slice = spark.read.parquet(path)
         .filter($"bucket".isin(vBuckets: _*))
@@ -462,6 +551,19 @@ object KnnGraph {
         vBuckets.filterNot(b => present.contains(b.toInt)).foreach(b =>
           f.delete(new org.apache.hadoop.fs.Path(root, s"bucket=$b"), true))
       }
+    }
+    // a victim can linger as an ENTRY representative
+    // ([[writeHashEntries]]) — a stale entry would warm-start every
+    // insert search at the victim, so the sidecar drops those rows
+    // (readers fail loudly if it drains; writeHashEntries refreshes it)
+    val entriesPath = new org.apache.hadoop.fs.Path(path, "_graft_entries")
+    val hfs = entriesPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (hfs.exists(entriesPath)) {
+      val sidecar = spark.read.parquet(entriesPath.toString)
+      val kept = sidecar.filter(!$"node".isin(victims: _*)).collect()
+      spark.createDataFrame(
+          java.util.Arrays.asList(kept: _*), sidecar.schema)
+        .coalesce(1).write.mode("overwrite").parquet(entriesPath.toString)
     }
   }
 
@@ -712,6 +814,12 @@ object KnnGraph {
     val cents = centroidsOf(spark, path)
     val entries = spark.read.parquet(s"$path/_graft_entries")
     val present = entries.select($"cid").as[Int].collect().sorted.toSeq
+    // an empty sidecar (every cell entry erased before a writeEntries
+    // refresh) must be a loud error: silently returning an empty entry
+    // frame would answer every query with zero rows, and an empty
+    // `present` would make clusterOf yield a null pidx downstream
+    require(present.nonEmpty,
+      s"$path/_graft_entries is empty — rerun writeEntries before serving")
     val presentCents = present.map(cents(_))
     queries
       .select($"qid", clusterOf($"v", presentCents).as("pidx"))
@@ -814,6 +922,75 @@ object KnnGraph {
       .withColumn("bucket", pmod($"vec_id", lit(numBuckets.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     writeBucketMeta(vecs.sparkSession, path, numBuckets)
+    writeHashEntries(vecs, path)
+  }
+
+  /** The bucket-count SIZING POLICY — nb ≈ n / targetRowsPerBucket,
+    * clamped to [1, 2¹⁶]. At a FIXED bucket count, per-bucket files
+    * grow linearly with n, so every bucket-pruned rewrite (erase,
+    * compaction) and point-read quietly inherits an O(n/nb) term; with
+    * the count scaled at write time the per-bucket row count — and with
+    * it the cost of touching one bucket — stays constant as the corpus
+    * grows (GraphEraseProbe measures both arms). Readers need no code
+    * change: every store records its own count in `_graft_buckets`
+    * ([[bucketsOf]]). `targetRowsPerBucket` trades file count against
+    * rewrite granularity — at 100 TB pick it so a bucket is a few
+    * row groups (default 4096 embedding rows ≈ 2 MB at d=64). */
+  def scaledBuckets(n: Long, targetRowsPerBucket: Long = 4096): Int = {
+    require(targetRowsPerBucket > 0, "targetRowsPerBucket must be positive")
+    math.max(1L, math.min(1L << 16,
+      (n + targetRowsPerBucket - 1) / targetRowsPerBucket)).toInt
+  }
+
+  /** Persist per-slot ENTRY POINTS next to a hash-layout
+    * [[writeVectors]] store: for each of `slots` id-hash slots, ONE
+    * deterministic pseudo-random member (the slot's min (xxhash64(id),
+    * id) — hash-ranked so the picks spread over the corpus; a min-id
+    * pick would clump into the lowest-id region, which on fixtures
+    * with id-correlated clusters made a measurably biased entry set),
+    * with its vector, as the `_graft_entries` sidecar. The hash twin
+    * of [[writeEntries]] (no centroids to rank by): a consumer needing
+    * a warm start — [[graft.streaming.StreamingGraphIngest
+    * .insertBatch]]'s arrival search — reads this ≤`slots`-row sidecar
+    * instead of collecting an O(n/nb) corpus bucket to the driver.
+    * Cost at write: one map-side-combined min per slot plus one
+    * broadcast join to attach vectors — never a corpus shuffle.
+    * Erase-aware: [[eraseFromIdStore]] drops victim rows, so a stale
+    * entry can never resurrect an erased node. */
+  def writeHashEntries(vecs: DataFrame, path: String,
+      slots: Int = 64): Unit = {
+    import vecs.sparkSession.implicits._
+    val reps = vecs
+      .select($"vec_id",
+        pmod($"vec_id", lit(slots.toLong)).cast("int").as("slot"),
+        xxhash64($"vec_id").as("h"))
+      .groupBy($"slot")
+      .agg(min(struct($"h", $"vec_id")).as("m"))
+      .select($"slot", $"m.vec_id".as("node"))
+    reps.join(vecs.select($"vec_id".as("node"), $"v"), Seq("node"))
+      .select($"slot", $"node", $"v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_entries")
+  }
+
+  /** The hash store's entry representatives ([[writeHashEntries]]),
+    * collected — ≤ slots rows by construction, the warm-start working
+    * set. A missing or drained sidecar is a LOUD error: silently
+    * falling back to a corpus scan would reintroduce the driver-sized
+    * collect this sidecar exists to remove. */
+  def hashEntries(spark: SparkSession,
+      path: String): Seq[(Long, Array[Double])] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_entries")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no _graft_entries sidecar — rerun writeHashEntries " +
+        "(stores written by writeVectors carry it automatically)")
+    val rows = spark.read.parquet(p.toString)
+      .select($"node", $"v").as[(Long, Seq[Double])]
+      .collect().map { case (id, v) => id -> v.toArray }.toSeq
+    require(rows.nonEmpty,
+      s"$path/_graft_entries is empty — rerun writeHashEntries")
+    rows
   }
 
   /** Point-fetch the vectors of a BOUNDED id frame from a
@@ -828,7 +1005,7 @@ object KnnGraph {
     import spark.implicits._
     val numBuckets = bucketsOf(spark, path)
     val idList = ids.select($"node").distinct().as[Long].collect()
-    val buckets = idList.map(_ % numBuckets).distinct.toSeq
+    val buckets = idList.map(bucketOf(_, numBuckets)).distinct.toSeq
     // distinct: streamed appends are retry-safe at the ANSWER level —
     // a replayed micro-batch may leave duplicate physical rows, and
     // without the dedup one node could occupy several top-k slots
@@ -890,7 +1067,7 @@ object KnnGraph {
     import spark.implicits._
     val numBuckets = bucketsOf(spark, path)
     val idList = ids.select($"node").distinct().as[Long].collect()
-    val buckets = idList.map(_ % numBuckets).distinct.toSeq
+    val buckets = idList.map(bucketOf(_, numBuckets)).distinct.toSeq
     spark.read.parquet(path)
       .filter($"bucket".isin(buckets: _*) && $"vec_id".isin(idList.toSeq: _*))
       .drop("bucket").distinct()
@@ -958,6 +1135,61 @@ object KnnGraph {
       .filter($"rn" <= k).select($"qid", $"node")
   }
 
+  /** The COMPOSED production serving head (sq28 — the DiskANN/Vamana
+    * deployment shape, every store-resident piece in ONE loop): entry
+    * points from the `_graft_entries` sidecar (zero corpus I/O,
+    * [[storedEntries]]), expansion over the CLUSTERED α-pruned
+    * adjacency (locality-pruned scans with carried buckets,
+    * [[expandClustered]]), beam ranking by ADC over the PQ codes
+    * sidecar (M bytes per candidate, [[fetchCodes]]), and ONE exact
+    * re-rank of the ADC top-2k from the [[writeVectors]] store. The
+    * walk is [[beamTrace]]'s skeleton with [[serveFromStoresPq]]'s
+    * scorer on [[expandClustered]]'s frontiers — answers over the same
+    * edges and entries EQUAL the hash-layout quantized head's
+    * (ComposedGraphStoreSpec): composition changes where edges live
+    * and what a round reads, never which candidates are ranked.
+    *
+    * 100 TB: a request batch touches the |cells|-row entries sidecar,
+    * the frontier's cluster buckets of the k·n edge list, M-byte code
+    * rows for O(beam·k·rounds) candidates, and ≤ 2k full vectors per
+    * query at the end — nothing corpus-sized anywhere. */
+  def serveFromStoresClusteredPqWarm(spark: SparkSession, graphPath: String,
+      codesPath: String, vecPath: String, queries: DataFrame,
+      cb: Seq[Seq[Seq[Double]]], k: Int, beamRounds: Int): DataFrame = {
+    import spark.implicits._
+    val m = cb.length
+    val sub = cb.head.head.length
+    val qluts = (0 until m).foldLeft(queries.toDF()) { (df, mi) =>
+      df.withColumn(s"lut$mi", Pq.lutCol($"v", cb, sub, mi))
+    }.drop("v")
+    val adc = (0 until m).map(mi =>
+      element_at(col(s"lut$mi"), col(s"c$mi") + 1)).reduce(_ + _)
+    // the clustered walk must CARRY each kept candidate's bucket — the
+    // edge that discovered a node names where its adjacency lives
+    def adcKeep(cand: DataFrame, keep: Int) = cand
+      .join(broadcast(qluts), Seq("qid"))
+      .join(fetchCodes(spark, codesPath, cand), Seq("node"))
+      .withColumn("adist", adc)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"adist".asc, $"node")))
+      .filter($"rn" <= keep).select($"qid", $"node", $"node_bucket")
+    val pool = beamTrace(
+      storedEntries(spark, graphPath, queries),
+      expandClustered(spark, graphPath, _),
+      fresh => adcKeep(fresh.localCheckpoint(true), k),
+      beamRounds).last._2
+    val shortlist = adcKeep(
+      pool.filter($"node" =!= $"qid").localCheckpoint(true), 2 * k)
+      .select($"qid", $"node").localCheckpoint(true)
+    shortlist
+      .join(broadcast(queries), Seq("qid"))
+      .join(fetchVectors(spark, vecPath, shortlist)
+        .select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
+      .filter($"rn" <= k).select($"qid", $"node")
+  }
+
   /** Driver-side replica of [[graft.functions.CosineSimilarity]]'s
     * arithmetic — same accumulation order, same final division, so the
     * coordinated loop's tie-breaks are bit-identical to the
@@ -1012,12 +1244,13 @@ object KnnGraph {
     val vecNb = bucketsOf(spark, vecPath)
     val entry: Map[Long, Long] = entries.getOrElse {
       val n = spark.read.parquet(vecPath).count()
-      queries.map { case (qid, _) => qid -> (qid * 37 + 1) % n }.toMap
+      queries.map { case (qid, _) =>
+        qid -> Math.floorMod(qid * 37 + 1, n) }.toMap
     }
     def fetchVecs(ids: Set[Long]): Map[Long, Array[Double]] =
       if (ids.isEmpty) Map.empty
       else {
-        val bs = ids.map(_ % vecNb).toSeq
+        val bs = ids.map(bucketOf(_, vecNb)).toSeq
         spark.read.parquet(vecPath)
           .filter($"bucket".isin(bs: _*) && $"vec_id".isin(ids.toSeq: _*))
           .select($"vec_id", $"v").as[(Long, Seq[Double])]
@@ -1040,7 +1273,7 @@ object KnnGraph {
       queries.map { case (qid, _) => qid -> Seq(entry(qid)) }.toMap
     for (_ <- 1 to beamRounds if frontier.valuesIterator.exists(_.nonEmpty)) {
       val fNodes = frontier.valuesIterator.flatten.toSet
-      val fBuckets = fNodes.map(_ % graphNb).toSeq
+      val fBuckets = fNodes.map(bucketOf(_, graphNb)).toSeq
       // pruned adjacency point-read: one job for the whole batch
       val adj = spark.read.parquet(graphPath)
         .filter($"bucket".isin(fBuckets: _*) && $"src".isin(fNodes.toSeq: _*))

@@ -18,8 +18,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Contract: `corpus` must resolve vectors for every graph node and
   * every arrival (in production it is a view over the corpus table the
   * ingest also maintains — wq01's upsert). Entry points for the insert
-  * search come from ONE partition-pruned read of bucket 0 per batch —
-  * bounded, index-sized metadata, never the corpus.
+  * search come from the vector store's ≤slots-row `_graft_entries`
+  * sidecar (store-only arm) or one partition-pruned adjacency bucket
+  * (corpus arm) — bounded, index-sized metadata, never the corpus.
   *
   * Why this shape survives 100 TB: an insert touches O(beam·k·steps)
   * vectors + ≤ beam buckets of the k·n edge list — corpus-size-free,
@@ -85,17 +86,17 @@ object StreamingGraphIngest {
         // trigger contract, and an HNSW insert IS a coordinator-driven
         // search — serve through the COORDINATED head (two pruned
         // point-reads per beam round for the whole batch), warm-started
-        // at each arrival's best node from one pruned bucket of the
-        // vector store. The vector store tracks graph membership
-        // exactly (base build + previously linked arrivals), so its
-        // rows are valid entries — no corpus frame anywhere.
+        // at each arrival's best node among the store's ENTRY
+        // REPRESENTATIVES ([[KnnGraph.writeHashEntries]] — the ≤slots-row
+        // sidecar every writeVectors store carries, erase-aware). The
+        // sidecar is the insert path's ONLY driver-resident state
+        // besides the batch itself: entry selection never collects a
+        // corpus-sized bucket — the clustered arm's zero-corpus-I/O
+        // entry contract, on the hash layout.
         val arrivals = batch.select($"vec_id", $"v")
           .as[(Long, Seq[Double])].collect()
           .map { case (id, v) => id -> v.toArray }.toSeq
-        val sample = sampleBucket(vp)
-          .select($"vec_id", $"v").distinct()
-          .as[(Long, Seq[Double])]
-          .collect().map { case (id, v) => id -> v.toArray }
+        val sample = KnnGraph.hashEntries(spark, vp)
         val entries = arrivals.map { case (qid, qvec) =>
           qid -> sample.maxBy { case (node, cv) =>
             (KnnGraph.cosineLocal(qvec, cv), -node) }._1
@@ -165,9 +166,14 @@ object StreamingGraphIngest {
     * (|batch|·k) point-fetch of the vector store. Edges publish before
     * vectors — the same crash-window ordering as the hash path (a
     * vector-less node can be expanded into but never answered or
-    * sampled). */
+    * sampled). When `codes` = (codesPath, codebook) is set, the
+    * arrivals' flat-PQ codes append LAST into the [[KnnGraph
+    * .writeCodes]] sidecar (the hash arm's contract: required when the
+    * store is served through a quantized head, whose ADC rank
+    * inner-joins that sidecar). */
   def insertClusteredBatch(batch: DataFrame, storePath: String,
-      vecPath: String, k: Int, beamRounds: Int): Unit = {
+      vecPath: String, k: Int, beamRounds: Int,
+      codes: Option[(String, Seq[Seq[Seq[Double]]])] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
@@ -194,5 +200,13 @@ object StreamingGraphIngest {
         pmod($"vec_id",
           lit(KnnGraph.bucketsOf(spark, vecPath).toLong)).cast("int"))
       .write.mode("append").partitionBy("bucket").parquet(vecPath)
+    codes.foreach { case (cp, cb) =>
+      graft.similarity.Pq
+        .pqEncode(batch.select($"vec_id", $"v"), cb, cb.head.head.length)
+        .withColumn("bucket",
+          pmod($"vec_id",
+            lit(KnnGraph.bucketsOf(spark, cp).toLong)).cast("int"))
+        .write.mode("append").partitionBy("bucket").parquet(cp)
+    }
   }
 }

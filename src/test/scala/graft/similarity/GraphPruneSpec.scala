@@ -59,6 +59,41 @@ class GraphPruneSpec extends AnyFunSuite {
     cand.unpersist(); pruned.unpersist(); vecs.unpersist()
   }
 
+  test("durable prune equals the ephemeral prune, resumes bit-identically, and guards its workDir") {
+    import spark.implicits._
+    val vecs = corpus()
+    val cand = KnnGraph.build(vecs, K, rounds = 1).last.cache()
+    val ephemeral = edges(KnnGraph.robustPrune(vecs, cand, R, Alpha))
+    val wd = graft.util.Scratch.tempDir("graft-prune-spec")
+    val durable = edges(KnnGraph.robustPrune(vecs, cand, R, Alpha,
+      workDir = Some(wd)))
+    assert(durable == ephemeral,
+      "durable prune must produce the ephemeral prune's edge set")
+    // a second call over the same workDir is a resume: every round's
+    // _SUCCESS exists, so it reloads — and must be bit-identical
+    val resumed = edges(KnnGraph.robustPrune(vecs, cand, R, Alpha,
+      workDir = Some(wd)))
+    assert(resumed == durable, "resumed prune diverged from the original")
+    // PARTIAL resume: drop the last round's outputs and re-run — the
+    // prune must recompute only from the last complete round and still
+    // land on the same edge set
+    val fs = new org.apache.hadoop.fs.Path(wd).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$wd/k_$R"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$wd/m_$R"), true)
+    val partial = edges(KnnGraph.robustPrune(vecs, cand, R, Alpha,
+      workDir = Some(wd)))
+    assert(partial == durable, "partially-resumed prune diverged")
+    // resuming with different parameters must fail LOUDLY, never
+    // silently reload the old prune
+    val boom = intercept[IllegalArgumentException] {
+      KnnGraph.robustPrune(vecs, cand, R, alpha = Alpha + 0.5,
+        workDir = Some(wd))
+    }
+    assert(boom.getMessage.contains("refusing to resume"))
+    cand.unpersist(); vecs.unpersist()
+  }
+
   test("the greedy replays driver-side bit-exactly") {
     import spark.implicits._
     val vecs = corpus()

@@ -214,6 +214,18 @@ class StoredClusteredSpec extends AnyFunSuite {
       .select($"node").as[Long].collect().toSet
     assert(!sidecarAfter.contains(entryVictim),
       "an erased victim survived as a stored entry point")
+
+    // a DRAINED sidecar (every entry erased before a writeEntries
+    // refresh) must be a loud error — a silent empty entries frame
+    // would answer every query with zero rows
+    val sidecarDf = spark.read.parquet(s"$root/clus/_graft_entries")
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        sidecarDf.schema)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/clus/_graft_entries")
+    val drained = intercept[IllegalArgumentException](
+      KnnGraph.storedEntries(spark, s"$root/clus", probe))
+    assert(drained.getMessage.contains("rerun writeEntries"))
     vecs.unpersist()
   }
 

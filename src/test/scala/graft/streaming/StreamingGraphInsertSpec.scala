@@ -55,11 +55,17 @@ class StreamingGraphInsertSpec extends AnyFunSuite {
         Seq((id % KnnGraph.NumBuckets).toInt))
     }
     // 2. an inserted node is FINDABLE: a probe query carrying the exact
-    //    vector of each new node must rank it first
+    //    vector of each new node must rank it first. Six beam rounds:
+    //    on this rounds-3 rough graph the beam reaches an inserted
+    //    node's DIRECT neighbors in ~4 rounds and needs the extra
+    //    expansions to step into the node itself — the walk length is
+    //    the graph's roughness, not the insert's (sq22b measures
+    //    rounds-to-recall; insert quality itself is pinned by the
+    //    drift floor below)
     val probes = newIds.map(id => (id + 1000000L, newVecs(id)))
       .toDF("qid", "v")
     val found = KnnGraph.serveStored(spark, s"$root/v1", all, probes, K,
-      beamRounds = 4,
+      beamRounds = 6,
       entries = Some(KnnGraph.sampledEntries(all, probes, stride = 8)))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"qid")
@@ -73,7 +79,7 @@ class StreamingGraphInsertSpec extends AnyFunSuite {
     // 2b. the vector store grew with the stream: STORE-ONLY serving
     //     (no corpus frame anywhere) also finds the inserted nodes
     val foundStoreOnly = KnnGraph.serveFromStores(
-      spark, s"$root/v1", s"$root/vec", probes, K, beamRounds = 4,
+      spark, s"$root/v1", s"$root/vec", probes, K, beamRounds = 6,
       entries = Some(KnnGraph.sampledEntries(all, probes, stride = 8)))
     newIds.foreach { id =>
       val nodes = foundStoreOnly.filter($"qid" === id + 1000000L)
@@ -110,5 +116,59 @@ class StreamingGraphInsertSpec extends AnyFunSuite {
       f"streamed-inserted serving recall $streamedRecall%.3f fell more than " +
         f"0.15 below the rebuild's $rebuildRecall%.3f")
     adj.unpersist(); bf.unpersist(); all.unpersist()
+  }
+
+  test("hash-layout entry sidecar: bounded strided representatives, erase-aware, drained is loud") {
+    import spark.implicits._
+    import graft.similarity.VectorOps.toDouble
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft-hentry").toString
+    KnnGraph.writeStore(KnnGraph.build(vecs, K, rounds = 2).last, s"$root/g")
+    KnnGraph.writeVectors(vecs, s"$root/vec")
+
+    // the sidecar holds ONE member per id-hash slot — ≤ 64 rows by
+    // construction, so insertBatch's warm start is zero-corpus-I/O on
+    // this layout too (the clustered twin is StoredClusteredSpec's
+    // scan assertion)
+    val sidecar = KnnGraph.hashEntries(spark, s"$root/vec")
+    assert(sidecar.size <= 64, s"sidecar holds ${sidecar.size} rows > 64 slots")
+    val ids = vecs.select($"vec_id").as[Long].collect().toSet
+    assert(sidecar.map(_._1).forall(ids), "an entry is not a corpus member")
+    val slots = sidecar.map(e => Math.floorMod(e._1, 64L))
+    assert(slots.distinct.size == sidecar.size,
+      "two entry representatives share a slot")
+    assert(slots.toSet == ids.map(Math.floorMod(_, 64L)),
+      "a non-empty slot is missing its representative")
+
+    // a store-only insert batch searches from sidecar entries and links
+    val arrival = vecs.orderBy($"vec_id".desc).limit(1)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"v")
+    val newId = arrival.select($"vec_id").as[Long].head()
+    StreamingGraphIngest.insertBatch(arrival, s"$root/g", vecs, K,
+      beamRounds = 3, vecPath = Some(s"$root/vec"))
+    assert(spark.read.parquet(s"$root/g").filter($"src" === newId).count() == K)
+
+    // erasing a victim that IS an entry representative drops it from
+    // the sidecar — a stale entry must never warm-start at an erased node
+    val victim = sidecar.map(_._1).min
+    KnnGraph.eraseStored(spark, s"$root/g", Seq(victim),
+      vecPath = Some(s"$root/vec"))
+    val after = KnnGraph.hashEntries(spark, s"$root/vec")
+    assert(!after.map(_._1).contains(victim),
+      "an erased victim survived as an entry representative")
+
+    // a DRAINED sidecar fails loudly rather than silently rescanning
+    val sidecarDf = spark.read.parquet(s"$root/vec/_graft_entries")
+    spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        sidecarDf.schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/vec/_graft_entries")
+    val boom = intercept[IllegalArgumentException](
+      StreamingGraphIngest.insertBatch(arrival
+        .select(($"vec_id" + 1L).as("vec_id"), $"v"), s"$root/g", vecs, K,
+        beamRounds = 3, vecPath = Some(s"$root/vec")))
+    assert(boom.getMessage.contains("writeHashEntries"))
+    vecs.unpersist()
   }
 }
