@@ -35,16 +35,27 @@ object GraphEraseProbe {
       .parquet(s"$dir/embeddings.parquet")
       .select($"vec_id", VectorOps.toDouble($"embedding").as("v")).cache()
 
+    // rows-per-bucket target for the scaled arm (SPARK_GRAFT_SCALED_TARGET,
+    // default 64): sweeping it maps the policy's REAL tradeoff — too
+    // small a target explodes bucket/file counts until listing swamps
+    // the saved rewrite bytes (measured: 3125 buckets at target 64 on
+    // the x100 corpus cost 6× the fixed layout), too large reproduces
+    // the fixed layout's grows-with-n residual
+    val target = sys.env.getOrElse("SPARK_GRAFT_SCALED_TARGET", "64").toLong
+    // stable per-corpus build root: re-runs (e.g. a target sweep) resume
+    // the durable build instead of paying NN-Descent again
+    val workRoot = sys.env.getOrElse("SPARK_GRAFT_PROBE_WORK", "/tmp/graft_gep")
     for ((label, dir) <- Seq("x1" -> s"$scaleDir/x1", "x100" -> s"$scaleDir/x100")) {
       val vecs = corpus(dir)
       val n = vecs.count()
       val work = graft.util.Scratch.tempDir(s"graft-gep-$label")
       // ONE durable build per corpus; both layout arms re-partition the
       // same final round, so the arms differ only in bucket count
-      val built = KnnGraph.buildDurable(vecs, 8, rounds = 2, s"$work/b").last
+      val built = KnnGraph.buildDurable(vecs, 8, rounds = 2,
+        s"$workRoot/$label/b").last
       for ((mode, nb) <- Seq(
           "fixed" -> KnnGraph.NumBuckets,
-          "scaled" -> KnnGraph.scaledBuckets(n, targetRowsPerBucket = 64))) {
+          "scaled" -> KnnGraph.scaledBuckets(n, targetRowsPerBucket = target))) {
         KnnGraph.writeStore(built, s"$work/g_$mode", nb)
         KnnGraph.writeVectors(vecs, s"$work/vec_$mode", nb)
         val erased = scala.collection.mutable.Set.empty[Long]

@@ -30,12 +30,18 @@ object GraphServeProbe {
         .select($"vec_id", VectorOps.toDouble($"embedding").as("v")).cache()
       val n = vecs.count()
       val work = graft.util.Scratch.tempDir(s"graft-gsp-$label")
-      // ONE durable build per corpus; the layout arms re-partition the
-      // same final round, so serving differs only in bucket count
-      val built = KnnGraph.buildDurable(vecs, 8, rounds = 2, s"$work/b").last
+      val target = sys.env.getOrElse("SPARK_GRAFT_SCALED_TARGET", "64").toLong
+      val workRoot = sys.env.getOrElse("SPARK_GRAFT_PROBE_WORK", "/tmp/graft_gep")
+      // ONE durable build per corpus (shared with GraphEraseProbe's
+      // stable root — both probes serve the same final round); the
+      // layout arms re-partition it, so serving differs only in bucket
+      // count. SPARK_GRAFT_SCALED_TARGET sweeps the scaled arm's
+      // rows-per-bucket (see GraphEraseProbe on the tradeoff).
+      val built = KnnGraph.buildDurable(vecs, 8, rounds = 2,
+        s"$workRoot/$label/b").last
       for ((mode, nb) <- Seq(
           "fixed" -> KnnGraph.NumBuckets,
-          "scaled" -> KnnGraph.scaledBuckets(n, targetRowsPerBucket = 64))) {
+          "scaled" -> KnnGraph.scaledBuckets(n, targetRowsPerBucket = target))) {
         KnnGraph.writeStore(built, s"$work/g_$mode", nb)
         KnnGraph.writeVectors(vecs, s"$work/vec_$mode", nb)
         for (q <- Seq(16, 128, 1024)) {

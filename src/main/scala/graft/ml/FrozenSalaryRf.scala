@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * Provenance: frozen by [[FreezeRf]] — RandomForestRegressor
   * (numTrees=3, maxDepth=3, seed=42), raw features (tree splits are
   * scale-invariant; no scaler stage), fit on the sf0.01 featurized
-  * postings (2400 rows). Thresholds/leaves are Double.toString
+  * postings (12857 rows). Thresholds/leaves are Double.toString
   * round-trip literals, identical when re-parsed by Scala and DuckDB. */
 object FrozenSalaryRf {
 

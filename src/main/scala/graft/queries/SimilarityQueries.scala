@@ -3313,9 +3313,12 @@ object SimilarityQueries {
       .filter($"rn" <= 24).drop("rn")
       .union(es.head.select($"src", $"nbr", $"cos"))
       .distinct().localCheckpoint(true)
+    // durable prune under the PROCESS-SHARED key (buildCached's
+    // contract): a rerun in the same process resumes the persisted
+    // rounds — the deployment shape, and what makes the `_SUCCESS`
+    // resume reachable at all (a throwaway workDir never resumes)
     val tP0 = System.nanoTime()
-    val pruned = KnnGraph.robustPrune(vecs, cand, degree, alpha,
-        workDir = Some(graft.util.Scratch.tempDir("graft-sq28-prune")))
+    val pruned = KnnGraph.pruneCached(vecs, cand, dir, degree, alpha)
       .select($"src", $"nbr").localCheckpoint(true)
     val pruneS = (System.nanoTime() - tP0) / 1e9
     val edgesPruned = pruned.count()
@@ -3325,8 +3328,15 @@ object SimilarityQueries {
     val cents = Pq.trainCodebook(sample, cells).map(_.toSeq).toSeq
     val cb = Pq.trainSubspaces(sample, m, sub, 16)
     // ONE composed store: clustered α-pruned adjacency + entries +
-    // centroids, n-scaled bucketed vectors, n-scaled PQ codes sidecar
-    val nb = KnnGraph.scaledBuckets(n, targetRowsPerBucket = 64)
+    // centroids, n-scaled bucketed vectors, n-scaled PQ codes sidecar.
+    // The count follows the policy UP TO a cap: GraphEraseProbe's
+    // round-13 sweep measured that bucket count must be bytes-driven —
+    // past the point where a bucket amortizes its own listing/file
+    // overhead, more buckets only multiply metadata cost (5.4→34.8 s
+    // for one erase as nb grew 32→3125 on a corpus whose buckets are
+    // KBs). 256 keeps fixture/probe buckets above that floor; a real
+    // deployment raises the cap with its per-file byte budget.
+    val nb = math.min(KnnGraph.scaledBuckets(n, targetRowsPerBucket = 64), 256)
     val tS0 = System.nanoTime()
     KnnGraph.writeStoreClustered(pruned, vecs, s"$root/g", cents)
     KnnGraph.writeEntries(vecs, s"$root/g")
@@ -3378,7 +3388,7 @@ object SimilarityQueries {
       vecPath = s"$root/vec", eraseVectors = true,
       codesPath = Some(s"$root/codes"))
     val eraseS = (System.nanoTime() - tE0) / 1e9
-    val (recallPost, serveMsPost, _) = serveRecall(s"$root/g")
+    val (recallPost, serveMsPost, nAnsPost) = serveRecall(s"$root/g")
     val victimsServed = KnnGraph.serveFromStoresClusteredPqWarm(spark,
         s"$root/g", s"$root/codes", s"$root/vec", probes, cb, k, beamRounds)
       .filter($"node".isin(victims: _*)).count()
@@ -3393,7 +3403,7 @@ object SimilarityQueries {
       s"$root/g2", cents)
     KnnGraph.writeEntries(vecs, s"$root/g2")
     val refineS = (System.nanoTime() - tR0) / 1e9
-    val (recallV2, serveMsV2, _) = serveRecall(s"$root/g2")
+    val (recallV2, serveMsV2, nAnsV2) = serveRecall(s"$root/g2")
     vecs.unpersist(); qv.unpersist(); bf.unpersist()
     def r2(x: Double) = math.round(x * 100) / 100.0
     def r3(x: Double) = math.round(x * 1000) / 1000.0
@@ -3403,9 +3413,9 @@ object SimilarityQueries {
       (2L, "serve_pq_warm", r2(serveMs0 / 1000 * nq), Some(r3(recall0)), nAns0),
       (3L, "insert_with_codes", r2(insertS), Some(foundIns / 4.0), 4L),
       (4L, "erase_full", r2(eraseS), Some(victimsServed.toDouble), victims.size.toLong),
-      (5L, "serve_post_erase", r2(serveMsPost / 1000 * nq), Some(r3(recallPost)), nq * k),
+      (5L, "serve_post_erase", r2(serveMsPost / 1000 * nq), Some(r3(recallPost)), nAnsPost),
       (6L, "refine_v2", r2(refineS), None, n),
-      (7L, "serve_v2", r2(serveMsV2 / 1000 * nq), Some(r3(recallV2)), nq * k))
+      (7L, "serve_v2", r2(serveMsV2 / 1000 * nq), Some(r3(recallV2)), nAnsV2))
       .toDF("phase_id", "phase", "wall_s", "metric", "n_rows")
       .orderBy($"phase_id")
   }

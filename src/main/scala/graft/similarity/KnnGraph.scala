@@ -145,6 +145,34 @@ object KnnGraph {
     }
   }
 
+  private val sharedPruneDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), String]()
+  private val sharedPruneLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), Object]()
+
+  /** PROCESS-SHARED durable prune — [[buildCached]]'s contract applied
+    * to [[robustPrune]]: the first caller for a (corpusKey, r, alpha)
+    * key pays the prune; later callers resume the persisted rounds
+    * from the SAME workDir (a fresh tempDir per call would make the
+    * `_SUCCESS` resume unreachable and the durability machinery pure
+    * overhead — the prune's point is that a restarted index build
+    * reloads completed rounds). robustPrune's fingerprint guard covers
+    * (r, α, candidate scores, vectors), so reusing a key against
+    * changed inputs is a loud error, never a silent stale reload.
+    * `graft.noBuildCache` restores the ephemeral build-fresh behavior
+    * for probes that measure the prune itself. */
+  def pruneCached(vecs: DataFrame, cand: DataFrame, corpusKey: String,
+      r: Int, alpha: Double): DataFrame = {
+    if (sys.props.get("graft.noBuildCache").contains("1"))
+      return robustPrune(vecs, cand, r, alpha)
+    val key = (corpusKey, r, alpha)
+    sharedPruneLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val wd = sharedPruneDirs.computeIfAbsent(key,
+        _ => graft.util.Scratch.tempDir(s"graft-prune-$r"))
+      robustPrune(vecs, cand, r, alpha, Some(wd))
+    }
+  }
+
   /** Exact-cosine scoring of an edge frame: fetch both endpoints'
     * vectors (candidate-bounded joins, never a corpus pass per edge). */
   private def scoreEdges(vecs: DataFrame, pairs: DataFrame): DataFrame = {
@@ -257,9 +285,15 @@ object KnnGraph {
     * cancel on the SAME edge set simultaneously (~2⁻¹²⁸), making the
     * resume guard collision-negligible by construction. One
     * index-sized aggregate. */
-  private def graphDigest(graph: DataFrame): String = {
-    val h = xxhash64(col("src"), col("nbr"))
-    val row = graph
+  private def graphDigest(graph: DataFrame): String =
+    frameDigest(graph, col("src"), col("nbr"))
+
+  /** Order/partitioning-independent digest of `df` over `cols` — count
+    * plus two independently-keyed XOR streams (see [[graphDigest]]'s
+    * collision argument). Cost: one aggregate pass over the frame. */
+  private def frameDigest(df: DataFrame, cols: org.apache.spark.sql.Column*): String = {
+    val h = xxhash64(cols: _*)
+    val row = df
       .agg(count(lit(1)), bit_xor(h), bit_xor(xxhash64(h, lit(0x9e3779b9L))))
       .head()
     val x1 = if (row.isNullAt(1)) 0L else row.getLong(1)
@@ -318,9 +352,15 @@ object KnnGraph {
         val hfs = new org.apache.hadoop.fs.Path(wd)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         // loud-resume guard, the refineDurable pattern: a workDir holds
-        // ONE prune — same degree budget, same α, same candidate set
+        // ONE prune. The fingerprint must cover EVERYTHING the prune
+        // depends on — not just the candidate edge ids: the same
+        // (src, nbr) set over re-scored cosines, or over re-embedded
+        // vectors (the α-cover test reads them), is a DIFFERENT prune,
+        // and a pair-only digest would silently reload the stale one.
         val metaPath = new org.apache.hadoop.fs.Path(wd, "_graft_prune")
-        val fingerprint = s"r=$r,alpha=$alpha,cand=${graphDigest(cand)}"
+        val fingerprint = s"r=$r,alpha=$alpha," +
+          s"cand=${frameDigest(cand, col("src"), col("nbr"), col("cos"))}," +
+          s"vecs=${frameDigest(vecs, col("vec_id"), col("v"))}"
         if (hfs.exists(metaPath)) {
           val in = hfs.open(metaPath)
           val prev = try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -556,6 +596,17 @@ object KnnGraph {
     // ([[writeHashEntries]]) — a stale entry would warm-start every
     // insert search at the victim, so the sidecar drops those rows
     // (readers fail loudly if it drains; writeHashEntries refreshes it)
+    dropEntryRows(spark, path, victims)
+  }
+
+  /** Drop victim rows from a store's `_graft_entries` sidecar, if one
+    * exists — shared by both erase paths (a stale entry must never
+    * re-seed a pool or warm-start a search at an erased node). The
+    * sidecar is ≤cells/slots rows, so the rewrite is a driver-bounded
+    * collect + one tiny file. */
+  private def dropEntryRows(spark: SparkSession, path: String,
+      victims: Seq[Long]): Unit = {
+    import spark.implicits._
     val entriesPath = new org.apache.hadoop.fs.Path(path, "_graft_entries")
     val hfs = entriesPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (hfs.exists(entriesPath)) {
@@ -704,15 +755,7 @@ object KnnGraph {
     // entry would re-seed every pool with the victim, so the sidecar
     // drops those rows (the cell then routes to the next-nearest
     // present cell until the next writeEntries refresh)
-    val entriesPath = new org.apache.hadoop.fs.Path(path, "_graft_entries")
-    val hfs = entriesPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (hfs.exists(entriesPath)) {
-      val sidecar = spark.read.parquet(entriesPath.toString)
-      val kept = sidecar.filter(!$"node".isin(victims: _*)).collect()
-      spark.createDataFrame(
-          java.util.Arrays.asList(kept: _*), sidecar.schema)
-        .coalesce(1).write.mode("overwrite").parquet(entriesPath.toString)
-    }
+    dropEntryRows(spark, path, victims)
     if (eraseVectors) eraseFromIdStore(spark, vecPath, victims)
     codesPath.foreach(eraseFromIdStore(spark, _, victims))
   }
@@ -967,9 +1010,29 @@ object KnnGraph {
       .groupBy($"slot")
       .agg(min(struct($"h", $"vec_id")).as("m"))
       .select($"slot", $"m.vec_id".as("node"))
+    // dropDuplicates: a streamed-append store may hold replayed
+    // physical duplicates of a vec_id (readers dedup, the fetchVectors
+    // contract) — the join would otherwise emit the entry twice
     reps.join(vecs.select($"vec_id".as("node"), $"v"), Seq("node"))
+      .dropDuplicates("slot", "node")
       .select($"slot", $"node", $"v")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_entries")
+  }
+
+  /** Backfill the `_graft_entries` sidecar on a [[writeVectors]]-layout
+    * store that predates it (or was populated by raw bucket appends):
+    * one executor-side pass over the store, no driver collect. A
+    * PRESENT-but-drained sidecar is left alone — that state means an
+    * erasure emptied it, and resurrecting entries implicitly would
+    * hide the operator decision [[hashEntries]]'s loud error asks for. */
+  def ensureHashEntries(spark: SparkSession, path: String,
+      slots: Int = 64): Unit = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_entries")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      writeHashEntries(
+        spark.read.parquet(path).select($"vec_id", $"v"), path, slots)
   }
 
   /** The hash store's entry representatives ([[writeHashEntries]]),
@@ -1101,7 +1164,23 @@ object KnnGraph {
   def serveFromStoresPq(spark: SparkSession, graphPath: String,
       codesPath: String, vecPath: String, queries: DataFrame,
       cb: Seq[Seq[Seq[Double]]], k: Int, beamRounds: Int,
-      entries: Option[DataFrame] = None): DataFrame = {
+      entries: Option[DataFrame] = None): DataFrame =
+    pqServeHead(spark, codesPath, vecPath, queries, cb, k, beamRounds,
+      entries.getOrElse(ringEntries(spark.read.parquet(codesPath), queries)),
+      expandStored(spark, graphPath, _), carry = Nil)
+
+  /** THE quantized serving walk both PQ heads share — [[beamTrace]]'s
+    * skeleton with the ADC scorer ([[serveFromStoresPq]] on the hash
+    * layout, [[serveFromStoresClusteredPqWarm]] on the clustered one,
+    * which carries `node_bucket` through `carry`). One walk, one
+    * shortlist rule, one exact re-rank: the two heads' answers are
+    * equality-proven over the same edges (ComposedGraphStoreSpec), and
+    * keeping one scorer is what keeps them in lockstep — a tie-break
+    * or shortlist fix lands once. */
+  private def pqServeHead(spark: SparkSession, codesPath: String,
+      vecPath: String, queries: DataFrame, cb: Seq[Seq[Seq[Double]]],
+      k: Int, beamRounds: Int, entries: DataFrame,
+      expand: DataFrame => DataFrame, carry: Seq[String]): DataFrame = {
     import spark.implicits._
     val m = cb.length
     val sub = cb.head.head.length
@@ -1110,21 +1189,23 @@ object KnnGraph {
     }.drop("v")
     val adc = (0 until m).map(mi =>
       element_at(col(s"lut$mi"), col(s"c$mi") + 1)).reduce(_ + _)
+    // `carry` columns ride through the keep unchanged — the clustered
+    // walk needs each kept candidate's bucket (the edge that discovered
+    // a node names where its adjacency lives)
+    val keepCols = (Seq("qid", "node") ++ carry).map(col)
     def adcKeep(cand: DataFrame, keep: Int) = cand
       .join(broadcast(qluts), Seq("qid"))
       .join(fetchCodes(spark, codesPath, cand), Seq("node"))
       .withColumn("adist", adc)
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy($"adist".asc, $"node")))
-      .filter($"rn" <= keep).select($"qid", $"node")
-    val pool = beamTrace(
-      entries.getOrElse(ringEntries(spark.read.parquet(codesPath), queries)),
-      expandStored(spark, graphPath, _),
+      .filter($"rn" <= keep).select(keepCols: _*)
+    val pool = beamTrace(entries, expand,
       fresh => adcKeep(fresh.localCheckpoint(true), k),
       beamRounds).last._2
     val shortlist = adcKeep(
       pool.filter($"node" =!= $"qid").localCheckpoint(true), 2 * k)
-      .localCheckpoint(true)
+      .select($"qid", $"node").localCheckpoint(true)
     // the loop's ONLY full-precision reads: ≤ 2k vectors per query
     shortlist
       .join(broadcast(queries), Seq("qid"))
@@ -1155,40 +1236,10 @@ object KnnGraph {
     * query at the end — nothing corpus-sized anywhere. */
   def serveFromStoresClusteredPqWarm(spark: SparkSession, graphPath: String,
       codesPath: String, vecPath: String, queries: DataFrame,
-      cb: Seq[Seq[Seq[Double]]], k: Int, beamRounds: Int): DataFrame = {
-    import spark.implicits._
-    val m = cb.length
-    val sub = cb.head.head.length
-    val qluts = (0 until m).foldLeft(queries.toDF()) { (df, mi) =>
-      df.withColumn(s"lut$mi", Pq.lutCol($"v", cb, sub, mi))
-    }.drop("v")
-    val adc = (0 until m).map(mi =>
-      element_at(col(s"lut$mi"), col(s"c$mi") + 1)).reduce(_ + _)
-    // the clustered walk must CARRY each kept candidate's bucket — the
-    // edge that discovered a node names where its adjacency lives
-    def adcKeep(cand: DataFrame, keep: Int) = cand
-      .join(broadcast(qluts), Seq("qid"))
-      .join(fetchCodes(spark, codesPath, cand), Seq("node"))
-      .withColumn("adist", adc)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"qid").orderBy($"adist".asc, $"node")))
-      .filter($"rn" <= keep).select($"qid", $"node", $"node_bucket")
-    val pool = beamTrace(
+      cb: Seq[Seq[Seq[Double]]], k: Int, beamRounds: Int): DataFrame =
+    pqServeHead(spark, codesPath, vecPath, queries, cb, k, beamRounds,
       storedEntries(spark, graphPath, queries),
-      expandClustered(spark, graphPath, _),
-      fresh => adcKeep(fresh.localCheckpoint(true), k),
-      beamRounds).last._2
-    val shortlist = adcKeep(
-      pool.filter($"node" =!= $"qid").localCheckpoint(true), 2 * k)
-      .select($"qid", $"node").localCheckpoint(true)
-    shortlist
-      .join(broadcast(queries), Seq("qid"))
-      .join(fetchVectors(spark, vecPath, shortlist)
-        .select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
-      .filter($"rn" <= k).select($"qid", $"node")
-  }
+      expandClustered(spark, graphPath, _), carry = Seq("node_bucket"))
 
   /** Driver-side replica of [[graft.functions.CosineSimilarity]]'s
     * arithmetic — same accumulation order, same final division, so the

@@ -96,6 +96,12 @@ object StreamingGraphIngest {
         val arrivals = batch.select($"vec_id", $"v")
           .as[(Long, Seq[Double])].collect()
           .map { case (id, v) => id -> v.toArray }.toSeq
+        // a store written before the sidecar existed (or populated by
+        // raw bucket appends) backfills it here, ONCE — one
+        // executor-side pass, never a driver collect; a
+        // present-but-drained sidecar still fails loudly below (that
+        // state is an erasure decision, not a missing artifact)
+        KnnGraph.ensureHashEntries(spark, vp)
         val sample = KnnGraph.hashEntries(spark, vp)
         val entries = arrivals.map { case (qid, qvec) =>
           qid -> sample.maxBy { case (node, cv) =>
@@ -144,14 +150,23 @@ object StreamingGraphIngest {
     // ADC rank (recall-only degradation the next refine/rebuild
     // republishes), while every exact loop already serves it; codes
     // use the FROZEN codebook like the IVF family's frozen quantizers.
-    codes.foreach { case (cp, cb) =>
-      graft.similarity.Pq
-        .pqEncode(batch.select($"vec_id", $"v"), cb, cb.head.head.length)
-        .withColumn("bucket",
-          pmod($"vec_id",
-            lit(KnnGraph.bucketsOf(spark, cp).toLong)).cast("int"))
-        .write.mode("append").partitionBy("bucket").parquet(cp)
-    }
+    codes.foreach { case (cp, cb) => appendCodes(batch, cp, cb) }
+  }
+
+  /** Append the batch's flat-PQ codes into a [[KnnGraph.writeCodes]]
+    * sidecar under its RECORDED bucket count — the codes-last step both
+    * ingest arms share (the append order is the crash-window contract;
+    * one definition keeps the hash and clustered paths in lockstep). */
+  private def appendCodes(batch: DataFrame, codesPath: String,
+      cb: Seq[Seq[Seq[Double]]]): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    graft.similarity.Pq
+      .pqEncode(batch.select($"vec_id", $"v"), cb, cb.head.head.length)
+      .withColumn("bucket",
+        pmod($"vec_id",
+          lit(KnnGraph.bucketsOf(spark, codesPath).toLong)).cast("int"))
+      .write.mode("append").partitionBy("bucket").parquet(codesPath)
   }
 
   /** [[insertBatch]] for the CLUSTERED layout
@@ -200,13 +215,6 @@ object StreamingGraphIngest {
         pmod($"vec_id",
           lit(KnnGraph.bucketsOf(spark, vecPath).toLong)).cast("int"))
       .write.mode("append").partitionBy("bucket").parquet(vecPath)
-    codes.foreach { case (cp, cb) =>
-      graft.similarity.Pq
-        .pqEncode(batch.select($"vec_id", $"v"), cb, cb.head.head.length)
-        .withColumn("bucket",
-          pmod($"vec_id",
-            lit(KnnGraph.bucketsOf(spark, cp).toLong)).cast("int"))
-        .write.mode("append").partitionBy("bucket").parquet(cp)
-    }
+    codes.foreach { case (cp, cb) => appendCodes(batch, cp, cb) }
   }
 }
