@@ -39,12 +39,18 @@ object GraphServeProbe {
       // rows-per-bucket (see GraphEraseProbe on the tradeoff).
       val built = KnnGraph.buildDurable(vecs, 8, rounds = 2,
         s"$workRoot/$label/b").last
+      // SPARK_GRAFT_SERVE_QS trims the |Q| series: the scaled arm at
+      // |Q|=1024 multiplies per-round listings by candidate-set isin
+      // width — pathological at fixture scale (the erase probe's
+      // metadata-floor finding), and not what the arm measures
+      val qs = sys.env.getOrElse("SPARK_GRAFT_SERVE_QS", "16,128,1024")
+        .split(",").map(_.trim.toInt).toSeq
       for ((mode, nb) <- Seq(
           "fixed" -> KnnGraph.NumBuckets,
           "scaled" -> KnnGraph.scaledBuckets(n, targetRowsPerBucket = target))) {
         KnnGraph.writeStore(built, s"$work/g_$mode", nb)
         KnnGraph.writeVectors(vecs, s"$work/vec_$mode", nb)
-        for (q <- Seq(16, 128, 1024)) {
+        for (q <- qs) {
           val queries = vecs.filter($"vec_id" < q)
             .select($"vec_id".as("qid"), $"v").cache()
           queries.count()
