@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * thousands — this measures the crossover instead of arguing it.
   * Both heads serve the SAME stored graph + vector store with ring
   * entries at |Q| ∈ {16, 128, 1024}; answers are equality-proven in
-  * StoredGraphSpec, so only wall differs. Two layout arms per corpus —
-  * `fixed` 32 buckets vs `scaled` ([[graft.similarity.KnnGraph
-  * .scaledBuckets]], n-proportional) — measure what the bucket-count
-  * policy costs or buys at serve time. One JSON line per cell.
+  * StoredGraphSpec, so only wall differs. Three sizing arms per corpus
+  * — `fixed` 32 buckets, `scaled` ([[graft.similarity.KnnGraph
+  * .scaledBuckets]], the rows policy), and `bytes`
+  * ([[graft.similarity.KnnGraph.autoBuckets]], the writers' default)
+  * — measure what the bucket-count policy costs or buys at serve
+  * time. One JSON line per cell.
   *
   * Run after ScaleProbe has materialized /tmp/graft_scale100 (the x1
   * and x100 embeddings replicas are the corpora). */
@@ -47,21 +49,32 @@ object GraphServeProbe {
         .split(",").map(_.trim.toInt).toSeq
       for ((mode, nb) <- Seq(
           "fixed" -> KnnGraph.NumBuckets,
-          "scaled" -> KnnGraph.scaledBuckets(n, targetRowsPerBucket = target))) {
+          "scaled" -> KnnGraph.scaledBuckets(n, targetRowsPerBucket = target),
+          // the writers' bytes-driven default: graph and vector stores
+          // each size by their own sampled row width
+          "bytes" -> KnnGraph.AutoBuckets)) {
         KnnGraph.writeStore(built, s"$work/g_$mode", nb)
         KnnGraph.writeVectors(vecs, s"$work/vec_$mode", nb)
+        val nbG = KnnGraph.bucketsOf(spark, s"$work/g_$mode")
+        val nbV = KnnGraph.bucketsOf(spark, s"$work/vec_$mode")
         for (q <- qs) {
           val queries = vecs.filter($"vec_id" < q)
             .select($"vec_id".as("qid"), $"v").cache()
           queries.count()
-          // warm both paths once (codegen + listings), then time
+          // warm both paths once (codegen + listings), then time. The
+          // explicit ring map mirrors serveFromStores' ringEntries
+          // default (dense replica ids), so both heads walk the SAME
+          // beams and the cell isolates the coordination cost
           val qLocal = queries.as[(Long, Seq[Double])].collect()
             .map { case (id, v) => id -> v.toArray }.toSeq
+          val ringMap = qLocal.map { case (id, _) =>
+            id -> Math.floorMod(id * 37 + 1, n) }.toMap
           KnnGraph.serveCoordinated(spark, s"$work/g_$mode", s"$work/vec_$mode",
-            qLocal, 8, beamRounds = 3): Unit
+            qLocal, 8, beamRounds = 3, entries = Some(ringMap)): Unit
           val tC = System.nanoTime()
           val nC = KnnGraph.serveCoordinated(spark, s"$work/g_$mode",
-            s"$work/vec_$mode", qLocal, 8, beamRounds = 3).size
+            s"$work/vec_$mode", qLocal, 8, beamRounds = 3,
+            entries = Some(ringMap)).size
           val cMs = (System.nanoTime() - tC) / 1e6 / q
           KnnGraph.serveFromStores(spark, s"$work/g_$mode", s"$work/vec_$mode",
             queries, 8, beamRounds = 3).count(): Unit
@@ -70,7 +83,7 @@ object GraphServeProbe {
             s"$work/vec_$mode", queries, 8, beamRounds = 3).count()
           val dMs = (System.nanoTime() - tD) / 1e6 / q
           require(nC.toLong == nD, s"answer count mismatch $nC vs $nD")
-          println(f"""{"probe":"graph_serve","corpus":"$label","mode":"$mode","n_buckets":$nb,"n_q":$q,"coordinated_ms_per_q":$cMs%.1f,"distributed_ms_per_q":$dMs%.1f}""")
+          println(f"""{"probe":"graph_serve","corpus":"$label","mode":"$mode","n_buckets_graph":$nbG,"n_buckets_vec":$nbV,"n_q":$q,"coordinated_ms_per_q":$cMs%.1f,"distributed_ms_per_q":$dMs%.1f}""")
           queries.unpersist()
         }
       }

@@ -2436,12 +2436,19 @@ object SimilarityQueries {
     val storeOnlyMs = (System.nanoTime() - tStores0) / 1e6 / nq
     // the coordinated head: beam state on the driver, two pruned
     // point-reads per round for the whole batch — the online-endpoint
-    // shape; answers provably identical (StoredGraphSpec)
+    // shape; answers provably identical (StoredGraphSpec). The explicit
+    // ring map mirrors ringEntries (this corpus is dense ids 0..n-1) so
+    // the three heads compare over the SAME walk — the head's own
+    // no-entries default is the sidecar warm start, a different entry
+    // policy this row doesn't measure
     val qLocal = qv.as[(Long, Seq[Double])].collect()
       .map { case (q, v) => q -> v.toArray }.toSeq
+    val ringMap = qLocal.map { case (q, _) =>
+      q -> Math.floorMod(q * 37 + 1, vecs.count()) }.toMap
     val tCoord0 = System.nanoTime()
     val coordServed = KnnGraph.serveCoordinated(
-      spark, s"$root/g", s"$root/vec", qLocal, k, beamRounds)
+      spark, s"$root/g", s"$root/vec", qLocal, k, beamRounds,
+      entries = Some(ringMap))
     val coordMs = (System.nanoTime() - tCoord0) / 1e6 / nq
     // the QUANTIZED stored head (serveFromStoresPq): beam rounds fetch
     // M-byte codes, vectors only at the final re-rank — the
@@ -3202,7 +3209,11 @@ object SimilarityQueries {
     val sample = vecs.select($"vec_id", $"v").orderBy($"vec_id").limit(20000)
       .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
     val cents = Pq.trainCodebook(sample, cells).map(_.toSeq).toSeq
-    KnnGraph.writeStore(graph, s"$root/hash")
+    // the hash arm is PINNED at the legacy 32-bucket constant: this row
+    // measures layout ROUTING (hash scatter vs cluster locality at a
+    // fixed count), not the sizing policy — the bytes-driven default
+    // would collapse the fixture to ~1 bucket and erase the contrast
+    KnnGraph.writeStore(graph, s"$root/hash", KnnGraph.NumBuckets)
     KnnGraph.writeStoreClustered(graph, vecs, s"$root/clus", cents)
     KnnGraph.writeVectors(vecs, s"$root/vec")
     val nbHash = KnnGraph.bucketsOf(spark, s"$root/hash")
@@ -3270,21 +3281,26 @@ object SimilarityQueries {
     *   1. α-robust-pruned adjacency (sq26's recipe: NN-Descent
     *      candidates' top-24 ∪ ring init = the L bound, durable prune
     *      with `_SUCCESS` resume) written through the CLUSTERED layout
-    *      (sq27 — locality buckets, carried nbr_bucket, n-scaled
-    *      bucket counts via [[graft.similarity.KnnGraph
-    *      .scaledBuckets]]), with `_graft_centroids` + `_graft_entries`
-    *      sidecars;
+    *      (sq27 — locality buckets, carried nbr_bucket), with
+    *      `_graft_centroids` + `_graft_entries` sidecars;
     *   2. PQ codes sidecar (sq22b/sq24's quantized head) + bucketed
-    *      vector store, both n-scaled;
+    *      vector store, both BYTES-sized ([[graft.similarity.KnnGraph
+    *      .scaledBucketsByBytes]] via the writers' autoBuckets default
+    *      — wide vector rows and narrow code rows get separate counts
+    *      at the same byte budget, the r13-measured constraint);
     *   3. served through the fully store-resident WARM QUANTIZED head
     *      ([[graft.similarity.KnnGraph.serveFromStoresClusteredPqWarm]]
     *      — stored entries, clustered expansion, ADC ranking, one
     *      exact re-rank), recall + per-query latency in-row;
-    *   4. then insert → erase → refine → re-serve ON THE SAME STORE:
-    *      streamed clustered insert WITH code append (sq23's rung),
-    *      clustered erase reaching vectors + codes + entries (wq08's
-    *      contract), one NN-Descent refine round promoted as a v2
-    *      store (the maintenance ladder's middle rung).
+    *   4. then insert → erase → refine → re-serve → ROLLBACK on the
+    *      same artifact: streamed clustered insert WITH code append
+    *      (sq23's rung), clustered erase reaching vectors + codes +
+    *      entries (wq08's contract), one NN-Descent refine round
+    *      published as a v2 store and PROMOTED through
+    *      [[graft.ml.IndexLifecycle]] (every serve resolves the PINNED
+    *      path — an unpromoted build is invisible), then one rollback
+    *      re-pins v1 with an in-row answers-equal invariant (the same
+    *      control plane the BM25/IVF-PQ stores use).
     *
     * Rows-only by nature (walls are measured), but the answers are
     * anchored: ComposedGraphStoreSpec proves the composed head's
@@ -3328,21 +3344,32 @@ object SimilarityQueries {
     val cents = Pq.trainCodebook(sample, cells).map(_.toSeq).toSeq
     val cb = Pq.trainSubspaces(sample, m, sub, 16)
     // ONE composed store: clustered α-pruned adjacency + entries +
-    // centroids, n-scaled bucketed vectors, n-scaled PQ codes sidecar.
-    // The count follows the policy UP TO a cap: GraphEraseProbe's
-    // round-13 sweep measured that bucket count must be bytes-driven —
-    // past the point where a bucket amortizes its own listing/file
-    // overhead, more buckets only multiply metadata cost (5.4→34.8 s
-    // for one erase as nb grew 32→3125 on a corpus whose buckets are
-    // KBs). 256 keeps fixture/probe buckets above that floor; a real
-    // deployment raises the cap with its per-file byte budget.
-    val nb = math.min(KnnGraph.scaledBuckets(n, targetRowsPerBucket = 64), 256)
+    // centroids, BYTES-sized bucketed vectors, BYTES-sized PQ codes
+    // sidecar — the r13 hand cap (min(scaledBuckets(n,64), 256)) is
+    // retired: the probe sweeps proved the governing constraint is
+    // bytes per bucket (erase 5.4→34.8 s as nb grew 32→3125 on
+    // KB-sized buckets), and the writers' autoBuckets default now owns
+    // both clamp ends, sizing the wide vector rows and the narrow code
+    // rows SEPARATELY at the same byte budget.
     val tS0 = System.nanoTime()
     KnnGraph.writeStoreClustered(pruned, vecs, s"$root/g", cents)
     KnnGraph.writeEntries(vecs, s"$root/g")
-    KnnGraph.writeVectors(vecs, s"$root/vec", nb)
-    KnnGraph.writeCodes(Pq.pqEncode(vecs, cb, sub), s"$root/codes", nb)
+    KnnGraph.writeVectors(vecs, s"$root/vec")
+    KnnGraph.writeCodes(Pq.pqEncode(vecs, cb, sub), s"$root/codes")
     val storeS = (System.nanoTime() - tS0) / 1e9
+    // GRAPH VERSIONS GO THROUGH THE LIFECYCLE REGISTRY (r13 verdict #4):
+    // the same promote/pin/rollback control plane BM25 and the IVF-PQ
+    // stores use — serving always resolves the PINNED version's path,
+    // so a rebuild is invisible until promoted and a bad promote is one
+    // rollback from restored. Every serve below reads `pinned()`.
+    val registry = s"$root/registry"
+    graft.ml.IndexLifecycle.register(spark, registry, "composed_graph",
+      "knn_graph_composed", s"$root/g", 1)
+    graft.ml.IndexLifecycle.promote(spark, registry, "composed_graph", 1)
+    def pinned(): String = graft.ml.IndexLifecycle
+      .pinnedPath(spark, registry, "composed_graph")
+      .getOrElse(throw new IllegalStateException(
+        "no pinned composed_graph version — promote before serving"))
     val qv = vecs.filter($"vec_id" < 16)
       .select($"vec_id".as("qid"), $"v").cache()
     val nq = qv.count()
@@ -3352,7 +3379,7 @@ object SimilarityQueries {
         Window.partitionBy($"qid").orderBy(cosine($"qv", $"cv").desc, $"node")))
       .filter($"rn" <= k).select($"qid", $"node").cache()
     bf.count()
-    def serveRecall(graphPath: String): (Double, Double, Long) = {
+    def serveRecall(graphPath: String): (Double, Double, Long, Set[(Long, Long)]) = {
       val t0 = System.nanoTime()
       val ans = KnnGraph.serveFromStoresClusteredPqWarm(spark, graphPath,
         s"$root/codes", s"$root/vec", qv, cb, k, beamRounds)
@@ -3360,9 +3387,10 @@ object SimilarityQueries {
       val nAns = ans.count()
       val ms = (System.nanoTime() - t0) / 1e6 / nq
       val hit = ans.join(bf, Seq("qid", "node"), "left_semi").count()
-      (hit.toDouble / (nq * k), ms, nAns)
+      (hit.toDouble / (nq * k), ms, nAns,
+        ans.as[(Long, Long)].collect().toSet)
     }
-    val (recall0, serveMs0, nAns0) = serveRecall(s"$root/g")
+    val (recall0, serveMs0, nAns0, _) = serveRecall(pinned())
     // LIFECYCLE on the same store. Arrivals: 4 clone vectors under new
     // ids — a realistic insert (new members near existing mass)
     val arrivals = vecs.filter($"vec_id" < 4)
@@ -3370,7 +3398,7 @@ object SimilarityQueries {
       .localCheckpoint(true)
     val tI0 = System.nanoTime()
     graft.streaming.StreamingGraphIngest.insertClusteredBatch(
-      arrivals, s"$root/g", s"$root/vec", k, beamRounds,
+      arrivals, pinned(), s"$root/vec", k, beamRounds,
       codes = Some((s"$root/codes", cb)))
     val insertS = (System.nanoTime() - tI0) / 1e9
     // the QUANTIZED head must find each inserted node from its own
@@ -3378,32 +3406,45 @@ object SimilarityQueries {
     val probes = arrivals
       .select(($"vec_id" + 4000000L).as("qid"), $"v")
     val foundIns = KnnGraph.serveFromStoresClusteredPqWarm(spark,
-        s"$root/g", s"$root/codes", s"$root/vec", probes, cb, k, beamRounds)
+        pinned(), s"$root/codes", s"$root/vec", probes, cb, k, beamRounds)
       .filter($"node" === $"qid" - 4000000L).count()
     // erase the arrivals again — vectors, codes, entries, both edge
     // directions (erase must run BEFORE the vector rows vanish)
     val victims = (0 until 4).map(_ + 1000000L)
     val tE0 = System.nanoTime()
-    KnnGraph.eraseStoredClustered(spark, s"$root/g", victims,
+    KnnGraph.eraseStoredClustered(spark, pinned(), victims,
       vecPath = s"$root/vec", eraseVectors = true,
       codesPath = Some(s"$root/codes"))
     val eraseS = (System.nanoTime() - tE0) / 1e9
-    val (recallPost, serveMsPost, nAnsPost) = serveRecall(s"$root/g")
+    val (recallPost, serveMsPost, nAnsPost, ansPost) = serveRecall(pinned())
     val victimsServed = KnnGraph.serveFromStoresClusteredPqWarm(spark,
-        s"$root/g", s"$root/codes", s"$root/vec", probes, cb, k, beamRounds)
+        pinned(), s"$root/codes", s"$root/vec", probes, cb, k, beamRounds)
       .filter($"node".isin(victims: _*)).count()
     // REFINE rung: one NN-Descent tightening round seeded from the
-    // store's current edges, promoted as a NEW store version (never an
-    // in-place overwrite of a serving store)
+    // store's current edges, published as a NEW store version and
+    // PROMOTED through the registry (never an in-place overwrite of a
+    // serving store; the unpromoted build is invisible to traffic)
     val tR0 = System.nanoTime()
-    val seed = spark.read.parquet(s"$root/g").select($"src", $"nbr")
+    val seed = spark.read.parquet(pinned()).select($"src", $"nbr")
     val refined = KnnGraph.refineDurable(vecs, seed, k, rounds = 1,
       graft.util.Scratch.tempDir("graft-sq28-refine"))
     KnnGraph.writeStoreClustered(refined.select($"src", $"nbr"), vecs,
       s"$root/g2", cents)
     KnnGraph.writeEntries(vecs, s"$root/g2")
+    graft.ml.IndexLifecycle.register(spark, registry, "composed_graph",
+      "knn_graph_composed", s"$root/g2", 2)
+    graft.ml.IndexLifecycle.promote(spark, registry, "composed_graph", 2)
     val refineS = (System.nanoTime() - tR0) / 1e9
-    val (recallV2, serveMsV2, nAnsV2) = serveRecall(s"$root/g2")
+    val (recallV2, serveMsV2, nAnsV2, _) = serveRecall(pinned())
+    // ROLLBACK rung: one step back in the pointer log re-pins v1 — the
+    // bad-promote escape hatch; serving through the SAME pinned path
+    // must answer exactly what post-erase v1 answered (in-row invariant:
+    // metric = 1.0 iff the answer SETS are equal)
+    val tRb0 = System.nanoTime()
+    graft.ml.IndexLifecycle.rollback(spark, registry, "composed_graph")
+    val (_, _, nAnsBack, ansBack) = serveRecall(pinned())
+    val rollbackS = (System.nanoTime() - tRb0) / 1e9
+    val rollbackOk = if (ansBack == ansPost) 1.0 else 0.0
     vecs.unpersist(); qv.unpersist(); bf.unpersist()
     def r2(x: Double) = math.round(x * 100) / 100.0
     def r3(x: Double) = math.round(x * 1000) / 1000.0
@@ -3415,7 +3456,8 @@ object SimilarityQueries {
       (4L, "erase_full", r2(eraseS), Some(victimsServed.toDouble), victims.size.toLong),
       (5L, "serve_post_erase", r2(serveMsPost / 1000 * nq), Some(r3(recallPost)), nAnsPost),
       (6L, "refine_v2", r2(refineS), None, n),
-      (7L, "serve_v2", r2(serveMsV2 / 1000 * nq), Some(r3(recallV2)), nAnsV2))
+      (7L, "serve_v2", r2(serveMsV2 / 1000 * nq), Some(r3(recallV2)), nAnsV2),
+      (8L, "rollback_serve_v1", r2(rollbackS), Some(rollbackOk), nAnsBack))
       .toDF("phase_id", "phase", "wall_s", "metric", "n_rows")
       .orderBy($"phase_id")
   }
@@ -3433,7 +3475,12 @@ object SimilarityQueries {
     sq14AnnStoredIndexSearch.measured, sq15PcaPower, sq16MatryoshkaAudit,
     sq17AnnOpqRecall.measured, sq19WhiteningAudit,
     sq04bAnnIvfRecallPortable.measured,
-    sq02cLshBitScaling.measured, sq02dAnnLshAdaptive.measured,
+    // sq02c is RETIRED from the quiet bench (r13 verdict #6): its 3-arm
+    // fixed-width sweep measured the weakness sq02d's adaptive sizing
+    // has closed, and the lesson is banked in COVERAGE — the ~2 s/round
+    // bench wall bought nothing. It stays compiled, hash-checkable, and
+    // spec-exercised (LshBitScaleSpec runs the sweep every `sbt test`).
+    sq02dAnnLshAdaptive.measured,
     sq21KnnGraphNnDescent.measured,
     sq22GraphAnnServe,
     sq22bGraphServingLatency.measured, sq23GraphInsertDrift.measured,

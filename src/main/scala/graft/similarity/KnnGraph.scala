@@ -149,6 +149,8 @@ object KnnGraph {
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), String]()
   private val sharedPruneLocks =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), Object]()
+  private val sharedPruneFps =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), String]()
 
   /** PROCESS-SHARED durable prune — [[buildCached]]'s contract applied
     * to [[robustPrune]]: the first caller for a (corpusKey, r, alpha)
@@ -160,7 +162,17 @@ object KnnGraph {
     * (r, α, candidate scores, vectors), so reusing a key against
     * changed inputs is a loud error, never a silent stale reload.
     * `graft.noBuildCache` restores the ephemeral build-fresh behavior
-    * for probes that measure the prune itself. */
+    * for probes that measure the prune itself.
+    *
+    * The fingerprint itself is CACHED per key after the first call:
+    * computing it costs two full aggregate passes (candidate list +
+    * corpus), which on a warm resume would dwarf the resumed reload it
+    * guards. Within one process the key names the inputs (buildCached's
+    * corpusKey contract — callers with modified inputs must use their
+    * own workDir), so trusting the first call's digest is exactly the
+    * contract the key already states; the on-disk guard still compares
+    * the passed fingerprint against the workDir's metadata, so a
+    * cross-key or cross-process mixup stays a loud error. */
   def pruneCached(vecs: DataFrame, cand: DataFrame, corpusKey: String,
       r: Int, alpha: Double): DataFrame = {
     if (sys.props.get("graft.noBuildCache").contains("1"))
@@ -169,7 +181,9 @@ object KnnGraph {
     sharedPruneLocks.computeIfAbsent(key, _ => new Object).synchronized {
       val wd = sharedPruneDirs.computeIfAbsent(key,
         _ => graft.util.Scratch.tempDir(s"graft-prune-$r"))
-      robustPrune(vecs, cand, r, alpha, Some(wd))
+      val fp = sharedPruneFps.computeIfAbsent(key,
+        _ => pruneFingerprint(vecs, cand, r, alpha))
+      robustPrune(vecs, cand, r, alpha, Some(wd), knownFingerprint = Some(fp))
     }
   }
 
@@ -277,24 +291,32 @@ object KnnGraph {
   }
 
   /** Order-independent content digest of an edge frame: row count plus
-    * the XOR of per-edge hashes in TWO independent hash streams (both
-    * order/partitioning-independent). Distinct (src, nbr) pairs rule
-    * out pairwise cancellation, but one XOR stream can still cancel
-    * coincidentally across four or more edges (h(a)⊕h(b) ==
-    * h(c)⊕h(d)); the second, independently-keyed stream would have to
-    * cancel on the SAME edge set simultaneously (~2⁻¹²⁸), making the
-    * resume guard collision-negligible by construction. One
-    * index-sized aggregate. */
+    * the XOR of per-edge hashes in TWO differently-keyed hash streams
+    * (both order/partitioning-independent). Distinct (src, nbr) pairs
+    * rule out pairwise cancellation, but one XOR stream can still
+    * cancel coincidentally across four or more edges (h(a)⊕h(b) ==
+    * h(c)⊕h(d)); the second stream is keyed from the RAW columns with
+    * a distinct salt — not derived from the first stream's hash, so a
+    * per-edge collision h(a)==h(b) in stream 1 does NOT imply one in
+    * stream 2 — and a resume-guard failure needs both streams to
+    * cancel on the same edge set simultaneously (heuristically ~2⁻¹²⁸
+    * treating xxhash64 under distinct salts as independent; the
+    * streams share the algorithm, so this is a modeling assumption,
+    * not a proof). One index-sized aggregate. */
   private def graphDigest(graph: DataFrame): String =
     frameDigest(graph, col("src"), col("nbr"))
 
   /** Order/partitioning-independent digest of `df` over `cols` — count
-    * plus two independently-keyed XOR streams (see [[graphDigest]]'s
+    * plus two differently-salted XOR streams (see [[graphDigest]]'s
     * collision argument). Cost: one aggregate pass over the frame. */
   private def frameDigest(df: DataFrame, cols: org.apache.spark.sql.Column*): String = {
     val h = xxhash64(cols: _*)
+    // stream 2 re-hashes the raw columns under a salt, NOT h itself —
+    // a function of h would collide exactly when h does, collapsing
+    // the two streams into one
+    val h2 = xxhash64((lit(0x9e3779b9L) +: cols): _*)
     val row = df
-      .agg(count(lit(1)), bit_xor(h), bit_xor(xxhash64(h, lit(0x9e3779b9L))))
+      .agg(count(lit(1)), bit_xor(h), bit_xor(h2))
       .head()
     val x1 = if (row.isNullAt(1)) 0L else row.getLong(1)
     val x2 = if (row.isNullAt(2)) 0L else row.getLong(2)
@@ -329,7 +351,8 @@ object KnnGraph {
     * prevent. At 100 TB the cost is r passes over the L·n-row
     * candidate list — the same shape as one NN-Descent round. */
   def robustPrune(vecs: DataFrame, cand: DataFrame, r: Int,
-      alpha: Double, workDir: Option[String] = None): DataFrame = {
+      alpha: Double, workDir: Option[String] = None,
+      knownFingerprint: Option[String] = None): DataFrame = {
     import vecs.sparkSession.implicits._
     require(r > 0, s"degree budget r must be positive, got $r")
     // candidate vectors attach ONCE — the r prune rounds then join only
@@ -358,9 +381,11 @@ object KnnGraph {
         // vectors (the α-cover test reads them), is a DIFFERENT prune,
         // and a pair-only digest would silently reload the stale one.
         val metaPath = new org.apache.hadoop.fs.Path(wd, "_graft_prune")
-        val fingerprint = s"r=$r,alpha=$alpha," +
-          s"cand=${frameDigest(cand, col("src"), col("nbr"), col("cos"))}," +
-          s"vecs=${frameDigest(vecs, col("vec_id"), col("v"))}"
+        // `knownFingerprint` skips the two digest aggregate passes on a
+        // warm resume ([[pruneCached]]'s per-key cache); the guard below
+        // still compares it against the workDir's recorded metadata
+        val fingerprint = knownFingerprint.getOrElse(
+          pruneFingerprint(vecs, cand, r, alpha))
         if (hfs.exists(metaPath)) {
           val in = hfs.open(metaPath)
           val prev = try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -411,6 +436,16 @@ object KnnGraph {
         kept
     }
   }
+
+  /** The prune's loud-resume fingerprint — covers EVERYTHING the prune
+    * depends on: r, α, the candidate edges WITH their scores (the same
+    * pair set re-scored is a different prune), and the vectors (the
+    * α-cover test reads them). Two full aggregate passes. */
+  private def pruneFingerprint(vecs: DataFrame, cand: DataFrame, r: Int,
+      alpha: Double): String =
+    s"r=$r,alpha=$alpha," +
+      s"cand=${frameDigest(cand, col("src"), col("nbr"), col("cos"))}," +
+      s"vecs=${frameDigest(vecs, col("vec_id"), col("v"))}"
 
   /** One α-prune greedy round over the vector-attached remainder frame
     * (src, nbr, cos, cv): the (cos DESC, nbr) top-1 pick per src, and
@@ -470,15 +505,20 @@ object KnnGraph {
   }
 
   /** Persist the UNDIRECTED adjacency of a built graph, partitioned by
-    * src bucket — the layout that makes each beam step a pruned scan. */
+    * src bucket — the layout that makes each beam step a pruned scan.
+    * The default bucket count is BYTES-driven ([[autoBuckets]] over the
+    * undirected edge frame — the measured policy); pass an explicit
+    * count to pin a layout (probe arms, pruning-mechanics specs). */
   def writeStore(graph: DataFrame, path: String,
-      numBuckets: Int = NumBuckets): Unit = {
+      numBuckets: Int = AutoBuckets): Unit = {
     import graph.sparkSession.implicits._
-    graph.select($"src", $"nbr")
+    val undirected = graph.select($"src", $"nbr")
       .union(graph.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
-      .withColumn("bucket", pmod($"src", lit(numBuckets.toLong)).cast("int"))
+    val nb = resolveBuckets(undirected, numBuckets)
+    undirected
+      .withColumn("bucket", pmod($"src", lit(nb.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    writeBucketMeta(graph.sparkSession, path, numBuckets)
+    writeBucketMeta(graph.sparkSession, path, nb)
   }
 
   /** Erase victim NODES from the stored adjacency — the graph edition
@@ -603,7 +643,7 @@ object KnnGraph {
     * exists — shared by both erase paths (a stale entry must never
     * re-seed a pool or warm-start a search at an erased node). The
     * sidecar is ≤cells/slots rows, so the rewrite is a driver-bounded
-    * collect + one tiny file. */
+    * collect + one tiny staged file ([[replaceEntriesSidecar]]). */
   private def dropEntryRows(spark: SparkSession, path: String,
       victims: Seq[Long]): Unit = {
     import spark.implicits._
@@ -612,10 +652,36 @@ object KnnGraph {
     if (hfs.exists(entriesPath)) {
       val sidecar = spark.read.parquet(entriesPath.toString)
       val kept = sidecar.filter(!$"node".isin(victims: _*)).collect()
-      spark.createDataFrame(
-          java.util.Arrays.asList(kept: _*), sidecar.schema)
-        .coalesce(1).write.mode("overwrite").parquet(entriesPath.toString)
+      replaceEntriesSidecar(spark, path,
+        spark.createDataFrame(
+          java.util.Arrays.asList(kept: _*), sidecar.schema))
     }
+  }
+
+  /** Durably replace a store's `_graft_entries` sidecar: the new
+    * content lands WHOLLY under an underscore-prefixed staging dir
+    * (invisible to the store's own scans) before the old sidecar is
+    * touched, and the swap is two filesystem renames. A plain
+    * `mode("overwrite")` on the final path deletes first and commits
+    * at job end — a crash inside that window leaves the sidecar
+    * MISSING, which readers cannot distinguish from a never-written
+    * store ([[hashEntries]]'s "rerun writeHashEntries" message would
+    * then conflate a crashed erase with a fresh build). Staging shrinks
+    * the vulnerable window from a whole Spark write job to one
+    * metadata rename, and a crash there leaves the previous sidecar
+    * recoverable under `_graft_entries__old`. */
+  private def replaceEntriesSidecar(spark: SparkSession, storePath: String,
+      rows: DataFrame): Unit = {
+    val fin = new org.apache.hadoop.fs.Path(storePath, "_graft_entries")
+    val tmp = new org.apache.hadoop.fs.Path(storePath, "_graft_entries__staging")
+    val old = new org.apache.hadoop.fs.Path(storePath, "_graft_entries__old")
+    val fs = fin.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(tmp, true); fs.delete(old, true)
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(fin))
+      require(fs.rename(fin, old), s"could not stage old sidecar $fin")
+    require(fs.rename(tmp, fin), s"could not commit sidecar $fin")
+    fs.delete(old, true)
   }
 
   /** LOCALITY-bucketed adjacency store: partition by the SOURCE
@@ -834,16 +900,16 @@ object KnnGraph {
     // bucket is therefore the cell itself. The distance array
     // materializes ONCE: cid and dist both derive from it (rebuilding
     // it per column would double the cells×dim arithmetic per row)
-    vecs.select($"vec_id", $"v")
-      .withColumn("ds", d)
-      .withColumn("cid",
-        (array_position($"ds", array_min($"ds")) - 1).cast("int"))
-      .withColumn("dist", array_min($"ds")).drop("ds")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"cid").orderBy($"dist".asc, $"vec_id")))
-      .filter($"rn" === 1)
-      .select($"cid", $"vec_id".as("node"), $"cid".as("node_bucket"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_entries")
+    replaceEntriesSidecar(vecs.sparkSession, path,
+      vecs.select($"vec_id", $"v")
+        .withColumn("ds", d)
+        .withColumn("cid",
+          (array_position($"ds", array_min($"ds")) - 1).cast("int"))
+        .withColumn("dist", array_min($"ds")).drop("ds")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"cid").orderBy($"dist".asc, $"vec_id")))
+        .filter($"rn" === 1)
+        .select($"cid", $"vec_id".as("node"), $"cid".as("node_bucket")))
   }
 
   /** Serve-time entry resolution from the [[writeEntries]] sidecar:
@@ -955,35 +1021,118 @@ object KnnGraph {
     * loop joins candidates against a provided corpus frame, which at
     * 100 TB means a corpus SCAN per beam round; with this store the
     * scan becomes a partition-pruned, filter-pushed point fetch of the
-    * round's ≤ |Q|·beam·k candidate ids ([[fetchVectors]]). Bucket
-    * count should scale with n (buckets ≈ n / rows-per-file keeps the
-    * pruned read proportional to the candidate set). */
+    * round's ≤ |Q|·beam·k candidate ids ([[fetchVectors]]). The default
+    * bucket count is BYTES-driven ([[autoBuckets]] — wide vector rows
+    * get proportionally more buckets than narrow code rows at the same
+    * n, the r13-measured constraint); pass an explicit count to pin a
+    * layout. */
   def writeVectors(vecs: DataFrame, path: String,
-      numBuckets: Int = NumBuckets): Unit = {
+      numBuckets: Int = AutoBuckets): Unit = {
     import vecs.sparkSession.implicits._
-    vecs.select($"vec_id", $"v")
-      .withColumn("bucket", pmod($"vec_id", lit(numBuckets.toLong)).cast("int"))
+    val frame = vecs.select($"vec_id", $"v")
+    val nb = resolveBuckets(frame, numBuckets)
+    frame
+      .withColumn("bucket", pmod($"vec_id", lit(nb.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    writeBucketMeta(vecs.sparkSession, path, numBuckets)
+    writeBucketMeta(vecs.sparkSession, path, nb)
     writeHashEntries(vecs, path)
   }
 
-  /** The bucket-count SIZING POLICY — nb ≈ n / targetRowsPerBucket,
-    * clamped to [1, 2¹⁶]. At a FIXED bucket count, per-bucket files
-    * grow linearly with n, so every bucket-pruned rewrite (erase,
-    * compaction) and point-read quietly inherits an O(n/nb) term; with
-    * the count scaled at write time the per-bucket row count — and with
-    * it the cost of touching one bucket — stays constant as the corpus
-    * grows (GraphEraseProbe measures both arms). Readers need no code
-    * change: every store records its own count in `_graft_buckets`
-    * ([[bucketsOf]]). `targetRowsPerBucket` trades file count against
-    * rewrite granularity — at 100 TB pick it so a bucket is a few
-    * row groups (default 4096 embedding rows ≈ 2 MB at d=64). */
-  def scaledBuckets(n: Long, targetRowsPerBucket: Long = 4096): Int = {
+  /** ROW-count bucket sizing — nb ≈ n / targetRowsPerBucket, clamped
+    * to [1, maxBuckets]. KEPT for callers that know their row width is
+    * ~constant, but ROWS IS THE WRONG UNIT in general: the r13 probe
+    * sweeps (GraphEraseProbe/GraphServeProbe U-curves) measured that
+    * the governing constraint is BYTES per bucket — past the point
+    * where a bucket amortizes its own listing/file overhead, more
+    * buckets only multiply metadata cost (erase wall 5.4→34.8 s as nb
+    * grew 32→3125 on KB-sized buckets; serve ms/q 3–4× worse), and a
+    * 64-double vector row vs an M-byte code row differ ~60× in
+    * bytes/row at the same rows target. Prefer
+    * [[scaledBucketsByBytes]] / [[autoBuckets]]; `maxBuckets` lets a
+    * rows-based caller own the clamp's top end instead of re-deriving
+    * it at call sites. */
+  def scaledBuckets(n: Long, targetRowsPerBucket: Long = 4096,
+      maxBuckets: Int = 1 << 16): Int = {
     require(targetRowsPerBucket > 0, "targetRowsPerBucket must be positive")
-    math.max(1L, math.min(1L << 16,
+    require(maxBuckets > 0, "maxBuckets must be positive")
+    math.max(1L, math.min(maxBuckets.toLong,
       (n + targetRowsPerBucket - 1) / targetRowsPerBucket)).toInt
   }
+
+  /** The default byte budget per bucket (4 MiB of LOGICAL row width —
+    * a few parquet row groups after encoding). Chosen from the r13/r14
+    * probe U-curves: the x100 vector corpus (~100 MB logical) measured
+    * fastest around nb=32 (≈3 MB buckets) on both the erase and serve
+    * paths, and KB-sized buckets paid 3–6× in listing/metadata. */
+  val DefaultBucketBytes: Long = 4L << 20
+
+  /** THE bucket-count SIZING POLICY — nb ≈ n·estRowBytes /
+    * targetBytesPerBucket, clamped to [1, 2¹⁶]. Sizing by BYTES keeps
+    * the cost of touching one bucket (a pruned rewrite, a point-read, a
+    * directory listing) constant as the corpus grows AND as the row
+    * width varies across stores: the same target yields ~60× fewer
+    * buckets for an M-byte PQ-code store than for a d=64 double-vector
+    * store of the same row count — exactly the spread a rows-based
+    * policy mis-sizes (the r13 metadata-floor pathology: 3125 KB-sized
+    * buckets, 6× erase wall). Both clamp ends live HERE, not at call
+    * sites. Readers need no code change: every store records its own
+    * count in `_graft_buckets` ([[bucketsOf]]). */
+  def scaledBucketsByBytes(estRowBytes: Long, n: Long,
+      targetBytesPerBucket: Long = DefaultBucketBytes): Int = {
+    require(estRowBytes > 0, "estRowBytes must be positive")
+    require(targetBytesPerBucket > 0, "targetBytesPerBucket must be positive")
+    require(n >= 0, "n must be non-negative")
+    val total = n * estRowBytes
+    math.max(1L, math.min(1L << 16,
+      (total + targetBytesPerBucket - 1) / targetBytesPerBucket)).toInt
+  }
+
+  /** Estimated LOGICAL bytes per row of `frame`, from a ≤`sampleRows`
+    * head: fixed-width fields by type, strings/binaries/arrays/structs
+    * by sampled content. Parquet encodes narrower than this
+    * (dictionary/RLE/compression), so [[DefaultBucketBytes]] is a
+    * logical-width budget calibrated against the measured probe
+    * optimum, not a file-size promise. Cost: one limit job. */
+  def estRowBytes(frame: DataFrame, sampleRows: Int = 64): Long = {
+    def valueBytes(v: Any): Long = v match {
+      case null => 0L
+      case _: Long | _: Double | _: java.sql.Timestamp => 8L
+      case _: Int | _: Float | _: java.sql.Date => 4L
+      case _: Short => 2L
+      case _: Byte | _: Boolean => 1L
+      case s: String => math.max(1L, s.length.toLong)
+      case b: Array[Byte] => math.max(1L, b.length.toLong)
+      case d: java.math.BigDecimal => 16L
+      case seq: scala.collection.Seq[_] => seq.iterator.map(valueBytes).sum
+      case m: scala.collection.Map[_, _] =>
+        m.iterator.map { case (k, x) => valueBytes(k) + valueBytes(x) }.sum
+      case r: org.apache.spark.sql.Row => r.toSeq.map(valueBytes).sum
+      case _ => 8L
+    }
+    val rows = frame.head(sampleRows)
+    require(rows.nonEmpty, "cannot estimate row bytes of an empty frame")
+    math.max(1L, rows.iterator.map(r => r.toSeq.map(valueBytes).sum).sum
+      / rows.length)
+  }
+
+  /** Bytes-driven bucket count for writing `frame`: sampled row width ×
+    * exact count through [[scaledBucketsByBytes]]. Costs one limit job
+    * + one count over the frame — write-time work, like the write's own
+    * full pass; callers holding an expensive-to-recompute frame should
+    * checkpoint it first (the writers re-evaluate it once more for the
+    * write itself). */
+  def autoBuckets(frame: DataFrame,
+      targetBytesPerBucket: Long = DefaultBucketBytes): Int =
+    scaledBucketsByBytes(estRowBytes(frame), frame.count(),
+      targetBytesPerBucket)
+
+  /** Sentinel for the writers' `numBuckets`: ≤0 = size the store by
+    * bytes at write time ([[autoBuckets]] over the frame being
+    * written). */
+  val AutoBuckets = 0
+
+  private def resolveBuckets(frame: DataFrame, requested: Int): Int =
+    if (requested > 0) requested else autoBuckets(frame)
 
   /** Persist per-slot ENTRY POINTS next to a hash-layout
     * [[writeVectors]] store: for each of `slots` id-hash slots, ONE
@@ -1013,10 +1162,10 @@ object KnnGraph {
     // dropDuplicates: a streamed-append store may hold replayed
     // physical duplicates of a vec_id (readers dedup, the fetchVectors
     // contract) — the join would otherwise emit the entry twice
-    reps.join(vecs.select($"vec_id".as("node"), $"v"), Seq("node"))
-      .dropDuplicates("slot", "node")
-      .select($"slot", $"node", $"v")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_entries")
+    replaceEntriesSidecar(vecs.sparkSession, path,
+      reps.join(vecs.select($"vec_id".as("node"), $"v"), Seq("node"))
+        .dropDuplicates("slot", "node")
+        .select($"slot", $"node", $"v"))
   }
 
   /** Backfill the `_graft_entries` sidecar on a [[writeVectors]]-layout
@@ -1112,14 +1261,20 @@ object KnnGraph {
     * companion structure, stored): one row per vector holding M small
     * integer codes, so a pruned point-read of a beam round's
     * candidates moves M bytes per candidate instead of a d×8-byte
-    * vector. Input is [[Pq.pqEncode]]'s output (`vec_id`, `c0..c{M-1}`). */
+    * vector. Input is [[Pq.pqEncode]]'s output (`vec_id`, `c0..c{M-1}`).
+    * The default bucket count is BYTES-driven ([[autoBuckets]]): code
+    * rows are ~60× narrower than d=64 vector rows, so the same byte
+    * budget yields proportionally fewer buckets — sizing the sidecar by
+    * the vector store's count is the mis-sizing the r13 probes
+    * measured. */
   def writeCodes(codes: DataFrame, path: String,
-      numBuckets: Int = NumBuckets): Unit = {
+      numBuckets: Int = AutoBuckets): Unit = {
     import codes.sparkSession.implicits._
+    val nb = resolveBuckets(codes, numBuckets)
     codes
-      .withColumn("bucket", pmod($"vec_id", lit(numBuckets.toLong)).cast("int"))
+      .withColumn("bucket", pmod($"vec_id", lit(nb.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    writeBucketMeta(codes.sparkSession, path, numBuckets)
+    writeBucketMeta(codes.sparkSession, path, nb)
   }
 
   /** Point-fetch the CODES of a bounded id frame from a [[writeCodes]]
@@ -1294,9 +1449,21 @@ object KnnGraph {
     val graphNb = bucketsOf(spark, graphPath)
     val vecNb = bucketsOf(spark, vecPath)
     val entry: Map[Long, Long] = entries.getOrElse {
-      val n = spark.read.parquet(vecPath).count()
-      queries.map { case (qid, _) =>
-        qid -> Math.floorMod(qid * 37 + 1, n) }.toMap
+      // default entries come from the store's own `_graft_entries`
+      // sidecar (≤slots rows, erase-aware, every writeVectors store
+      // carries one; loud error when absent): each query warm-starts at
+      // its best representative by the same (cosine, -node) rule the
+      // streamed insert uses. The earlier fallback synthesized
+      // floorMod(qid·37+1, n), which assumes DENSE ids 0..n-1 — on a
+      // store with sparse or erased ids the synthesized node may not
+      // exist, and the beam then starts at a phantom: it dedups but
+      // never answers, silently returning few or zero rows
+      // (StoredGraphSpec's sparse-id test pins the fixed behavior).
+      val reps = hashEntries(spark, vecPath)
+      queries.map { case (qid, qvec) =>
+        qid -> reps.maxBy { case (node, cv) =>
+          (cosineLocal(qvec, cv), -node) }._1
+      }.toMap
     }
     def fetchVecs(ids: Set[Long]): Map[Long, Array[Double]] =
       if (ids.isEmpty) Map.empty

@@ -99,16 +99,14 @@ object StreamingGraphIngest {
         // a store written before the sidecar existed (or populated by
         // raw bucket appends) backfills it here, ONCE — one
         // executor-side pass, never a driver collect; a
-        // present-but-drained sidecar still fails loudly below (that
-        // state is an erasure decision, not a missing artifact)
+        // present-but-drained sidecar still fails loudly inside
+        // serveCoordinated's entry resolution (that state is an erasure
+        // decision, not a missing artifact). Entry selection is the
+        // coordinated head's own default: best sidecar representative
+        // per arrival by (cosine, -node).
         KnnGraph.ensureHashEntries(spark, vp)
-        val sample = KnnGraph.hashEntries(spark, vp)
-        val entries = arrivals.map { case (qid, qvec) =>
-          qid -> sample.maxBy { case (node, cv) =>
-            (KnnGraph.cosineLocal(qvec, cv), -node) }._1
-        }.toMap
         KnnGraph.serveCoordinated(spark, storePath, vp, arrivals, k,
-          beamRounds, entries = Some(entries))
+          beamRounds)
       case None =>
         // no vector store: the distributed loop scores against the
         // corpus frame, entering from one pruned adjacency bucket

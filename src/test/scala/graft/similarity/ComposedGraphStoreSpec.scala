@@ -54,12 +54,12 @@ class ComposedGraphStoreSpec extends AnyFunSuite {
     val cents = Pq.trainCodebook(sample, Cells).map(_.toSeq).toSeq
     val cb = Pq.trainSubspaces(sample, M, Sub, 16)
     val root = java.nio.file.Files.createTempDirectory("graft-composed").toString
-    val n = vecs.count()
-    val nb = KnnGraph.scaledBuckets(n, targetRowsPerBucket = 64)
+    // bytes-driven sizing (the writers' default) — the same policy sq28
+    // deploys: vectors and codes size separately by their own row width
     KnnGraph.writeStoreClustered(pruned, vecs, s"$root/g", cents)
     KnnGraph.writeEntries(vecs, s"$root/g")
-    KnnGraph.writeVectors(vecs, s"$root/vec", nb)
-    KnnGraph.writeCodes(Pq.pqEncode(vecs, cb, Sub), s"$root/codes", nb)
+    KnnGraph.writeVectors(vecs, s"$root/vec")
+    KnnGraph.writeCodes(Pq.pqEncode(vecs, cb, Sub), s"$root/codes")
     (root, cents, cb, pruned)
   }
 

@@ -26,7 +26,11 @@ class StoredGraphSpec extends AnyFunSuite {
     val vecs = corpus()
     val graph = KnnGraph.build(vecs, K, rounds = 2).last
     val store = java.nio.file.Files.createTempDirectory("graft-kgraph").toString + "/g"
-    KnnGraph.writeStore(graph, store)
+    // pinned 32-bucket layout: this test asserts pruning MECHANICS
+    // against known id→bucket arithmetic; the default (bytes-driven
+    // autoBuckets) would collapse the fixture to ~1 bucket and make the
+    // prune assertion vacuous
+    KnnGraph.writeStore(graph, store, KnnGraph.NumBuckets)
     // two frontier nodes → at most two distinct buckets may be read
     val frontier = Seq((0L, 5L), (1L, 7L)).toDF("qid", "node")
     val expanded = KnnGraph.expandStored(spark, store, frontier)
@@ -56,8 +60,9 @@ class StoredGraphSpec extends AnyFunSuite {
     val vecs = corpus()
     val graph = KnnGraph.build(vecs, K, rounds = 2).last
     val root = java.nio.file.Files.createTempDirectory("graft-kgraph-vs").toString
-    KnnGraph.writeStore(graph, s"$root/g")
-    KnnGraph.writeVectors(vecs, s"$root/vec")
+    // pinned 32: the fetch assertions below use known %32 arithmetic
+    KnnGraph.writeStore(graph, s"$root/g", KnnGraph.NumBuckets)
+    KnnGraph.writeVectors(vecs, s"$root/vec", KnnGraph.NumBuckets)
     // the pruned point-fetch: 3 ids spanning 2 buckets may read at most
     // 2 bucket dirs, with the id filter pushed to the scan
     val ids = Seq(5L, 37L, 70L).toDF("node") // buckets {5, 6}: 5%32 = 37%32 = 5, 70%32 = 6
@@ -89,8 +94,16 @@ class StoredGraphSpec extends AnyFunSuite {
     // cosine replays the native expression's arithmetic bit for bit
     val qLocal = queries.as[(Long, Seq[Double])].collect()
       .map { case (qid, v) => qid -> v.toArray }.toSeq
+    // explicit ring map = the distributed loops' ringEntries default
+    // (this fixture is dense ids 0..n-1, so ring nodes all exist);
+    // the coordinated head's own no-entries default is the sidecar
+    // warm start, pinned by the sparse-id test below
+    val n = vecs.count()
+    val ringMap = qLocal.map { case (qid, _) =>
+      qid -> Math.floorMod(qid * 37 + 1, n) }.toMap
     val viaCoordinator = KnnGraph.serveCoordinated(
-      spark, s"$root/g", s"$root/vec", qLocal, K, beamRounds = 3).toSet
+      spark, s"$root/g", s"$root/vec", qLocal, K, beamRounds = 3,
+      entries = Some(ringMap)).toSet
     assert(viaCoordinator == viaCorpus,
       "coordinated serving diverged from the distributed loop")
     vecs.unpersist()
@@ -102,8 +115,8 @@ class StoredGraphSpec extends AnyFunSuite {
     val graph = KnnGraph.build(vecs, K, rounds = 2).last
     val r32 = java.nio.file.Files.createTempDirectory("graft-kg-b32").toString
     val r64 = java.nio.file.Files.createTempDirectory("graft-kg-b64").toString
-    KnnGraph.writeStore(graph, s"$r32/g")
-    KnnGraph.writeVectors(vecs, s"$r32/vec")
+    KnnGraph.writeStore(graph, s"$r32/g", numBuckets = 32)
+    KnnGraph.writeVectors(vecs, s"$r32/vec", numBuckets = 32)
     KnnGraph.writeStore(graph, s"$r64/g", numBuckets = 64)
     KnnGraph.writeVectors(vecs, s"$r64/vec", numBuckets = 64)
     assert(KnnGraph.bucketsOf(spark, s"$r64/g") == 64 &&
@@ -131,8 +144,9 @@ class StoredGraphSpec extends AnyFunSuite {
     val graph = KnnGraph.build(vecs, K, rounds = 3).last
     val eroot = java.nio.file.Files.createTempDirectory("graft-kgraph-erase").toString
     val store = s"$eroot/g"
-    KnnGraph.writeStore(graph, store)
-    KnnGraph.writeVectors(vecs, s"$eroot/vec")
+    // pinned 32: `touchable` below uses known %NumBuckets arithmetic
+    KnnGraph.writeStore(graph, store, KnnGraph.NumBuckets)
+    KnnGraph.writeVectors(vecs, s"$eroot/vec", KnnGraph.NumBuckets)
     val queries = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
     val before = KnnGraph.serveStored(spark, store, vecs, queries, K, beamRounds = 3)
       .as[(Long, Long)].collect().toSet
@@ -268,5 +282,55 @@ class StoredGraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(servedPinned == served)
     vecs.unpersist()
+  }
+
+  test("coordinated no-entries default serves a SPARSE-id (and erased) store via the sidecar") {
+    import spark.implicits._
+    // the retired fallback synthesized entry ids as floorMod(qid·37+1, n)
+    // — valid only for DENSE ids 0..n-1. This store's ids are 13i+7, so
+    // that arithmetic names phantom nodes for almost every query and the
+    // beam would dedup-but-never-answer. The default must instead read
+    // the `_graft_entries` sidecar (erase-aware, always present on a
+    // writeVectors store).
+    val dense = corpus()
+    val graph = KnnGraph.build(dense, K, rounds = 2).last
+    def sparse(c: org.apache.spark.sql.Column) = c * 13 + 7
+    val vecs = dense.select(sparse($"vec_id").as("vec_id"), $"v")
+    val sparseGraph = graph.select(
+      sparse($"src").as("src"), sparse($"nbr").as("nbr"))
+    val root = java.nio.file.Files.createTempDirectory("graft-kg-sparse").toString
+    KnnGraph.writeStore(sparseGraph, s"$root/g")
+    KnnGraph.writeVectors(vecs, s"$root/vec")
+    val queries = dense.filter($"vec_id" < 8).select($"vec_id".as("qid"), $"v")
+    val qLocal = queries.as[(Long, Seq[Double])].collect()
+      .map { case (q, v) => q -> v.toArray }.toSeq
+    val served = KnnGraph.serveCoordinated(
+      spark, s"$root/g", s"$root/vec", qLocal, K, beamRounds = 3)
+    // full answers, every node a REAL sparse id
+    assert(served.size == qLocal.size * K,
+      s"expected ${qLocal.size * K} answers, got ${served.size}")
+    assert(served.forall { case (_, node) => (node - 7) % 13 == 0 })
+    // the default is exactly the sidecar warm start: equal to the
+    // distributed loop entered at the same (cosine, -node) picks
+    val reps = KnnGraph.hashEntries(spark, s"$root/vec")
+    val entryFrame = qLocal.map { case (qid, qvec) =>
+      qid -> reps.maxBy { case (node, cv) =>
+        (KnnGraph.cosineLocal(qvec, cv), -node) }._1
+    }.toDF("qid", "node")
+    val viaStores = KnnGraph.serveFromStores(
+      spark, s"$root/g", s"$root/vec", queries, K, beamRounds = 3,
+      entries = Some(entryFrame)).as[(Long, Long)].collect().toSet
+    assert(served.toSet == viaStores,
+      "coordinated sidecar default diverged from the distributed loop")
+    // erase two answered nodes: the sidecar drops victim entries, so the
+    // no-entries path still answers, and never with a victim
+    val victims = served.map(_._2).distinct.take(2)
+    KnnGraph.eraseStored(spark, s"$root/g", victims,
+      vecPath = Some(s"$root/vec"))
+    val postErase = KnnGraph.serveCoordinated(
+      spark, s"$root/g", s"$root/vec", qLocal, K, beamRounds = 3)
+    assert(postErase.nonEmpty)
+    assert(postErase.forall { case (_, node) => !victims.contains(node) })
+    dense.unpersist()
   }
 }

@@ -24,8 +24,11 @@ class StreamingGraphInsertSpec extends AnyFunSuite {
     val newIds = Seq(173L, 289L, 407L, 463L)
     val base = all.filter(!$"vec_id".isin(newIds: _*))
     val root = java.nio.file.Files.createTempDirectory("graft-ggrow").toString
-    KnnGraph.writeStore(KnnGraph.build(base, K, rounds = 3).last, s"$root/v1")
-    KnnGraph.writeVectors(base, s"$root/vec")
+    // pinned 32: assertion 1 below checks appended rows landed in the
+    // id%NumBuckets dir (bucket arithmetic, not the sizing policy)
+    KnnGraph.writeStore(KnnGraph.build(base, K, rounds = 3).last, s"$root/v1",
+      KnnGraph.NumBuckets)
+    KnnGraph.writeVectors(base, s"$root/vec", KnnGraph.NumBuckets)
 
     // stream the 4 held-out nodes in two micro-batches
     implicit val sqlCtx = spark.sqlContext
@@ -55,13 +58,17 @@ class StreamingGraphInsertSpec extends AnyFunSuite {
         Seq((id % KnnGraph.NumBuckets).toInt))
     }
     // 2. an inserted node is FINDABLE: a probe query carrying the exact
-    //    vector of each new node must rank it first. Six beam rounds:
-    //    on this rounds-3 rough graph the beam reaches an inserted
-    //    node's DIRECT neighbors in ~4 rounds and needs the extra
-    //    expansions to step into the node itself — the walk length is
-    //    the graph's roughness, not the insert's (sq22b measures
-    //    rounds-to-recall; insert quality itself is pinned by the
-    //    drift floor below)
+    //    vector of each new node must rank it first. Six beam rounds
+    //    (was 4): partly this rounds-3 rough graph — the beam reaches an
+    //    inserted node's DIRECT neighbors in ~4 rounds and needs extra
+    //    expansions to step into the node itself — and partly the r13
+    //    entry-selection change: insertBatch's warm start moved from an
+    //    O(n/nb) bucket sample to the ≤64-row `_graft_entries` sidecar,
+    //    which shifts WHERE inserted nodes link, and 4 rounds stopped
+    //    clearing the assertion in the same commit. The drift floor
+    //    below stays the real guard; if findability degrades further,
+    //    raise writeHashEntries slots (a denser entry set), not beam
+    //    rounds (sq22b measures rounds-to-recall).
     val probes = newIds.map(id => (id + 1000000L, newVecs(id)))
       .toDF("qid", "v")
     val found = KnnGraph.serveStored(spark, s"$root/v1", all, probes, K,
