@@ -48,20 +48,26 @@ object FreezeLr {
     require(w.length == 2 + cityLabels.length + posLabels.length,
       s"unexpected coefficient layout: ${w.length} weights for " +
         s"2 numeric + ${cityLabels.length} city + ${posLabels.length} pos")
-    println(s"// frozen from LogisticRegression(regParam=0.01) fit on $dir " +
+    val sb = new StringBuilder
+    sb ++= s"// frozen from LogisticRegression(regParam=0.01) fit on $dir " +
       s"($n rows), features = (salary_final, exp_final, city one-hot, " +
-      "position_level one-hot), label is_hot = salary_final > 25")
-    println(s"val intercept: Double = ${lr.intercept}")
-    println(s"val wSalary: Double = ${w(0)}")
-    println(s"val wExp: Double = ${w(1)}")
-    println("val cityWeights: Seq[(String, Double)] = Seq(")
+      "position_level one-hot), label is_hot = salary_final > 25\n"
+    sb ++= s"val intercept: Double = ${lr.intercept}\n"
+    sb ++= s"val wSalary: Double = ${w(0)}\n"
+    sb ++= s"val wExp: Double = ${w(1)}\n"
+    sb ++= "val cityWeights: Seq[(String, Double)] = Seq(\n"
     cityLabels.zipWithIndex.foreach { case (l, i) =>
-      println(s"""  ("$l", ${w(2 + i)}),""") }
-    println(")")
-    println("val posWeights: Seq[(String, Double)] = Seq(")
+      sb ++= s"""  ("$l", ${w(2 + i)}),\n""" }
+    sb ++= ")\nval posWeights: Seq[(String, Double)] = Seq(\n"
     posLabels.zipWithIndex.foreach { case (l, i) =>
-      println(s"""  ("$l", ${w(2 + cityLabels.length + i)}),""") }
-    println(")")
+      sb ++= s"""  ("$l", ${w(2 + cityLabels.length + i)}),\n""" }
+    sb ++= ")\n"
+    // stdout mangles non-ASCII under sbt's console charset — the paste
+    // source of truth is the UTF-8 file
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/frozen_lr.txt"),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(sb.toString)
+    println("written to /tmp/frozen_lr.txt (UTF-8)")
     spark.stop()
   }
 }

@@ -409,9 +409,54 @@ object MlQueries {
         .as("pred_salary"))
   }
 
+  /** FROZEN-LR SERVING, hash-checked (r13 verdict #5): the reference's
+    * other persisted serving model — the attractiveness logistic
+    * (job_attractiveness_logistic_v2 metadata, the pipeline mq05
+    * trains) — with the trained coefficients frozen as published
+    * constants ([[graft.ml.FrozenAttractivenessLr]], provenance in
+    * [[graft.ml.FreezeLr]]). mq13 proved the pattern on trees (pure
+    * comparisons); the logistic adds the transcendental trap: sigmoid's
+    * `exp` is NOT guaranteed bit-identical across engines, so the row
+    * hashes the MARGIN (wᵀx + b — multiplies and left-associated adds,
+    * IEEE-exact in both engines) and the predicted CLASS (the margin's
+    * sign ≡ the P>0.5 decision, sigmoid being monotone), never the
+    * probability.
+    *
+    * 100 TB: per-row projection — two multiplies, two broadcast-free
+    * CASE lookups, five adds; no shuffle, no model object in the hot
+    * path. */
+  val mq14FrozenLrServing: QueryDef = QueryDef.sqlChecked(
+    "mq14_frozen_lr_serving", {
+      import graft.ml.FrozenAttractivenessLr
+      val margin = FrozenAttractivenessLr.marginSql(
+        "salary_final", "exp_final", "city_clean", "position_level")
+      s"""WITH ${graft.etl.JobsFixture.duckParsedSql},
+         |labeled AS (
+         |  SELECT *,
+         |    coalesce(salary_avg, (salary_min + salary_max) / 2, 0.0) AS salary_final,
+         |    coalesce(exp_avg_year, exp_min_year, 0.0) AS exp_final
+         |  FROM etl),
+         |postings AS (
+         |  SELECT * FROM labeled
+         |  WHERE salary_final > 0 AND salary_final <= 200
+         |    AND exp_final >= 0 AND exp_final <= 30)
+         |SELECT job_id,
+         |  $margin AS margin,
+         |  ${FrozenAttractivenessLr.classSql(margin)} AS is_hot_pred
+         |FROM postings""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    import graft.ml.FrozenAttractivenessLr
+    val df = featurizedJobs(spark, dir)
+    val margin = FrozenAttractivenessLr.marginCol(
+      $"salary_final", $"exp_final", $"city", $"position_level")
+    df.select($"job_id", margin.as("margin"),
+      FrozenAttractivenessLr.classCol(margin).as("is_hot_pred"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     mq01KmeansEmbeddings, mq02KmeansJobs, mq03RfSalary, mq04GbtHotScore,
     mq05LogisticAttractiveness, mq06TfidfDocs, mq07Word2vecSynonyms,
     mq08LdaTopics, mq09AttractivenessLrV1, mq10QualityFilterLr, mq11SemDedup,
-    mq12CvTuning, mq13FrozenRfInference)
+    mq12CvTuning, mq13FrozenRfInference, mq14FrozenLrServing)
 }
