@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composed-store lifecycle scaling probe (r13 verdict #2): sq28's
+  * DEPLOYMENT artifact — α-pruned adjacency through the clustered
+  * layout + entries/centroids sidecars + bytes-sized vector and PQ-code
+  * stores, served by the warm quantized head — taken through its whole
+  * lifecycle (prune → store → serve → insert → erase → refine →
+  * re-serve) on the x1 AND x100 replicas, one JSON line per phase.
+  * Every COMPONENT already carries a 100× ratio (sq21 build 8.0, sq24
+  * quantized serve 8.8, sq25 filtered 4.4, wq08 erase 6.3); this
+  * measures the COMPOSITION — the number that says the deployment
+  * shape scales, not just its parts.
+  *
+  * Phase shapes and what "flat" means here: prune/refine are
+  * index-sized passes (expect ~linear in n — the build ladder's cost);
+  * store writes are corpus-sized one-offs; serve/insert/erase must
+  * stay ~corpus-size-FREE (request-bounded reads/rewrites) — their
+  * x100/x1 ratios are the scale claim under test. Cells scale like
+  * IVF's nlist (≈√n, clamped) so cluster buckets stay row-group-sized.
+  *
+  * Reuses the shared durable build root (/tmp/graft_gep) so re-runs
+  * resume NN-Descent instead of paying it again; the prune is durable
+  * under the same root (first run pays and records the honest wall).
+  * Run after ScaleProbe has materialized /tmp/graft_scale100. */
+object ComposedStoreProbe {
+
+  def main(args: Array[String]): Unit = {
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale100")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val workRoot = sys.env.getOrElse("SPARK_GRAFT_PROBE_WORK", "/tmp/graft_gep")
+    val spark = Sessions.local("graft-composed-probe", cpus)
+    import spark.implicits._
+    import graft.similarity.{KnnGraph, Pq, VectorOps}
+    import VectorOps.cosine
+
+    val k = 8; val degree = 8; val alpha = 1.25
+    val m = 8; val sub = 8
+    // knob arms: the default (build 2 / beam 4) shares the erase/serve
+    // probes' cheap graph and measures PHASE-COST ratios; the deep arm
+    // (SPARK_GRAFT_BUILD_ROUNDS=4 SPARK_GRAFT_BEAM_ROUNDS=8) is the
+    // deployment-depth configuration that must also HOLD RECALL at
+    // 100× — the r14 finding is that a fixed cheap build does not
+    // (recall 0.117→0.016), i.e. build depth and beam are n-dependent
+    // knobs, not constants. buildDurable prefix-shares the workdir
+    // across depths; prune/refine dirs carry the depth suffix because
+    // their fingerprints cover the (depth-dependent) inputs.
+    val buildRounds = sys.env.getOrElse("SPARK_GRAFT_BUILD_ROUNDS", "2").toInt
+    val beamRounds = sys.env.getOrElse("SPARK_GRAFT_BEAM_ROUNDS", "4").toInt
+    val corpora = sys.env.getOrElse("SPARK_GRAFT_CORPORA", "x1,x100")
+      .split(",").map(_.trim).toSeq
+
+    def emit(corpus: String, phase: String, wall: Double, metric: Double,
+        n: Long): Unit =
+      println(f"""{"probe":"composed_store","corpus":"$corpus","build_rounds":$buildRounds,"beam_rounds":$beamRounds,"phase":"$phase","wall_s":$wall%.2f,"metric":$metric%.3f,"n_rows":$n}""")
+
+    for ((label, dir) <- corpora.map(l => l -> s"$scaleDir/$l")) {
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", VectorOps.toDouble($"embedding").as("v")).cache()
+      val n = vecs.count()
+      val root = graft.util.Scratch.tempDir(s"graft-csp-$label")
+      // shared durable build (k=8 — the erase/serve probes' workdir;
+      // deeper arms extend the same rounds in place, the prefix-share
+      // contract); the probe measures the lifecycle FROM the built rounds
+      val es = KnnGraph.buildDurable(vecs, k, rounds = buildRounds,
+        s"$workRoot/$label/b")
+      // sq26's bounded diversification pool: top-24 scored 2-hop ∪ ring
+      val cand = KnnGraph.scoredCandidates(vecs, es.last)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
+        .filter($"rn" <= 24).drop("rn")
+        .union(es.head.select($"src", $"nbr", $"cos"))
+        .distinct().localCheckpoint(true)
+      val tP0 = System.nanoTime()
+      val pruned = KnnGraph.robustPrune(vecs, cand, degree, alpha,
+          Some(s"$workRoot/$label/prune_b$buildRounds"))
+        .select($"src", $"nbr").localCheckpoint(true)
+      val edges = pruned.count()
+      emit(label, "prune", (System.nanoTime() - tP0) / 1e9, 0, edges)
+      // cells scale like IVF's nlist: ≈√n keeps cluster buckets
+      // row-group-sized at any corpus size (sq27's sizing note)
+      val cells = math.min(256, math.max(16, math.sqrt(n.toDouble).toInt))
+      val sample = vecs.select($"vec_id", $"v").orderBy($"vec_id").limit(20000)
+        .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+      val cents = Pq.trainCodebook(sample, cells).map(_.toSeq).toSeq
+      val cb = Pq.trainSubspaces(sample, m, sub, 16)
+      val tS0 = System.nanoTime()
+      KnnGraph.writeStoreClustered(pruned, vecs, s"$root/g", cents)
+      KnnGraph.writeEntries(vecs, s"$root/g")
+      KnnGraph.writeVectors(vecs, s"$root/vec")
+      KnnGraph.writeCodes(Pq.pqEncode(vecs, cb, sub), s"$root/codes")
+      emit(label, "write_store", (System.nanoTime() - tS0) / 1e9,
+        cells.toDouble, n)
+      val qv = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
+        .cache()
+      val nq = qv.count()
+      val bf = broadcast(qv.select($"qid", $"v".as("qv")))
+        .join(vecs.select($"vec_id".as("node"), $"v".as("cv")),
+          $"qid" =!= $"node")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy(cosine($"qv", $"cv").desc, $"node")))
+        .filter($"rn" <= k).select($"qid", $"node").cache()
+      bf.count()
+      def serve(graphPath: String, phase: String): Unit = {
+        // warm once (codegen + listings), then time — the steady-state
+        // per-query number is the serving claim
+        KnnGraph.serveFromStoresClusteredPqWarm(spark, graphPath,
+          s"$root/codes", s"$root/vec", qv, cb, k, beamRounds).count(): Unit
+        val t0 = System.nanoTime()
+        val ans = KnnGraph.serveFromStoresClusteredPqWarm(spark, graphPath,
+          s"$root/codes", s"$root/vec", qv, cb, k, beamRounds)
+          .localCheckpoint(true)
+        ans.count()
+        val ms = (System.nanoTime() - t0) / 1e6 / nq
+        val recall = ans.join(bf, Seq("qid", "node"), "left_semi").count()
+          .toDouble / (nq * k)
+        println(f"""{"probe":"composed_store","corpus":"$label","phase":"$phase","ms_per_q":$ms%.1f,"recall":$recall%.3f,"n_q":$nq}""")
+      }
+      serve(s"$root/g", "serve")
+      val arrivals = vecs.filter($"vec_id" < 4)
+        .select(($"vec_id" + 10000000L).as("vec_id"), $"v")
+        .localCheckpoint(true)
+      val tI0 = System.nanoTime()
+      graft.streaming.StreamingGraphIngest.insertClusteredBatch(
+        arrivals, s"$root/g", s"$root/vec", k, beamRounds,
+        codes = Some((s"$root/codes", cb)))
+      val insertS = (System.nanoTime() - tI0) / 1e9
+      val probes = arrivals.select(($"vec_id" + 10000000L).as("qid"), $"v")
+      val foundIns = KnnGraph.serveFromStoresClusteredPqWarm(spark,
+          s"$root/g", s"$root/codes", s"$root/vec", probes, cb, k, beamRounds)
+        .filter($"node" === $"qid" - 10000000L).count()
+      emit(label, "insert_with_codes", insertS, foundIns / 4.0, 4)
+      val victims = (0 until 4).map(_ + 10000000L)
+      val tE0 = System.nanoTime()
+      KnnGraph.eraseStoredClustered(spark, s"$root/g", victims,
+        vecPath = s"$root/vec", eraseVectors = true,
+        codesPath = Some(s"$root/codes"))
+      val eraseS = (System.nanoTime() - tE0) / 1e9
+      val victimsServed = KnnGraph.serveFromStoresClusteredPqWarm(spark,
+          s"$root/g", s"$root/codes", s"$root/vec", probes, cb, k, beamRounds)
+        .filter($"node".isin(victims: _*)).count()
+      emit(label, "erase_full", eraseS, victimsServed.toDouble, 4)
+      serve(s"$root/g", "serve_post_erase")
+      val tR0 = System.nanoTime()
+      val seed = spark.read.parquet(s"$root/g").select($"src", $"nbr")
+      val refined = KnnGraph.refineDurable(vecs, seed, k, rounds = 1,
+        s"$workRoot/$label/refine_b$buildRounds")
+      KnnGraph.writeStoreClustered(refined.select($"src", $"nbr"), vecs,
+        s"$root/g2", cents)
+      KnnGraph.writeEntries(vecs, s"$root/g2")
+      emit(label, "refine_v2", (System.nanoTime() - tR0) / 1e9, 0, n)
+      serve(s"$root/g2", "serve_v2")
+      vecs.unpersist(); qv.unpersist(); bf.unpersist()
+    }
+    spark.stop()
+  }
+}
