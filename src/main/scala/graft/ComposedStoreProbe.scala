@@ -116,7 +116,20 @@ object ComposedStoreProbe {
         val ms = (System.nanoTime() - t0) / 1e6 / nq
         val recall = ans.join(bf, Seq("qid", "node"), "left_semi").count()
           .toDouble / (nq * k)
-        println(f"""{"probe":"composed_store","corpus":"$label","phase":"$phase","ms_per_q":$ms%.1f,"recall":$recall%.3f,"n_q":$nq}""")
+        // EXACT clustered head on the same store and entries — the
+        // control that splits recall loss between the GRAPH (shared by
+        // both heads) and the quantized walk's ADC resolution (PQ
+        // distances over near-orthogonal synthetic embeddings carry
+        // little signal, so the ADC-guided beam can wander where the
+        // exact beam navigates)
+        val tX = System.nanoTime()
+        val ansX = KnnGraph.serveFromStoresClusteredWarm(spark, graphPath,
+          s"$root/vec", qv, k, beamRounds).localCheckpoint(true)
+        ansX.count()
+        val msX = (System.nanoTime() - tX) / 1e6 / nq
+        val recallX = ansX.join(bf, Seq("qid", "node"), "left_semi").count()
+          .toDouble / (nq * k)
+        println(f"""{"probe":"composed_store","corpus":"$label","build_rounds":$buildRounds,"beam_rounds":$beamRounds,"phase":"$phase","ms_per_q":$ms%.1f,"recall":$recall%.3f,"exact_ms_per_q":$msX%.1f,"exact_recall":$recallX%.3f,"n_q":$nq}""")
       }
       serve(s"$root/g", "serve")
       val arrivals = vecs.filter($"vec_id" < 4)

@@ -66,7 +66,23 @@ object KnnGraph {
     // cases; same-size content changes remain the caller's contract
     // (the workDir names the corpus).
     val metaPath = new org.apache.hadoop.fs.Path(workDir, "_graft_build")
-    val fingerprint = s"k=$k,n=${vecs.count()}"
+    // the prime-stride ring init below SYNTHESIZES neighbor ids as
+    // arithmetic over 0..n-1 — on a corpus with sparse/remapped ids
+    // those are phantom nodes, scoreEdges' inner join silently drops
+    // them, and the build degrades to a near-edgeless graph with no
+    // error (the serveCoordinated dense-fallback bug's build-side
+    // twin). One aggregate makes the assumption LOUD; it also supplies
+    // the fingerprint's n. Sparse-id corpora: build over a dense rank,
+    // then remap both edge endpoints (StoredGraphSpec's sparse test
+    // does exactly this) — stores and serving handle arbitrary ids.
+    val stats = vecs.agg(count(lit(1)), min($"vec_id"), max($"vec_id")).head()
+    val n = stats.getLong(0)
+    require(n > 0, "cannot build a k-NN graph over an empty corpus")
+    require(stats.getLong(1) == 0L && stats.getLong(2) == n - 1,
+      s"NN-Descent's ring init requires DENSE ids 0..${n - 1}, got " +
+        s"[${stats.getLong(1)}, ${stats.getLong(2)}] — remap to a dense " +
+        "rank before building, then remap the edge endpoints back")
+    val fingerprint = s"k=$k,n=$n"
     if (hfs.exists(metaPath)) {
       val in = hfs.open(metaPath)
       val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -964,7 +980,13 @@ object KnnGraph {
   }
 
   /** The default RING entry: node (qid·37 + 1) mod n per query — zero
-    * extra I/O, but a cold start the beam must walk in from. */
+    * extra I/O, but a cold start the beam must walk in from. ASSUMES
+    * DENSE ids 0..n-1 (the synthesized node must exist): on a sparse
+    * or erased-id corpus pass explicit entries instead — the
+    * `_graft_entries` sidecar ([[hashEntries]]/[[storedEntries]], what
+    * [[serveCoordinated]]'s default reads) or [[sampledEntries]]; a
+    * phantom entry dedups but never answers, silently shrinking
+    * results. */
   def ringEntries(vecs: DataFrame, queries: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
     val nn = vecs.agg(count(lit(1)).as("n"))
@@ -1122,9 +1144,12 @@ object KnnGraph {
     * checkpoint it first (the writers re-evaluate it once more for the
     * write itself). */
   def autoBuckets(frame: DataFrame,
-      targetBytesPerBucket: Long = DefaultBucketBytes): Int =
-    scaledBucketsByBytes(estRowBytes(frame), frame.count(),
-      targetBytesPerBucket)
+      targetBytesPerBucket: Long = DefaultBucketBytes): Int = {
+    val n = frame.count()
+    // an empty frame has no width to sample and needs no layout choice
+    if (n == 0) 1
+    else scaledBucketsByBytes(estRowBytes(frame), n, targetBytesPerBucket)
+  }
 
   /** Sentinel for the writers' `numBuckets`: ≤0 = size the store by
     * bytes at write time ([[autoBuckets]] over the frame being

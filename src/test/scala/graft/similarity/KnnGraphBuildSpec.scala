@@ -70,4 +70,20 @@ class KnnGraphBuildSpec extends AnyFunSuite {
     assert(edges(graph) == edges(reread))
     vecs.unpersist()
   }
+
+  test("build refuses SPARSE ids loudly — ring init would silently drop phantom edges") {
+    import spark.implicits._
+    // the prime-stride init synthesizes neighbor ids over 0..n-1;
+    // against sparse ids scoreEdges' inner join drops the phantoms and
+    // the build silently degrades — the guard makes it a loud error
+    // (serve-side sparse ids are fine: StoredGraphSpec's sparse test
+    // builds dense and remaps the edge endpoints)
+    val vecs = corpus()
+    val sparse = vecs.select(($"vec_id" * 13 + 7).as("vec_id"), $"v")
+    val e = intercept[IllegalArgumentException] {
+      KnnGraph.build(sparse, K, rounds = 1)
+    }
+    assert(e.getMessage.contains("DENSE ids"))
+    vecs.unpersist()
+  }
 }
