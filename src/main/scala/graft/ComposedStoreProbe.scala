@@ -80,8 +80,8 @@ object ComposedStoreProbe {
       val edges = pruned.count()
       emit(label, "prune", (System.nanoTime() - tP0) / 1e9, 0, edges)
       // cells scale like IVF's nlist: ≈√n keeps cluster buckets
-      // row-group-sized at any corpus size (sq27's sizing note)
-      val cells = math.min(256, math.max(16, math.sqrt(n.toDouble).toInt))
+      // row-group-sized at any corpus size (KnnGraph.scaledCells)
+      val cells = KnnGraph.scaledCells(n)
       val sample = vecs.select($"vec_id", $"v").orderBy($"vec_id").limit(20000)
         .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
       val cents = Pq.trainCodebook(sample, cells).map(_.toSeq).toSeq

@@ -67,21 +67,29 @@ object KnnGraph {
     // (the workDir names the corpus).
     val metaPath = new org.apache.hadoop.fs.Path(workDir, "_graft_build")
     // the prime-stride ring init below SYNTHESIZES neighbor ids as
-    // arithmetic over 0..n-1 — on a corpus with sparse/remapped ids
-    // those are phantom nodes, scoreEdges' inner join silently drops
-    // them, and the build degrades to a near-edgeless graph with no
-    // error (the serveCoordinated dense-fallback bug's build-side
-    // twin). One aggregate makes the assumption LOUD; it also supplies
-    // the fingerprint's n. Sparse-id corpora: build over a dense rank,
-    // then remap both edge endpoints (StoredGraphSpec's sparse test
-    // does exactly this) — stores and serving handle arbitrary ids.
-    val stats = vecs.agg(count(lit(1)), min($"vec_id"), max($"vec_id")).head()
-    val n = stats.getLong(0)
+    // arithmetic over 0..n-1 — each synthesized id that has no corpus
+    // row is a phantom scoreEdges' inner join silently drops. A few
+    // holes are harmless (hold-out fixtures, an erased id — NN-Descent
+    // tolerates a slightly thinner init), but on a sparse or offset id
+    // space MOST init edges vanish and the build degrades to a
+    // near-edgeless graph with no error (the serveCoordinated
+    // dense-fallback bug's build-side twin). The guard measures the
+    // exact failure quantity — the fraction of the init's target range
+    // 0..n-1 that actually exists — and refuses below 50% (ids 13i+7
+    // survive ~8%; ids offset by ≥n survive 0%; one hole in 500
+    // survives 99.8%). Two cheap aggregates next to a multi-round
+    // build; the first also supplies the fingerprint's n. Sparse-id
+    // corpora: build over a dense rank, then remap both edge endpoints
+    // (StoredGraphSpec's sparse test does exactly this) — stores and
+    // serving handle arbitrary ids.
+    val n = vecs.count()
     require(n > 0, "cannot build a k-NN graph over an empty corpus")
-    require(stats.getLong(1) == 0L && stats.getLong(2) == n - 1,
-      s"NN-Descent's ring init requires DENSE ids 0..${n - 1}, got " +
-        s"[${stats.getLong(1)}, ${stats.getLong(2)}] — remap to a dense " +
-        "rank before building, then remap the edge endpoints back")
+    val inRange = vecs.filter($"vec_id" >= 0 && $"vec_id" < n).count()
+    require(inRange * 2 >= n,
+      s"NN-Descent's ring init targets ids 0..${n - 1} but only " +
+        s"$inRange of $n corpus ids fall in that range — most init " +
+        "edges would be silently dropped; remap to a dense rank before " +
+        "building, then remap the edge endpoints back")
     val fingerprint = s"k=$k,n=$n"
     if (hfs.exists(metaPath)) {
       val in = hfs.open(metaPath)
@@ -1156,6 +1164,19 @@ object KnnGraph {
     * written). */
   val AutoBuckets = 0
 
+  /** Cell-count sizing for the CLUSTERED layout — IVF's nlist
+    * guidance: ≈ √n cells keeps per-cell membership (and with it a
+    * beam round's cluster-bucket reads) row-group-sized at any corpus
+    * size, clamped to [minCells, maxCells] (tiny fixtures need a floor
+    * for the layout to mean anything; the cap bounds the broadcast
+    * centroid list, the codebook-training cost, and [[clusterOf]]'s
+    * per-row argmin width). ComposedStoreProbe measures the composed
+    * store under this policy at x1 (44 cells) and x100 (256). */
+  def scaledCells(n: Long, minCells: Int = 16, maxCells: Int = 256): Int = {
+    require(minCells > 0 && maxCells >= minCells, "bad cell clamp")
+    math.min(maxCells, math.max(minCells, math.sqrt(n.toDouble).toInt))
+  }
+
   private def resolveBuckets(frame: DataFrame, requested: Int): Int =
     if (requested > 0) requested else autoBuckets(frame)
 
@@ -1228,6 +1249,27 @@ object KnnGraph {
     require(rows.nonEmpty,
       s"$path/_graft_entries is empty — rerun writeHashEntries")
     rows
+  }
+
+  /** Sidecar warm entries for the DISTRIBUTED heads — the
+    * [[serveCoordinated]] default's one-broadcast-join twin: each query
+    * enters at its best `_graft_entries` representative by the same
+    * (cosine DESC, node ASC) rule, computed as `queries ×
+    * broadcast(≤slots-row sidecar)` with a per-query top-1 — no
+    * driver-side query vectors needed, no corpus scan, id-layout-safe
+    * (the entries are real store members, erase-aware). Use this where
+    * [[ringEntries]]' dense-id assumption doesn't hold, or whenever a
+    * warm start is worth one tiny broadcast. Loud when the sidecar is
+    * missing or drained ([[hashEntries]]' contract). */
+  def sidecarEntries(spark: SparkSession, vecPath: String,
+      queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    val reps = hashEntries(spark, vecPath)
+      .map { case (node, v) => (node, v.toSeq) }.toDF("node", "cv")
+    queries.crossJoin(broadcast(reps))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
+      .filter($"rn" === 1).select($"qid", $"node")
   }
 
   /** Point-fetch the vectors of a BOUNDED id frame from a

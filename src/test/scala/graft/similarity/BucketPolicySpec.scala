@@ -43,6 +43,10 @@ class BucketPolicySpec extends AnyFunSuite {
     // the rows policy's cap parameter (ADVICE r13: call sites must not
     // re-derive the clamp)
     assert(KnnGraph.scaledBuckets(100000, 1, maxBuckets = 256) == 256)
+    // the clustered layout's cell policy: √n inside the clamp
+    assert(KnnGraph.scaledCells(2000) == 44)
+    assert(KnnGraph.scaledCells(10) == 16)
+    assert(KnnGraph.scaledCells(200000) == 256)
   }
 
   test("estRowBytes reads the sampled row width: wide vector rows ≫ narrow code rows") {

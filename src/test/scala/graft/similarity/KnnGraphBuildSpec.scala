@@ -75,15 +75,21 @@ class KnnGraphBuildSpec extends AnyFunSuite {
     import spark.implicits._
     // the prime-stride init synthesizes neighbor ids over 0..n-1;
     // against sparse ids scoreEdges' inner join drops the phantoms and
-    // the build silently degrades — the guard makes it a loud error
-    // (serve-side sparse ids are fine: StoredGraphSpec's sparse test
-    // builds dense and remaps the edge endpoints)
+    // the build silently degrades — the guard measures the survival
+    // fraction and makes <50% a loud error. A near-dense corpus (one
+    // held-out id — the hold-out fixtures' shape) must stay buildable.
+    // (Serve-side sparse ids are fine: StoredGraphSpec's sparse test
+    // builds dense and remaps the edge endpoints.)
     val vecs = corpus()
     val sparse = vecs.select(($"vec_id" * 13 + 7).as("vec_id"), $"v")
     val e = intercept[IllegalArgumentException] {
       KnnGraph.build(sparse, K, rounds = 1)
     }
-    assert(e.getMessage.contains("DENSE ids"))
+    assert(e.getMessage.contains("ring init"))
+    val oneHole = vecs.filter($"vec_id" =!= 173L)
+    val built = KnnGraph.build(oneHole, K, rounds = 1).last
+    assert(built.filter($"src" === 173L || $"nbr" === 173L).isEmpty)
+    assert(built.count() > 0)
     vecs.unpersist()
   }
 }

@@ -310,13 +310,17 @@ class StoredGraphSpec extends AnyFunSuite {
     assert(served.size == qLocal.size * K,
       s"expected ${qLocal.size * K} answers, got ${served.size}")
     assert(served.forall { case (_, node) => (node - 7) % 13 == 0 })
-    // the default is exactly the sidecar warm start: equal to the
-    // distributed loop entered at the same (cosine, -node) picks
+    // the default is exactly the sidecar warm start: sidecarEntries (the
+    // distributed twin, one broadcast join) must pick the same entry
+    // nodes, and the distributed loop entered there must answer the same
     val reps = KnnGraph.hashEntries(spark, s"$root/vec")
-    val entryFrame = qLocal.map { case (qid, qvec) =>
+    val manualPicks = qLocal.map { case (qid, qvec) =>
       qid -> reps.maxBy { case (node, cv) =>
         (KnnGraph.cosineLocal(qvec, cv), -node) }._1
-    }.toDF("qid", "node")
+    }.toMap
+    val entryFrame = KnnGraph.sidecarEntries(spark, s"$root/vec", queries)
+    assert(entryFrame.as[(Long, Long)].collect().toMap == manualPicks,
+      "sidecarEntries diverged from the coordinated default's picks")
     val viaStores = KnnGraph.serveFromStores(
       spark, s"$root/g", s"$root/vec", queries, K, beamRounds = 3,
       entries = Some(entryFrame)).as[(Long, Long)].collect().toSet
