@@ -49,12 +49,14 @@ object ComposedStoreProbe {
     // their fingerprints cover the (depth-dependent) inputs.
     val buildRounds = sys.env.getOrElse("SPARK_GRAFT_BUILD_ROUNDS", "2").toInt
     val beamRounds = sys.env.getOrElse("SPARK_GRAFT_BEAM_ROUNDS", "4").toInt
+    // SPARK_GRAFT_CONVERGED=<delta> switches the build to the
+    // early-termination POLICY (KnnGraph.buildConverged): rounds run
+    // until the changed-edge fraction < delta, capped at BUILD_ROUNDS —
+    // the arm that shows the policy FINDING the depth the fixed arms
+    // had to guess
+    val convergedDelta = sys.env.get("SPARK_GRAFT_CONVERGED").map(_.toDouble)
     val corpora = sys.env.getOrElse("SPARK_GRAFT_CORPORA", "x1,x100")
       .split(",").map(_.trim).toSeq
-
-    def emit(corpus: String, phase: String, wall: Double, metric: Double,
-        n: Long): Unit =
-      println(f"""{"probe":"composed_store","corpus":"$corpus","build_rounds":$buildRounds,"beam_rounds":$beamRounds,"phase":"$phase","wall_s":$wall%.2f,"metric":$metric%.3f,"n_rows":$n}""")
 
     for ((label, dir) <- corpora.map(l => l -> s"$scaleDir/$l")) {
       val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -64,8 +66,20 @@ object ComposedStoreProbe {
       // shared durable build (k=8 — the erase/serve probes' workdir;
       // deeper arms extend the same rounds in place, the prefix-share
       // contract); the probe measures the lifecycle FROM the built rounds
-      val es = KnnGraph.buildDurable(vecs, k, rounds = buildRounds,
-        s"$workRoot/$label/b")
+      val tB0 = System.nanoTime()
+      val es = convergedDelta match {
+        case Some(d) => KnnGraph.buildConverged(vecs, k,
+          maxRounds = buildRounds, d, s"$workRoot/$label/b")
+        case None => KnnGraph.buildDurable(vecs, k, rounds = buildRounds,
+          s"$workRoot/$label/b")
+      }
+      val buildS = (System.nanoTime() - tB0) / 1e9
+      val depth = es.length - 1
+
+      def emit(phase: String, wall: Double, metric: Double,
+          nRows: Long): Unit =
+        println(f"""{"probe":"composed_store","corpus":"$label","build_rounds":$depth,"beam_rounds":$beamRounds,"phase":"$phase","wall_s":$wall%.2f,"metric":$metric%.3f,"n_rows":$nRows}""")
+      convergedDelta.foreach(d => emit("build_converged", buildS, d, depth))
       // sq26's bounded diversification pool: top-24 scored 2-hop ∪ ring
       val cand = KnnGraph.scoredCandidates(vecs, es.last)
         .withColumn("rn", row_number().over(
@@ -75,10 +89,10 @@ object ComposedStoreProbe {
         .distinct().localCheckpoint(true)
       val tP0 = System.nanoTime()
       val pruned = KnnGraph.robustPrune(vecs, cand, degree, alpha,
-          Some(s"$workRoot/$label/prune_b$buildRounds"))
+          Some(s"$workRoot/$label/prune_b$depth"))
         .select($"src", $"nbr").localCheckpoint(true)
       val edges = pruned.count()
-      emit(label, "prune", (System.nanoTime() - tP0) / 1e9, 0, edges)
+      emit("prune", (System.nanoTime() - tP0) / 1e9, 0, edges)
       // cells scale like IVF's nlist: ≈√n keeps cluster buckets
       // row-group-sized at any corpus size (KnnGraph.scaledCells)
       val cells = KnnGraph.scaledCells(n)
@@ -91,7 +105,7 @@ object ComposedStoreProbe {
       KnnGraph.writeEntries(vecs, s"$root/g")
       KnnGraph.writeVectors(vecs, s"$root/vec")
       KnnGraph.writeCodes(Pq.pqEncode(vecs, cb, sub), s"$root/codes")
-      emit(label, "write_store", (System.nanoTime() - tS0) / 1e9,
+      emit("write_store", (System.nanoTime() - tS0) / 1e9,
         cells.toDouble, n)
       val qv = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
         .cache()
@@ -129,7 +143,7 @@ object ComposedStoreProbe {
         val msX = (System.nanoTime() - tX) / 1e6 / nq
         val recallX = ansX.join(bf, Seq("qid", "node"), "left_semi").count()
           .toDouble / (nq * k)
-        println(f"""{"probe":"composed_store","corpus":"$label","build_rounds":$buildRounds,"beam_rounds":$beamRounds,"phase":"$phase","ms_per_q":$ms%.1f,"recall":$recall%.3f,"exact_ms_per_q":$msX%.1f,"exact_recall":$recallX%.3f,"n_q":$nq}""")
+        println(f"""{"probe":"composed_store","corpus":"$label","build_rounds":$depth,"beam_rounds":$beamRounds,"phase":"$phase","ms_per_q":$ms%.1f,"recall":$recall%.3f,"exact_ms_per_q":$msX%.1f,"exact_recall":$recallX%.3f,"n_q":$nq}""")
       }
       serve(s"$root/g", "serve")
       val arrivals = vecs.filter($"vec_id" < 4)
@@ -144,7 +158,7 @@ object ComposedStoreProbe {
       val foundIns = KnnGraph.serveFromStoresClusteredPqWarm(spark,
           s"$root/g", s"$root/codes", s"$root/vec", probes, cb, k, beamRounds)
         .filter($"node" === $"qid" - 10000000L).count()
-      emit(label, "insert_with_codes", insertS, foundIns / 4.0, 4)
+      emit("insert_with_codes", insertS, foundIns / 4.0, 4)
       val victims = (0 until 4).map(_ + 10000000L)
       val tE0 = System.nanoTime()
       KnnGraph.eraseStoredClustered(spark, s"$root/g", victims,
@@ -154,16 +168,16 @@ object ComposedStoreProbe {
       val victimsServed = KnnGraph.serveFromStoresClusteredPqWarm(spark,
           s"$root/g", s"$root/codes", s"$root/vec", probes, cb, k, beamRounds)
         .filter($"node".isin(victims: _*)).count()
-      emit(label, "erase_full", eraseS, victimsServed.toDouble, 4)
+      emit("erase_full", eraseS, victimsServed.toDouble, 4)
       serve(s"$root/g", "serve_post_erase")
       val tR0 = System.nanoTime()
       val seed = spark.read.parquet(s"$root/g").select($"src", $"nbr")
       val refined = KnnGraph.refineDurable(vecs, seed, k, rounds = 1,
-        s"$workRoot/$label/refine_b$buildRounds")
+        s"$workRoot/$label/refine_b$depth")
       KnnGraph.writeStoreClustered(refined.select($"src", $"nbr"), vecs,
         s"$root/g2", cents)
       KnnGraph.writeEntries(vecs, s"$root/g2")
-      emit(label, "refine_v2", (System.nanoTime() - tR0) / 1e9, 0, n)
+      emit("refine_v2", (System.nanoTime() - tR0) / 1e9, 0, n)
       serve(s"$root/g2", "serve_v2")
       vecs.unpersist(); qv.unpersist(); bf.unpersist()
     }
