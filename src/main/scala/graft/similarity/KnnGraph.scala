@@ -145,7 +145,20 @@ object KnnGraph {
     * stops at the SAME round (KnnGraphBuildSpec). 100 TB: the stop rule
     * replaces "guess a constant, over- or under-build by 4 doublings"
     * with one bounded count per round — the round itself (a
-    * k²-candidate shuffle + index-sized write) dwarfs the check. */
+    * k²-candidate shuffle + index-sized write) dwarfs the check.
+    *
+    * CAVEAT (measured, ComposedStoreProbe's converged arm): this
+    * targets the kNN graph's OWN fixpoint — the right goal for the
+    * exact-graph consumers (refine seeds, dedup, sq22-style serving).
+    * The α-PRUNED serving artifact is different: at a fixed degree/L
+    * budget its recall peaked at depth ~6 and FELL by depth 12 on the
+    * 200k replica (0.125 → 0.070, exact-head confirmed), because a
+    * converged graph's 2-hop candidate pool is tight and local, and
+    * the prune then starves the long edges cold-entry beams need.
+    * Building the composed store deeper must pair with a wider
+    * candidate pool / degree (DiskANN generates prune candidates from
+    * BEAM SEARCHES for exactly this reason) — or stop on a
+    * served-recall plateau rather than graph convergence. */
   def buildConverged(vecs: DataFrame, k: Int, maxRounds: Int,
       delta: Double, workDir: String): Seq[DataFrame] = {
     import vecs.sparkSession.implicits._
