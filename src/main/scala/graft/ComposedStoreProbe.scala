@@ -80,16 +80,27 @@ object ComposedStoreProbe {
           nRows: Long): Unit =
         println(f"""{"probe":"composed_store","corpus":"$label","build_rounds":$depth,"beam_rounds":$beamRounds,"phase":"$phase","wall_s":$wall%.2f,"metric":$metric%.3f,"n_rows":$nRows}""")
       convergedDelta.foreach(d => emit("build_converged", buildS, d, depth))
-      // sq26's bounded diversification pool: top-24 scored 2-hop ∪ ring
-      val cand = KnnGraph.scoredCandidates(vecs, es.last)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
-        .filter($"rn" <= 24).drop("rn")
-        .union(es.head.select($"src", $"nbr", $"cos"))
-        .distinct().localCheckpoint(true)
+      // SPARK_GRAFT_POOL picks the prune's diversification pool:
+      // `twohop` (default) = sq26's top-24 scored 2-hop ∪ ring init;
+      // `search` = DiskANN's visited-set candidates
+      // (KnnGraph.searchCandidates — the arm that must RECOVER the
+      // navigability a converged 2-hop pool starves)
+      val poolMode = sys.env.getOrElse("SPARK_GRAFT_POOL", "twohop")
+      val cand = (poolMode match {
+        case "search" =>
+          KnnGraph.searchCandidates(vecs, es.last, k, beamRounds = 3)
+        case _ =>
+          KnnGraph.scoredCandidates(vecs, es.last)
+            .withColumn("rn", row_number().over(
+              Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
+            .filter($"rn" <= 24).drop("rn")
+            .union(es.head.select($"src", $"nbr", $"cos"))
+            .distinct()
+      }).localCheckpoint(true)
+      val poolSuffix = if (poolMode == "search") "_s" else ""
       val tP0 = System.nanoTime()
       val pruned = KnnGraph.robustPrune(vecs, cand, degree, alpha,
-          Some(s"$workRoot/$label/prune_b$depth"))
+          Some(s"$workRoot/$label/prune_b$depth$poolSuffix"))
         .select($"src", $"nbr").localCheckpoint(true)
       val edges = pruned.count()
       emit("prune", (System.nanoTime() - tP0) / 1e9, 0, edges)
@@ -173,7 +184,7 @@ object ComposedStoreProbe {
       val tR0 = System.nanoTime()
       val seed = spark.read.parquet(s"$root/g").select($"src", $"nbr")
       val refined = KnnGraph.refineDurable(vecs, seed, k, rounds = 1,
-        s"$workRoot/$label/refine_b$depth")
+        s"$workRoot/$label/refine_b$depth$poolSuffix")
       KnnGraph.writeStoreClustered(refined.select($"src", $"nbr"), vecs,
         s"$root/g2", cents)
       KnnGraph.writeEntries(vecs, s"$root/g2")

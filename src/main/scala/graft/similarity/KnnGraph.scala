@@ -306,6 +306,50 @@ object KnnGraph {
     scoreEdges(vecs, cand)
   }
 
+  /** SEARCH-BASED prune candidates — DiskANN/Vamana's actual candidate
+    * generation (Subramanya et al. 2019 §4, `GreedySearch`'s visited
+    * set): each node's diversification pool is the VISITED SET of a
+    * beam search for its OWN vector over the current graph, union its
+    * current edges, exact-cosine scored. The r14 converged-arm probe
+    * measured why this matters: a kNN 2-hop pool TIGHTENS as NN-Descent
+    * converges, and an α-prune over it starves the long edges
+    * cold-entry beams navigate on (composed-store recall fell 0.125 →
+    * 0.070 as build depth rose 6 → 12). The visited set instead
+    * contains the APPROACH PATH — every hop the search itself took to
+    * reach the node — so the pruned graph keeps exactly the edges
+    * serving uses, at any build depth.
+    *
+    * Batch shape: every node is a query over the in-memory undirected
+    * graph — [[beamTrace]]'s skeleton, one (n·k)-row frontier expansion
+    * + one exact-scored top-k keep per round, the same cost shape as a
+    * NN-Descent tighten round. The per-node pool is ≤ 1 + rounds·k
+    * rows — the L bound [[robustPrune]] requires, by construction.
+    * Deterministic (ring entries, (cos DESC, nbr) keeps), so the
+    * downstream durable prune's fingerprint guard works unchanged. */
+  def searchCandidates(vecs: DataFrame, graph: DataFrame, k: Int,
+      beamRounds: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val queries = vecs.select($"vec_id".as("qid"), $"v")
+    val und = graph.select($"src", $"nbr")
+      .union(graph.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
+      .localCheckpoint(true)
+    def expand(frontier: DataFrame): DataFrame =
+      frontier.join(und, frontier("node") === und("src"))
+        .select(frontier("qid"), und("nbr").as("node")).distinct()
+    def keep(fresh: DataFrame): DataFrame = fresh
+      .join(queries.select($"qid", $"v".as("qv")), Seq("qid"))
+      .join(vecs.select($"vec_id".as("node"), $"v".as("cv")), Seq("node"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy(cosine($"qv", $"cv").desc, $"node")))
+      .filter($"rn" <= k).select($"qid", $"node")
+    val pool = beamTrace(ringEntries(vecs, queries), expand, keep,
+      beamRounds).last._2
+    scoreEdges(vecs,
+      pool.filter($"qid" =!= $"node").select($"qid".as("src"), $"node".as("nbr"))
+        .union(graph.select($"src", $"nbr"))
+        .distinct())
+  }
+
   /** REFINE — NN-Descent tightening rounds seeded from an EXISTING
     * graph (typically the stored adjacency after a run of streamed
     * [[graft.streaming.StreamingGraphIngest]] inserts): the middle
@@ -329,6 +373,16 @@ object KnnGraph {
     * the exact k-NN graph is a FIXPOINT (candidates ⊇ current edges,
     * and nothing beats the true top-k), and per-node neighbor quality
     * never decreases (same argument, elementwise).
+    *
+    * SCOPE (measured, r14 converged/search probe arms): those
+    * guarantees are about K-NN QUALITY — the right maintenance rung for
+    * the exact-graph consumers (dedup, sq22-style serving, build
+    * seeds). An α-PRUNED serving store is a different objective:
+    * refining it tightens edges back toward the kNN fixpoint and
+    * throws away the approach-path edges navigation needs (served
+    * recall 0.125 → 0.063 on the x100 search-pruned store). Maintain a
+    * pruned store by RE-PRUNING over fresh [[searchCandidates]]
+    * instead.
     *
     * 100 TB: a round costs the k²-per-node candidate shuffle + one
     * index-sized parquet write — identical to a build round, but you
