@@ -3278,9 +3278,11 @@ object SimilarityQueries {
     * artifact and taken through its whole lifecycle — the DiskANN/
     * Vamana deployment shape end-to-end:
     *
-    *   1. α-robust-pruned adjacency (sq26's recipe: NN-Descent
-    *      candidates' top-24 ∪ ring init = the L bound, durable prune
-    *      with `_SUCCESS` resume) written through the CLUSTERED layout
+    *   1. α-robust-pruned adjacency over SEARCH-BASED candidates
+    *      (r14 — [[graft.similarity.KnnGraph.searchCandidates]],
+    *      DiskANN's visited-set rule: the pool carries the approach
+    *      paths, L-bounded by construction; durable prune with
+    *      `_SUCCESS` resume) written through the CLUSTERED layout
     *      (sq27 — locality buckets, carried nbr_bucket), with
     *      `_graft_centroids` + `_graft_entries` sidecars;
     *   2. PQ codes sidecar (sq22b/sq24's quantized head) + bucketed
@@ -3322,13 +3324,15 @@ object SimilarityQueries {
       .select($"vec_id", toDouble($"embedding").as("v")).cache()
     val n = vecs.count()
     val es = nnDescentBuild(vecs, dir, k, buildRounds)
-    // sq26's bounded diversification pool: top-24 scored 2-hop ∪ ring
-    val cand = KnnGraph.scoredCandidates(vecs, es.last)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
-      .filter($"rn" <= 24).drop("rn")
-      .union(es.head.select($"src", $"nbr", $"cos"))
-      .distinct().localCheckpoint(true)
+    // SEARCH-BASED diversification pool (r14: KnnGraph.searchCandidates
+    // — DiskANN's visited-set rule): each node's pool is its own beam
+    // search's visited set ∪ current edges, so the α-prune keeps the
+    // approach-path edges serving actually uses. Measured against the
+    // 2-hop pool on the converged x100 graph: equal-or-better recall at
+    // 2.6× fewer stored edges (COVERAGE r14); sq26 keeps the 2-hop pool
+    // — it measures the α-rule itself at a fixed pool.
+    val cand = KnnGraph.searchCandidates(vecs, es.last, k, beamRounds = 3)
+      .localCheckpoint(true)
     // durable prune under the PROCESS-SHARED key (buildCached's
     // contract): a rerun in the same process resumes the persisted
     // rounds — the deployment shape, and what makes the `_SUCCESS`
@@ -3402,11 +3406,18 @@ object SimilarityQueries {
       codes = Some((s"$root/codes", cb)))
     val insertS = (System.nanoTime() - tI0) / 1e9
     // the QUANTIZED head must find each inserted node from its own
-    // vector — proof the code append kept the sidecar in lockstep
+    // vector — proof the code append kept the sidecar in lockstep. The
+    // INVARIANT probe walks two rounds deeper than the timed serves:
+    // the search-pruned graph is 2.6× sparser (that is its point), and
+    // a freshly inserted node sits at the end of the beam's walk —
+    // StreamingGraphInsertSpec documents the same walk-length effect on
+    // the hash layout (reach the neighbors in ~beam rounds, step INTO
+    // the node with the extra expansions).
     val probes = arrivals
       .select(($"vec_id" + 4000000L).as("qid"), $"v")
     val foundIns = KnnGraph.serveFromStoresClusteredPqWarm(spark,
-        pinned(), s"$root/codes", s"$root/vec", probes, cb, k, beamRounds)
+        pinned(), s"$root/codes", s"$root/vec", probes, cb, k,
+        beamRounds + 2)
       .filter($"node" === $"qid" - 4000000L).count()
     // erase the arrivals again — vectors, codes, entries, both edge
     // directions (erase must run BEFORE the vector rows vanish)
