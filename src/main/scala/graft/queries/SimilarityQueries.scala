@@ -3331,7 +3331,11 @@ object SimilarityQueries {
     // 2-hop pool on the converged x100 graph: equal-or-better recall at
     // 2.6× fewer stored edges (COVERAGE r14); sq26 keeps the 2-hop pool
     // — it measures the α-rule itself at a fixed pool.
-    val cand = KnnGraph.searchCandidates(vecs, es.last, k, beamRounds = 3)
+    // `def`, not `val`: pruneCached takes the candidates BY-NAME, so a
+    // warm resume (ScaleProbe's keep-build-cache arm, any same-process
+    // re-run) skips the beam waves entirely — candidate generation is
+    // construction-time work, and a resumed prune never reads it
+    def cand = KnnGraph.searchCandidates(vecs, es.last, k, beamRounds = 3)
       .localCheckpoint(true)
     // durable prune under the PROCESS-SHARED key (buildCached's
     // contract): a rerun in the same process resumes the persisted

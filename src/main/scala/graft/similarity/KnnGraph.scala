@@ -252,17 +252,23 @@ object KnnGraph {
     * contract the key already states; the on-disk guard still compares
     * the passed fingerprint against the workDir's metadata, so a
     * cross-key or cross-process mixup stays a loud error. */
-  def pruneCached(vecs: DataFrame, cand: DataFrame, corpusKey: String,
+  def pruneCached(vecs: DataFrame, cand: => DataFrame, corpusKey: String,
       r: Int, alpha: Double): DataFrame = {
+    // `cand` is BY-NAME: on a warm resume (fingerprint cached, rounds
+    // persisted) the candidate frame is never evaluated — which is the
+    // whole saving when candidate GENERATION is itself a multi-round
+    // job (searchCandidates' beam waves), not just a cheap projection
     if (sys.props.get("graft.noBuildCache").contains("1"))
       return robustPrune(vecs, cand, r, alpha)
     val key = (corpusKey, r, alpha)
     sharedPruneLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      lazy val candOnce = cand
       val wd = sharedPruneDirs.computeIfAbsent(key,
         _ => graft.util.Scratch.tempDir(s"graft-prune-$r"))
       val fp = sharedPruneFps.computeIfAbsent(key,
-        _ => pruneFingerprint(vecs, cand, r, alpha))
-      robustPrune(vecs, cand, r, alpha, Some(wd), knownFingerprint = Some(fp))
+        _ => pruneFingerprint(vecs, candOnce, r, alpha))
+      robustPrune(vecs, candOnce, r, alpha, Some(wd),
+        knownFingerprint = Some(fp))
     }
   }
 
@@ -483,11 +489,15 @@ object KnnGraph {
     * with vectors attached, which is what the L bound exists to
     * prevent. At 100 TB the cost is r passes over the L·n-row
     * candidate list — the same shape as one NN-Descent round. */
-  def robustPrune(vecs: DataFrame, cand: DataFrame, r: Int,
+  def robustPrune(vecs: DataFrame, cand0: => DataFrame, r: Int,
       alpha: Double, workDir: Option[String] = None,
       knownFingerprint: Option[String] = None): DataFrame = {
     import vecs.sparkSession.implicits._
     require(r > 0, s"degree budget r must be positive, got $r")
+    // by-name + lazy: a fully-resumed durable prune (all rounds
+    // persisted, fingerprint supplied) never evaluates the candidate
+    // frame at all; a cold run evaluates it exactly once
+    lazy val cand = cand0
     // candidate vectors attach ONCE — the r prune rounds then join only
     // the picks frame, never the corpus (at 100× the per-round re-fetch
     // was the memory killer; the attached frame is |cand| rows and
