@@ -181,14 +181,27 @@ object ComposedStoreProbe {
         .filter($"node".isin(victims: _*)).count()
       emit("erase_full", eraseS, victimsServed.toDouble, 4)
       serve(s"$root/g", "serve_post_erase")
+      // SPARK_GRAFT_V2 picks the maintenance rung that publishes v2:
+      // `refine` (default — NN-Descent tighten, the EXACT graph's rung)
+      // vs `reprune` (KnnGraph.repruneStored — search candidates over
+      // the current store, re-α-pruned: the rung the r14 findings
+      // prescribe for the pruned SERVING artifact)
+      val v2Mode = sys.env.getOrElse("SPARK_GRAFT_V2", "refine")
       val tR0 = System.nanoTime()
-      val seed = spark.read.parquet(s"$root/g").select($"src", $"nbr")
-      val refined = KnnGraph.refineDurable(vecs, seed, k, rounds = 1,
-        s"$workRoot/$label/refine_b$depth$poolSuffix")
-      KnnGraph.writeStoreClustered(refined.select($"src", $"nbr"), vecs,
-        s"$root/g2", cents)
-      KnnGraph.writeEntries(vecs, s"$root/g2")
-      emit("refine_v2", (System.nanoTime() - tR0) / 1e9, 0, n)
+      v2Mode match {
+        case "reprune" =>
+          KnnGraph.repruneStored(spark, s"$root/g", s"$root/vec",
+            s"$root/g2", degree, alpha, k, beamRounds = 3,
+            Some(s"$workRoot/$label/reprune_b$depth$poolSuffix"))
+        case _ =>
+          val seed = spark.read.parquet(s"$root/g").select($"src", $"nbr")
+          val refined = KnnGraph.refineDurable(vecs, seed, k, rounds = 1,
+            s"$workRoot/$label/refine_b$depth$poolSuffix")
+          KnnGraph.writeStoreClustered(refined.select($"src", $"nbr"), vecs,
+            s"$root/g2", cents)
+          KnnGraph.writeEntries(vecs, s"$root/g2")
+      }
+      emit(s"${v2Mode}_v2", (System.nanoTime() - tR0) / 1e9, 0, n)
       serve(s"$root/g2", "serve_v2")
       vecs.unpersist(); qv.unpersist(); bf.unpersist()
     }

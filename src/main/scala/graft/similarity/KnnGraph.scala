@@ -356,6 +356,48 @@ object KnnGraph {
         .distinct())
   }
 
+  /** RE-PRUNE — the α-pruned SERVING store's maintenance rung (the
+    * r14 probe arms' prescription): read the current stored adjacency
+    * and vector store, regenerate SEARCH-BASED candidates over exactly
+    * that graph ([[searchCandidates]] — the pool that carries approach
+    * paths), α-prune at the degree budget, and publish the result as a
+    * NEW clustered store version at `outPath` (same centroids as the
+    * source store, fresh `_graft_entries`) — never an in-place rewrite
+    * of a serving store; register + promote through
+    * [[graft.ml.IndexLifecycle]] like any rebuild. Counterpart of
+    * [[refineDurable]], which is the EXACT graph's rung: refining a
+    * pruned store tightens it back toward the kNN fixpoint and throws
+    * the navigation edges away (measured: served recall 0.125 → 0.063
+    * on the x100 search-pruned store), while a re-prune regenerates
+    * them from the searches serving actually runs. Erased nodes cannot
+    * resurface: candidates score via an inner join against the vector
+    * store, so a victim with no vector row appears in no pool and no
+    * v2 edge (RepruneSpec). `pruneWorkDir` gives the prune
+    * [[robustPrune]]'s durable `_SUCCESS` resume.
+    *
+    * 100 TB: candidate generation is beam-rounds × (k·n-row expansion
+    * + score) — tighten-round shaped; the prune is r passes over the
+    * L·n candidate list; the writes are index-sized. All build-side
+    * costs; serving stays on the old pin until the promote. */
+  def repruneStored(spark: SparkSession, graphPath: String,
+      vecPath: String, outPath: String, degree: Int, alpha: Double,
+      k: Int, beamRounds: Int,
+      pruneWorkDir: Option[String] = None): Unit = {
+    import spark.implicits._
+    // distinct: streamed appends may hold replayed duplicate rows
+    // (fetchVectors' contract, applied at the maintenance pass too)
+    val vecs = spark.read.parquet(vecPath)
+      .select($"vec_id", $"v").distinct().localCheckpoint(true)
+    val graph = spark.read.parquet(graphPath).select($"src", $"nbr")
+    val cents = centroidsOf(spark, graphPath)
+    val pruned = robustPrune(vecs,
+        searchCandidates(vecs, graph, k, beamRounds),
+        degree, alpha, pruneWorkDir)
+      .select($"src", $"nbr")
+    writeStoreClustered(pruned, vecs, outPath, cents)
+    writeEntries(vecs, outPath)
+  }
+
   /** REFINE — NN-Descent tightening rounds seeded from an EXISTING
     * graph (typically the stored adjacency after a run of streamed
     * [[graft.streaming.StreamingGraphIngest]] inserts): the middle
