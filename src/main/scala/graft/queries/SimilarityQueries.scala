@@ -3294,10 +3294,12 @@ object SimilarityQueries {
     *      ([[graft.similarity.KnnGraph.serveFromStoresClusteredPqWarm]]
     *      — stored entries, clustered expansion, ADC ranking, one
     *      exact re-rank), recall + per-query latency in-row;
-    *   4. then insert → erase → refine → re-serve → ROLLBACK on the
+    *   4. then insert → erase → RE-PRUNE → re-serve → ROLLBACK on the
     *      same artifact: streamed clustered insert WITH code append
     *      (sq23's rung), clustered erase reaching vectors + codes +
-    *      entries (wq08's contract), one NN-Descent refine round
+    *      entries (wq08's contract), one search-candidate re-prune
+    *      ([[graft.similarity.KnnGraph.repruneStored]] — the pruned
+    *      serving store's maintenance rung, r14)
     *      published as a v2 store and PROMOTED through
     *      [[graft.ml.IndexLifecycle]] (every serve resolves the PINNED
     *      path — an unpromoted build is invisible), then one rollback
@@ -3435,17 +3437,19 @@ object SimilarityQueries {
     val victimsServed = KnnGraph.serveFromStoresClusteredPqWarm(spark,
         pinned(), s"$root/codes", s"$root/vec", probes, cb, k, beamRounds)
       .filter($"node".isin(victims: _*)).count()
-    // REFINE rung: one NN-Descent tightening round seeded from the
-    // store's current edges, published as a NEW store version and
-    // PROMOTED through the registry (never an in-place overwrite of a
-    // serving store; the unpromoted build is invisible to traffic)
+    // RE-PRUNE rung (r14): the pruned SERVING store's maintenance —
+    // search candidates regenerated over the CURRENT store, re-α-pruned
+    // and published as a NEW version, PROMOTED through the registry
+    // (never an in-place overwrite; the unpromoted build is invisible
+    // to traffic). Measured against the kNN-refine rung on the x100
+    // search-pruned store: reprune 0.188 vs refine 0.063 served recall
+    // at the same wall class (COVERAGE r14) — refine stays the
+    // EXACT-graph rung, which sq23 measures and KnnGraphRefineSpec
+    // proves monotone.
     val tR0 = System.nanoTime()
-    val seed = spark.read.parquet(pinned()).select($"src", $"nbr")
-    val refined = KnnGraph.refineDurable(vecs, seed, k, rounds = 1,
-      graft.util.Scratch.tempDir("graft-sq28-refine"))
-    KnnGraph.writeStoreClustered(refined.select($"src", $"nbr"), vecs,
-      s"$root/g2", cents)
-    KnnGraph.writeEntries(vecs, s"$root/g2")
+    KnnGraph.repruneStored(spark, pinned(), s"$root/vec", s"$root/g2",
+      degree, alpha, k, beamRounds = 3,
+      Some(graft.util.Scratch.tempDir("graft-sq28-reprune")))
     graft.ml.IndexLifecycle.register(spark, registry, "composed_graph",
       "knn_graph_composed", s"$root/g2", 2)
     graft.ml.IndexLifecycle.promote(spark, registry, "composed_graph", 2)
@@ -3470,7 +3474,7 @@ object SimilarityQueries {
       (3L, "insert_with_codes", r2(insertS), Some(foundIns / 4.0), 4L),
       (4L, "erase_full", r2(eraseS), Some(victimsServed.toDouble), victims.size.toLong),
       (5L, "serve_post_erase", r2(serveMsPost / 1000 * nq), Some(r3(recallPost)), nAnsPost),
-      (6L, "refine_v2", r2(refineS), None, n),
+      (6L, "reprune_v2", r2(refineS), None, n),
       (7L, "serve_v2", r2(serveMsV2 / 1000 * nq), Some(r3(recallV2)), nAnsV2),
       (8L, "rollback_serve_v1", r2(rollbackS), Some(rollbackOk), nAnsBack))
       .toDF("phase_id", "phase", "wall_s", "metric", "n_rows")
