@@ -3344,7 +3344,13 @@ object SimilarityQueries {
     // rounds — the deployment shape, and what makes the `_SUCCESS`
     // resume reachable at all (a throwaway workDir never resumes)
     val tP0 = System.nanoTime()
-    val pruned = KnnGraph.pruneCached(vecs, cand, dir, degree, alpha)
+    // inputsKey names the candidate LINEAGE (pool flavor, build depth,
+    // beam rounds) — everything the prune depends on that (dir, degree,
+    // alpha) doesn't already say, so a future knob change gets a fresh
+    // key + honestly recomputed fingerprint instead of riding the
+    // cached one (pruneCached's within-process contract)
+    val pruned = KnnGraph.pruneCached(vecs, cand, dir, degree, alpha,
+        inputsKey = s"search_b${es.length - 1}_w3")
       .select($"src", $"nbr").localCheckpoint(true)
     val pruneS = (System.nanoTime() - tP0) / 1e9
     val edgesPruned = pruned.count()

@@ -232,35 +232,38 @@ object KnnGraph {
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), String]()
 
   /** PROCESS-SHARED durable prune — [[buildCached]]'s contract applied
-    * to [[robustPrune]]: the first caller for a (corpusKey, r, alpha)
-    * key pays the prune; later callers resume the persisted rounds
-    * from the SAME workDir (a fresh tempDir per call would make the
-    * `_SUCCESS` resume unreachable and the durability machinery pure
-    * overhead — the prune's point is that a restarted index build
-    * reloads completed rounds). robustPrune's fingerprint guard covers
-    * (r, α, candidate scores, vectors), so reusing a key against
-    * changed inputs is a loud error, never a silent stale reload.
-    * `graft.noBuildCache` restores the ephemeral build-fresh behavior
-    * for probes that measure the prune itself.
+    * to [[robustPrune]]: the first caller for a (corpusKey, inputsKey,
+    * r, alpha) key pays the prune; later callers resume the persisted
+    * rounds from the SAME workDir (a fresh tempDir per call would make
+    * the `_SUCCESS` resume unreachable and the durability machinery
+    * pure overhead — the prune's point is that a restarted index build
+    * reloads completed rounds). `graft.noBuildCache` restores the
+    * ephemeral build-fresh behavior for probes that measure the prune
+    * itself.
     *
-    * The fingerprint itself is CACHED per key after the first call:
-    * computing it costs two full aggregate passes (candidate list +
-    * corpus), which on a warm resume would dwarf the resumed reload it
-    * guards. Within one process the key names the inputs (buildCached's
-    * corpusKey contract — callers with modified inputs must use their
-    * own workDir), so trusting the first call's digest is exactly the
-    * contract the key already states; the on-disk guard still compares
-    * the passed fingerprint against the workDir's metadata, so a
-    * cross-key or cross-process mixup stays a loud error. */
+    * The fingerprint is CACHED per key after the first call: computing
+    * it costs two full aggregate passes (candidate list + corpus),
+    * which on a warm resume would dwarf the resumed reload it guards.
+    * That makes the key's completeness LOAD-BEARING within a process:
+    * a same-key caller whose candidates actually changed would pass
+    * the stale cached digest, match the workDir's metadata, and
+    * silently resume the OLD prune. `inputsKey` exists to close that
+    * hole — the caller MUST fold every candidate-determining parameter
+    * that (corpusKey, r, alpha) doesn't already name (build depth,
+    * beam rounds, pool flavor — sq28 passes its (depth, beam) pair)
+    * into it, giving changed inputs a fresh key, workDir, and honestly
+    * computed fingerprint. Cross-process and cross-key reuse stays a
+    * loud error regardless: robustPrune's on-disk guard compares the
+    * fingerprint against the workDir's recorded metadata. */
   def pruneCached(vecs: DataFrame, cand: => DataFrame, corpusKey: String,
-      r: Int, alpha: Double): DataFrame = {
+      r: Int, alpha: Double, inputsKey: String = ""): DataFrame = {
     // `cand` is BY-NAME: on a warm resume (fingerprint cached, rounds
     // persisted) the candidate frame is never evaluated — which is the
     // whole saving when candidate GENERATION is itself a multi-round
     // job (searchCandidates' beam waves), not just a cheap projection
     if (sys.props.get("graft.noBuildCache").contains("1"))
       return robustPrune(vecs, cand, r, alpha)
-    val key = (corpusKey, r, alpha)
+    val key = (s"$corpusKey|$inputsKey", r, alpha)
     sharedPruneLocks.computeIfAbsent(key, _ => new Object).synchronized {
       lazy val candOnce = cand
       val wd = sharedPruneDirs.computeIfAbsent(key,
@@ -331,9 +334,17 @@ object KnnGraph {
     * NN-Descent tighten round. The per-node pool is ≤ 1 + rounds·k
     * rows — the L bound [[robustPrune]] requires, by construction.
     * Deterministic (ring entries, (cos DESC, nbr) keeps), so the
-    * downstream durable prune's fingerprint guard works unchanged. */
+    * downstream durable prune's fingerprint guard works unchanged.
+    *
+    * `entries` overrides the per-node warm start: the [[ringEntries]]
+    * default SYNTHESIZES node (qid·37+1) mod n and so assumes DENSE ids
+    * 0..n-1 — on a post-erase/post-insert store (holes in the id space,
+    * inserted ids far above n) a synthesized phantom's beam collapses
+    * to just the node's current edges with no error. [[repruneStored]],
+    * which is documented as exactly that maintenance rung, passes
+    * [[slotEntries]] (real, erase-aware store members) instead. */
   def searchCandidates(vecs: DataFrame, graph: DataFrame, k: Int,
-      beamRounds: Int): DataFrame = {
+      beamRounds: Int, entries: Option[DataFrame] = None): DataFrame = {
     import vecs.sparkSession.implicits._
     val queries = vecs.select($"vec_id".as("qid"), $"v")
     val und = graph.select($"src", $"nbr")
@@ -348,8 +359,8 @@ object KnnGraph {
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy(cosine($"qv", $"cv").desc, $"node")))
       .filter($"rn" <= k).select($"qid", $"node")
-    val pool = beamTrace(ringEntries(vecs, queries), expand, keep,
-      beamRounds).last._2
+    val pool = beamTrace(entries.getOrElse(ringEntries(vecs, queries)),
+      expand, keep, beamRounds).last._2
     scoreEdges(vecs,
       pool.filter($"qid" =!= $"node").select($"qid".as("src"), $"node".as("nbr"))
         .union(graph.select($"src", $"nbr"))
@@ -390,8 +401,15 @@ object KnnGraph {
       .select($"vec_id", $"v").distinct().localCheckpoint(true)
     val graph = spark.read.parquet(graphPath).select($"src", $"nbr")
     val cents = centroidsOf(spark, graphPath)
+    // entries from the vector store's sidecar, NOT ringEntries: this is
+    // the POST-erase/POST-insert rung by definition, so the id space has
+    // holes and inserted ids sit far above n — a synthesized ring entry
+    // can be a phantom whose search pool silently collapses to the
+    // node's current edges. Sidecar members are real and erase-aware.
     val pruned = robustPrune(vecs,
-        searchCandidates(vecs, graph, k, beamRounds),
+        searchCandidates(vecs, graph, k, beamRounds,
+          entries = Some(slotEntries(spark, vecPath,
+            vecs.select($"vec_id".as("qid"))))),
         degree, alpha, pruneWorkDir)
       .select($"src", $"nbr")
     writeStoreClustered(pruned, vecs, outPath, cents)
@@ -697,8 +715,15 @@ object KnnGraph {
   def writeStore(graph: DataFrame, path: String,
       numBuckets: Int = AutoBuckets): Unit = {
     import graph.sparkSession.implicits._
-    val undirected = graph.select($"src", $"nbr")
+    val closure = graph.select($"src", $"nbr")
       .union(graph.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
+    // auto-sizing reads the frame once for (n, width) and the write
+    // reads it again — checkpoint the INDEX-sized (≤2·k·n rows)
+    // closure so the caller's lineage and the union+distinct shuffle
+    // run exactly once under the default policy (a pinned count skips
+    // the sizing job, so there's nothing to share)
+    val undirected =
+      if (numBuckets > 0) closure else closure.localCheckpoint(true)
     val nb = resolveBuckets(undirected, numBuckets)
     undirected
       .withColumn("bucket", pmod($"src", lit(nb.toLong)).cast("int"))
@@ -1067,21 +1092,36 @@ object KnnGraph {
   }
 
   /** Persist per-cell ENTRY POINTS next to a clustered store: for each
-    * centroid, the graph node whose vector is nearest to it (ties →
-    * smallest id), with the node's own routing bucket. This is HNSW's
-    * upper-layer hierarchy collapsed onto the store's cells — a warm
-    * start that costs ZERO corpus I/O at serve time ([[storedEntries]]
-    * reads the |cells|-row sidecar and broadcasts; compare
-    * [[sampledEntries]], whose warm start scans n/stride corpus rows
-    * per batch). One corpus pass at WRITE time, like every other
-    * sidecar. */
-  def writeEntries(vecs: DataFrame, path: String): Unit = {
+    * centroid, the `perCell` graph nodes whose vectors are nearest to
+    * it (ties → smallest id), each with the node's own routing bucket.
+    * This is HNSW's upper-layer hierarchy collapsed onto the store's
+    * cells — a warm start that costs ZERO corpus I/O at serve time
+    * ([[storedEntries]] reads the ≤cells·perCell-row sidecar and
+    * broadcasts; compare [[sampledEntries]], whose warm start scans
+    * n/stride corpus rows per batch). One corpus pass at WRITE time,
+    * like every other sidecar.
+    *
+    * The default density is n-DEPENDENT: total entries ≈
+    * [[scaledSlots]](n) spread over the cells (perCell = round(√n /
+    * cells), ≥1). The r14 composed-store probe measured why 1-per-cell
+    * is not a constant either: the deep x100 arm's insert-findability
+    * read 3/4 — a fresh insert links where its entry-seeded beam walked,
+    * and one entry per cell leaves the walk's start ~a cell radius from
+    * the query at any n. Denser entries shorten the cold start WITHOUT
+    * touching walls: a query's extra entries share its cell, so round-1
+    * reads the same cluster bucket. Pass an explicit `perCell` to pin a
+    * fixture (StoredClusteredSpec's nearest-member mechanics pin 1). */
+  def writeEntries(vecs: DataFrame, path: String,
+      perCell: Int = AutoSlots): Unit = {
     import vecs.sparkSession.implicits._
     val cents = centroidsOf(vecs.sparkSession, path)
+    val per = if (perCell > 0) perCell
+      else math.max(1L, math.round(
+        scaledSlots(vecs.count()).toDouble / cents.length)).toInt
     val d = transform(typedlit(cents), c =>
       aggregate(zip_with($"v", c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
-    // each cell's entry is its own nearest MEMBER (one corpus pass, n
-    // rows through the per-cell window — not n×cells); its routing
+    // each cell's entries are its own nearest MEMBERS (one corpus pass,
+    // n rows through the per-cell window — not n×cells); their routing
     // bucket is therefore the cell itself. The distance array
     // materializes ONCE: cid and dist both derive from it (rebuilding
     // it per column would double the cells×dim arithmetic per row)
@@ -1093,21 +1133,24 @@ object KnnGraph {
         .withColumn("dist", array_min($"ds")).drop("ds")
         .withColumn("rn", row_number().over(
           Window.partitionBy($"cid").orderBy($"dist".asc, $"vec_id")))
-        .filter($"rn" === 1)
+        .filter($"rn" <= per)
         .select($"cid", $"vec_id".as("node"), $"cid".as("node_bucket")))
   }
 
   /** Serve-time entry resolution from the [[writeEntries]] sidecar:
     * route each query to its nearest centroid AMONG CELLS THAT HAVE AN
-    * ENTRY (an empty cell has no member to enter at), enter at that
-    * cell's stored node. Touches the |cells|-row sidecar and the
-    * broadcast centroid list — NO corpus scan. */
+    * ENTRY (an empty cell has no member to enter at), enter at ALL of
+    * that cell's stored nodes (≤perCell rows per query — they share the
+    * query's cell, so the first expansion reads the same cluster
+    * bucket). Touches the ≤cells·perCell-row sidecar and the broadcast
+    * centroid list — NO corpus scan. */
   def storedEntries(spark: SparkSession, path: String,
       queries: DataFrame): DataFrame = {
     import spark.implicits._
     val cents = centroidsOf(spark, path)
     val entries = spark.read.parquet(s"$path/_graft_entries")
-    val present = entries.select($"cid").as[Int].collect().sorted.toSeq
+    val present = entries.select($"cid").distinct()
+      .as[Int].collect().sorted.toSeq
     // an empty sidecar (every cell entry erased before a writeEntries
     // refresh) must be a loud error: silently returning an empty entry
     // frame would answer every query with zero rows, and an empty
@@ -1221,12 +1264,22 @@ object KnnGraph {
       numBuckets: Int = AutoBuckets): Unit = {
     import vecs.sparkSession.implicits._
     val frame = vecs.select($"vec_id", $"v")
-    val nb = resolveBuckets(frame, numBuckets)
+    // ONE sizing job feeds BOTH layout knobs (bucket count by bytes,
+    // entry slots by √n) — the corpus-sized frame is deliberately NOT
+    // checkpointed (duplicating the corpus to executor storage costs
+    // more than the sizing pass it would save; the input here is a
+    // source-backed or cached frame in every deployment shape)
+    val (nb, slots) =
+      if (numBuckets > 0) (numBuckets, AutoSlots)
+      else {
+        val (n, b) = frameSizing(frame)
+        (if (n == 0) 1 else scaledBucketsByBytes(b, n), scaledSlots(n))
+      }
     frame
       .withColumn("bucket", pmod($"vec_id", lit(nb.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     writeBucketMeta(vecs.sparkSession, path, nb)
-    writeHashEntries(vecs, path)
+    writeHashEntries(vecs, path, slots)
   }
 
   /** ROW-count bucket sizing — nb ≈ n / targetRowsPerBucket, clamped
@@ -1278,46 +1331,89 @@ object KnnGraph {
       (total + targetBytesPerBucket - 1) / targetBytesPerBucket)).toInt
   }
 
-  /** Estimated LOGICAL bytes per row of `frame`, from a ≤`sampleRows`
-    * head: fixed-width fields by type, strings/binaries/arrays/structs
-    * by sampled content. Parquet encodes narrower than this
-    * (dictionary/RLE/compression), so [[DefaultBucketBytes]] is a
-    * logical-width budget calibrated against the measured probe
-    * optimum, not a file-size promise. Cost: one limit job. */
-  def estRowBytes(frame: DataFrame, sampleRows: Int = 64): Long = {
-    def valueBytes(v: Any): Long = v match {
-      case null => 0L
-      case _: Long | _: Double | _: java.sql.Timestamp => 8L
-      case _: Int | _: Float | _: java.sql.Date => 4L
-      case _: Short => 2L
-      case _: Byte | _: Boolean => 1L
-      case s: String => math.max(1L, s.length.toLong)
-      case b: Array[Byte] => math.max(1L, b.length.toLong)
-      case d: java.math.BigDecimal => 16L
-      case seq: scala.collection.Seq[_] => seq.iterator.map(valueBytes).sum
-      case m: scala.collection.Map[_, _] =>
-        m.iterator.map { case (k, x) => valueBytes(k) + valueBytes(x) }.sum
-      case r: org.apache.spark.sql.Row => r.toSeq.map(valueBytes).sum
-      case _ => 8L
+  /** Fixed LOGICAL width of a data type, when it has one. */
+  private def fixedWidth(dt: org.apache.spark.sql.types.DataType): Option[Long] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | DoubleType | TimestampType | TimestampNTZType => Some(8L)
+      case IntegerType | FloatType | DateType => Some(4L)
+      case ShortType => Some(2L)
+      case ByteType | BooleanType => Some(1L)
+      case _: DecimalType => Some(16L)
+      case _ => None
     }
-    val rows = frame.head(sampleRows)
-    require(rows.nonEmpty, "cannot estimate row bytes of an empty frame")
-    math.max(1L, rows.iterator.map(r => r.toSeq.map(valueBytes).sum).sum
-      / rows.length)
   }
 
-  /** Bytes-driven bucket count for writing `frame`: sampled row width ×
-    * exact count through [[scaledBucketsByBytes]]. Costs one limit job
-    * + one count over the frame — write-time work, like the write's own
-    * full pass; callers holding an expensive-to-recompute frame should
-    * checkpoint it first (the writers re-evaluate it once more for the
-    * write itself). */
+  /** LOGICAL byte width of column `c` of type `dt`, as a Catalyst
+    * expression — the executor-side twin of the old driver-side
+    * head-sample estimator, derived from the SCHEMA so sizing runs
+    * inside the same aggregate as the count (no sample, no ordered-skew
+    * bias: variable-width rows — strings, ragged arrays — contribute
+    * their exact mean). Nulls are 0; strings/binaries floor at 1. */
+  private def byteSizeCol(dt: org.apache.spark.sql.types.DataType,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val sized = dt match {
+      case t if fixedWidth(t).isDefined => lit(fixedWidth(t).get)
+      case StringType => greatest(lit(1L), length(c).cast("long"))
+      case BinaryType => greatest(lit(1L), octet_length(c).cast("long"))
+      case ArrayType(et, _) => fixedWidth(et) match {
+        case Some(w) => size(c).cast("long") * w
+        case None => aggregate(c, lit(0L), (acc, x) => acc + byteSizeCol(et, x))
+      }
+      case MapType(kt, vt, _) =>
+        aggregate(map_entries(c), lit(0L), (acc, e) =>
+          acc + byteSizeCol(kt, e.getField("key")) +
+            byteSizeCol(vt, e.getField("value")))
+      case st: StructType =>
+        st.fields.map(f => byteSizeCol(f.dataType, c.getField(f.name)))
+          .reduceOption(_ + _).getOrElse(lit(0L))
+      case _ => lit(8L)
+    }
+    when(c.isNull, lit(0L)).otherwise(sized)
+  }
+
+  /** ONE sizing job: (row count, exact mean LOGICAL bytes per row) of
+    * `frame` from a single aggregate pass — what the writers' auto
+    * sizing calls, so the layout choice costs one evaluation of the
+    * caller's lineage, not a count plus a sample (the r14 shape: three
+    * passes over an uncheckpointed expensive frame under the DEFAULT
+    * policy). Mean bytes is 0 for an empty frame. */
+  private def frameSizing(frame: DataFrame): (Long, Long) = {
+    val rowBytes = frame.schema.fields
+      .map(f => byteSizeCol(f.dataType, col(f.name)))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    val row = frame.agg(count(lit(1)), avg(rowBytes)).head()
+    val n = row.getLong(0)
+    val b = if (row.isNullAt(1)) 0L
+      else math.max(1L, math.round(row.getDouble(1)))
+    (n, b)
+  }
+
+  /** Exact mean LOGICAL bytes per row of `frame` — every row weighed by
+    * type (fixed widths) and content (strings/binaries/arrays/structs),
+    * in one aggregate pass. Parquet encodes narrower than this
+    * (dictionary/RLE/compression), so [[DefaultBucketBytes]] is a
+    * logical-width budget calibrated against the measured probe
+    * optimum, not a file-size promise. */
+  def estRowBytes(frame: DataFrame): Long = {
+    val (n, b) = frameSizing(frame)
+    require(n > 0, "cannot estimate row bytes of an empty frame")
+    b
+  }
+
+  /** Bytes-driven bucket count for writing `frame`: exact (count, mean
+    * row width) through [[scaledBucketsByBytes]], derived in ONE
+    * aggregate job ([[frameSizing]]) — safe by construction on an
+    * expensive lineage: auto-sizing adds exactly one evaluation, and
+    * [[writeStore]] checkpoints its (index-sized) undirected frame so
+    * sizing + write together evaluate the caller's lineage once. */
   def autoBuckets(frame: DataFrame,
       targetBytesPerBucket: Long = DefaultBucketBytes): Int = {
-    val n = frame.count()
-    // an empty frame has no width to sample and needs no layout choice
+    val (n, b) = frameSizing(frame)
+    // an empty frame has no width and needs no layout choice
     if (n == 0) 1
-    else scaledBucketsByBytes(estRowBytes(frame), n, targetBytesPerBucket)
+    else scaledBucketsByBytes(b, n, targetBytesPerBucket)
   }
 
   /** Sentinel for the writers' `numBuckets`: ≤0 = size the store by
@@ -1338,6 +1434,26 @@ object KnnGraph {
     math.min(maxCells, math.max(minCells, math.sqrt(n.toDouble).toInt))
   }
 
+  /** ENTRY-density sizing — the [[scaledCells]] move applied to the
+    * `_graft_entries` sidecars: ≈ √n entry points, clamped. The r14
+    * composed-store probe measured why a CONSTANT is wrong here: at
+    * 200k nodes on the deliberately sparse search-pruned graph, a fresh
+    * insert's beam from 64 fixed entries missed the inserted node
+    * (findability 3/4 — StreamingGraphInsertSpec's comment named denser
+    * entries as the remedy). √n keeps the expected entry→target walk
+    * length flat as n grows while the sidecar stays driver-bounded
+    * (collect-able, broadcast-able): 4096 rows ≈ a 2 MB broadcast at
+    * d=64, reached only past n ≈ 16M — beyond that the cap holds and
+    * beam length grows like the log factor HNSW's hierarchy absorbs. */
+  def scaledSlots(n: Long, minSlots: Int = 64, maxSlots: Int = 4096): Int = {
+    require(minSlots > 0 && maxSlots >= minSlots, "bad slot clamp")
+    math.min(maxSlots, math.max(minSlots, math.sqrt(n.toDouble).toInt))
+  }
+
+  /** Sentinel for the entry writers' density knobs: ≤0 = size by
+    * [[scaledSlots]] over the frame's row count at write time. */
+  val AutoSlots = 0
+
   private def resolveBuckets(frame: DataFrame, requested: Int): Int =
     if (requested > 0) requested else autoBuckets(frame)
 
@@ -1355,13 +1471,17 @@ object KnnGraph {
     * Cost at write: one map-side-combined min per slot plus one
     * broadcast join to attach vectors — never a corpus shuffle.
     * Erase-aware: [[eraseFromIdStore]] drops victim rows, so a stale
-    * entry can never resurrect an erased node. */
+    * entry can never resurrect an erased node. The default slot count
+    * is n-DEPENDENT ([[scaledSlots]] — ≈√n clamped; the r14 probe's
+    * insert-findability miss at 200k was a fixed-64 entry set); pass an
+    * explicit count to pin a fixture's sidecar. */
   def writeHashEntries(vecs: DataFrame, path: String,
-      slots: Int = 64): Unit = {
+      slots: Int = AutoSlots): Unit = {
     import vecs.sparkSession.implicits._
+    val nSlots = if (slots > 0) slots else scaledSlots(vecs.count())
     val reps = vecs
       .select($"vec_id",
-        pmod($"vec_id", lit(slots.toLong)).cast("int").as("slot"),
+        pmod($"vec_id", lit(nSlots.toLong)).cast("int").as("slot"),
         xxhash64($"vec_id").as("h"))
       .groupBy($"slot")
       .agg(min(struct($"h", $"vec_id")).as("m"))
@@ -1382,7 +1502,7 @@ object KnnGraph {
     * erasure emptied it, and resurrecting entries implicitly would
     * hide the operator decision [[hashEntries]]'s loud error asks for. */
   def ensureHashEntries(spark: SparkSession, path: String,
-      slots: Int = 64): Unit = {
+      slots: Int = AutoSlots): Unit = {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(path, "_graft_entries")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1431,6 +1551,26 @@ object KnnGraph {
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy(cosine($"v", $"cv").desc, $"node")))
       .filter($"rn" === 1).select($"qid", $"node")
+  }
+
+  /** RING-cost warm entries from a store's `_graft_entries` sidecar:
+    * each query enters at the sidecar member indexed by qid mod
+    * |entries| — a deterministic SPREAD over real, erase-aware store
+    * members at [[ringEntries]]' cost (pure arithmetic, no per-query
+    * scoring, no corpus I/O). [[sidecarEntries]] stays the warm start
+    * for request-sized batches (it scores |Q|·slots cosines to enter
+    * each query at its BEST representative); this is the entry source
+    * for corpus-sized search waves — [[repruneStored]]'s every-node
+    * queries — over stores whose id space has holes, where ringEntries'
+    * dense-id synthesis would hand some nodes a phantom start. Needs
+    * only `qid` on `queries`. */
+  def slotEntries(spark: SparkSession, vecPath: String,
+      queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    val nodes = hashEntries(spark, vecPath).map(_._1).sorted
+    queries.select($"qid",
+      element_at(typedlit(nodes),
+        (pmod($"qid", lit(nodes.length.toLong)) + 1).cast("int")).as("node"))
   }
 
   /** Point-fetch the vectors of a BOUNDED id frame from a

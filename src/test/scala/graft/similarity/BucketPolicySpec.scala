@@ -47,14 +47,53 @@ class BucketPolicySpec extends AnyFunSuite {
     assert(KnnGraph.scaledCells(2000) == 44)
     assert(KnnGraph.scaledCells(10) == 16)
     assert(KnnGraph.scaledCells(200000) == 256)
+    // the entry-density policy: √n inside its clamp (r15 — a fixed-64
+    // sidecar was the measured insert-findability gap at 200k)
+    assert(KnnGraph.scaledSlots(2000) == 64)      // floor: √2000 < 64
+    assert(KnnGraph.scaledSlots(200000) == 447)   // √n inside the clamp
+    assert(KnnGraph.scaledSlots(1L << 30) == 4096) // cap: driver-bounded
   }
 
-  test("estRowBytes reads the sampled row width: wide vector rows ≫ narrow code rows") {
+  test("estRowBytes is the exact mean row width: wide vector rows ≫ narrow code rows") {
     val wb = KnnGraph.estRowBytes(wideFrame(256))
     val nb = KnnGraph.estRowBytes(narrowFrame(256))
     // vec_id(8) + 64 doubles(512) = 520 vs vec_id(8) + 8 ints(32) = 40
     assert(wb == 520, s"wide row estimated $wb bytes")
     assert(nb == 40, s"narrow row estimated $nb bytes")
+  }
+
+  test("estRowBytes weighs EVERY row: ordered width skew cannot mis-size the store") {
+    import spark.implicits._
+    // first rows 1-char, later rows 4096-char — a head sample would read
+    // ~1 byte/row and under-bucket the store ~2000×; the one-pass
+    // aggregate returns the true mean
+    val skewed = spark.range(1024).select($"id",
+      when($"id" < 512, lit("x"))
+        .otherwise(lit("y" * 4096)).as("s"))
+    val b = KnnGraph.estRowBytes(skewed)
+    // rows are 9 or 4104 bytes, half each → mean 2056.5, rounds to 2057
+    assert(b == 2057, s"skewed frame estimated $b bytes/row")
+  }
+
+  test("writeStore's auto sizing evaluates the input lineage exactly once") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val acc = spark.sparkContext.longAccumulator("lineage-evals")
+    val rdd = spark.sparkContext.parallelize(0L until 512L, 4)
+      .map { i => acc.add(1); Row(i, (i + 1) % 512) }
+    val graph = spark.createDataFrame(rdd, StructType(Seq(
+      StructField("src", LongType), StructField("nbr", LongType))))
+    val root = java.nio.file.Files.createTempDirectory("graft-onepass").toString
+    KnnGraph.writeStore(graph, s"$root/g")
+    // the undirected closure reads the input twice IN ONE JOB (the
+    // self-union); the checkpoint means sizing + write add nothing —
+    // under the r14 shape (count, sample, write as separate jobs over
+    // the raw lineage) this accumulator read 3× as much
+    assert(acc.value == 1024,
+      s"writeStore evaluated the input lineage ${acc.value / 1024.0}× " +
+        "(expected exactly once: 512 rows × 2 union branches)")
+    // and the store it wrote is the policy-sized one
+    assert(KnnGraph.bucketsOf(spark, s"$root/g") >= 1)
   }
 
   test("autoBuckets sizes a wide and a narrow store differently at the same byte budget") {

@@ -149,7 +149,11 @@ class StoredClusteredSpec extends AnyFunSuite {
     val cents = Pq.trainCodebook(sample, Cells).map(_.toSeq).toSeq
     KnnGraph.writeStoreClustered(graph, vecs, s"$root/clus", cents)
     KnnGraph.writeVectors(vecs, s"$root/vec")
-    KnnGraph.writeEntries(vecs, s"$root/clus")
+    // perCell pinned to 1: this test asserts the NEAREST-MEMBER pick
+    // mechanics (one row per cell, exact dist/id tie-break) — the
+    // n-dependent density default would add rows and make the per-cell
+    // replay ambiguous (density is the probes' measured subject)
+    KnnGraph.writeEntries(vecs, s"$root/clus", perCell = 1)
 
     // sidecar correctness vs a driver replay: one row per nonempty
     // cell, each the cell's nearest member (dist ASC, id tie-break)

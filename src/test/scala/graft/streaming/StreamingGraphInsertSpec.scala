@@ -134,10 +134,11 @@ class StreamingGraphInsertSpec extends AnyFunSuite {
     KnnGraph.writeStore(KnnGraph.build(vecs, K, rounds = 2).last, s"$root/g")
     KnnGraph.writeVectors(vecs, s"$root/vec")
 
-    // the sidecar holds ONE member per id-hash slot — ≤ 64 rows by
-    // construction, so insertBatch's warm start is zero-corpus-I/O on
-    // this layout too (the clustered twin is StoredClusteredSpec's
-    // scan assertion)
+    // the sidecar holds ONE member per id-hash slot — 64 slots here
+    // (the n-dependent default scaledSlots(n) sits at its 64 floor for
+    // every n ≤ 4096, so this fixture's slot arithmetic is exact), and
+    // insertBatch's warm start is zero-corpus-I/O on this layout too
+    // (the clustered twin is StoredClusteredSpec's scan assertion)
     val sidecar = KnnGraph.hashEntries(spark, s"$root/vec")
     assert(sidecar.size <= 64, s"sidecar holds ${sidecar.size} rows > 64 slots")
     val ids = vecs.select($"vec_id").as[Long].collect().toSet
