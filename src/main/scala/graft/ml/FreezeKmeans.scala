@@ -41,23 +41,34 @@ object FreezeKmeans {
     val km = model.stages.last.asInstanceOf[KMeansModel]
     val means = scaler.mean.toArray
     val stds = scaler.std.toArray
-    // a zero std would make the scaled feature undefined — the frozen
-    // CASE has no story for it, so freezing must refuse loudly
-    require(stds.forall(_ > 0.0),
-      s"zero-variance feature at index ${stds.indexWhere(_ <= 0.0)} — " +
-        "the frozen scaler cannot divide by it")
     val cents = km.clusterCenters.map(_.toArray)
     require(cents.length == 5 && cents.forall(_.length == cols.length),
       s"unexpected centroid layout: ${cents.length} × ${cents.head.length}")
+    // Spark's StandardScaler maps a ZERO-VARIANCE feature to 0.0 (it
+    // never divides by a zero std), so that feature is the constant 0
+    // in scaled space — and the fitted centroids' coordinate there is
+    // exactly 0.0 too (the mean of all-zero values). It contributes 0
+    // to every squared distance, so the frozen serving arithmetic DROPS
+    // it; the assertion below is what makes the drop sound.
+    val live = stds.indices.filter(stds(_) > 0.0)
+    val dead = stds.indices.filterNot(stds(_) > 0.0)
+    dead.foreach { i =>
+      require(cents.forall(_(i) == 0.0),
+        s"zero-variance feature ${cols(i)} has a nonzero centroid coord " +
+          "— the drop-it rule would change distances") }
     val sb = new StringBuilder
     sb ++= s"// frozen from Pipelines.kmeans(k=5, seed=42) fit on $dir " +
-      s"($n rows), features = (salary_final, exp_final, 15 flags)\n"
+      s"($n rows), features = (salary_final, exp_final, 15 flags); " +
+      s"zero-variance (dropped): ${dead.map(cols(_)).mkString(",")}\n"
+    sb ++= "val featureNames: Seq[String] = Seq(\n  " +
+      live.map(i => s""""${cols(i)}"""").mkString(", ") + ")\n"
     sb ++= "val means: Seq[Double] = Seq(\n  " +
-      means.mkString(", ") + ")\n"
+      live.map(means(_)).mkString(", ") + ")\n"
     sb ++= "val stds: Seq[Double] = Seq(\n  " +
-      stds.mkString(", ") + ")\n"
+      live.map(stds(_)).mkString(", ") + ")\n"
     sb ++= "val centroids: Seq[Seq[Double]] = Seq(\n"
-    cents.foreach { c => sb ++= "  Seq(" + c.mkString(", ") + "),\n" }
+    cents.foreach { c =>
+      sb ++= "  Seq(" + live.map(c(_)).mkString(", ") + "),\n" }
     sb ++= ")\n"
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/frozen_kmeans.txt"),

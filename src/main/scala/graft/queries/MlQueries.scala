@@ -454,9 +454,99 @@ object MlQueries {
       FrozenAttractivenessLr.classCol(margin).as("is_hot_pred"))
   }
 
+  /** FROZEN-KMEANS ASSIGNMENT, hash-checked (r14 verdict #6): the
+    * reference's THIRD persisted serving model — the job clusterer
+    * (`models/job_clustering_kmeans`, the scale→cluster pipeline mq02
+    * trains) — with the fitted scaler and the 5 centroids frozen as
+    * published constants ([[graft.ml.FrozenJobKmeans]], provenance in
+    * [[graft.ml.FreezeKmeans]]). mq13 proved trees (pure comparisons),
+    * mq14 proved linear margins (dodging the sigmoid); the clusterer
+    * completes the model zoo's serving story and needs no dodge at all:
+    * assignment is an argmin of squared L2 — subtract/divide/multiply/
+    * left-associated adds/compares, every one exactly-rounded IEEE —
+    * so the row hashes the CLUSTER (first-index tie-break) and the
+    * squared distance itself, over all 12,857 postings.
+    *
+    * 100 TB: per-row projection — 16 scale ops, 5×16 multiply-adds, 10
+    * compares; no shuffle, no model object in the hot path. */
+  val mq15FrozenKmeansAssign: QueryDef = QueryDef.sqlChecked(
+    "mq15_frozen_kmeans_assign", {
+      import graft.ml.FrozenJobKmeans
+      // the same flag derivations mq13's oracle replays (one source of
+      // truth for the regex table would be nicer, but mq13 documents
+      // why the SQL is inlined: the oracle must be self-contained)
+      val flags = Seq(
+        "is_hcm" -> ("city_clean", "hồ chí minh|hcm"),
+        "is_hanoi" -> ("city_clean", "hà nội|ha noi|hanoi"),
+        "is_danang" -> ("city_clean", "đà nẵng|da nang"),
+        "is_it" -> ("job_fields", "it|phần mềm|developer|lập trình|data|ai|software"),
+        "is_sales" -> ("job_fields", "bán hàng|kinh doanh|sales|tiếp thị|marketing"),
+        "is_finance" -> ("job_fields", "tài chính|ngân hàng|kế toán|finance|banking"),
+        "is_education" -> ("job_fields", "giáo dục|đào tạo|giáo viên|education"),
+        "is_engineering" -> ("job_fields", "kỹ thuật|cơ khí|điện|xây dựng|engineer"),
+        "is_intern" -> ("position_level", "thực tập|intern|internship"),
+        "is_fresher" -> ("position_level", "fresher|mới ra trường|sinh viên mới"),
+        "is_junior" -> ("position_level", "junior"),
+        "is_senior" -> ("position_level", "senior|chuyên gia|chuyên viên cao cấp"),
+        "is_team_lead" -> ("position_level", "trưởng nhóm|team lead|leader|tech lead"),
+        "is_manager" -> ("position_level", "trưởng phòng|quản lý|giám đốc|manager|head|director"))
+      val flagExprs = flags.map { case (nm, (src, pat)) =>
+        s"    CAST(CASE WHEN regexp_matches(lower($src), '$pat') THEN 1.0 ELSE 0.0 END AS DOUBLE) AS $nm"
+      }.mkString(",\n")
+      val scaledExprs = FrozenJobKmeans.featureNames.indices.map(i =>
+        s"    ${FrozenJobKmeans.scaledSql(i, FrozenJobKmeans.featureNames(i))} AS sf$i")
+        .mkString(",\n")
+      val distExprs = (0 until FrozenJobKmeans.k).map(c =>
+        s"    ${FrozenJobKmeans.distSql(c, i => s"sf$i")} AS d$c")
+        .mkString(",\n")
+      s"""WITH ${graft.etl.JobsFixture.duckParsedSql},
+         |labeled AS (
+         |  SELECT *,
+         |    coalesce(salary_avg, (salary_min + salary_max) / 2, 0.0) AS salary_final,
+         |    coalesce(exp_avg_year, exp_min_year, 0.0) AS exp_final
+         |  FROM etl),
+         |postings AS (
+         |  SELECT * FROM labeled
+         |  WHERE salary_final > 0 AND salary_final <= 200
+         |    AND exp_final >= 0 AND exp_final <= 30),
+         |feats AS (
+         |  SELECT job_id, salary_final, exp_final,
+         |$flagExprs
+         |  FROM postings),
+         |scaled AS (
+         |  SELECT job_id,
+         |$scaledExprs
+         |  FROM feats),
+         |dists AS (
+         |  SELECT job_id,
+         |$distExprs
+         |  FROM scaled)
+         |SELECT job_id,
+         |  ${FrozenJobKmeans.clusterSql(c => s"d$c")} AS cluster,
+         |  ${FrozenJobKmeans.minDistSql(c => s"d$c")} AS dist2
+         |FROM dists""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    import graft.ml.FrozenJobKmeans
+    val df = featurizedJobs(spark, dir)
+    // stage scaled features and distances as NAMED columns so the Spark
+    // plan mirrors the oracle's CTE ladder term for term
+    val scaled = df.select(($"job_id" +:
+      FrozenJobKmeans.featureNames.indices.map(i =>
+        FrozenJobKmeans.scaledCol(i,
+          col(FrozenJobKmeans.featureNames(i))).as(s"sf$i"))): _*)
+    val dists = scaled.select(($"job_id" +:
+      (0 until FrozenJobKmeans.k).map(c =>
+        FrozenJobKmeans.distCol(c, i => col(s"sf$i")).as(s"d$c"))): _*)
+    dists.select($"job_id",
+      FrozenJobKmeans.clusterCol(c => col(s"d$c")).as("cluster"),
+      FrozenJobKmeans.minDistCol(c => col(s"d$c")).as("dist2"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     mq01KmeansEmbeddings, mq02KmeansJobs, mq03RfSalary, mq04GbtHotScore,
     mq05LogisticAttractiveness, mq06TfidfDocs, mq07Word2vecSynonyms,
     mq08LdaTopics, mq09AttractivenessLrV1, mq10QualityFilterLr, mq11SemDedup,
-    mq12CvTuning, mq13FrozenRfInference, mq14FrozenLrServing)
+    mq12CvTuning, mq13FrozenRfInference, mq14FrozenLrServing,
+    mq15FrozenKmeansAssign)
 }
