@@ -96,22 +96,39 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap).getOrElse(Map.empty)
       } catch { case _: Throwable => Map.empty }
     }
-    val regressed = timings.filter { case (name, t) =>
+    def gate(name: String, t: Double): Boolean =
       baseline.get(name).exists(b => t > math.max(1.5 * b, b + 0.5))
-    }
+    val regressedRaw = timings.filter { case (name, t) => gate(name, t) }
     val isolated = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     if (only.isEmpty && rerunN > 0) {
       val rerunSet = (timings.toSeq.sortBy(-_._2).take(rerunN).map(_._1) ++
-        regressed.keys).distinct
+        regressedRaw.keys).distinct
       rerunSet.foreach { name =>
-        val t0 = System.nanoTime()
-        try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.mode("overwrite").format("noop").save()
-          isolated(name) = (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => () }
-        finally spark.catalog.clearCache()
+        // sub-5s regressed rows get a MEDIAN-OF-3 isolated rerun (r14
+        // verdict #3): at that magnitude JIT/GC state from the bench
+        // neighborhood routinely exceeds the 1.5× gate with no code
+        // change (tq19/dq14 measured) — one sample can't separate
+        // noise from regression, a median can
+        val reps = if (regressedRaw.contains(name) &&
+          baseline.get(name).exists(_ < 5.0)) 3 else 1
+        val runs = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val r = try {
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.mode("overwrite").format("noop").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
+          spark.catalog.clearCache()
+          r
+        }
+        if (runs.nonEmpty) isolated(name) = runs.sorted.apply(runs.size / 2)
       }
+    }
+    // a regression is REPORTED only when the isolated (median) figure
+    // still trips the gate; the main-pass candidates stay visible
+    // under "regressed_candidates" so the artifact carries both sides
+    val regressed = regressedRaw.filter { case (name, _) =>
+      isolated.get(name).forall(t => gate(name, t))
     }
     def jnum(m: collection.Map[String, Double]) =
       m.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
@@ -128,7 +145,7 @@ object Bench {
     val measurementSec = total - engineSec
     val nMeas = timings.count { case (n, _) => measured(n) }
     val subtotals = s""""engine_queries_sec":${"%.3f".format(engineSec)},"measurement_rows_sec":${"%.3f".format(measurementSec)},"n_engine":${timings.size - nMeas},"n_measurement":$nMeas"""
-    val line = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",$subtotals,"queries":${jnum(timings)},"isolated_rerun":${jnum(isolated)},"regressed_vs_baseline":${jnum(regressed.map { case (k, _) => k -> baseline(k) })},"errors":${jstr(errors)},"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",$subtotals,"queries":${jnum(timings)},"isolated_rerun":${jnum(isolated)},"regressed_vs_baseline":${jnum(regressed.map { case (k, _) => k -> baseline(k) })},"regressed_candidates":${jnum(regressedRaw.map { case (k, _) => k -> baseline(k) })},"errors":${jstr(errors)},"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // the full line above is ~7 KB at 237 queries and the driver's
     // stdout capture truncates from the HEAD — emit a compact summary

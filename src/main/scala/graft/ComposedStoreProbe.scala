@@ -24,7 +24,14 @@ import org.apache.spark.sql.functions._
   * Reuses the shared durable build root (/tmp/graft_gep) so re-runs
   * resume NN-Descent instead of paying it again; the prune is durable
   * under the same root (first run pays and records the honest wall).
-  * Run after ScaleProbe has materialized /tmp/graft_scale100. */
+  * Run after ScaleProbe has materialized /tmp/graft_scale100.
+  *
+  * r15 knobs: SPARK_GRAFT_POLICY=recall replaces the fixed/converged
+  * build + prune with KnnGraph.buildToServedRecall (no depth given;
+  * BUILD_ROUNDS caps the ladder) — the arm that must land within one
+  * round of the fixed arms' measured sweet spot at x1 AND x100.
+  * SPARK_GRAFT_CYCLES=N replaces the single v2 rung with N consecutive
+  * insert → erase → reprune → serve maintenance cycles. */
 object ComposedStoreProbe {
 
   def main(args: Array[String]): Unit = {
@@ -66,44 +73,74 @@ object ComposedStoreProbe {
       // shared durable build (k=8 — the erase/serve probes' workdir;
       // deeper arms extend the same rounds in place, the prefix-share
       // contract); the probe measures the lifecycle FROM the built rounds
-      val tB0 = System.nanoTime()
-      val es = convergedDelta match {
-        case Some(d) => KnnGraph.buildConverged(vecs, k,
-          maxRounds = buildRounds, d, s"$workRoot/$label/b")
-        case None => KnnGraph.buildDurable(vecs, k, rounds = buildRounds,
-          s"$workRoot/$label/b")
-      }
-      val buildS = (System.nanoTime() - tB0) / 1e9
-      val depth = es.length - 1
-
-      def emit(phase: String, wall: Double, metric: Double,
-          nRows: Long): Unit =
-        println(f"""{"probe":"composed_store","corpus":"$label","build_rounds":$depth,"beam_rounds":$beamRounds,"phase":"$phase","wall_s":$wall%.2f,"metric":$metric%.3f,"n_rows":$nRows}""")
-      convergedDelta.foreach(d => emit("build_converged", buildS, d, depth))
       // SPARK_GRAFT_POOL picks the prune's diversification pool:
       // `twohop` (default) = sq26's top-24 scored 2-hop ∪ ring init;
       // `search` = DiskANN's visited-set candidates
       // (KnnGraph.searchCandidates — the arm that must RECOVER the
       // navigability a converged 2-hop pool starves)
       val poolMode = sys.env.getOrElse("SPARK_GRAFT_POOL", "twohop")
-      val cand = (poolMode match {
-        case "search" =>
-          KnnGraph.searchCandidates(vecs, es.last, k, beamRounds = 3)
-        case _ =>
-          KnnGraph.scoredCandidates(vecs, es.last)
-            .withColumn("rn", row_number().over(
-              Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
-            .filter($"rn" <= 24).drop("rn")
-            .union(es.head.select($"src", $"nbr", $"cos"))
-            .distinct()
-      }).localCheckpoint(true)
       val poolSuffix = if (poolMode == "search") "_s" else ""
-      val tP0 = System.nanoTime()
-      val pruned = KnnGraph.robustPrune(vecs, cand, degree, alpha,
-          Some(s"$workRoot/$label/prune_b$depth$poolSuffix"))
-        .select($"src", $"nbr").localCheckpoint(true)
+      // SPARK_GRAFT_POLICY=recall switches build AND prune to the
+      // served-recall stop policy (KnnGraph.buildToServedRecall — r14
+      // verdict #1): NO depth is given, BUILD_ROUNDS only caps the
+      // ladder, and the arm's claim is that the policy lands within one
+      // round of the fixed arms' measured sweet spot at BOTH x1 and
+      // x100. The policy returns the chosen depth's pruned artifact
+      // (search pool, same degree/α budget), so build + prune share
+      // one wall here.
+      val policyMode = sys.env.get("SPARK_GRAFT_POLICY").contains("recall")
+      val tB0 = System.nanoTime()
+      var pruneS = 0.0
+      val (depth, pruned, policyTrace) =
+        if (policyMode) {
+          val (_, chosen, p, trace) = KnnGraph.buildToServedRecall(
+            vecs, k, maxRounds = buildRounds, s"$workRoot/$label/b",
+            degree, alpha, candBeamRounds = 3, serveK = k,
+            serveBeamRounds = beamRounds)
+          (chosen, p.select($"src", $"nbr").localCheckpoint(true),
+            Some(trace))
+        } else {
+          val es = convergedDelta match {
+            case Some(d) => KnnGraph.buildConverged(vecs, k,
+              maxRounds = buildRounds, d, s"$workRoot/$label/b")
+            case None => KnnGraph.buildDurable(vecs, k,
+              rounds = buildRounds, s"$workRoot/$label/b")
+          }
+          val d = es.length - 1
+          val cand = (poolMode match {
+            case "search" =>
+              KnnGraph.searchCandidates(vecs, es.last, k, beamRounds = 3)
+            case _ =>
+              KnnGraph.scoredCandidates(vecs, es.last)
+                .withColumn("rn", row_number().over(
+                  Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
+                .filter($"rn" <= 24).drop("rn")
+                .union(es.head.select($"src", $"nbr", $"cos"))
+                .distinct()
+          }).localCheckpoint(true)
+          val tP0 = System.nanoTime()
+          val pr = KnnGraph.robustPrune(vecs, cand, degree, alpha,
+              Some(s"$workRoot/$label/prune_b$d$poolSuffix"))
+            .select($"src", $"nbr").localCheckpoint(true)
+          pruneS = (System.nanoTime() - tP0) / 1e9
+          (d, pr, None)
+        }
+      val buildS = (System.nanoTime() - tB0) / 1e9
+
+      def emit(phase: String, wall: Double, metric: Double,
+          nRows: Long): Unit =
+        println(f"""{"probe":"composed_store","corpus":"$label","build_rounds":$depth,"beam_rounds":$beamRounds,"phase":"$phase","wall_s":$wall%.2f,"metric":$metric%.3f,"n_rows":$nRows}""")
+      convergedDelta.filter(_ => !policyMode)
+        .foreach(d => emit("build_converged", buildS, d, depth))
       val edges = pruned.count()
-      emit("prune", (System.nanoTime() - tP0) / 1e9, 0, edges)
+      policyTrace match {
+        case Some(tr) =>
+          val tj = tr.map { case (d, r) => f"[$d,$r%.3f]" }
+            .mkString("[", ",", "]")
+          println(f"""{"probe":"composed_store","corpus":"$label","beam_rounds":$beamRounds,"phase":"policy_build_prune","wall_s":$buildS%.2f,"chosen_depth":$depth,"trace":$tj,"n_rows":$edges}""")
+        case None =>
+          emit("prune", pruneS, 0, edges)
+      }
       // cells scale like IVF's nlist: ≈√n keeps cluster buckets
       // row-group-sized at any corpus size (KnnGraph.scaledCells)
       val cells = KnnGraph.scaledCells(n)
@@ -181,28 +218,80 @@ object ComposedStoreProbe {
         .filter($"node".isin(victims: _*)).count()
       emit("erase_full", eraseS, victimsServed.toDouble, 4)
       serve(s"$root/g", "serve_post_erase")
-      // SPARK_GRAFT_V2 picks the maintenance rung that publishes v2:
-      // `refine` (default — NN-Descent tighten, the EXACT graph's rung)
-      // vs `reprune` (KnnGraph.repruneStored — search candidates over
-      // the current store, re-α-pruned: the rung the r14 findings
-      // prescribe for the pruned SERVING artifact)
-      val v2Mode = sys.env.getOrElse("SPARK_GRAFT_V2", "refine")
-      val tR0 = System.nanoTime()
-      v2Mode match {
-        case "reprune" =>
-          KnnGraph.repruneStored(spark, s"$root/g", s"$root/vec",
-            s"$root/g2", degree, alpha, k, beamRounds = 3,
-            Some(s"$workRoot/$label/reprune_b$depth$poolSuffix"))
-        case _ =>
-          val seed = spark.read.parquet(s"$root/g").select($"src", $"nbr")
-          val refined = KnnGraph.refineDurable(vecs, seed, k, rounds = 1,
-            s"$workRoot/$label/refine_b$depth$poolSuffix")
-          KnnGraph.writeStoreClustered(refined.select($"src", $"nbr"), vecs,
-            s"$root/g2", cents)
-          KnnGraph.writeEntries(vecs, s"$root/g2")
+      // SPARK_GRAFT_CYCLES=N (r14 verdict #4): maintenance as a CYCLE,
+      // not a step — N consecutive insert → erase → RE-PRUNE → serve
+      // rounds on the same store, recall + wall per cycle. The
+      // questions this answers: does the reprune rung converge,
+      // plateau, or oscillate over repeated maintenance, and do
+      // erasure guarantees hold ACROSS cycles (no victim from ANY
+      // prior cycle ever served by a later version)? Replaces the
+      // single-v2 section when set.
+      val cycles = sys.env.getOrElse("SPARK_GRAFT_CYCLES", "0").toInt
+      if (cycles > 0) {
+        var cur = s"$root/g"
+        var allVictims = victims.toSet
+        for (c <- 1 to cycles) {
+          val base = 20000000L + c.toLong * 1000000L
+          val arr = vecs.filter($"vec_id" < 4)
+            .select(($"vec_id" + base).as("vec_id"), $"v")
+            .localCheckpoint(true)
+          val tIc = System.nanoTime()
+          graft.streaming.StreamingGraphIngest.insertClusteredBatch(
+            arr, cur, s"$root/vec", k, beamRounds,
+            codes = Some((s"$root/codes", cb)))
+          val insertWall = (System.nanoTime() - tIc) / 1e9
+          val probesC = arr.select(($"vec_id" + 4000000L).as("qid"), $"v")
+          val foundC = KnnGraph.serveFromStoresClusteredPqWarm(spark, cur,
+              s"$root/codes", s"$root/vec", probesC, cb, k, beamRounds)
+            .filter($"node" === $"qid" - 4000000L).count()
+          emit(s"cycle${c}_insert", insertWall, foundC / 4.0, 4)
+          val vic = (0 until 4).map(_ + base)
+          val tEc = System.nanoTime()
+          KnnGraph.eraseStoredClustered(spark, cur, vic,
+            vecPath = s"$root/vec", eraseVectors = true,
+            codesPath = Some(s"$root/codes"))
+          emit(s"cycle${c}_erase", (System.nanoTime() - tEc) / 1e9, 0, 4)
+          allVictims ++= vic
+          val next = s"$root/g_c$c"
+          val tRc = System.nanoTime()
+          KnnGraph.repruneStored(spark, cur, s"$root/vec", next,
+            degree, alpha, k, beamRounds = 3,
+            Some(s"$workRoot/$label/reprune_c${c}_b$depth$poolSuffix"))
+          emit(s"cycle${c}_reprune", (System.nanoTime() - tRc) / 1e9, 0, n)
+          cur = next
+          // cross-cycle erasure invariant: the freshly published
+          // version must serve NO victim from any prior cycle
+          val vicServed = KnnGraph.serveFromStoresClusteredPqWarm(spark,
+              cur, s"$root/codes", s"$root/vec", qv, cb, k, beamRounds)
+            .filter($"node".isin(allVictims.toSeq: _*)).count()
+          emit(s"cycle${c}_victims_served", 0.0, vicServed.toDouble,
+            allVictims.size.toLong)
+          serve(cur, s"serve_cycle$c")
+        }
+      } else {
+        // SPARK_GRAFT_V2 picks the maintenance rung that publishes v2:
+        // `refine` (default — NN-Descent tighten, the EXACT graph's
+        // rung) vs `reprune` (KnnGraph.repruneStored — search
+        // candidates over the current store, re-α-pruned: the rung the
+        // r14 findings prescribe for the pruned SERVING artifact)
+        val v2Mode = sys.env.getOrElse("SPARK_GRAFT_V2", "refine")
+        val tR0 = System.nanoTime()
+        v2Mode match {
+          case "reprune" =>
+            KnnGraph.repruneStored(spark, s"$root/g", s"$root/vec",
+              s"$root/g2", degree, alpha, k, beamRounds = 3,
+              Some(s"$workRoot/$label/reprune_b$depth$poolSuffix"))
+          case _ =>
+            val seed = spark.read.parquet(s"$root/g").select($"src", $"nbr")
+            val refined = KnnGraph.refineDurable(vecs, seed, k, rounds = 1,
+              s"$workRoot/$label/refine_b$depth$poolSuffix")
+            KnnGraph.writeStoreClustered(refined.select($"src", $"nbr"),
+              vecs, s"$root/g2", cents)
+            KnnGraph.writeEntries(vecs, s"$root/g2")
+        }
+        emit(s"${v2Mode}_v2", (System.nanoTime() - tR0) / 1e9, 0, n)
+        serve(s"$root/g2", "serve_v2")
       }
-      emit(s"${v2Mode}_v2", (System.nanoTime() - tR0) / 1e9, 0, n)
-      serve(s"$root/g2", "serve_v2")
       vecs.unpersist(); qv.unpersist(); bf.unpersist()
     }
     spark.stop()

@@ -324,56 +324,47 @@ object KnnGraph {
     }
   }
 
-  private val sharedPruneDirs =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), String]()
-  private val sharedPruneLocks =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), Object]()
-  private val sharedPruneFps =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), String]()
-
-  /** PROCESS-SHARED durable prune — [[buildCached]]'s contract applied
-    * to [[robustPrune]]: the first caller for a (corpusKey, inputsKey,
-    * r, alpha) key pays the prune; later callers resume the persisted
-    * rounds from the SAME workDir (a fresh tempDir per call would make
-    * the `_SUCCESS` resume unreachable and the durability machinery
-    * pure overhead — the prune's point is that a restarted index build
-    * reloads completed rounds). `graft.noBuildCache` restores the
-    * ephemeral build-fresh behavior for probes that measure the prune
-    * itself.
-    *
-    * The fingerprint is CACHED per key after the first call: computing
-    * it costs two full aggregate passes (candidate list + corpus),
-    * which on a warm resume would dwarf the resumed reload it guards.
-    * That makes the key's completeness LOAD-BEARING within a process:
-    * a same-key caller whose candidates actually changed would pass
-    * the stale cached digest, match the workDir's metadata, and
-    * silently resume the OLD prune. `inputsKey` exists to close that
-    * hole — the caller MUST fold every candidate-determining parameter
-    * that (corpusKey, r, alpha) doesn't already name (build depth,
-    * beam rounds, pool flavor — sq28 passes its (depth, beam) pair)
-    * into it, giving changed inputs a fresh key, workDir, and honestly
-    * computed fingerprint. Cross-process and cross-key reuse stays a
-    * loud error regardless: robustPrune's on-disk guard compares the
-    * fingerprint against the workDir's recorded metadata. */
-  def pruneCached(vecs: DataFrame, cand: => DataFrame, corpusKey: String,
-      r: Int, alpha: Double, inputsKey: String = ""): DataFrame = {
-    // `cand` is BY-NAME: on a warm resume (fingerprint cached, rounds
-    // persisted) the candidate frame is never evaluated — which is the
-    // whole saving when candidate GENERATION is itself a multi-round
-    // job (searchCandidates' beam waves), not just a cheap projection
+  /** PROCESS-SHARED served-recall policy build — [[buildCached]]'s
+    * contract applied to [[buildToServedRecall]]: the first caller for
+    * a (corpusKey, k) pays the policy run; later callers (and resumed
+    * runs) ride the SAME shared workDir, where `_SUCCESS` markers
+    * resume the build rounds and the depth-suffixed policy prunes
+    * resume through the fingerprint guard — a re-run re-reads the same
+    * recalls and stops at the same depth (BuildPolicySpec). The build
+    * rounds PREFIX-SHARE with plain [[buildCached]] consumers of the
+    * same corpus (the policy extends the rounds a fixed-depth caller
+    * built, and vice versa). Distinct prune parameters (degree, alpha,
+    * candBeamRounds) on the SAME key hit the depth-keyed prune dirs'
+    * fingerprint guard loudly — callers wanting a different serving
+    * budget on one corpus must use their own workDir via
+    * [[buildToServedRecall]]. `graft.noBuildCache` restores the
+    * ephemeral fresh-workDir behavior for probes that measure the
+    * policy itself. */
+  def buildPolicyCached(vecs: DataFrame, corpusKey: String, k: Int,
+      maxRounds: Int, degree: Int, alpha: Double, candBeamRounds: Int,
+      serveK: Int, serveBeamRounds: Int, nProbes: Int = 16,
+      eps: Double = 0.02, step: Int = 2):
+      (Seq[DataFrame], Int, DataFrame, Seq[(Int, Double)]) = {
     if (sys.props.get("graft.noBuildCache").contains("1"))
-      return robustPrune(vecs, cand, r, alpha)
-    val key = (s"$corpusKey|$inputsKey", r, alpha)
-    sharedPruneLocks.computeIfAbsent(key, _ => new Object).synchronized {
-      lazy val candOnce = cand
-      val wd = sharedPruneDirs.computeIfAbsent(key,
-        _ => graft.util.Scratch.tempDir(s"graft-prune-$r"))
-      val fp = sharedPruneFps.computeIfAbsent(key,
-        _ => pruneFingerprint(vecs, candOnce, r, alpha))
-      robustPrune(vecs, candOnce, r, alpha, Some(wd),
-        knownFingerprint = Some(fp))
+      return buildToServedRecall(vecs, k, maxRounds,
+        graft.util.Scratch.tempDir(s"graft-knng-policy-$k"), degree,
+        alpha, candBeamRounds, serveK, serveBeamRounds, nProbes, eps, step)
+    val key = (corpusKey, k)
+    sharedBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val wd = sharedBuildDirs.computeIfAbsent(key,
+        _ => graft.util.Scratch.tempDir(s"graft-knng-$k"))
+      buildToServedRecall(vecs, k, maxRounds, wd, degree, alpha,
+        candBeamRounds, serveK, serveBeamRounds, nProbes, eps, step)
     }
   }
+
+  // pruneCached (a process-shared durable prune keyed by caller-named
+  // candidate lineage) lived here through r14; sq28 — its only caller —
+  // now gets durable, process-shared prunes from [[buildPolicyCached]]'s
+  // depth-keyed policy dirs, which carry the lineage in the path instead
+  // of trusting the caller to name it (the r14-advice staleness hole,
+  // closed by construction). robustPrune's `knownFingerprint` hook stays:
+  // it is the generic warm-resume seam any future cache needs.
 
   /** Exact-cosine scoring of an edge frame: fetch both endpoints'
     * vectors (candidate-bounded joins, never a corpus pass per edge). */
