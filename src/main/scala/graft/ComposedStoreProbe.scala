@@ -89,6 +89,15 @@ object ComposedStoreProbe {
       // (search pool, same degree/α budget), so build + prune share
       // one wall here.
       val policyMode = sys.env.get("SPARK_GRAFT_POLICY").contains("recall")
+      // cells/centroids are graph-independent (a corpus sample), so
+      // they train BEFORE the build: the policy arm evaluates with the
+      // serving head's entry discipline (plannedEntries over these
+      // exact centroids ≡ the _graft_entries writeEntries will persist)
+      val cells = KnnGraph.scaledCells(n)
+      val sample = vecs.select($"vec_id", $"v").orderBy($"vec_id").limit(20000)
+        .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+      val cents = Pq.trainCodebook(sample, cells).map(_.toSeq).toSeq
+      val cb = Pq.trainSubspaces(sample, m, sub, 16)
       val tB0 = System.nanoTime()
       var pruneS = 0.0
       val (depth, pruned, policyTrace) =
@@ -96,7 +105,8 @@ object ComposedStoreProbe {
           val (_, chosen, p, trace) = KnnGraph.buildToServedRecall(
             vecs, k, maxRounds = buildRounds, s"$workRoot/$label/b",
             degree, alpha, candBeamRounds = 3, serveK = k,
-            serveBeamRounds = beamRounds)
+            serveBeamRounds = beamRounds,
+            entriesFor = Some(KnnGraph.plannedEntries(vecs, cents)))
           (chosen, p.select($"src", $"nbr").localCheckpoint(true),
             Some(trace))
         } else {
@@ -143,11 +153,6 @@ object ComposedStoreProbe {
       }
       // cells scale like IVF's nlist: ≈√n keeps cluster buckets
       // row-group-sized at any corpus size (KnnGraph.scaledCells)
-      val cells = KnnGraph.scaledCells(n)
-      val sample = vecs.select($"vec_id", $"v").orderBy($"vec_id").limit(20000)
-        .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
-      val cents = Pq.trainCodebook(sample, cells).map(_.toSeq).toSeq
-      val cb = Pq.trainSubspaces(sample, m, sub, 16)
       val tS0 = System.nanoTime()
       KnnGraph.writeStoreClustered(pruned, vecs, s"$root/g", cents)
       KnnGraph.writeEntries(vecs, s"$root/g")
@@ -241,8 +246,17 @@ object ComposedStoreProbe {
             codes = Some((s"$root/codes", cb)))
           val insertWall = (System.nanoTime() - tIc) / 1e9
           val probesC = arr.select(($"vec_id" + 4000000L).as("qid"), $"v")
+          // findability walks TWO rounds past the timed serves (the
+          // documented walk-length effect, sq28's invariant probe does
+          // the same): a fresh insert hangs off the END of the beam's
+          // path — on a NAVIGABLE store the walk is still improving at
+          // round `beamRounds` and needs the extra expansions to step
+          // INTO the node; measured here before the fix, the x100
+          // cycle-2 probe read 0/4 on the HIGH-recall repruned store
+          // while the broken 0.063 store read 4/4 (its walk stalled
+          // early, leaving rounds to spare)
           val foundC = KnnGraph.serveFromStoresClusteredPqWarm(spark, cur,
-              s"$root/codes", s"$root/vec", probesC, cb, k, beamRounds)
+              s"$root/codes", s"$root/vec", probesC, cb, k, beamRounds + 2)
             .filter($"node" === $"qid" - 4000000L).count()
           emit(s"cycle${c}_insert", insertWall, foundC / 4.0, 4)
           val vic = (0 until 4).map(_ + base)

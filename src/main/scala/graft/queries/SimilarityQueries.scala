@@ -3345,21 +3345,29 @@ object SimilarityQueries {
     // and depth-keyed policy prunes resume from the shared workDir —
     // the deployment shape, where an index is built once and every
     // consumer reloads it (BuildPolicySpec pins resume-same-depth).
+    // centroids train BEFORE the policy (they are graph-independent —
+    // a corpus sample), because the policy evaluates with the SERVING
+    // HEAD'S entry discipline: plannedEntries over these exact
+    // centroids answers what writeEntries will persist, so eval walks
+    // ≡ deployed walks (the r15 entry-consistency finding: ring-start
+    // evals read 0.773 on a prune whose sidecar-entry store served
+    // 0.063 at x100)
+    val sample = vecs.select($"vec_id", $"v").orderBy($"vec_id").limit(20000)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val cents = Pq.trainCodebook(sample, cells).map(_.toSeq).toSeq
+    val cb = Pq.trainSubspaces(sample, m, sub, 16)
     val tP0 = System.nanoTime()
     // maxRounds = 6 caps the ladder at one step past the fixed arms'
     // measured sf0.1 sweet spot (depth 4) — the policy stops earlier
     // when flat (3 evaluations minimum: one sets best, two stale)
     val (_, depth, prunedRaw, recallTrace) = KnnGraph.buildPolicyCached(
       vecs, dir, k, maxRounds = 6, degree, alpha, candBeamRounds = 3,
-      serveK = k, serveBeamRounds = beamRounds)
+      serveK = k, serveBeamRounds = beamRounds,
+      entriesFor = Some(KnnGraph.plannedEntries(vecs, cents)))
     val pruned = prunedRaw.select($"src", $"nbr").localCheckpoint(true)
     val pruneS = (System.nanoTime() - tP0) / 1e9
     val edgesPruned = pruned.count()
     val root = graft.util.Scratch.tempDir("graft-sq28")
-    val sample = vecs.select($"vec_id", $"v").orderBy($"vec_id").limit(20000)
-      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
-    val cents = Pq.trainCodebook(sample, cells).map(_.toSeq).toSeq
-    val cb = Pq.trainSubspaces(sample, m, sub, 16)
     // ONE composed store: clustered α-pruned adjacency + entries +
     // centroids, BYTES-sized bucketed vectors, BYTES-sized PQ codes
     // sidecar — the r13 hand cap (min(scaledBuckets(n,64), 256)) is

@@ -195,7 +195,14 @@ object KnnGraph {
     * rule the stored heads run — ComposedGraphStoreSpec proves the
     * stored layouts answer exactly what this in-memory walk answers
     * over the same edges and entries), measuring recall@k against an
-    * exact brute-force ground truth computed ONCE. When the recall
+    * exact brute-force ground truth computed ONCE. Pass `entriesFor` =
+    * [[plannedEntries]] over the centroids the store WILL use: the
+    * eval walks and the prune candidates then start where the stored
+    * head's beams will start — without it the policy optimizes
+    * ring-start navigation that sidecar-entry serving never sees
+    * (measured at x100: eval recall 0.773, stored head 0.063 — the
+    * α-prune keeps only the approach edges of the walks it is shown).
+    * When the recall
     * improvement stays below `eps` for two consecutive evaluations, it
     * stops and returns the best depth's PRUNED adjacency — the store's
     * artifact, so the caller pays no second prune.
@@ -221,7 +228,8 @@ object KnnGraph {
   def buildToServedRecall(vecs: DataFrame, k: Int, maxRounds: Int,
       workDir: String, degree: Int, alpha: Double, candBeamRounds: Int,
       serveK: Int, serveBeamRounds: Int, nProbes: Int = 16,
-      eps: Double = 0.02, step: Int = 2):
+      eps: Double = 0.02, step: Int = 2,
+      entriesFor: Option[DataFrame => DataFrame] = None):
       (Seq[DataFrame], Int, DataFrame, Seq[(Int, Double)]) = {
     import vecs.sparkSession.implicits._
     require(step >= 1, s"step must be ≥ 1, got $step")
@@ -241,6 +249,15 @@ object KnnGraph {
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy(cosine($"qv", $"cv").desc, $"node")))
       .filter($"rn" <= serveK).select($"qid", $"node").localCheckpoint(true)
+    // ENTRY DISCIPLINE IS PART OF THE ARTIFACT (r15 measured): the
+    // eval serve AND every eval prune's candidate searches start from
+    // `entriesFor` when given — the serving head's own entry rule
+    // ([[plannedEntries]]). Evaluating a ring-start prune and then
+    // serving it from sidecar members read 0.773 vs 0.063 at x100:
+    // the α-prune keeps the approach edges of exactly the beams it
+    // sees, so the eval must walk the deployment's walks.
+    val entryOf: DataFrame => DataFrame =
+      entriesFor.getOrElse(ringEntries(vecs, _))
     def servedRecall(pruned: DataFrame): Double = {
       val und = pruned.select($"src", $"nbr")
         .union(pruned.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
@@ -248,7 +265,7 @@ object KnnGraph {
       def expand(frontier: DataFrame): DataFrame =
         frontier.join(und, frontier("node") === und("src"))
           .select(frontier("qid"), und("nbr").as("node")).distinct()
-      val pool = beamTrace(ringEntries(vecs, qv), expand,
+      val pool = beamTrace(entryOf(qv), expand,
         fresh => rankPool(vecs, qv, fresh.localCheckpoint(true), serveK),
         serveBeamRounds).last._2
       val served = rankPool(vecs, qv, pool, serveK)
@@ -261,14 +278,26 @@ object KnnGraph {
     var stale = 0
     var best = 0.0
     var d = step
+    // entry-consistent prunes get their own dir family: their
+    // candidates (hence fingerprints) differ from ring-start prunes,
+    // and the on-disk guard must see a fresh dir, not a loud mismatch
+    val pruneDirTag = if (entriesFor.isDefined) "policy_prune_e_r"
+      else "policy_prune_r"
+    val dbg = sys.env.contains("GRAFT_POLICY_DEBUG")
     while (d <= maxRounds && stale < 2) {
+      val t0 = System.nanoTime()
       rounds = buildDurable(vecs, k, d, workDir)
+      val t1 = System.nanoTime()
       val last = rounds.last
       val pruned = robustPrune(vecs,
-          searchCandidates(vecs, last, k, candBeamRounds),
-          degree, alpha, Some(s"$workDir/policy_prune_r$d"))
+          searchCandidates(vecs, last, k, candBeamRounds,
+            entries = entriesFor.map(f =>
+              f(vecs.select($"vec_id".as("qid"), $"v")))),
+          degree, alpha, Some(s"$workDir/$pruneDirTag$d"))
         .select($"src", $"nbr").localCheckpoint(true)
+      val t2 = System.nanoTime()
       val recall = servedRecall(pruned)
+      if (dbg) System.err.println(f"policy eval d=$d: build ${(t1 - t0) / 1e9}%.1f s, cand+prune ${(t2 - t1) / 1e9}%.1f s, serve ${(System.nanoTime() - t2) / 1e9}%.1f s, recall $recall%.3f")
       trace += d -> recall
       prunedAt(d) = pruned
       if (trace.size == 1 || recall >= best + eps) stale = 0 else stale += 1
@@ -343,18 +372,21 @@ object KnnGraph {
   def buildPolicyCached(vecs: DataFrame, corpusKey: String, k: Int,
       maxRounds: Int, degree: Int, alpha: Double, candBeamRounds: Int,
       serveK: Int, serveBeamRounds: Int, nProbes: Int = 16,
-      eps: Double = 0.02, step: Int = 2):
+      eps: Double = 0.02, step: Int = 2,
+      entriesFor: Option[DataFrame => DataFrame] = None):
       (Seq[DataFrame], Int, DataFrame, Seq[(Int, Double)]) = {
     if (sys.props.get("graft.noBuildCache").contains("1"))
       return buildToServedRecall(vecs, k, maxRounds,
         graft.util.Scratch.tempDir(s"graft-knng-policy-$k"), degree,
-        alpha, candBeamRounds, serveK, serveBeamRounds, nProbes, eps, step)
+        alpha, candBeamRounds, serveK, serveBeamRounds, nProbes, eps,
+        step, entriesFor)
     val key = (corpusKey, k)
     sharedBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
       val wd = sharedBuildDirs.computeIfAbsent(key,
         _ => graft.util.Scratch.tempDir(s"graft-knng-$k"))
       buildToServedRecall(vecs, k, maxRounds, wd, degree, alpha,
-        candBeamRounds, serveK, serveBeamRounds, nProbes, eps, step)
+        candBeamRounds, serveK, serveBeamRounds, nProbes, eps, step,
+        entriesFor)
     }
   }
 
@@ -1206,26 +1238,74 @@ object KnnGraph {
       perCell: Int = AutoSlots): Unit = {
     import vecs.sparkSession.implicits._
     val cents = centroidsOf(vecs.sparkSession, path)
-    val per = if (perCell > 0) perCell
-      else math.max(1L, math.round(
-        scaledSlots(vecs.count()).toDouble / cents.length)).toInt
+    replaceEntriesSidecar(vecs.sparkSession, path,
+      entryMembers(vecs, cents, resolvePerCell(vecs, cents.length, perCell))
+        .select($"cid", $"node", $"cid".as("node_bucket")))
+  }
+
+  private def resolvePerCell(vecs: DataFrame, nCells: Int,
+      perCell: Int): Int =
+    if (perCell > 0) perCell
+    else math.max(1L, math.round(
+      scaledSlots(vecs.count()).toDouble / nCells)).toInt
+
+  /** The [[writeEntries]] pick, as a frame: each cell's `per` nearest
+    * MEMBERS (ties → smallest id) — one corpus pass, n rows through
+    * the per-cell window. Shared by the sidecar writer and
+    * [[plannedEntries]] so that what a policy evaluates pre-store is
+    * BY CONSTRUCTION what the store will serve from. The distance
+    * array materializes ONCE: cid and dist both derive from it
+    * (rebuilding it per column would double the cells×dim arithmetic
+    * per row). */
+  private def entryMembers(vecs: DataFrame, cents: Seq[Seq[Double]],
+      per: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
     val d = transform(typedlit(cents), c =>
       aggregate(zip_with($"v", c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
-    // each cell's entries are its own nearest MEMBERS (one corpus pass,
-    // n rows through the per-cell window — not n×cells); their routing
-    // bucket is therefore the cell itself. The distance array
-    // materializes ONCE: cid and dist both derive from it (rebuilding
-    // it per column would double the cells×dim arithmetic per row)
-    replaceEntriesSidecar(vecs.sparkSession, path,
-      vecs.select($"vec_id", $"v")
-        .withColumn("ds", d)
-        .withColumn("cid",
-          (array_position($"ds", array_min($"ds")) - 1).cast("int"))
-        .withColumn("dist", array_min($"ds")).drop("ds")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"cid").orderBy($"dist".asc, $"vec_id")))
-        .filter($"rn" <= per)
-        .select($"cid", $"vec_id".as("node"), $"cid".as("node_bucket")))
+    vecs.select($"vec_id", $"v")
+      .withColumn("ds", d)
+      .withColumn("cid",
+        (array_position($"ds", array_min($"ds")) - 1).cast("int"))
+      .withColumn("dist", array_min($"ds")).drop("ds")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"cid").orderBy($"dist".asc, $"vec_id")))
+      .filter($"rn" <= per)
+      .select($"cid", $"vec_id".as("node"))
+  }
+
+  /** THE SERVING HEAD'S ENTRY DISCIPLINE, computed BEFORE any store
+    * exists: given the centroids a clustered store WILL be written
+    * with, return a queries → (qid, node) entry resolver that answers
+    * exactly what [[storedEntries]] will answer once
+    * [[writeStoreClustered]] + [[writeEntries]] run with the same
+    * centroids (same member pick via [[entryMembers]], same
+    * route-to-nearest-NON-EMPTY-cell rule; StoredClusteredSpec pins
+    * the equality). Exists because of an r15 measured failure:
+    * [[buildToServedRecall]] evaluating over [[ringEntries]] read
+    * held-out recall 0.773 on a depth-12 x100 prune whose STORED head
+    * then served 0.063 — the α-prune keeps the approach edges of the
+    * beams it actually sees, so candidates generated from ring starts
+    * navigate beautifully from ring starts and not at all from the
+    * sidecar's per-cell members. Entry discipline is part of the
+    * artifact: evaluate (and prune) with the entries serving will use.
+    *
+    * 100 TB: the member frame is one corpus pass, checkpointed once
+    * per policy run; each resolution touches the ≤cells·per-row
+    * broadcast and the queries frame — no corpus scan. */
+  def plannedEntries(vecs: DataFrame, cents: Seq[Seq[Double]],
+      perCell: Int = AutoSlots): DataFrame => DataFrame = {
+    import vecs.sparkSession.implicits._
+    val members = entryMembers(vecs, cents,
+      resolvePerCell(vecs, cents.length, perCell)).localCheckpoint(true)
+    val present = members.select($"cid").distinct()
+      .as[Int].collect().sorted.toSeq
+    require(present.nonEmpty, "no cell has a member — empty corpus?")
+    val presentCents = present.map(cents(_))
+    (queries: DataFrame) => queries
+      .select($"qid", clusterOf($"v", presentCents).as("pidx"))
+      .withColumn("cid", element_at(typedlit(present), $"pidx" + 1))
+      .join(broadcast(members), Seq("cid"))
+      .select($"qid", $"node")
   }
 
   /** Serve-time entry resolution from the [[writeEntries]] sidecar:

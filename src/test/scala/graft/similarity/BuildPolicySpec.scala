@@ -100,6 +100,34 @@ class BuildPolicySpec extends AnyFunSuite {
     vecs.unpersist()
   }
 
+  test("plannedEntries answers exactly what the stored sidecar will answer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vecs = corpus()
+    val cells = 8
+    val sample = vecs.select($"vec_id", $"v").orderBy($"vec_id").limit(20000)
+      .collect().map(_.getSeq[Double](1).toArray).toIndexedSeq
+    val cents = Pq.trainCodebook(sample, cells).map(_.toSeq).toSeq
+    // write a real clustered store with those centroids + the sidecar
+    val path = java.nio.file.Files.createTempDirectory("graft-planned").toString
+    val graph = KnnGraph.buildDurable(vecs, K, rounds = 1,
+      java.nio.file.Files.createTempDirectory("graft-planned-b").toString).last
+    KnnGraph.writeStoreClustered(graph.select($"src", $"nbr"), vecs,
+      s"$path/g", cents)
+    KnnGraph.writeEntries(vecs, s"$path/g")
+    // the entry-consistency contract: what the policy evaluated with
+    // (plannedEntries over the SAME centroids, before any store
+    // existed) IS what the serving head resolves from the sidecar
+    val queries = vecs.select($"vec_id".as("qid"), $"v")
+    val planned = KnnGraph.plannedEntries(vecs, cents)(queries)
+      .select(col("qid"), col("node")).as[(Long, Long)].collect().toSet
+    val stored = KnnGraph.storedEntries(spark, s"$path/g", queries)
+      .select(col("qid"), col("node")).as[(Long, Long)].collect().toSet
+    assert(planned == stored)
+    assert(planned.nonEmpty)
+    vecs.unpersist()
+  }
+
   test("a flat recall curve stops after two stale evaluations, not at maxRounds") {
     val vecs = corpus()
     val wd = java.nio.file.Files.createTempDirectory("graft-policy-flat").toString
