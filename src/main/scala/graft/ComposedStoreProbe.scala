@@ -199,8 +199,20 @@ object ComposedStoreProbe {
         println(f"""{"probe":"composed_store","corpus":"$label","build_rounds":$depth,"beam_rounds":$beamRounds,"phase":"$phase","ms_per_q":$ms%.1f,"recall":$recall%.3f,"exact_ms_per_q":$msX%.1f,"exact_recall":$recallX%.3f,"n_q":$nq}""")
       }
       serve(s"$root/g", "serve")
+      // arrivals are PERTURBED clones (first coordinate × 1.01), not
+      // exact copies: the key-shifted replica holds `factor` exact
+      // duplicates of every base vector, so a clone's true top-k under
+      // (cos DESC, node ASC) is the k smallest-id duplicates and a
+      // CORRECT serve must exclude the fresh insert — the r14/r15
+      // "findability" readings on clone arrivals measured store
+      // badness, inverted (low-recall walks missed the duplicates and
+      // so "found" the insert; the 0.93-recall store correctly read
+      // 0/4). A perturbed arrival is unique, so its own probe's top-1
+      // is itself and findability measures what it claims.
+      val perturb = transform($"v",
+        (x, i) => when(i === 0, x * 1.01).otherwise(x))
       val arrivals = vecs.filter($"vec_id" < 4)
-        .select(($"vec_id" + 10000000L).as("vec_id"), $"v")
+        .select(($"vec_id" + 10000000L).as("vec_id"), perturb.as("v"))
         .localCheckpoint(true)
       val tI0 = System.nanoTime()
       graft.streaming.StreamingGraphIngest.insertClusteredBatch(
@@ -212,6 +224,17 @@ object ComposedStoreProbe {
           s"$root/g", s"$root/codes", s"$root/vec", probes, cb, k, beamRounds)
         .filter($"node" === $"qid" - 10000000L).count()
       emit("insert_with_codes", insertS, foundIns / 4.0, 4)
+      // findability through the EXACT head is the wiring guarantee
+      // (entry-published arrival → pool → exact re-rank top-1, no ADC
+      // in the path); the quantized line above additionally depends on
+      // PQ resolving the arrival against its neighbors — on the
+      // duplicate-saturated replica an unflipped code loses the ADC
+      // shortlist's id tie-break (a quantization property, measured
+      // here, not an insert defect)
+      val foundExact = KnnGraph.serveFromStoresClusteredWarm(spark,
+          s"$root/g", s"$root/vec", probes, k, beamRounds)
+        .filter($"node" === $"qid" - 10000000L).count()
+      emit("insert_found_exact", 0.0, foundExact / 4.0, 4)
       val victims = (0 until 4).map(_ + 10000000L)
       val tE0 = System.nanoTime()
       KnnGraph.eraseStoredClustered(spark, s"$root/g", victims,
@@ -237,8 +260,11 @@ object ComposedStoreProbe {
         var allVictims = victims.toSet
         for (c <- 1 to cycles) {
           val base = 20000000L + c.toLong * 1000000L
+          // perturbed-unique arrivals, same reason as the main phase
           val arr = vecs.filter($"vec_id" < 4)
-            .select(($"vec_id" + base).as("vec_id"), $"v")
+            .select(($"vec_id" + base).as("vec_id"),
+              transform($"v",
+                (x, i) => when(i === c, x * 1.01).otherwise(x)).as("v"))
             .localCheckpoint(true)
           val tIc = System.nanoTime()
           graft.streaming.StreamingGraphIngest.insertClusteredBatch(
@@ -246,17 +272,13 @@ object ComposedStoreProbe {
             codes = Some((s"$root/codes", cb)))
           val insertWall = (System.nanoTime() - tIc) / 1e9
           val probesC = arr.select(($"vec_id" + 4000000L).as("qid"), $"v")
-          // findability walks TWO rounds past the timed serves (the
-          // documented walk-length effect, sq28's invariant probe does
-          // the same): a fresh insert hangs off the END of the beam's
-          // path — on a NAVIGABLE store the walk is still improving at
-          // round `beamRounds` and needs the extra expansions to step
-          // INTO the node; measured here before the fix, the x100
-          // cycle-2 probe read 0/4 on the HIGH-recall repruned store
-          // while the broken 0.063 store read 4/4 (its walk stalled
-          // early, leaving rounds to spare)
-          val foundC = KnnGraph.serveFromStoresClusteredPqWarm(spark, cur,
-              s"$root/codes", s"$root/vec", probesC, cb, k, beamRounds + 2)
+          // with entry-published arrivals (StreamingGraphIngest) a
+          // unique insert is in its probe's entry set, hence in the
+          // pool, and the EXACT head's re-rank puts it top-1 — the
+          // wiring guarantee, free of the quantized shortlist's
+          // duplicate-tie behavior (see the main phase's two lines)
+          val foundC = KnnGraph.serveFromStoresClusteredWarm(spark, cur,
+              s"$root/vec", probesC, k, beamRounds)
             .filter($"node" === $"qid" - 4000000L).count()
           emit(s"cycle${c}_insert", insertWall, foundC / 4.0, 4)
           val vic = (0 until 4).map(_ + base)

@@ -65,6 +65,13 @@ object Sessions {
       // see cluster(): nanos parquet must be session-wide, not a read-time
       // side effect
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shuffle files are reclaimed only when their RDDs are JVM-GC'd;
+      // under a large -Xmx a long index-build run may never GC, and
+      // dead shuffle state accumulates on the ONE local disk until it
+      // fills (measured: 54 GB of blockmgr during one x100 reprune).
+      // A 2-minute forced-GC cadence keeps the ContextCleaner draining;
+      // on a real cluster the same config protects shuffle-dir nodes.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

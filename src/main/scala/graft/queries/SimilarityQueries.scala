@@ -3416,10 +3416,16 @@ object SimilarityQueries {
         ans.as[(Long, Long)].collect().toSet)
     }
     val (recall0, serveMs0, nAns0, _) = serveRecall(pinned())
-    // LIFECYCLE on the same store. Arrivals: 4 clone vectors under new
-    // ids — a realistic insert (new members near existing mass)
+    // LIFECYCLE on the same store. Arrivals: 4 PERTURBED clones under
+    // new ids (first coordinate × 1.01) — near existing mass like a
+    // real arrival, but UNIQUE, so each probe's true top-1 is the
+    // insert itself and the findability invariant is well-posed on any
+    // corpus (an exact clone's top-k can be legitimately owned by
+    // pre-existing duplicates — the r15 replica-probe lesson)
     val arrivals = vecs.filter($"vec_id" < 4)
-      .select(($"vec_id" + 1000000L).as("vec_id"), $"v")
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"v", (x, i) => when(i === 0, x * 1.01).otherwise(x))
+          .as("v"))
       .localCheckpoint(true)
     val tI0 = System.nanoTime()
     graft.streaming.StreamingGraphIngest.insertClusteredBatch(
@@ -3427,18 +3433,14 @@ object SimilarityQueries {
       codes = Some((s"$root/codes", cb)))
     val insertS = (System.nanoTime() - tI0) / 1e9
     // the QUANTIZED head must find each inserted node from its own
-    // vector — proof the code append kept the sidecar in lockstep. The
-    // INVARIANT probe walks two rounds deeper than the timed serves:
-    // the search-pruned graph is 2.6× sparser (that is its point), and
-    // a freshly inserted node sits at the end of the beam's walk —
-    // StreamingGraphInsertSpec documents the same walk-length effect on
-    // the hash layout (reach the neighbors in ~beam rounds, step INTO
-    // the node with the extra expansions).
+    // vector — entry-published arrivals (insertClusteredBatch, r15)
+    // are in their probe's entry set by construction, so this verifies
+    // the entry + code + vector appends stayed in lockstep
     val probes = arrivals
       .select(($"vec_id" + 4000000L).as("qid"), $"v")
     val foundIns = KnnGraph.serveFromStoresClusteredPqWarm(spark,
         pinned(), s"$root/codes", s"$root/vec", probes, cb, k,
-        beamRounds + 2)
+        beamRounds)
       .filter($"node" === $"qid" - 4000000L).count()
     // erase the arrivals again — vectors, codes, entries, both edge
     // directions (erase must run BEFORE the vector rows vanish)

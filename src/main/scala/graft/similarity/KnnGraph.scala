@@ -269,8 +269,13 @@ object KnnGraph {
         fresh => rankPool(vecs, qv, fresh.localCheckpoint(true), serveK),
         serveBeamRounds).last._2
       val served = rankPool(vecs, qv, pool, serveK)
-      served.join(bf, Seq("qid", "node"), "left_semi").count().toDouble /
-        (nq * serveK)
+      val recall = served.join(bf, Seq("qid", "node"), "left_semi").count()
+        .toDouble / (nq * serveK)
+      // the eval's undirected closure is dead once the recall lands —
+      // freed so a multi-eval policy run doesn't pile index-sized
+      // checkpoint blocks on the shuffle disk (the r15 disk lesson)
+      und.unpersist()
+      recall
     }
     var rounds: Seq[DataFrame] = Seq.empty
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
@@ -306,6 +311,19 @@ object KnnGraph {
     }
     // cost-optimal pick: the SMALLEST depth within eps of the best
     val chosen = trace.find(_._2 >= best - eps).map(_._1).get
+    // losing evaluations' prune dirs are DEAD the moment the pick
+    // lands — each holds rounds × candidate-list-sized state (5-6 GB
+    // per depth on the 200k replica; the r15 probe filled the box's
+    // disk before this cleanup existed). The chosen depth's dir IS the
+    // artifact and stays. A later resume re-pays only the deleted
+    // losers, deterministically (BuildPolicySpec's resume test).
+    val hfs = new org.apache.hadoop.fs.Path(workDir).getFileSystem(
+      vecs.sparkSession.sparkContext.hadoopConfiguration)
+    trace.map(_._1).filter(_ != chosen).foreach { dd =>
+      hfs.delete(new org.apache.hadoop.fs.Path(
+        s"$workDir/$pruneDirTag$dd"), true): Unit
+      prunedAt(dd).unpersist(): Unit
+    }
     (rounds, chosen, prunedAt(chosen), trace.toSeq)
   }
 
@@ -467,7 +485,8 @@ object KnnGraph {
     * which is documented as exactly that maintenance rung, passes
     * [[slotEntries]] (real, erase-aware store members) instead. */
   def searchCandidates(vecs: DataFrame, graph: DataFrame, k: Int,
-      beamRounds: Int, entries: Option[DataFrame] = None): DataFrame = {
+      beamRounds: Int, entries: Option[DataFrame] = None,
+      querySlices: Int = 0): DataFrame = {
     import vecs.sparkSession.implicits._
     val queries = vecs.select($"vec_id".as("qid"), $"v")
     val und = graph.select($"src", $"nbr")
@@ -482,8 +501,26 @@ object KnnGraph {
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy(cosine($"qv", $"cv").desc, $"node")))
       .filter($"rn" <= k).select($"qid", $"node")
-    val pool = beamTrace(entries.getOrElse(ringEntries(vecs, queries)),
-      expand, keep, beamRounds).last._2
+    // BOUNDED WORKING SETS (r15): with every corpus node a query, one
+    // beam round attaches two d-dim vectors to |Q|·k·degree expansion
+    // rows — ~20M rows / tens of GB of shuffle-sort at 200k queries,
+    // measured filling the probe box's disk in one stage. Per-query
+    // beams are INDEPENDENT, so slicing the query set is EXACT (the
+    // union of sliced pools ≡ the unsliced pool — SearchCandidatesSpec
+    // pins it); each slice's peak state shrinks by the slice count at
+    // the cost of serialized waves. Default derives ~50k queries per
+    // slice; pass 1 to force the single-wave shape.
+    val nSlices = if (querySlices > 0) querySlices
+      else math.max(1L, math.ceil(queries.count() / 50000.0).toLong).toInt
+    val poolOf: DataFrame => DataFrame = qs =>
+      beamTrace(entries.map(_.join(qs.select($"qid"), Seq("qid"), "left_semi"))
+          .getOrElse(ringEntries(vecs, qs)),
+        expand, keep, beamRounds).last._2
+    val pool = if (nSlices <= 1) poolOf(queries)
+      else (0 until nSlices).map { s =>
+        poolOf(queries.filter(pmod($"qid", lit(nSlices.toLong)) === s))
+          .localCheckpoint(true)
+      }.reduce(_ union _)
     scoreEdges(vecs,
       pool.filter($"qid" =!= $"node").select($"qid".as("src"), $"node".as("nbr"))
         .union(graph.select($"src", $"nbr"))

@@ -214,5 +214,22 @@ object StreamingGraphIngest {
           lit(KnnGraph.bucketsOf(spark, vecPath).toLong)).cast("int"))
       .write.mode("append").partitionBy("bucket").parquet(vecPath)
     codes.foreach { case (cp, cb) => appendCodes(batch, cp, cb) }
+    // FRESH ARRIVALS PUBLISH AS ENTRIES of their own cell (r15 — the
+    // FreshDiskANN freshness idea applied at the sidecar layer): a
+    // just-inserted node has out-edges to its true neighborhood but
+    // only the k back-edges this batch wired, so whether a beam can
+    // step INTO it depends on walk length and how its neighborhood
+    // ranks — freshness by lottery. Appending the arrival to
+    // `_graft_entries` makes it servable BY CONSTRUCTION: a query
+    // routed to its cell starts at it, lands it in the pool, and the
+    // exact re-rank does the rest (ComposedGraphStoreSpec pins append
+    // + serve + erase-drop). Request-sized rows; the next writeEntries
+    // refresh (a reprune/rebuild publishing a new version) resets the
+    // sidecar to the n-scaled density, by which time the re-prune has
+    // given the node real in-link coverage. Erase drops sidecar rows,
+    // so a retracted arrival can't linger.
+    newCell.toSeq.toDF("node", "cid")
+      .select($"cid", $"node", $"cid".as("node_bucket"))
+      .write.mode("append").parquet(s"$storePath/_graft_entries")
   }
 }

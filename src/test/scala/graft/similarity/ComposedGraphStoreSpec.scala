@@ -102,6 +102,12 @@ class ComposedGraphStoreSpec extends AnyFunSuite {
     // from its own vector — the sidecar stayed in lockstep
     assert(spark.read.parquet(s"$root/codes")
       .filter($"vec_id" === newId).count() == 1, "no code row appended")
+    // the arrival publishes as an ENTRY of its own cell (r15 — fresh
+    // inserts are servable by construction, not by a walk-length
+    // lottery; the x100 entry-consistent store measured 0/4 without it)
+    assert(spark.read.parquet(s"$root/g/_graft_entries")
+      .filter($"node" === newId).count() == 1,
+      "fresh arrival not published as a cell entry")
     val probe = Seq((5000007L, srcVec)).toDF("qid", "v")
     val found = answers(KnnGraph.serveFromStoresClusteredPqWarm(spark,
       s"$root/g", s"$root/codes", s"$root/vec", probe, cb, K, Beam))

@@ -55,6 +55,17 @@ class SearchCandidatesSpec extends AnyFunSuite {
         cand.select($"src", $"nbr")).isEmpty)
     // 5. no self-candidates (a node must never diversify onto itself)
     assert(cand.filter($"src" === $"nbr").isEmpty)
+    // 6. query slicing is EXACT: per-query beams are independent, so
+    //    the union of sliced pools equals the single-wave pool — the
+    //    bounded-working-set knob cannot change the artifact (r15: one
+    //    unsliced wave at 200k queries filled the probe box's disk)
+    val sliced = KnnGraph.searchCandidates(vecs, graph, K,
+      beamRounds = beam, querySlices = 4)
+    assert(sliced.select($"src", $"nbr").except(
+        cand.select($"src", $"nbr")).isEmpty &&
+      cand.select($"src", $"nbr").except(
+        sliced.select($"src", $"nbr")).isEmpty,
+      "sliced candidate generation diverged from the single wave")
     vecs.unpersist()
   }
 }
