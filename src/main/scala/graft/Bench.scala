@@ -104,13 +104,15 @@ object Bench {
       val rerunSet = (timings.toSeq.sortBy(-_._2).take(rerunN).map(_._1) ++
         regressedRaw.keys).distinct
       rerunSet.foreach { name =>
-        // sub-5s regressed rows get a MEDIAN-OF-3 isolated rerun (r14
-        // verdict #3): at that magnitude JIT/GC state from the bench
-        // neighborhood routinely exceeds the 1.5× gate with no code
-        // change (tq19/dq14 measured) — one sample can't separate
-        // noise from regression, a median can
-        val reps = if (regressedRaw.contains(name) &&
-          baseline.get(name).exists(_ < 5.0)) 3 else 1
+        // EVERY regressed candidate gets a multi-sample isolated rerun
+        // (r14 verdict #3 + r15 advice): sub-5s rows take median-of-3
+        // (JIT/GC state routinely exceeds the 1.5× gate with no code
+        // change — tq19/dq14 measured); ≥5s rows take 2 samples, and
+        // `runs.sorted.apply(size/2)` then reads the LARGER one — a
+        // single lucky warm rerun can no longer suppress the report
+        // (suppression requires BOTH samples to clear the gate)
+        val reps = if (!regressedRaw.contains(name)) 1
+          else if (baseline.get(name).exists(_ < 5.0)) 3 else 2
         val runs = (1 to reps).flatMap { _ =>
           val t0 = System.nanoTime()
           val r = try {

@@ -106,7 +106,8 @@ object ComposedStoreProbe {
             vecs, k, maxRounds = buildRounds, s"$workRoot/$label/b",
             degree, alpha, candBeamRounds = 3, serveK = k,
             serveBeamRounds = beamRounds,
-            entriesFor = Some(KnnGraph.plannedEntries(vecs, cents)))
+            entriesFor = Some(KnnGraph.plannedEntries(vecs, cents)),
+            entriesTag = KnnGraph.entriesTagOf(cents))
           (chosen, p.select($"src", $"nbr").localCheckpoint(true),
             Some(trace))
         } else {
@@ -208,9 +209,14 @@ object ComposedStoreProbe {
       // badness, inverted (low-recall walks missed the duplicates and
       // so "found" the insert; the 0.93-recall store correctly read
       // 0/4). A perturbed arrival is unique, so its own probe's top-1
-      // is itself and findability measures what it claims.
+      // is itself and findability measures what it claims. ADDITIVE
+      // epsilon (r15 advice): a multiplicative ×1.01 on a ZERO
+      // coordinate degenerates back to an exact duplicate; x +
+      // 0.01·(|x|+1) moves every vector regardless of the
+      // coordinate's value.
       val perturb = transform($"v",
-        (x, i) => when(i === 0, x * 1.01).otherwise(x))
+        (x, i) => when(i === 0,
+          x + lit(0.01) * (abs(x) + lit(1.0))).otherwise(x))
       val arrivals = vecs.filter($"vec_id" < 4)
         .select(($"vec_id" + 10000000L).as("vec_id"), perturb.as("v"))
         .localCheckpoint(true)
@@ -260,11 +266,17 @@ object ComposedStoreProbe {
         var allVictims = victims.toSet
         for (c <- 1 to cycles) {
           val base = 20000000L + c.toLong * 1000000L
-          // perturbed-unique arrivals, same reason as the main phase
+          // perturbed-unique arrivals, same reason as the main phase;
+          // coordinate (c mod dim) — a cycle count past the embedding
+          // dimensionality would otherwise perturb NOTHING (transform's
+          // lambda never sees index c) and the arrival would degenerate
+          // to an exact clone; additive epsilon for the zero-coordinate
+          // case, as above (r15 advice)
           val arr = vecs.filter($"vec_id" < 4)
             .select(($"vec_id" + base).as("vec_id"),
               transform($"v",
-                (x, i) => when(i === c, x * 1.01).otherwise(x)).as("v"))
+                (x, i) => when(i === pmod(lit(c), size($"v")),
+                  x + lit(0.01) * (abs(x) + lit(1.0))).otherwise(x)).as("v"))
             .localCheckpoint(true)
           val tIc = System.nanoTime()
           graft.streaming.StreamingGraphIngest.insertClusteredBatch(

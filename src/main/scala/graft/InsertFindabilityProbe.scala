@@ -50,9 +50,12 @@ object InsertFindabilityProbe {
     KnnGraph.writeVectors(vecs, s"$root/vec")
     KnnGraph.writeCodes(Pq.pqEncode(vecs, cb, 8), s"$root/codes")
     val pre = spark.read.parquet(s"$root/g/_graft_entries").count()
+    // additive epsilon (r15 advice): ×1.01 on a zero first coordinate
+    // would degenerate the arrival back to an exact clone
     val arr = vecs.filter($"vec_id" < 4)
       .select(($"vec_id" + 10000000L).as("vec_id"),
-        transform($"v", (x, i) => when(i === 0, x * 1.01).otherwise(x))
+        transform($"v", (x, i) => when(i === 0,
+          x + lit(0.01) * (abs(x) + lit(1.0))).otherwise(x))
           .as("v"))
       .localCheckpoint(true)
     graft.streaming.StreamingGraphIngest.insertClusteredBatch(

@@ -3363,7 +3363,8 @@ object SimilarityQueries {
     val (_, depth, prunedRaw, recallTrace) = KnnGraph.buildPolicyCached(
       vecs, dir, k, maxRounds = 6, degree, alpha, candBeamRounds = 3,
       serveK = k, serveBeamRounds = beamRounds,
-      entriesFor = Some(KnnGraph.plannedEntries(vecs, cents)))
+      entriesFor = Some(KnnGraph.plannedEntries(vecs, cents)),
+      entriesTag = KnnGraph.entriesTagOf(cents))
     val pruned = prunedRaw.select($"src", $"nbr").localCheckpoint(true)
     val pruneS = (System.nanoTime() - tP0) / 1e9
     val edgesPruned = pruned.count()
@@ -3417,14 +3418,17 @@ object SimilarityQueries {
     }
     val (recall0, serveMs0, nAns0, _) = serveRecall(pinned())
     // LIFECYCLE on the same store. Arrivals: 4 PERTURBED clones under
-    // new ids (first coordinate × 1.01) — near existing mass like a
-    // real arrival, but UNIQUE, so each probe's true top-1 is the
-    // insert itself and the findability invariant is well-posed on any
-    // corpus (an exact clone's top-k can be legitimately owned by
-    // pre-existing duplicates — the r15 replica-probe lesson)
+    // new ids (first coordinate moved by an ADDITIVE 0.01·(|x|+1) —
+    // a multiplicative ×1.01 would leave a zero coordinate unmoved) —
+    // near existing mass like a real arrival, but UNIQUE, so each
+    // probe's true top-1 is the insert itself and the findability
+    // invariant is well-posed on any corpus (an exact clone's top-k
+    // can be legitimately owned by pre-existing duplicates — the r15
+    // replica-probe lesson)
     val arrivals = vecs.filter($"vec_id" < 4)
       .select(($"vec_id" + 1000000L).as("vec_id"),
-        transform($"v", (x, i) => when(i === 0, x * 1.01).otherwise(x))
+        transform($"v", (x, i) => when(i === 0,
+          x + lit(0.01) * (abs(x) + lit(1.0))).otherwise(x))
           .as("v"))
       .localCheckpoint(true)
     val tI0 = System.nanoTime()

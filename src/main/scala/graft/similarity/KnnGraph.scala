@@ -229,7 +229,8 @@ object KnnGraph {
       workDir: String, degree: Int, alpha: Double, candBeamRounds: Int,
       serveK: Int, serveBeamRounds: Int, nProbes: Int = 16,
       eps: Double = 0.02, step: Int = 2,
-      entriesFor: Option[DataFrame => DataFrame] = None):
+      entriesFor: Option[DataFrame => DataFrame] = None,
+      entriesTag: String = ""):
       (Seq[DataFrame], Int, DataFrame, Seq[(Int, Double)]) = {
     import vecs.sparkSession.implicits._
     require(step >= 1, s"step must be ≥ 1, got $step")
@@ -283,12 +284,25 @@ object KnnGraph {
     var stale = 0
     var best = 0.0
     var d = step
-    // entry-consistent prunes get their own dir family: their
-    // candidates (hence fingerprints) differ from ring-start prunes,
-    // and the on-disk guard must see a fresh dir, not a loud mismatch
-    val pruneDirTag = if (entriesFor.isDefined) "policy_prune_e_r"
-      else "policy_prune_r"
+    // the prune dir name carries every PRUNE-DETERMINING parameter
+    // (degree, α, candidate beam depth, and the caller's entries tag —
+    // e.g. a centroid digest), so distinct serving budgets or entry
+    // disciplines over one shared workDir COEXIST as sibling dir
+    // families instead of colliding on robustPrune's fingerprint
+    // guard (r15 advice: a second same-process caller with a
+    // different degree/α/centroids hard-failed where it should have
+    // computed). Entry-consistent prunes still get their own family:
+    // their candidates differ from ring-start prunes.
+    val pruneDirTag = {
+      val e = if (entriesFor.isDefined)
+        "e" + (if (entriesTag.nonEmpty) s"_${entriesTag}" else "") + "_"
+      else ""
+      s"policy_prune_${e}d${degree}_a${alpha}_c${candBeamRounds}_r"
+    }
     val dbg = sys.env.contains("GRAFT_POLICY_DEBUG")
+    // corpus count once for every depth's slice derivation — a ladder
+    // would otherwise pay one count() job per evaluation (r15 advice)
+    val nCorpus = vecs.count()
     while (d <= maxRounds && stale < 2) {
       val t0 = System.nanoTime()
       rounds = buildDurable(vecs, k, d, workDir)
@@ -297,7 +311,8 @@ object KnnGraph {
       val pruned = robustPrune(vecs,
           searchCandidates(vecs, last, k, candBeamRounds,
             entries = entriesFor.map(f =>
-              f(vecs.select($"vec_id".as("qid"), $"v")))),
+              f(vecs.select($"vec_id".as("qid"), $"v"))),
+            corpusCount = nCorpus),
           degree, alpha, Some(s"$workDir/$pruneDirTag$d"))
         .select($"src", $"nbr").localCheckpoint(true)
       val t2 = System.nanoTime()
@@ -381,32 +396,45 @@ object KnnGraph {
     * rounds PREFIX-SHARE with plain [[buildCached]] consumers of the
     * same corpus (the policy extends the rounds a fixed-depth caller
     * built, and vice versa). Distinct prune parameters (degree, alpha,
-    * candBeamRounds) on the SAME key hit the depth-keyed prune dirs'
-    * fingerprint guard loudly — callers wanting a different serving
-    * budget on one corpus must use their own workDir via
-    * [[buildToServedRecall]]. `graft.noBuildCache` restores the
-    * ephemeral fresh-workDir behavior for probes that measure the
-    * policy itself. */
+    * candBeamRounds) and entry disciplines on the SAME key COEXIST:
+    * the prune dir names carry them (plus the caller's `entriesTag`,
+    * e.g. [[entriesTagOf]] over the routing centroids), so a second
+    * caller with a different serving budget computes its own dir
+    * family instead of tripping the first family's fingerprint guard
+    * (r15 advice). `graft.noBuildCache` restores the ephemeral
+    * fresh-workDir behavior for probes that measure the policy
+    * itself. */
   def buildPolicyCached(vecs: DataFrame, corpusKey: String, k: Int,
       maxRounds: Int, degree: Int, alpha: Double, candBeamRounds: Int,
       serveK: Int, serveBeamRounds: Int, nProbes: Int = 16,
       eps: Double = 0.02, step: Int = 2,
-      entriesFor: Option[DataFrame => DataFrame] = None):
+      entriesFor: Option[DataFrame => DataFrame] = None,
+      entriesTag: String = ""):
       (Seq[DataFrame], Int, DataFrame, Seq[(Int, Double)]) = {
     if (sys.props.get("graft.noBuildCache").contains("1"))
       return buildToServedRecall(vecs, k, maxRounds,
         graft.util.Scratch.tempDir(s"graft-knng-policy-$k"), degree,
         alpha, candBeamRounds, serveK, serveBeamRounds, nProbes, eps,
-        step, entriesFor)
+        step, entriesFor, entriesTag)
     val key = (corpusKey, k)
     sharedBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
       val wd = sharedBuildDirs.computeIfAbsent(key,
         _ => graft.util.Scratch.tempDir(s"graft-knng-$k"))
       buildToServedRecall(vecs, k, maxRounds, wd, degree, alpha,
         candBeamRounds, serveK, serveBeamRounds, nProbes, eps, step,
-        entriesFor)
+        entriesFor, entriesTag)
     }
   }
+
+  /** A filesystem-safe content tag for an entry discipline derived
+    * from routing centroids — folded into the policy prune dir name so
+    * [[plannedEntries]] over DIFFERENT centroids (another cells count,
+    * another training sample) gets its own coexisting dir family
+    * rather than a fingerprint hard-fail. MurmurHash3 over the nested
+    * Seq contents: deterministic across JVMs (pure function of the
+    * doubles), 8 hex chars. */
+  def entriesTagOf(cents: Seq[Seq[Double]]): String =
+    f"c${cents.length}_${scala.util.hashing.MurmurHash3.seqHash(cents.map(_.hashCode)) & 0x7fffffff}%08x"
 
   // pruneCached (a process-shared durable prune keyed by caller-named
   // candidate lineage) lived here through r14; sq28 — its only caller —
@@ -486,7 +514,7 @@ object KnnGraph {
     * [[slotEntries]] (real, erase-aware store members) instead. */
   def searchCandidates(vecs: DataFrame, graph: DataFrame, k: Int,
       beamRounds: Int, entries: Option[DataFrame] = None,
-      querySlices: Int = 0): DataFrame = {
+      querySlices: Int = 0, corpusCount: Long = -1L): DataFrame = {
     import vecs.sparkSession.implicits._
     val queries = vecs.select($"vec_id".as("qid"), $"v")
     val und = graph.select($"src", $"nbr")
@@ -509,18 +537,40 @@ object KnnGraph {
     // union of sliced pools ≡ the unsliced pool — SearchCandidatesSpec
     // pins it); each slice's peak state shrinks by the slice count at
     // the cost of serialized waves. Default derives ~50k queries per
-    // slice; pass 1 to force the single-wave shape.
+    // slice (from `corpusCount` when the caller already knows n — a
+    // multi-depth policy run would otherwise pay one count() job per
+    // evaluated depth); pass querySlices=1 to force the single-wave
+    // shape.
     val nSlices = if (querySlices > 0) querySlices
-      else math.max(1L, math.ceil(queries.count() / 50000.0).toLong).toInt
+      else {
+        val nq = if (corpusCount >= 0) corpusCount else queries.count()
+        math.max(1L, math.ceil(nq / 50000.0).toLong).toInt
+      }
     val poolOf: DataFrame => DataFrame = qs =>
       beamTrace(entries.map(_.join(qs.select($"qid"), Seq("qid"), "left_semi"))
           .getOrElse(ringEntries(vecs, qs)),
         expand, keep, beamRounds).last._2
     val pool = if (nSlices <= 1) poolOf(queries)
-      else (0 until nSlices).map { s =>
-        poolOf(queries.filter(pmod($"qid", lit(nSlices.toLong)) === s))
-          .localCheckpoint(true)
-      }.reduce(_ union _)
+      else {
+        // materialize the merged pool ONCE, then free the per-slice
+        // checkpoint blocks immediately: the merged frame is (qid,
+        // node) pairs — vectors long detached, ~n·(1+rounds·k) rows —
+        // while each slice pool held the same rows in its own blocks;
+        // keeping both until the 2-minute periodic GC fired re-created
+        // a slice-count's worth of the disk pressure slicing exists to
+        // remove (r15 advice).
+        val slices = (0 until nSlices).map { s =>
+          poolOf(queries.filter(pmod($"qid", lit(nSlices.toLong)) === s))
+            .localCheckpoint(true)
+        }
+        val merged = slices.reduce(_ union _).localCheckpoint(true)
+        slices.foreach(_.unpersist(blocking = false))
+        // the undirected closure's blocks are likewise dead once every
+        // slice's walk has run (the single-wave path returns a LAZY
+        // pool, so only the sliced path may free it here)
+        und.unpersist(blocking = false)
+        merged
+      }
     scoreEdges(vecs,
       pool.filter($"qid" =!= $"node").select($"qid".as("src"), $"node".as("nbr"))
         .union(graph.select($"src", $"nbr"))
@@ -1014,8 +1064,8 @@ object KnnGraph {
     * re-seed a pool or warm-start a search at an erased node). The
     * sidecar is ≤cells/slots rows, so the rewrite is a driver-bounded
     * collect + one tiny staged file ([[replaceEntriesSidecar]]). */
-  private def dropEntryRows(spark: SparkSession, path: String,
-      victims: Seq[Long]): Unit = {
+  private[graft] def dropEntryRows(spark: SparkSession, path: String,
+      victims: Seq[Long]): Unit = sidecarLock(path).synchronized {
     import spark.implicits._
     val entriesPath = new org.apache.hadoop.fs.Path(path, "_graft_entries")
     val hfs = entriesPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1028,6 +1078,51 @@ object KnnGraph {
     }
   }
 
+  /** Append entry rows (cid, node, node_bucket) to a store's
+    * `_graft_entries` sidecar through the SAME read-snapshot → staged
+    * swap discipline every other sidecar mutation uses — never a bare
+    * `mode("append")` into the live dir. A bare append races the
+    * read-then-rename of a concurrent [[dropEntryRows]] (erase) or
+    * [[writeEntries]] refresh: whichever reader snapshotted before the
+    * append and renamed after it silently drops the appended rows (or
+    * strands them under `_graft_entries__old`) — breaking
+    * [[graft.streaming.StreamingGraphIngest]]'s findability-by-
+    * construction invariant with no error. Routing the append through
+    * the per-store [[sidecarLock]] + [[replaceEntriesSidecar]] makes
+    * every in-process sidecar mutation atomic with respect to every
+    * other (ComposedGraphStoreSpec races them). Cross-PROCESS writers
+    * remain the store contract's single-writer responsibility — the
+    * lifecycle registry's version pin is the cross-process mechanism
+    * (a maintainer publishes a NEW version; it never mutates a store
+    * another process is mutating). */
+  private[graft] def appendEntryRows(spark: SparkSession, path: String,
+      rows: DataFrame): Unit = sidecarLock(path).synchronized {
+    val entriesPath = new org.apache.hadoop.fs.Path(path, "_graft_entries")
+    val hfs = entriesPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      if (hfs.exists(entriesPath))
+        spark.read.parquet(entriesPath.toString).unionByName(rows)
+      else rows
+    // snapshot to the driver BEFORE the swap: the union's sidecar leg
+    // reads the dir replaceEntriesSidecar is about to rename — a lazy
+    // frame would evaluate mid-swap and read a half-staged path
+    val local = merged.collect()
+    replaceEntriesSidecar(spark, path,
+      spark.createDataFrame(
+        java.util.Arrays.asList(local: _*), merged.schema))
+  }
+
+  /** Per-store monitor serializing every in-process `_graft_entries`
+    * mutation (replace, drop, append): the sidecar swap is
+    * read-snapshot → staged write → rename, and two interleaved
+    * mutators can silently lose one side's rows (see
+    * [[appendEntryRows]]). Keyed by the store path string — one JVM,
+    * one store, one mutation at a time. */
+  private val sidecarLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def sidecarLock(storePath: String): Object =
+    sidecarLocks.computeIfAbsent(storePath, _ => new Object)
+
   /** Durably replace a store's `_graft_entries` sidecar: the new
     * content lands WHOLLY under an underscore-prefixed staging dir
     * (invisible to the store's own scans) before the old sidecar is
@@ -1039,9 +1134,10 @@ object KnnGraph {
     * then conflate a crashed erase with a fresh build). Staging shrinks
     * the vulnerable window from a whole Spark write job to one
     * metadata rename, and a crash there leaves the previous sidecar
-    * recoverable under `_graft_entries__old`. */
+    * recoverable under `_graft_entries__old`. Serialized per store via
+    * [[sidecarLock]] (reentrant for callers already holding it). */
   private def replaceEntriesSidecar(spark: SparkSession, storePath: String,
-      rows: DataFrame): Unit = {
+      rows: DataFrame): Unit = sidecarLock(storePath).synchronized {
     val fin = new org.apache.hadoop.fs.Path(storePath, "_graft_entries")
     val tmp = new org.apache.hadoop.fs.Path(storePath, "_graft_entries__staging")
     val old = new org.apache.hadoop.fs.Path(storePath, "_graft_entries__old")

@@ -227,9 +227,13 @@ object StreamingGraphIngest {
     // refresh (a reprune/rebuild publishing a new version) resets the
     // sidecar to the n-scaled density, by which time the re-prune has
     // given the node real in-link coverage. Erase drops sidecar rows,
-    // so a retracted arrival can't linger.
-    newCell.toSeq.toDF("node", "cid")
-      .select($"cid", $"node", $"cid".as("node_bucket"))
-      .write.mode("append").parquet(s"$storePath/_graft_entries")
+    // so a retracted arrival can't linger. The append rides KnnGraph's
+    // staged-swap sidecar mutator (per-store lock + snapshot + rename)
+    // — a bare mode("append") into the live dir would race a
+    // concurrent erase's read-then-rename and silently lose this
+    // arrival's entry row (r15 advice, closed).
+    KnnGraph.appendEntryRows(spark, storePath,
+      newCell.toSeq.toDF("node", "cid")
+        .select($"cid", $"node", $"cid".as("node_bucket")))
   }
 }

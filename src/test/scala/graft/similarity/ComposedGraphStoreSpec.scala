@@ -145,4 +145,52 @@ class ComposedGraphStoreSpec extends AnyFunSuite {
     assert(!v2.exists(_._2 == newId), "v2 answered the erased node")
     vecs.unpersist()
   }
+
+  test("concurrent entry appends and erases never lose a surviving sidecar row") {
+    // The r15-advice race: a bare mode("append") into _graft_entries
+    // interleaved with an erase's read-snapshot → rename silently drops
+    // whichever side lost the rename race. appendEntryRows +
+    // dropEntryRows now serialize on the per-store sidecar lock, so
+    // ANY interleaving of N appends and M erases of DISTINCT nodes
+    // must end with exactly (initial + N − M) rows: every appended
+    // row present except the explicitly erased ones. 8 threads hammer
+    // one store; the assertion is exact, not statistical.
+    import spark.implicits._
+    val vecs = corpus()
+    val (root, _, _, _) = buildComposed(vecs)
+    val initial = spark.read.parquet(s"$root/g/_graft_entries")
+      .select($"node").as[Long].collect().toSet
+    val appended = (0 until 24).map(i => 2000000L + i)
+    val erased = appended.take(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val appends = appended.map { id =>
+      scala.concurrent.Future {
+        KnnGraph.appendEntryRows(spark, s"$root/g",
+          Seq((0, id, 0)).toDF("cid", "node", "node_bucket"))
+      }
+    }
+    // erases run only after their target's append landed (a drop of a
+    // never-appended node is a no-op and would weaken the count check);
+    // dropEntryRows is the sidecar leg every erase path shares
+    val drops = erased.zip(appends.take(8)).map { case (id, fut) =>
+      fut.flatMap { _ =>
+        scala.concurrent.Future {
+          KnnGraph.dropEntryRows(spark, s"$root/g", Seq(id))
+        }
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(appends ++ drops),
+      scala.concurrent.duration.Duration(300, "seconds"))
+    pool.shutdown()
+    val fin = spark.read.parquet(s"$root/g/_graft_entries")
+      .select($"node").as[Long].collect().toSet
+    val expected = initial ++ appended -- erased
+    assert(fin == expected,
+      s"sidecar lost rows under concurrency: missing=${(expected -- fin).take(8)} " +
+        s"extra=${(fin -- expected).take(8)}")
+    vecs.unpersist()
+  }
 }
