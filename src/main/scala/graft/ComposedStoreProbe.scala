@@ -200,7 +200,31 @@ object ComposedStoreProbe {
         println(f"""{"probe":"composed_store","corpus":"$label","build_rounds":$depth,"beam_rounds":$beamRounds,"phase":"$phase","ms_per_q":$ms%.1f,"recall":$recall%.3f,"exact_ms_per_q":$msX%.1f,"exact_recall":$recallX%.3f,"n_q":$nq}""")
       }
       serve(s"$root/g", "serve")
-      // arrivals are PERTURBED clones (first coordinate × 1.01), not
+      // ADC CEILING SWEEP (r15 verdict #5): the standard two-stage
+      // recipe's knobs measured on THIS store — rerank width W (exact
+      // re-rank of the ADC top-W; sweeps shortlist saturation at the
+      // default walk) and beam width L (per-round ADC keep; lifts the
+      // walk's pool ceiling, served at W = 2L). One JSON line per
+      // point; recall against the same brute-force truth.
+      val adcWidths = sys.env.getOrElse("SPARK_GRAFT_ADC_WIDTHS", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+      val adcBeams = sys.env.getOrElse("SPARK_GRAFT_ADC_BEAMS", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+      def sweepPoint(l: Int, w: Int): Unit = {
+        val t0 = System.nanoTime()
+        val ans = KnnGraph.serveFromStoresClusteredPqWarm(spark, s"$root/g",
+            s"$root/codes", s"$root/vec", qv, cb, k, beamRounds,
+            rerankWidth = w, beamWidth = l)
+          .localCheckpoint(true)
+        ans.count()
+        val ms = (System.nanoTime() - t0) / 1e6 / nq
+        val recall = ans.join(bf, Seq("qid", "node"), "left_semi").count()
+          .toDouble / (nq * k)
+        println(f"""{"probe":"composed_store","corpus":"$label","phase":"adc_sweep","beam_width":$l,"rerank_width":$w,"ms_per_q":$ms%.1f,"recall":$recall%.3f,"n_q":$nq}""")
+      }
+      adcWidths.foreach(w => sweepPoint(k, w))
+      adcBeams.foreach(l => sweepPoint(l, 2 * l))
+      // arrivals are PERTURBED clones (first coordinate moved), not
       // exact copies: the key-shifted replica holds `factor` exact
       // duplicates of every base vector, so a clone's true top-k under
       // (cos DESC, node ASC) is the k smallest-id duplicates and a
@@ -294,6 +318,12 @@ object ComposedStoreProbe {
             .filter($"node" === $"qid" - 4000000L).count()
           emit(s"cycle${c}_insert", insertWall, foundC / 4.0, 4)
           val vic = (0 until 4).map(_ + base)
+          // victims' cells recorded BEFORE the erase drops their
+          // vectors — the incremental rung routes the repair scope by
+          // cell, and an erased victim has nothing left to route by
+          val vicCells = arr
+            .select(KnnGraph.clusterOf($"v", cents).as("c"))
+            .distinct().as[Int].collect().toSeq
           val tEc = System.nanoTime()
           KnnGraph.eraseStoredClustered(spark, cur, vic,
             vecPath = s"$root/vec", eraseVectors = true,
@@ -301,11 +331,27 @@ object ComposedStoreProbe {
           emit(s"cycle${c}_erase", (System.nanoTime() - tEc) / 1e9, 0, 4)
           allVictims ++= vic
           val next = s"$root/g_c$c"
+          // SPARK_GRAFT_REPRUNE=incremental swaps the full index-sized
+          // re-prune for the churn-scoped rung (r15 verdict #2): scope
+          // = this cycle's churned ids + their cells; the emitted
+          // metric is |scope| so the cost-follows-churn claim is
+          // checkable in-row against the full arm's n
+          val repruneMode = sys.env.getOrElse("SPARK_GRAFT_REPRUNE", "full")
           val tRc = System.nanoTime()
-          KnnGraph.repruneStored(spark, cur, s"$root/vec", next,
-            degree, alpha, k, beamRounds = 3,
-            Some(s"$workRoot/$label/reprune_c${c}_b$depth$poolSuffix"))
-          emit(s"cycle${c}_reprune", (System.nanoTime() - tRc) / 1e9, 0, n)
+          val scopeN =
+            if (repruneMode == "incremental")
+              KnnGraph.repruneStoredIncremental(spark, cur, s"$root/vec",
+                next, degree, alpha, k, beamRounds = 3,
+                churnedIds = vic, extraCells = vicCells,
+                Some(s"$workRoot/$label/ireprune_c${c}_b${depth}_s$beamRounds$poolSuffix"))
+            else {
+              KnnGraph.repruneStored(spark, cur, s"$root/vec", next,
+                degree, alpha, k, beamRounds = 3,
+                Some(s"$workRoot/$label/reprune_c${c}_b${depth}_s$beamRounds$poolSuffix"))
+              n
+            }
+          emit(s"cycle${c}_reprune_$repruneMode",
+            (System.nanoTime() - tRc) / 1e9, scopeN.toDouble, n)
           cur = next
           // cross-cycle erasure invariant: the freshly published
           // version must serve NO victim from any prior cycle

@@ -55,7 +55,23 @@ object ScaleProbe {
       * The 1× baseline is ALSO written through this path so both sides
       * share file count and layout — timing the raw single-row-group
       * fixture against a 32-file replica would compare scan parallelism,
-      * not per-row scaling. */
+      * not per-row scaling.
+      *
+      * EMBEDDINGS replicate PERTURBED-UNIQUE (r15 verdict #1): a pure
+      * key-shift leaves `n` exact copies of every base vector, which
+      * degenerates the true-neighbor structure — each query's top-k is
+      * mostly its own clones, concentrated in its cell, inflating the
+      * absolute recall of any cell-routed entry discipline and
+      * saturating ADC shortlists with code-identical duplicates (the
+      * r15 0.930/0.969 headline rode exactly this). Copy i > 0 moves
+      * coordinate (i mod dim) by an ADDITIVE epsilon scaled by the
+      * copy index — x + (0.01 + 0.001·i)·(|x|+1) — so every copy is
+      * unique pairwise (coordinates collide only at i ≡ j mod dim,
+      * where the epsilons differ), stays near its base (cluster
+      * structure scales instead of shattering), and no zero coordinate
+      * can silently degenerate back to a clone. Copy 0 IS the base
+      * corpus. Deterministic — no RNG, so replicas are reproducible
+      * and cacheable. */
     def replicate(name: String, keyCols: Seq[String], n: Int, dir: String): Unit = {
       val path = s"$dir/$name.parquet"
       // cache-validity = the _SUCCESS marker, not bare existence: a prior
@@ -81,10 +97,22 @@ object ScaleProbe {
           s"replica keys for $name.$k overflow ${df.schema(k).dataType} " +
             s"at factor $n; promote the key to long before probing")
       }
+      val embDim: Int =
+        if (name == "embeddings")
+          df.select(size(col("embedding"))).head().getInt(0)
+        else 0
       val copies = (0 until n).map { i =>
-        keyCols.foldLeft(df) { (d, k) =>
+        val shifted = keyCols.foldLeft(df) { (d, k) =>
           d.withColumn(k, (col(k) + lit(shift(k) * i)).cast(df.schema(k).dataType))
         }
+        if (name == "embeddings" && i > 0) {
+          val eps = 0.01 + 0.001 * i
+          shifted.withColumn("embedding",
+            transform(col("embedding"), (x, idx) =>
+              when(idx === (i % embDim),
+                (x + lit(eps) * (abs(x) + lit(1.0))).cast("float"))
+                .otherwise(x)))
+        } else shifted
       }
       copies.reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
@@ -120,6 +148,10 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_PROBES= (empty) turns the run into replica
+    // materialization only — how the ANN probes regenerate their
+    // perturbed-unique corpora without timing anything here
+    if (probes.isEmpty) { spark.stop(); return }
     val results = probes.map { q =>
       // untimed warm run on BOTH sides first: codegen compiles on the
       // first execution of each plan (AQE can pick different strategies

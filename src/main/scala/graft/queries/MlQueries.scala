@@ -543,10 +543,110 @@ object MlQueries {
       FrozenJobKmeans.minDistCol(c => col(s"d$c")).as("dist2"))
   }
 
+  /** FROZEN TF-IDF DOCUMENT SCORING, hash-checked (r15 verdict #4):
+    * the reference's FOURTH persisted serving pipeline — the
+    * job_attractiveness_lr_v1 TEXT leg (Tokenizer → StopWords →
+    * HashingTF(3000) → IDF, stages 04–07 of the persisted model) —
+    * with the trained IDF vector frozen as published constants
+    * ([[graft.ml.FrozenJobTfidf]], provenance + vector-exact replay
+    * validation in [[graft.ml.FreezeTfidf]]). mq13 proved trees, mq14
+    * margins, mq15 centroids; the text leg completes the zoo and adds
+    * the two genuinely new replication problems:
+    *   - the FEATURE HASH: HashingTF's murmur3 (hashUnsafeBytes2,
+    *     seed 42) is NOT SQL `hash()` — the Spark side uses the native
+    *     codegen'd [[graft.functions.MlMurmur3]] (the same platform
+    *     method the model called), and the DuckDB oracle replays the
+    *     algorithm arithmetically over each DISTINCT token
+    *     (CREATE MACRO murmur3 over 32-bit-masked BIGINTs);
+    *   - ORDER-SENSITIVE double folds: the per-doc norm² and top-term
+    *     reductions fold left-associated over ASCENDING buckets in
+    *     both engines (Spark `aggregate` over the sorted distinct
+    *     array ≡ DuckDB `list_reduce` over `list(… ORDER BY bucket)`),
+    *     so the doubles hash identically.
+    * The row hashes, per posting: clean-token count, distinct-bucket
+    * count, the TF-IDF norm², and the top-weighted bucket with its
+    * weight (strict-> fold ≡ `ORDER BY w DESC, bucket`) — over all
+    * 12,857 postings.
+    *
+    * 100 TB: per-row projection (tokenize + hash + fold in one
+    * whole-stage-codegen'd map, no shuffle, no model object); the
+    * oracle's distinct-token hashing is checker-side only. */
+  val mq16FrozenTfidfScoring: QueryDef = QueryDef.sqlChecked(
+    "mq16_frozen_tfidf_scoring", {
+      import graft.ml.FrozenJobTfidf
+      val text = "concat_ws(' ', job_title, job_fields, skills)"
+      s"""${FrozenJobTfidf.murmurMacrosSql}
+         |WITH ${graft.etl.JobsFixture.duckParsedSql},
+         |labeled AS (
+         |  SELECT *,
+         |    coalesce(salary_avg, (salary_min + salary_max) / 2, 0.0) AS salary_final,
+         |    coalesce(exp_avg_year, exp_min_year, 0.0) AS exp_final
+         |  FROM etl),
+         |postings AS (
+         |  SELECT * FROM labeled
+         |  WHERE salary_final > 0 AND salary_final <= 200
+         |    AND exp_final >= 0 AND exp_final <= 30),
+         |docs AS MATERIALIZED (
+         |  SELECT job_id,
+         |  ${FrozenJobTfidf.cleanTokensSql(text)} AS ctoks
+         |  FROM postings),
+         |tok_rows AS MATERIALIZED (
+         |  SELECT job_id, unnest(ctoks) AS t FROM docs),
+         |vocab AS MATERIALIZED (SELECT DISTINCT t FROM tok_rows),
+         |${FrozenJobTfidf.vocabBucketsSql("vocab")},
+         |${FrozenJobTfidf.idfTableSql},
+         |tfs AS MATERIALIZED (
+         |  SELECT job_id, bucket, count(*) AS tf
+         |  FROM tok_rows JOIN g_vbucket USING (t) GROUP BY 1, 2),
+         |terms AS MATERIALIZED (
+         |  SELECT job_id, bucket, tf::DOUBLE * w AS wgt
+         |  FROM tfs JOIN g_idf USING (bucket)),
+         |agg AS (
+         |  SELECT job_id,
+         |    CAST(count(*) AS INTEGER) AS n_buckets,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(wgt * wgt ORDER BY bucket)),
+         |      (a, b) -> a + b) AS tfidf_norm2
+         |  FROM terms GROUP BY job_id),
+         |ntc AS (
+         |  SELECT job_id, CAST(sum(tf) AS INTEGER) AS n_terms
+         |  FROM tfs GROUP BY job_id),
+         |top AS (
+         |  SELECT job_id, bucket AS top_bucket, wgt AS top_weight FROM (
+         |    SELECT job_id, bucket, wgt,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY wgt DESC, bucket ASC) AS rn
+         |    FROM terms) WHERE rn = 1)
+         |SELECT d.job_id,
+         |  coalesce(n.n_terms, 0) AS n_terms,
+         |  coalesce(a.n_buckets, 0) AS n_buckets,
+         |  coalesce(a.tfidf_norm2, 0.0) AS tfidf_norm2,
+         |  coalesce(t.top_bucket, -1) AS top_bucket,
+         |  coalesce(t.top_weight, -1.0) AS top_weight
+         |FROM docs d
+         |LEFT JOIN agg a USING (job_id)
+         |LEFT JOIN ntc n USING (job_id)
+         |LEFT JOIN top t USING (job_id)""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    import graft.ml.FrozenJobTfidf
+    val df = featurizedJobs(spark, dir)
+      .withColumn("ftx",
+        concat_ws(" ", $"job_title", $"job_fields", $"skills"))
+    df.withColumn("ctoks", FrozenJobTfidf.cleanTokensCol($"ftx"))
+      .withColumn("buckets", FrozenJobTfidf.bucketsCol($"ctoks"))
+      .withColumn("terms", FrozenJobTfidf.termsCol($"buckets"))
+      .withColumn("top", FrozenJobTfidf.topCol($"terms"))
+      .select($"job_id",
+        size($"ctoks").as("n_terms"),
+        size($"terms").as("n_buckets"),
+        FrozenJobTfidf.norm2Col($"terms").as("tfidf_norm2"),
+        $"top"("bucket").as("top_bucket"),
+        $"top"("w").as("top_weight"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     mq01KmeansEmbeddings, mq02KmeansJobs, mq03RfSalary, mq04GbtHotScore,
     mq05LogisticAttractiveness, mq06TfidfDocs, mq07Word2vecSynonyms,
     mq08LdaTopics, mq09AttractivenessLrV1, mq10QualityFilterLr, mq11SemDedup,
     mq12CvTuning, mq13FrozenRfInference, mq14FrozenLrServing,
-    mq15FrozenKmeansAssign)
+    mq15FrozenKmeansAssign, mq16FrozenTfidfScoring)
 }

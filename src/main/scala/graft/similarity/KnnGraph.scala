@@ -514,9 +514,22 @@ object KnnGraph {
     * [[slotEntries]] (real, erase-aware store members) instead. */
   def searchCandidates(vecs: DataFrame, graph: DataFrame, k: Int,
       beamRounds: Int, entries: Option[DataFrame] = None,
-      querySlices: Int = 0, corpusCount: Long = -1L): DataFrame = {
+      querySlices: Int = 0, corpusCount: Long = -1L,
+      subset: Option[DataFrame] = None): DataFrame = {
     import vecs.sparkSession.implicits._
-    val queries = vecs.select($"vec_id".as("qid"), $"v")
+    // `subset` (a qid frame) restricts candidate generation to those
+    // nodes — the incremental-reprune scope ([[repruneStoredIncremental]]):
+    // walks run only for subset queries, and the current-edge union
+    // keeps only subset-sourced edges, so the returned candidate frame
+    // (hence the downstream prune) is subset-sized. The walks still
+    // navigate the FULL graph — scope bounds whose neighborhoods are
+    // regenerated, never where their searches may travel.
+    val queries = subset match {
+      case Some(s) => vecs.select($"vec_id".as("qid"), $"v")
+        .join(s.select($"qid"), Seq("qid"), "left_semi")
+        .localCheckpoint(true)
+      case None => vecs.select($"vec_id".as("qid"), $"v")
+    }
     val und = graph.select($"src", $"nbr")
       .union(graph.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
       .localCheckpoint(true)
@@ -571,9 +584,14 @@ object KnnGraph {
         und.unpersist(blocking = false)
         merged
       }
+    val currentEdges = subset match {
+      case Some(s) => graph.select($"src", $"nbr")
+        .join(s.select($"qid".as("src")), Seq("src"), "left_semi")
+      case None => graph.select($"src", $"nbr")
+    }
     scoreEdges(vecs,
       pool.filter($"qid" =!= $"node").select($"qid".as("src"), $"node".as("nbr"))
-        .union(graph.select($"src", $"nbr"))
+        .union(currentEdges)
         .distinct())
   }
 
@@ -624,6 +642,93 @@ object KnnGraph {
       .select($"src", $"nbr")
     writeStoreClustered(pruned, vecs, outPath, cents)
     writeEntries(vecs, outPath)
+  }
+
+  /** INCREMENTAL (cell-scoped) RE-PRUNE — FreshDiskANN's
+    * delta-consolidate (Singh et al. 2021 §4.2, StreamingMerge) as the
+    * maintenance rung whose cost scales with CHURN, not index size
+    * (r15 verdict #2: a full [[repruneStored]] re-candidates all n
+    * nodes for a 4-insert/4-erase cycle — 633–775 s at 200k). The
+    * re-prune scope is
+    *
+    *   S = members of churn-touched cells (arrival cells via the
+    *       store's centroids, erased victims' cells via `extraCells` —
+    *       a victim has no vector left to route by)
+    *     ∪ the 1-hop graph fringe of `churnedIds` still in the store
+    *       (the nodes whose neighborhoods the insert back-edges
+    *       perturbed),
+    *
+    * candidates are regenerated by searches FOR S's vectors over the
+    * FULL current graph ([[searchCandidates]] `subset` — scope bounds
+    * whose lists are rebuilt, never where searches travel), α-pruned at
+    * the serving budget, and SPLICED: every stored edge incident to S
+    * is dropped, S's fresh pruned edges replace them, and edges between
+    * untouched nodes survive verbatim (the writer re-symmetrizes, so
+    * S↔non-S structure is exactly what S's new prune retains — the
+    * delete-repair semantic: a victim's former neighbors sit in its
+    * cell and get their lists rebuilt). Publishes a NEW store version
+    * at `outPath` (same centroids, fresh entries) for the lifecycle
+    * registry, like every rebuild. Returns |S|.
+    *
+    * 100 TB: candidate walks are |S|-bounded (beam rounds over the
+    * stored graph), the prune is r passes over an |S|·L candidate
+    * list, and the splice is one index-sized read + anti-join + write —
+    * cycle cost follows accumulated churn (cells touched), with the
+    * full [[repruneStored]] as the occasional deep-consolidate rung. */
+  def repruneStoredIncremental(spark: SparkSession, graphPath: String,
+      vecPath: String, outPath: String, degree: Int, alpha: Double,
+      k: Int, beamRounds: Int, churnedIds: Seq[Long],
+      extraCells: Seq[Int] = Nil,
+      pruneWorkDir: Option[String] = None): Long = {
+    import spark.implicits._
+    val vecs = spark.read.parquet(vecPath)
+      .select($"vec_id", $"v").distinct().localCheckpoint(true)
+    val graph = spark.read.parquet(graphPath).select($"src", $"nbr")
+      .localCheckpoint(true)
+    val cents = centroidsOf(spark, graphPath)
+    val assign = vecs.select($"vec_id", clusterOf($"v", cents).as("c"))
+    // cells touched by churn: arrivals still present route by their
+    // vector; erased victims' cells arrive via extraCells (recorded by
+    // the maintainer at erase time, when the vector still existed)
+    val churnCells =
+      (if (churnedIds.nonEmpty)
+        assign.filter($"vec_id".isin(churnedIds: _*))
+          .select($"c").distinct().as[Int].collect().toSeq
+      else Nil) ++ extraCells
+    val cellMembers =
+      if (churnCells.nonEmpty)
+        assign.filter($"c".isin(churnCells.distinct: _*)).select($"vec_id")
+      else spark.emptyDataset[Long].toDF("vec_id")
+    val fringe =
+      if (churnedIds.nonEmpty)
+        graph.filter($"nbr".isin(churnedIds: _*)).select($"src".as("vec_id"))
+          .union(graph.filter($"src".isin(churnedIds: _*))
+            .select($"nbr".as("vec_id")))
+      else spark.emptyDataset[Long].toDF("vec_id")
+    val scope = cellMembers.union(fringe).distinct()
+      // fringe ids may reference rows erased since the edges were wired
+      .join(vecs.select($"vec_id"), Seq("vec_id"), "left_semi")
+      .select($"vec_id".as("qid")).localCheckpoint(true)
+    val nScope = scope.count()
+    if (nScope == 0) {
+      // nothing to repair: the new version is the old adjacency verbatim
+      writeStoreClustered(graph, vecs, outPath, cents)
+      writeEntries(vecs, outPath)
+      return 0L
+    }
+    val prunedScope = robustPrune(vecs,
+        searchCandidates(vecs, graph, k, beamRounds,
+          entries = Some(slotEntries(spark, vecPath, scope)),
+          corpusCount = nScope, subset = Some(scope)),
+        degree, alpha, pruneWorkDir)
+      .select($"src", $"nbr")
+    val untouched = graph
+      .join(scope.select($"qid".as("src")), Seq("src"), "left_anti")
+      .join(scope.select($"qid".as("nbr")), Seq("nbr"), "left_anti")
+      .select($"src", $"nbr")
+    writeStoreClustered(untouched.union(prunedScope), vecs, outPath, cents)
+    writeEntries(vecs, outPath)
+    nScope
   }
 
   /** REFINE — NN-Descent tightening rounds seeded from an EXISTING
@@ -1991,10 +2096,11 @@ object KnnGraph {
   def serveFromStoresPq(spark: SparkSession, graphPath: String,
       codesPath: String, vecPath: String, queries: DataFrame,
       cb: Seq[Seq[Seq[Double]]], k: Int, beamRounds: Int,
-      entries: Option[DataFrame] = None): DataFrame =
+      entries: Option[DataFrame] = None, rerankWidth: Int = 0): DataFrame =
     pqServeHead(spark, codesPath, vecPath, queries, cb, k, beamRounds,
       entries.getOrElse(ringEntries(spark.read.parquet(codesPath), queries)),
-      expandStored(spark, graphPath, _), carry = Nil)
+      expandStored(spark, graphPath, _), carry = Nil,
+      rerankWidth = rerankWidth)
 
   /** THE quantized serving walk both PQ heads share — [[beamTrace]]'s
     * skeleton with the ADC scorer ([[serveFromStoresPq]] on the hash
@@ -2007,7 +2113,8 @@ object KnnGraph {
   private def pqServeHead(spark: SparkSession, codesPath: String,
       vecPath: String, queries: DataFrame, cb: Seq[Seq[Seq[Double]]],
       k: Int, beamRounds: Int, entries: DataFrame,
-      expand: DataFrame => DataFrame, carry: Seq[String]): DataFrame = {
+      expand: DataFrame => DataFrame, carry: Seq[String],
+      rerankWidth: Int = 0, beamWidth: Int = 0): DataFrame = {
     import spark.implicits._
     val m = cb.length
     val sub = cb.head.head.length
@@ -2027,13 +2134,24 @@ object KnnGraph {
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy($"adist".asc, $"node")))
       .filter($"rn" <= keep).select(keepCols: _*)
+    // `beamWidth` (DiskANN's L) widens the per-round ADC keep past k:
+    // the pool a query can ever re-rank is ≈ entries + rounds·L rows,
+    // so past the shortlist knob the WALK's coverage is the other
+    // recall ceiling — the probe sweep measures both
     val pool = beamTrace(entries, expand,
-      fresh => adcKeep(fresh.localCheckpoint(true), k),
+      fresh => adcKeep(fresh.localCheckpoint(true),
+        if (beamWidth > 0) beamWidth else k),
       beamRounds).last._2
+    // the exact re-rank's shortlist width is the quantization-error
+    // recovery knob (the standard two-stage recipe: ADC ranks, exact
+    // re-ranks the top-W): W = 2k default; the composed-store probe's
+    // ADC sweep (SPARK_GRAFT_ADC_WIDTHS) measures the recall-vs-W
+    // U-curve that justifies it
     val shortlist = adcKeep(
-      pool.filter($"node" =!= $"qid").localCheckpoint(true), 2 * k)
+      pool.filter($"node" =!= $"qid").localCheckpoint(true),
+      if (rerankWidth > 0) rerankWidth else 2 * k)
       .select($"qid", $"node").localCheckpoint(true)
-    // the loop's ONLY full-precision reads: ≤ 2k vectors per query
+    // the loop's ONLY full-precision reads: ≤ max(2k, W) vectors per query
     shortlist
       .join(broadcast(queries), Seq("qid"))
       .join(fetchVectors(spark, vecPath, shortlist)
@@ -2063,10 +2181,12 @@ object KnnGraph {
     * query at the end — nothing corpus-sized anywhere. */
   def serveFromStoresClusteredPqWarm(spark: SparkSession, graphPath: String,
       codesPath: String, vecPath: String, queries: DataFrame,
-      cb: Seq[Seq[Seq[Double]]], k: Int, beamRounds: Int): DataFrame =
+      cb: Seq[Seq[Seq[Double]]], k: Int, beamRounds: Int,
+      rerankWidth: Int = 0, beamWidth: Int = 0): DataFrame =
     pqServeHead(spark, codesPath, vecPath, queries, cb, k, beamRounds,
       storedEntries(spark, graphPath, queries),
-      expandClustered(spark, graphPath, _), carry = Seq("node_bucket"))
+      expandClustered(spark, graphPath, _), carry = Seq("node_bucket"),
+      rerankWidth = rerankWidth, beamWidth = beamWidth)
 
   /** Driver-side replica of [[graft.functions.CosineSimilarity]]'s
     * arithmetic — same accumulation order, same final division, so the
