@@ -293,12 +293,8 @@ object KnnGraph {
     // different degree/α/centroids hard-failed where it should have
     // computed). Entry-consistent prunes still get their own family:
     // their candidates differ from ring-start prunes.
-    val pruneDirTag = {
-      val e = if (entriesFor.isDefined)
-        "e" + (if (entriesTag.nonEmpty) s"_${entriesTag}" else "") + "_"
-      else ""
-      s"policy_prune_${e}d${degree}_a${alpha}_c${candBeamRounds}_r"
-    }
+    val pruneDirTag = policyPruneTag(entriesFor.isDefined, entriesTag,
+      degree, alpha, candBeamRounds)
     val dbg = sys.env.contains("GRAFT_POLICY_DEBUG")
     // corpus count once for every depth's slice derivation — a ladder
     // would otherwise pay one count() job per evaluation (r15 advice)
@@ -342,10 +338,40 @@ object KnnGraph {
     (rounds, chosen, prunedAt(chosen), trace.toSeq)
   }
 
+  /** The depth-keyed policy prune dir family's name prefix — shared by
+    * [[buildToServedRecall]] (which writes dirs under it) and
+    * [[buildPolicyCached]]'s decision replay (which must reopen the
+    * CHOSEN depth's dir in a later process). */
+  private def policyPruneTag(hasEntries: Boolean, entriesTag: String,
+      degree: Int, alpha: Double, candBeamRounds: Int): String = {
+    val e = if (hasEntries)
+      "e" + (if (entriesTag.nonEmpty) s"_${entriesTag}" else "") + "_"
+    else ""
+    s"policy_prune_${e}d${degree}_a${alpha}_c${candBeamRounds}_r"
+  }
+
   private val sharedBuildDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
   private val sharedBuildLocks =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
+
+  /** The process-shared workDir for a (corpusKey, k) — DETERMINISTIC
+    * across processes (r15 verdict #6): named by a CONTENT digest of
+    * the corpus plus k under [[graft.util.Scratch.sharedDir]], so the
+    * per-round bench process resumes the previous process's build
+    * rounds, durable prunes, and policy decisions instead of re-paying
+    * them. The digest in the NAME is the staleness guard buildDurable's
+    * (k, n) fingerprint is too weak for cross-process reuse: the driver
+    * regenerates the test corpus between rounds at the SAME n, and a
+    * surviving temp dir would silently serve the old corpus's graph.
+    * One aggregate digest pass per (process, key) — cached here. */
+  private def sharedWorkDir(vecs: DataFrame, key: (String, Int)): String =
+    sharedBuildDirs.computeIfAbsent(key, _ => {
+      val dg = frameDigest(vecs, col("vec_id"), col("v"))
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dg).toLong & 0xffffffffL)
+      graft.util.Scratch.sharedDir(s"knng-k${key._2}-$tag")
+    })
 
   /** PROCESS-SHARED durable build: the first caller for a given
     * (corpusKey, k, rounds) pays the build; every later caller reloads
@@ -375,14 +401,13 @@ object KnnGraph {
     // lock costs nothing steady-state)
     val key = (corpusKey, k)
     sharedBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
-      // keyed by (corpus, k) ONLY: buildDurable's per-round _SUCCESS
+      // keyed by (corpus digest, k): buildDurable's per-round _SUCCESS
       // markers make different round counts over one workDir a safe
       // prefix-share — a 2-round caller reloads rounds 0..2 of a
-      // 4-round build, and a later deeper caller extends in place
-      // (the fingerprint is (k, n), deliberately not rounds)
-      val wd = sharedBuildDirs.computeIfAbsent(key,
-        _ => graft.util.Scratch.tempDir(s"graft-knng-$k"))
-      buildDurable(vecs, k, rounds, wd)
+      // 4-round build, and a later deeper caller extends in place;
+      // the deterministic digest-named dir extends the share across
+      // PROCESSES (sharedWorkDir's staleness argument)
+      buildDurable(vecs, k, rounds, sharedWorkDir(vecs, key))
     }
   }
 
@@ -416,13 +441,73 @@ object KnnGraph {
         graft.util.Scratch.tempDir(s"graft-knng-policy-$k"), degree,
         alpha, candBeamRounds, serveK, serveBeamRounds, nProbes, eps,
         step, entriesFor, entriesTag)
+    import vecs.sparkSession.implicits._
     val key = (corpusKey, k)
     sharedBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
-      val wd = sharedBuildDirs.computeIfAbsent(key,
-        _ => graft.util.Scratch.tempDir(s"graft-knng-$k"))
-      buildToServedRecall(vecs, k, maxRounds, wd, degree, alpha,
-        candBeamRounds, serveK, serveBeamRounds, nProbes, eps, step,
-        entriesFor, entriesTag)
+      val wd = sharedWorkDir(vecs, key)
+      // THE POLICY DECISION IS ITSELF A DURABLE ARTIFACT (r15 verdict
+      // #6): the first run records (chosen depth, the chosen prune's
+      // fingerprint, the recall trace) under a budget-keyed file in
+      // the digest-named workDir; a later PROCESS (the per-round
+      // bench) replays the decision — rebuild-to-depth resumes from
+      // the persisted rounds, the chosen prune reloads through
+      // robustPrune's knownFingerprint seam (no candidate re-digest,
+      // no ladder, no eval serves) — instead of re-paying the full
+      // multi-depth evaluation. Soundness: the workDir name carries
+      // the corpus digest and the file name carries every budget
+      // parameter, so a changed corpus or budget misses the file and
+      // re-ladders; within the dir, the chosen prune's own metadata
+      // still cross-checks the stored fingerprint.
+      val budgetTag = s"m${maxRounds}_d${degree}_a${alpha}" +
+        s"_c${candBeamRounds}_sk${serveK}_sb${serveBeamRounds}" +
+        s"_np${nProbes}_e${eps}_st${step}_" +
+        (if (entriesFor.isEmpty) "ring"
+         else if (entriesTag.nonEmpty) entriesTag else "e")
+      val hfs = new org.apache.hadoop.fs.Path(wd).getFileSystem(
+        vecs.sparkSession.sparkContext.hadoopConfiguration)
+      val decisionPath = new org.apache.hadoop.fs.Path(wd,
+        s"_graft_policy_$budgetTag")
+      val tag = policyPruneTag(entriesFor.isDefined, entriesTag,
+        degree, alpha, candBeamRounds)
+      def readFile(p: org.apache.hadoop.fs.Path): String = {
+        val in = hfs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+      if (hfs.exists(decisionPath)) {
+        val lines = readFile(decisionPath).split("\n")
+        val depth = lines(0).stripPrefix("depth=").toInt
+        val fp = lines(1).stripPrefix("fingerprint=")
+        val trace = lines(2).stripPrefix("trace=").split(",")
+          .filter(_.nonEmpty).map { e =>
+            val Array(d, r) = e.split(":"); (d.toInt, r.toDouble)
+          }.toSeq
+        val rounds = buildDurable(vecs, k, depth, wd)
+        // lazy by-name candidates: a fully-persisted prune never
+        // evaluates them; a reaped dir recomputes them exactly
+        val pruned = robustPrune(vecs,
+            searchCandidates(vecs, rounds.last, k, candBeamRounds,
+              entries = entriesFor.map(f =>
+                f(vecs.select($"vec_id".as("qid"), $"v")))),
+            degree, alpha, Some(s"$wd/$tag$depth"),
+            knownFingerprint = Some(fp))
+          .select($"src", $"nbr").localCheckpoint(true)
+        (rounds, depth, pruned, trace)
+      } else {
+        val result = buildToServedRecall(vecs, k, maxRounds, wd, degree,
+          alpha, candBeamRounds, serveK, serveBeamRounds, nProbes, eps,
+          step, entriesFor, entriesTag)
+        val (_, chosen, _, trace) = result
+        val meta = new org.apache.hadoop.fs.Path(
+          s"$wd/$tag$chosen", "_graft_prune")
+        if (hfs.exists(meta)) {
+          val body = s"depth=$chosen\nfingerprint=${readFile(meta)}\n" +
+            s"trace=${trace.map { case (d, r) => s"$d:$r" }.mkString(",")}"
+          val out = hfs.create(decisionPath, true)
+          try out.write(body.getBytes("UTF-8")) finally out.close()
+        }
+        result
+      }
     }
   }
 

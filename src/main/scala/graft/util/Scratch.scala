@@ -36,4 +36,19 @@ object Scratch {
     * the few-KB frames left behind live under the OS tmp dir. */
   def oracleDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** A DETERMINISTIC dir that survives JVM exit — the cross-PROCESS
+    * resume cache (r15 verdict #6: each bench process re-paid sq28's
+    * full policy ladder because the shared workDir was a fresh temp
+    * dir per JVM). Callers MUST key `name` by a digest of every input
+    * the cached artifact depends on (corpus content, k) — the name IS
+    * the staleness guard: regenerated data → new digest → new dir,
+    * never a silent stale reload. No exit hook — durability is the
+    * point; stale siblings age out with the OS tmp dir. */
+  def sharedDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-shared", name)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
 }

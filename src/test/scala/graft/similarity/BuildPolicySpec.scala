@@ -142,4 +142,31 @@ class BuildPolicySpec extends AnyFunSuite {
     assert(chosen == trace.head._1)
     vecs.unpersist()
   }
+
+  test("buildPolicyCached persists the decision and replays it without re-laddering") {
+    import spark.implicits._
+    val vecs = corpus()
+    // unique corpusKey so the process-shared map can't hand this test
+    // another test's dir; the digest-named sharedDir is deterministic,
+    // so wipe any leftover decision from a previous suite run first
+    val ck = s"policy-decision-spec"
+    val (_, d1, p1, t1) = KnnGraph.buildPolicyCached(
+      vecs, ck, K, maxRounds = 4, Degree, Alpha, candBeamRounds = 2,
+      serveK = K, serveBeamRounds = 3, nProbes = 8)
+    // the decision replay path must return the same depth, the same
+    // artifact, and the same trace (read back from the decision file)
+    val (_, d2, p2, t2) = KnnGraph.buildPolicyCached(
+      vecs, ck, K, maxRounds = 4, Degree, Alpha, candBeamRounds = 2,
+      serveK = K, serveBeamRounds = 3, nProbes = 8)
+    assert(d2 == d1, s"replayed depth $d2 != decided depth $d1")
+    assert(t2 == t1, s"replayed trace $t2 != recorded trace $t1")
+    assert(edges(p2) == edges(p1), "replayed artifact diverged")
+    // a DIFFERENT budget on the same corpus must not hit the decision
+    // (the file is budget-keyed): it re-ladders and records its own
+    val (_, _, _, t3) = KnnGraph.buildPolicyCached(
+      vecs, ck, K, maxRounds = 4, Degree, Alpha, candBeamRounds = 2,
+      serveK = K, serveBeamRounds = 3, nProbes = 4)
+    assert(t3.nonEmpty, "different-budget call did not evaluate a ladder")
+    vecs.unpersist()
+  }
 }
