@@ -2231,12 +2231,26 @@ object KnnGraph {
     // recovery knob (the standard two-stage recipe: ADC ranks, exact
     // re-ranks the top-W): W = 2k default; the composed-store probe's
     // ADC sweep (SPARK_GRAFT_ADC_WIDTHS) measures the recall-vs-W
-    // U-curve that justifies it
+    // U-curve that justifies it. The query's ENTRY NODES always join
+    // the exact re-rank (r16, measured on the perturbed-unique x100
+    // replica): an entry-published fresh insert was read 0/4 through
+    // this head while the exact head read 4/4 — its PQ code collided
+    // with enough near-duplicates that the ADC top-W's ascending-id
+    // tie-break never admitted the (largest-id) arrival. Ranking by
+    // code resolution systematically disadvantages exactly the rows
+    // freshness publishes, so the freshness contract ("entry-published
+    // ⇒ servable", StreamingGraphIngest) must not pass through ADC:
+    // entries are ≤slots-per-cell rows per query, already resolved,
+    // and the exact re-rank is the authority — unioning them costs a
+    // few extra vector fetches and makes the guarantee head-invariant.
     val shortlist = adcKeep(
-      pool.filter($"node" =!= $"qid").localCheckpoint(true),
-      if (rerankWidth > 0) rerankWidth else 2 * k)
-      .select($"qid", $"node").localCheckpoint(true)
-    // the loop's ONLY full-precision reads: ≤ max(2k, W) vectors per query
+        pool.filter($"node" =!= $"qid").localCheckpoint(true),
+        if (rerankWidth > 0) rerankWidth else 2 * k)
+      .select($"qid", $"node")
+      .union(entries.select($"qid", $"node").filter($"node" =!= $"qid"))
+      .distinct().localCheckpoint(true)
+    // the loop's ONLY full-precision reads: ≤ max(2k, W) + entry rows
+    // of vectors per query
     shortlist
       .join(broadcast(queries), Seq("qid"))
       .join(fetchVectors(spark, vecPath, shortlist)

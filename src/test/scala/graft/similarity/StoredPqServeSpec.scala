@@ -105,8 +105,12 @@ class StoredPqServeSpec extends AnyFunSuite {
         frontier = kept
         pool ++= kept
       }
-      val shortlist = keepAsc((pool - qid).toSeq.flatMap(c =>
-        codeLocal.get(c).map(code => c -> adist(q, code))), 2 * K).map(_._1)
+      // ADC top-2k ∪ the entry node (r16: entries always join the
+      // exact re-rank — the freshness contract must not pass through
+      // ADC's resolution; see pqServeHead)
+      val shortlist = (keepAsc((pool - qid).toSeq.flatMap(c =>
+        codeLocal.get(c).map(code => c -> adist(q, code))), 2 * K).map(_._1) ++
+        Seq(entry).filter(_ != qid)).distinct
       shortlist.flatMap(c => vLocal.get(c)
           .map(cv => c -> KnnGraph.cosineLocal(q, cv)))
         .sortWith { case ((na, ca), (nb, cbs)) =>
