@@ -259,6 +259,50 @@ object KnnGraph {
     // sees, so the eval must walk the deployment's walks.
     val entryOf: DataFrame => DataFrame =
       entriesFor.getOrElse(ringEntries(vecs, _))
+    // THE DECISION IS A DURABLE ARTIFACT OF THE WORKDIR (r16, after the
+    // x100 probe filled the disk RE-LADDERING a decision it had already
+    // made): once a run picks a depth, the pick + the chosen prune's
+    // fingerprint + the trace persist under a budget-keyed file, and
+    // any later run over the same workDir and budgets REPLAYS — build
+    // rounds resume, the chosen prune reloads through robustPrune's
+    // knownFingerprint seam, and crucially the LOSING depths (5–14 GB
+    // of reaped prune state each at 200k) are never recomputed. The
+    // budget tag covers every decision input; a different corpus needs
+    // a different workDir, which is already buildDurable's contract.
+    val budgetTag = s"m${maxRounds}_d${degree}_a${alpha}" +
+      s"_c${candBeamRounds}_sk${serveK}_sb${serveBeamRounds}" +
+      s"_np${nProbes}_e${eps}_st${step}_" +
+      (if (entriesFor.isEmpty) "ring"
+       else if (entriesTag.nonEmpty) entriesTag else "e")
+    val hfs0 = new org.apache.hadoop.fs.Path(workDir).getFileSystem(
+      vecs.sparkSession.sparkContext.hadoopConfiguration)
+    val decisionPath = new org.apache.hadoop.fs.Path(workDir,
+      s"_graft_policy_$budgetTag")
+    val decisionTag = policyPruneTag(entriesFor.isDefined, entriesTag,
+      degree, alpha, candBeamRounds)
+    def readSmall(p: org.apache.hadoop.fs.Path): String = {
+      val in = hfs0.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    if (hfs0.exists(decisionPath)) {
+      val lines = readSmall(decisionPath).split("\n")
+      val depth = lines(0).stripPrefix("depth=").toInt
+      val fp = lines(1).stripPrefix("fingerprint=")
+      val storedTrace = lines(2).stripPrefix("trace=").split(",")
+        .filter(_.nonEmpty).map { e =>
+          val Array(dd, r) = e.split(":"); (dd.toInt, r.toDouble)
+        }.toSeq
+      val rounds = buildDurable(vecs, k, depth, workDir)
+      val pruned = robustPrune(vecs,
+          searchCandidates(vecs, rounds.last, k, candBeamRounds,
+            entries = entriesFor.map(f =>
+              f(vecs.select($"vec_id".as("qid"), $"v")))),
+          degree, alpha, Some(s"$workDir/$decisionTag$depth"),
+          knownFingerprint = Some(fp))
+        .select($"src", $"nbr").localCheckpoint(true)
+      return (rounds, depth, pruned, storedTrace)
+    }
     def servedRecall(pruned: DataFrame): Double = {
       val und = pruned.select($"src", $"nbr")
         .union(pruned.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
@@ -334,6 +378,17 @@ object KnnGraph {
       hfs.delete(new org.apache.hadoop.fs.Path(
         s"$workDir/$pruneDirTag$dd"), true): Unit
       prunedAt(dd).unpersist(): Unit
+    }
+    // persist the decision (see the replay block above): the chosen
+    // prune's own durable metadata carries the fingerprint the replay
+    // hands back to robustPrune's knownFingerprint seam
+    val chosenMeta = new org.apache.hadoop.fs.Path(
+      s"$workDir/$pruneDirTag$chosen", "_graft_prune")
+    if (hfs.exists(chosenMeta)) {
+      val body = s"depth=$chosen\nfingerprint=${readSmall(chosenMeta)}\n" +
+        s"trace=${trace.map { case (dd, r) => s"$dd:$r" }.mkString(",")}"
+      val out = hfs.create(decisionPath, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
     }
     (rounds, chosen, prunedAt(chosen), trace.toSeq)
   }
@@ -441,73 +496,19 @@ object KnnGraph {
         graft.util.Scratch.tempDir(s"graft-knng-policy-$k"), degree,
         alpha, candBeamRounds, serveK, serveBeamRounds, nProbes, eps,
         step, entriesFor, entriesTag)
-    import vecs.sparkSession.implicits._
     val key = (corpusKey, k)
     sharedBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
-      val wd = sharedWorkDir(vecs, key)
       // THE POLICY DECISION IS ITSELF A DURABLE ARTIFACT (r15 verdict
-      // #6): the first run records (chosen depth, the chosen prune's
-      // fingerprint, the recall trace) under a budget-keyed file in
-      // the digest-named workDir; a later PROCESS (the per-round
-      // bench) replays the decision — rebuild-to-depth resumes from
-      // the persisted rounds, the chosen prune reloads through
-      // robustPrune's knownFingerprint seam (no candidate re-digest,
-      // no ladder, no eval serves) — instead of re-paying the full
-      // multi-depth evaluation. Soundness: the workDir name carries
-      // the corpus digest and the file name carries every budget
-      // parameter, so a changed corpus or budget misses the file and
-      // re-ladders; within the dir, the chosen prune's own metadata
-      // still cross-checks the stored fingerprint.
-      val budgetTag = s"m${maxRounds}_d${degree}_a${alpha}" +
-        s"_c${candBeamRounds}_sk${serveK}_sb${serveBeamRounds}" +
-        s"_np${nProbes}_e${eps}_st${step}_" +
-        (if (entriesFor.isEmpty) "ring"
-         else if (entriesTag.nonEmpty) entriesTag else "e")
-      val hfs = new org.apache.hadoop.fs.Path(wd).getFileSystem(
-        vecs.sparkSession.sparkContext.hadoopConfiguration)
-      val decisionPath = new org.apache.hadoop.fs.Path(wd,
-        s"_graft_policy_$budgetTag")
-      val tag = policyPruneTag(entriesFor.isDefined, entriesTag,
-        degree, alpha, candBeamRounds)
-      def readFile(p: org.apache.hadoop.fs.Path): String = {
-        val in = hfs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      }
-      if (hfs.exists(decisionPath)) {
-        val lines = readFile(decisionPath).split("\n")
-        val depth = lines(0).stripPrefix("depth=").toInt
-        val fp = lines(1).stripPrefix("fingerprint=")
-        val trace = lines(2).stripPrefix("trace=").split(",")
-          .filter(_.nonEmpty).map { e =>
-            val Array(d, r) = e.split(":"); (d.toInt, r.toDouble)
-          }.toSeq
-        val rounds = buildDurable(vecs, k, depth, wd)
-        // lazy by-name candidates: a fully-persisted prune never
-        // evaluates them; a reaped dir recomputes them exactly
-        val pruned = robustPrune(vecs,
-            searchCandidates(vecs, rounds.last, k, candBeamRounds,
-              entries = entriesFor.map(f =>
-                f(vecs.select($"vec_id".as("qid"), $"v")))),
-            degree, alpha, Some(s"$wd/$tag$depth"),
-            knownFingerprint = Some(fp))
-          .select($"src", $"nbr").localCheckpoint(true)
-        (rounds, depth, pruned, trace)
-      } else {
-        val result = buildToServedRecall(vecs, k, maxRounds, wd, degree,
-          alpha, candBeamRounds, serveK, serveBeamRounds, nProbes, eps,
-          step, entriesFor, entriesTag)
-        val (_, chosen, _, trace) = result
-        val meta = new org.apache.hadoop.fs.Path(
-          s"$wd/$tag$chosen", "_graft_prune")
-        if (hfs.exists(meta)) {
-          val body = s"depth=$chosen\nfingerprint=${readFile(meta)}\n" +
-            s"trace=${trace.map { case (d, r) => s"$d:$r" }.mkString(",")}"
-          val out = hfs.create(decisionPath, true)
-          try out.write(body.getBytes("UTF-8")) finally out.close()
-        }
-        result
-      }
+      // #6): buildToServedRecall records (chosen depth, the chosen
+      // prune's fingerprint, the recall trace) under a budget-keyed
+      // file in its workDir and REPLAYS it on any later run — no
+      // ladder, no eval serves, no loser-prune recompute. Here the
+      // workDir is the corpus-digest-named shared dir, so the replay
+      // extends across PROCESSES (the per-round bench), and a changed
+      // corpus or budget misses the digest/file and re-ladders.
+      buildToServedRecall(vecs, k, maxRounds, sharedWorkDir(vecs, key),
+        degree, alpha, candBeamRounds, serveK, serveBeamRounds, nProbes,
+        eps, step, entriesFor, entriesTag)
     }
   }
 
