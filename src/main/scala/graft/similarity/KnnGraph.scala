@@ -734,7 +734,7 @@ object KnnGraph {
     * delta-consolidate (Singh et al. 2021 §4.2, StreamingMerge) as the
     * maintenance rung whose cost scales with CHURN, not index size
     * (r15 verdict #2: a full [[repruneStored]] re-candidates all n
-    * nodes for a 4-insert/4-erase cycle — 633–775 s at 200k). The
+    * nodes for a 4-insert/4-erase cycle — 206–775 s at 200k). The
     * re-prune scope is
     *
     *   S = members of churn-touched cells (arrival cells via the
@@ -747,20 +747,26 @@ object KnnGraph {
     * candidates are regenerated by searches FOR S's vectors over the
     * FULL current graph ([[searchCandidates]] `subset` — scope bounds
     * whose lists are rebuilt, never where searches travel), α-pruned at
-    * the serving budget, and SPLICED: every stored edge incident to S
-    * is dropped, S's fresh pruned edges replace them, and edges between
-    * untouched nodes survive verbatim (the writer re-symmetrizes, so
-    * S↔non-S structure is exactly what S's new prune retains — the
-    * delete-repair semantic: a victim's former neighbors sit in its
-    * cell and get their lists rebuilt). Publishes a NEW store version
-    * at `outPath` (same centroids, fresh entries) for the lifecycle
-    * registry, like every rebuild. Returns |S|.
+    * the serving budget, and SPLICED AT THE PARTITION LEVEL: every
+    * stored edge incident to S is dropped and S's fresh pruned edges
+    * (symmetrized) replace them, but only the cluster-bucket partitions
+    * that actually gain or lose a row are REWRITTEN — every other
+    * partition's files are HARD-LINKED into the new version (copy-on-
+    * write publish; the linked data stays alive however v1 is later
+    * rewritten, since links hold the inode). Graph neighborhoods are
+    * spatially coherent, so churn touches a few cells and the publish
+    * write is churn-sized, not index-sized. The entries sidecar splices
+    * the same way: cells outside the repair scope keep their v1 rows,
+    * repaired cells re-pick members at the store's density. Returns |S|.
     *
-    * 100 TB: candidate walks are |S|-bounded (beam rounds over the
-    * stored graph), the prune is r passes over an |S|·L candidate
-    * list, and the splice is one index-sized read + anti-join + write —
-    * cycle cost follows accumulated churn (cells touched), with the
-    * full [[repruneStored]] as the occasional deep-consolidate rung. */
+    * 100 TB: candidate walks are |S|-bounded, the prune is r passes
+    * over an |S|·L candidate list, the publish rewrites only touched
+    * partitions (link = a metadata operation; on an object store the
+    * same move is a manifest splice, Iceberg-style), and the one
+    * corpus-shaped cost left is the scope derivation's assignment scan
+    * (map-only, no shuffle) — cycle cost follows accumulated churn,
+    * with the full [[repruneStored]] as the occasional
+    * deep-consolidate. */
   def repruneStoredIncremental(spark: SparkSession, graphPath: String,
       vecPath: String, outPath: String, degree: Int, alpha: Double,
       k: Int, beamRounds: Int, churnedIds: Seq[Long],
@@ -769,26 +775,27 @@ object KnnGraph {
     import spark.implicits._
     val vecs = spark.read.parquet(vecPath)
       .select($"vec_id", $"v").distinct().localCheckpoint(true)
-    val graph = spark.read.parquet(graphPath).select($"src", $"nbr")
-      .localCheckpoint(true)
+    val stored = spark.read.parquet(graphPath)
+      .select($"src", $"nbr", $"nbr_bucket", $"bucket")
     val cents = centroidsOf(spark, graphPath)
     val assign = vecs.select($"vec_id", clusterOf($"v", cents).as("c"))
+      .localCheckpoint(true)
     // cells touched by churn: arrivals still present route by their
     // vector; erased victims' cells arrive via extraCells (recorded by
     // the maintainer at erase time, when the vector still existed)
     val churnCells =
-      (if (churnedIds.nonEmpty)
+      ((if (churnedIds.nonEmpty)
         assign.filter($"vec_id".isin(churnedIds: _*))
           .select($"c").distinct().as[Int].collect().toSeq
-      else Nil) ++ extraCells
+      else Nil) ++ extraCells).distinct
     val cellMembers =
       if (churnCells.nonEmpty)
-        assign.filter($"c".isin(churnCells.distinct: _*)).select($"vec_id")
+        assign.filter($"c".isin(churnCells: _*)).select($"vec_id")
       else spark.emptyDataset[Long].toDF("vec_id")
     val fringe =
       if (churnedIds.nonEmpty)
-        graph.filter($"nbr".isin(churnedIds: _*)).select($"src".as("vec_id"))
-          .union(graph.filter($"src".isin(churnedIds: _*))
+        stored.filter($"nbr".isin(churnedIds: _*)).select($"src".as("vec_id"))
+          .union(stored.filter($"src".isin(churnedIds: _*))
             .select($"nbr".as("vec_id")))
       else spark.emptyDataset[Long].toDF("vec_id")
     val scope = cellMembers.union(fringe).distinct()
@@ -796,25 +803,117 @@ object KnnGraph {
       .join(vecs.select($"vec_id"), Seq("vec_id"), "left_semi")
       .select($"vec_id".as("qid")).localCheckpoint(true)
     val nScope = scope.count()
+    val hfs = new org.apache.hadoop.fs.Path(outPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     if (nScope == 0) {
-      // nothing to repair: the new version is the old adjacency verbatim
-      writeStoreClustered(graph, vecs, outPath, cents)
-      writeEntries(vecs, outPath)
+      // nothing to repair: v2 links every partition of v1 verbatim
+      linkStorePartitions(spark, graphPath, outPath, Set.empty)
+      writeBucketMeta(spark, outPath, cents.length)
+      copySidecar(hfs, graphPath, outPath, "_graft_centroids")
+      copySidecar(hfs, graphPath, outPath, "_graft_entries")
       return 0L
     }
     val prunedScope = robustPrune(vecs,
-        searchCandidates(vecs, graph, k, beamRounds,
+        searchCandidates(vecs, stored.select($"src", $"nbr"), k, beamRounds,
           entries = Some(slotEntries(spark, vecPath, scope)),
           corpusCount = nScope, subset = Some(scope)),
         degree, alpha, pruneWorkDir)
       .select($"src", $"nbr")
-    val untouched = graph
+    // S's fresh edges, symmetrized and bucket-routed like the writer's
+    val sym = prunedScope
+      .union(prunedScope.select($"nbr".as("src"), $"src".as("nbr")))
+      .distinct()
+    val newRows = sym
+      .join(assign.select($"vec_id".as("nbr"), $"c".as("nbr_bucket")), Seq("nbr"))
+      .join(assign.select($"vec_id".as("src"), $"c".as("bucket")), Seq("src"))
+      .select($"src", $"nbr", $"nbr_bucket", $"bucket")
+      .localCheckpoint(true)
+    // partitions that change: hold an S-incident row (to drop) or gain
+    // a fresh row — everything else hard-links (driver-bounded lists)
+    val sIncident = stored
+      .join(scope.select($"qid".as("src")), Seq("src"), "left_semi")
+      .select($"bucket")
+      .union(stored
+        .join(scope.select($"qid".as("nbr")), Seq("nbr"), "left_semi")
+        .select($"bucket"))
+    val touched = sIncident.union(newRows.select($"bucket"))
+      .distinct().as[Int].collect().toSet
+    linkStorePartitions(spark, graphPath, outPath, touched)
+    val keepRows = stored
+      .filter($"bucket".isin(touched.toSeq: _*))
       .join(scope.select($"qid".as("src")), Seq("src"), "left_anti")
       .join(scope.select($"qid".as("nbr")), Seq("nbr"), "left_anti")
-      .select($"src", $"nbr")
-    writeStoreClustered(untouched.union(prunedScope), vecs, outPath, cents)
-    writeEntries(vecs, outPath)
+      .select($"src", $"nbr", $"nbr_bucket", $"bucket")
+    // append: the untouched partitions are already linked in, and the
+    // touched partition dirs do not exist yet in the new version
+    keepRows.union(newRows)
+      .write.mode("append").partitionBy("bucket").parquet(outPath)
+    writeBucketMeta(spark, outPath, cents.length)
+    copySidecar(hfs, graphPath, outPath, "_graft_centroids")
+    // entries splice at the same granularity: cells outside the repair
+    // scope keep their v1 rows (erase already dropped victim rows;
+    // ingest already appended arrivals), repaired cells re-pick their
+    // members at the store's density
+    val v1e = spark.read.parquet(s"$graphPath/_graft_entries")
+    val keepE = v1e.filter(!$"cid".isin(churnCells: _*))
+    val per = resolvePerCell(vecs, cents.length, AutoSlots)
+    val newE = entryMembers(
+        vecs.join(cellMembers, Seq("vec_id"), "left_semi"), cents, per)
+      .select($"cid", $"node", $"cid".as("node_bucket"))
+    replaceEntriesSidecar(spark, outPath, keepE.unionByName(newE))
     nScope
+  }
+
+  /** Hard-link every `bucket=N` partition of `srcDir` into `dstDir`
+    * except the `skip` set — the copy-on-write leg of the incremental
+    * publish (local-filesystem realization; an object-store deployment
+    * does the same splice in a table-format manifest). Falls back to a
+    * byte copy when the filesystem refuses links (cross-device). */
+  private def linkStorePartitions(spark: SparkSession, srcDir: String,
+      dstDir: String, skip: Set[Int]): Unit = {
+    val src = java.nio.file.Paths.get(
+      new java.net.URI(srcDir).getSchemeSpecificPart match {
+        case p if p.startsWith("/") => p
+        case _ => srcDir.stripPrefix("file:")
+      })
+    val dst = java.nio.file.Paths.get(
+      new java.net.URI(dstDir).getSchemeSpecificPart match {
+        case p if p.startsWith("/") => p
+        case _ => dstDir.stripPrefix("file:")
+      })
+    java.nio.file.Files.createDirectories(dst)
+    val parts = java.nio.file.Files.list(src).iterator()
+    while (parts.hasNext) {
+      val part = parts.next()
+      val name = part.getFileName.toString
+      if (name.startsWith("bucket=") &&
+          !skip.contains(name.stripPrefix("bucket=").toInt)) {
+        val dp = dst.resolve(name)
+        java.nio.file.Files.createDirectories(dp)
+        val files = java.nio.file.Files.list(part).iterator()
+        while (files.hasNext) {
+          val f = files.next()
+          if (java.nio.file.Files.isRegularFile(f)) {
+            val target = dp.resolve(f.getFileName)
+            try java.nio.file.Files.createLink(target, f)
+            catch { case _: UnsupportedOperationException |
+                         _: java.nio.file.FileSystemException =>
+              java.nio.file.Files.copy(f, target): Unit }
+          }
+        }
+      }
+    }
+  }
+
+  /** Copy a small underscore sidecar dir (or file) between store
+    * versions — metadata-sized, never the index. */
+  private def copySidecar(hfs: org.apache.hadoop.fs.FileSystem,
+      srcDir: String, dstDir: String, name: String): Unit = {
+    val s = new org.apache.hadoop.fs.Path(srcDir, name)
+    val d = new org.apache.hadoop.fs.Path(dstDir, name)
+    if (hfs.exists(s))
+      org.apache.hadoop.fs.FileUtil.copy(hfs, s, hfs, d, false,
+        hfs.getConf): Unit
   }
 
   /** REFINE — NN-Descent tightening rounds seeded from an EXISTING
