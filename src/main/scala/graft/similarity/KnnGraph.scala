@@ -236,29 +236,6 @@ object KnnGraph {
     require(step >= 1, s"step must be ≥ 1, got $step")
     require(maxRounds >= step, s"maxRounds $maxRounds < step $step")
     require(nProbes > 0 && serveK > 0, "probe set and k must be non-empty")
-    // deterministic held-out probes: the first nProbes corpus vectors
-    // as queries (self excluded from both truth and serve — the probe
-    // measures navigation to NEIGHBORS, not self-lookup)
-    val qv = vecs.filter($"vec_id" < nProbes)
-      .select($"vec_id".as("qid"), $"v").localCheckpoint(true)
-    val nq = qv.count()
-    require(nq > 0, s"no probe queries: no vec_id < $nProbes in the corpus")
-    // exact ground truth, computed ONCE for every evaluation
-    val bf = broadcast(qv.select($"qid", $"v".as("qv")))
-      .join(vecs.select($"vec_id".as("node"), $"v".as("cv")),
-        $"qid" =!= $"node")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"qid").orderBy(cosine($"qv", $"cv").desc, $"node")))
-      .filter($"rn" <= serveK).select($"qid", $"node").localCheckpoint(true)
-    // ENTRY DISCIPLINE IS PART OF THE ARTIFACT (r15 measured): the
-    // eval serve AND every eval prune's candidate searches start from
-    // `entriesFor` when given — the serving head's own entry rule
-    // ([[plannedEntries]]). Evaluating a ring-start prune and then
-    // serving it from sidecar members read 0.773 vs 0.063 at x100:
-    // the α-prune keeps the approach edges of exactly the beams it
-    // sees, so the eval must walk the deployment's walks.
-    val entryOf: DataFrame => DataFrame =
-      entriesFor.getOrElse(ringEntries(vecs, _))
     // THE DECISION IS A DURABLE ARTIFACT OF THE WORKDIR (r16, after the
     // x100 probe filled the disk RE-LADDERING a decision it had already
     // made): once a run picks a depth, the pick + the chosen prune's
@@ -286,23 +263,59 @@ object KnnGraph {
       finally in.close()
     }
     if (hfs0.exists(decisionPath)) {
-      val lines = readSmall(decisionPath).split("\n")
-      val depth = lines(0).stripPrefix("depth=").toInt
-      val fp = lines(1).stripPrefix("fingerprint=")
-      val storedTrace = lines(2).stripPrefix("trace=").split(",")
-        .filter(_.nonEmpty).map { e =>
-          val Array(dd, r) = e.split(":"); (dd.toInt, r.toDouble)
-        }.toSeq
-      val rounds = buildDurable(vecs, k, depth, workDir)
-      val pruned = robustPrune(vecs,
-          searchCandidates(vecs, rounds.last, k, candBeamRounds,
-            entries = entriesFor.map(f =>
-              f(vecs.select($"vec_id".as("qid"), $"v")))),
-          degree, alpha, Some(s"$workDir/$decisionTag$depth"),
-          knownFingerprint = Some(fp))
-        .select($"src", $"nbr").localCheckpoint(true)
-      return (rounds, depth, pruned, storedTrace)
+      // a truncated decision (crash inside the small write) must fall
+      // back to the ladder, never brick the build — parse failures
+      // delete the file and recompute
+      val parsed = scala.util.Try {
+        val lines = readSmall(decisionPath).split("\n")
+        val depth = lines(0).stripPrefix("depth=").toInt
+        val fp = lines(1).stripPrefix("fingerprint=")
+        val storedTrace = lines(2).stripPrefix("trace=").split(",")
+          .filter(_.nonEmpty).map { e =>
+            val Array(dd, r) = e.split(":"); (dd.toInt, r.toDouble)
+          }.toSeq
+        (depth, fp, storedTrace)
+      }
+      parsed match {
+        case scala.util.Success((depth, fp, storedTrace)) =>
+          val rounds = buildDurable(vecs, k, depth, workDir)
+          val pruned = robustPrune(vecs,
+              searchCandidates(vecs, rounds.last, k, candBeamRounds,
+                entries = entriesFor.map(f =>
+                  f(vecs.select($"vec_id".as("qid"), $"v")))),
+              degree, alpha, Some(s"$workDir/$decisionTag$depth"),
+              knownFingerprint = Some(fp))
+            .select($"src", $"nbr").localCheckpoint(true)
+          return (rounds, depth, pruned, storedTrace)
+        case scala.util.Failure(_) =>
+          hfs0.delete(decisionPath, false): Unit
+      }
     }
+    // deterministic held-out probes: the first nProbes corpus vectors
+    // as queries (self excluded from both truth and serve — the probe
+    // measures navigation to NEIGHBORS, not self-lookup). Built only
+    // on the LADDER path — a decision replay must not pay the
+    // corpus-wide brute-force truth it will never read.
+    val qv = vecs.filter($"vec_id" < nProbes)
+      .select($"vec_id".as("qid"), $"v").localCheckpoint(true)
+    val nq = qv.count()
+    require(nq > 0, s"no probe queries: no vec_id < $nProbes in the corpus")
+    // exact ground truth, computed ONCE for every evaluation
+    val bf = broadcast(qv.select($"qid", $"v".as("qv")))
+      .join(vecs.select($"vec_id".as("node"), $"v".as("cv")),
+        $"qid" =!= $"node")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy(cosine($"qv", $"cv").desc, $"node")))
+      .filter($"rn" <= serveK).select($"qid", $"node").localCheckpoint(true)
+    // ENTRY DISCIPLINE IS PART OF THE ARTIFACT (r15 measured): the
+    // eval serve AND every eval prune's candidate searches start from
+    // `entriesFor` when given — the serving head's own entry rule
+    // ([[plannedEntries]]). Evaluating a ring-start prune and then
+    // serving it from sidecar members read 0.773 vs 0.063 at x100:
+    // the α-prune keeps the approach edges of exactly the beams it
+    // sees, so the eval must walk the deployment's walks.
+    val entryOf: DataFrame => DataFrame =
+      entriesFor.getOrElse(ringEntries(vecs, _))
     def servedRecall(pruned: DataFrame): Double = {
       val und = pruned.select($"src", $"nbr")
         .union(pruned.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
@@ -882,24 +895,25 @@ object KnnGraph {
         case _ => dstDir.stripPrefix("file:")
       })
     java.nio.file.Files.createDirectories(dst)
-    val parts = java.nio.file.Files.list(src).iterator()
-    while (parts.hasNext) {
-      val part = parts.next()
+    def listClosed(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(p)
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList }
+      finally s.close()
+    }
+    for (part <- listClosed(src)) {
       val name = part.getFileName.toString
       if (name.startsWith("bucket=") &&
           !skip.contains(name.stripPrefix("bucket=").toInt)) {
         val dp = dst.resolve(name)
         java.nio.file.Files.createDirectories(dp)
-        val files = java.nio.file.Files.list(part).iterator()
-        while (files.hasNext) {
-          val f = files.next()
-          if (java.nio.file.Files.isRegularFile(f)) {
-            val target = dp.resolve(f.getFileName)
-            try java.nio.file.Files.createLink(target, f)
-            catch { case _: UnsupportedOperationException |
-                         _: java.nio.file.FileSystemException =>
-              java.nio.file.Files.copy(f, target): Unit }
-          }
+        for (f <- listClosed(part)
+             if java.nio.file.Files.isRegularFile(f)) {
+          val target = dp.resolve(f.getFileName)
+          try java.nio.file.Files.createLink(target, f)
+          catch { case _: UnsupportedOperationException |
+                       _: java.nio.file.FileSystemException =>
+            java.nio.file.Files.copy(f, target): Unit }
         }
       }
     }
