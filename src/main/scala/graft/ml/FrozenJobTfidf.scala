@@ -160,14 +160,20 @@ object FrozenJobTfidf {
        |  CAST((((CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END) % $numFeatures) + $numFeatures) % $numFeatures AS INTEGER) AS bucket
        |FROM g_vf)""".stripMargin
 
-  /** Tokenizer+stop-filter replay as a DuckDB expression over `expr`. */
+  /** Tokenizer+stop-filter replay as a DuckDB expression over `expr`.
+    * The whitespace class is spelled out as `[ \t\n\x0b\f\r]` — Java's
+    * `\s` (what spark.ml's Tokenizer splits on) additionally matches
+    * vertical tab `\x0B`, which RE2's `\s` does NOT, so a bare `\s`
+    * here would tokenize a `\x0B`-bearing posting differently in the
+    * oracle than in the engine (r16 advice). */
   def cleanTokensSql(expr: String): String = {
     val stopList = stopWords.map(w => s"'${w.replace("'", "''")}'")
       .mkString(", ")
+    val ws = """[ \t\n\x0b\f\r]"""
     s"""list_filter(
        |  CASE WHEN lower($expr) = '' THEN ['']
-       |       WHEN regexp_replace(lower($expr), '\\s+$$', '') = '' THEN []::VARCHAR[]
-       |       ELSE regexp_split_to_array(regexp_replace(lower($expr), '\\s+$$', ''), '\\s') END,
+       |       WHEN regexp_replace(lower($expr), '$ws+$$', '') = '' THEN []::VARCHAR[]
+       |       ELSE regexp_split_to_array(regexp_replace(lower($expr), '$ws+$$', ''), '$ws') END,
        |  t -> t NOT IN ($stopList))""".stripMargin
   }
 

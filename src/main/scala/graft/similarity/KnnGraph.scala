@@ -236,6 +236,17 @@ object KnnGraph {
     require(step >= 1, s"step must be ≥ 1, got $step")
     require(maxRounds >= step, s"maxRounds $maxRounds < step $step")
     require(nProbes > 0 && serveK > 0, "probe set and k must be non-empty")
+    // an entries discipline MUST carry a content tag: the tag is the
+    // only thing that keys the decision file and the prune dir family
+    // to the discipline's content (e.g. the routing centroids), and a
+    // defaulted "" would let a later run with DIFFERENT centroids
+    // silently replay this run's decision and reload its prune (r16
+    // advice — the replay path trusts knownFingerprint, so the tag is
+    // load-bearing, not cosmetic)
+    require(entriesFor.isEmpty || entriesTag.nonEmpty,
+      "entriesFor without entriesTag: pass a content tag " +
+        "(e.g. KnnGraph.entriesTagOf(cents)) so decision replay cannot " +
+        "cross entry disciplines")
     // THE DECISION IS A DURABLE ARTIFACT OF THE WORKDIR (r16, after the
     // x100 probe filled the disk RE-LADDERING a decision it had already
     // made): once a run picks a depth, the pick + the chosen prune's
@@ -249,8 +260,7 @@ object KnnGraph {
     val budgetTag = s"m${maxRounds}_d${degree}_a${alpha}" +
       s"_c${candBeamRounds}_sk${serveK}_sb${serveBeamRounds}" +
       s"_np${nProbes}_e${eps}_st${step}_" +
-      (if (entriesFor.isEmpty) "ring"
-       else if (entriesTag.nonEmpty) entriesTag else "e")
+      (if (entriesFor.isEmpty) "ring" else entriesTag)
     val hfs0 = new org.apache.hadoop.fs.Path(workDir).getFileSystem(
       vecs.sparkSession.sparkContext.hadoopConfiguration)
     val decisionPath = new org.apache.hadoop.fs.Path(workDir,
@@ -433,11 +443,17 @@ object KnnGraph {
     * regenerates the test corpus between rounds at the SAME n, and a
     * surviving temp dir would silently serve the old corpus's graph.
     * One aggregate digest pass per (process, key) — cached here. */
-  private def sharedWorkDir(vecs: DataFrame, key: (String, Int)): String =
+  private[similarity] def sharedWorkDir(vecs: DataFrame,
+      key: (String, Int)): String =
     sharedBuildDirs.computeIfAbsent(key, _ => {
-      val dg = frameDigest(vecs, col("vec_id"), col("v"))
-      val tag = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dg).toLong & 0xffffffffL)
+      // the dir NAME is the staleness guard, so it carries the full
+      // 128 bits of frameDigest's two xxhash64 streams — a 32-bit
+      // rehash (pre-r17) gave real collision odds across regenerated
+      // corpora, and a collision silently serves another corpus's
+      // rounds, prunes, and policy decisions (r16 advice)
+      val Array(_, x1, x2) = frameDigest(vecs, col("vec_id"), col("v"))
+        .split(":")
+      val tag = f"${x1.toLong}%016x${x2.toLong}%016x"
       graft.util.Scratch.sharedDir(s"knng-k${key._2}-$tag")
     })
 
@@ -884,28 +900,32 @@ object KnnGraph {
     * byte copy when the filesystem refuses links (cross-device). */
   private def linkStorePartitions(spark: SparkSession, srcDir: String,
       dstDir: String, skip: Set[Int]): Unit = {
-    val src = java.nio.file.Paths.get(
-      new java.net.URI(srcDir).getSchemeSpecificPart match {
-        case p if p.startsWith("/") => p
-        case _ => srcDir.stripPrefix("file:")
-      })
-    val dst = java.nio.file.Paths.get(
-      new java.net.URI(dstDir).getSchemeSpecificPart match {
-        case p if p.startsWith("/") => p
-        case _ => dstDir.stripPrefix("file:")
-      })
-    java.nio.file.Files.createDirectories(dst)
-    def listClosed(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-      val s = java.nio.file.Files.list(p)
-      try { import scala.jdk.CollectionConverters._
-        s.iterator().asScala.toList }
-      finally s.close()
-    }
-    for (part <- listClosed(src)) {
-      val name = part.getFileName.toString
-      if (name.startsWith("bucket=") &&
-          !skip.contains(name.stripPrefix("bucket=").toInt)) {
-        val dp = dst.resolve(name)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(srcDir)
+    val dstP = new org.apache.hadoop.fs.Path(dstDir)
+    val fs = srcP.getFileSystem(conf)
+    def kept(name: String): Boolean = name.startsWith("bucket=") &&
+      !skip.contains(name.stripPrefix("bucket=").toInt)
+    // scheme detection through Hadoop Path/FileSystem, not raw
+    // java.net.URI (r16 advice: URI(path) throws on spaces, and a
+    // non-file scheme's scheme-specific part is NOT a local path) —
+    // only a genuinely local store takes the java.nio hard-link fast
+    // path; everything else byte-copies per partition via FileUtil
+    // (an object-store deployment splices in a table-format manifest
+    // instead — see the method scaladoc)
+    if (fs.getScheme == "file") {
+      val src = java.nio.file.Paths.get(fs.makeQualified(srcP).toUri)
+      val dst = java.nio.file.Paths.get(fs.makeQualified(dstP).toUri)
+      java.nio.file.Files.createDirectories(dst)
+      def listClosed(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+        val s = java.nio.file.Files.list(p)
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toList }
+        finally s.close()
+      }
+      for (part <- listClosed(src)
+           if kept(part.getFileName.toString)) {
+        val dp = dst.resolve(part.getFileName.toString)
         java.nio.file.Files.createDirectories(dp)
         for (f <- listClosed(part)
              if java.nio.file.Files.isRegularFile(f)) {
@@ -916,6 +936,13 @@ object KnnGraph {
             java.nio.file.Files.copy(f, target): Unit }
         }
       }
+    } else {
+      fs.mkdirs(dstP): Unit
+      for (st <- fs.listStatus(srcP)
+           if st.isDirectory && kept(st.getPath.getName))
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(dstP, st.getPath.getName),
+          false, conf): Unit
     }
   }
 

@@ -147,12 +147,28 @@ class BuildPolicySpec extends AnyFunSuite {
     import spark.implicits._
     val vecs = corpus()
     // unique corpusKey so the process-shared map can't hand this test
-    // another test's dir; the digest-named sharedDir is deterministic,
-    // so wipe any leftover decision from a previous suite run first
+    // another test's dir; the digest-named sharedDir is deterministic
+    // AND durable across JVMs, so actually wipe it first — otherwise a
+    // decision file from a previous suite run makes the FIRST call
+    // replay and the persist-then-replay path goes untested (r16
+    // advice; pre-r17 the comment claimed a wipe that never happened)
     val ck = s"policy-decision-spec"
+    val wd = KnnGraph.sharedWorkDir(vecs, (ck, K))
+    val hfs = new org.apache.hadoop.fs.Path(wd).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(wd), true)
+    def dirSnapshot(): Set[String] =
+      if (!hfs.exists(new org.apache.hadoop.fs.Path(wd))) Set.empty
+      else hfs.listStatus(new org.apache.hadoop.fs.Path(wd))
+        .map(_.getPath.getName).toSet
+    assert(dirSnapshot().isEmpty, s"wipe of $wd failed")
     val (_, d1, p1, t1) = KnnGraph.buildPolicyCached(
       vecs, ck, K, maxRounds = 4, Degree, Alpha, candBeamRounds = 2,
       serveK = K, serveBeamRounds = 3, nProbes = 8)
+    // the ladder must have persisted a decision file for this budget
+    val afterLadder = dirSnapshot()
+    assert(afterLadder.exists(_.startsWith("_graft_policy_")),
+      s"ladder did not persist a decision file; dir holds $afterLadder")
     // the decision replay path must return the same depth, the same
     // artifact, and the same trace (read back from the decision file)
     val (_, d2, p2, t2) = KnnGraph.buildPolicyCached(
@@ -161,6 +177,13 @@ class BuildPolicySpec extends AnyFunSuite {
     assert(d2 == d1, s"replayed depth $d2 != decided depth $d1")
     assert(t2 == t1, s"replayed trace $t2 != recorded trace $t1")
     assert(edges(p2) == edges(p1), "replayed artifact diverged")
+    // replay must be observable as a NO-OP on the workDir — identical
+    // results would also pass if the second call silently re-laddered,
+    // so assert no new policy_prune_* sibling dirs (and no new files at
+    // all) appeared (r16 advice)
+    assert(dirSnapshot() == afterLadder,
+      s"second call changed the workDir — it re-laddered instead of " +
+        s"replaying: ${dirSnapshot().diff(afterLadder)}")
     // a DIFFERENT budget on the same corpus must not hit the decision
     // (the file is budget-keyed): it re-ladders and records its own
     val (_, _, _, t3) = KnnGraph.buildPolicyCached(
