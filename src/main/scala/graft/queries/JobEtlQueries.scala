@@ -147,12 +147,13 @@ object JobEtlQueries {
       .orderBy($"skill")
   }
 
-  /** Hot-score formula over the per-skill aggregate (train_gbt.py:95-116):
-    * 0.4·salary̅/100 + 0.3·min(count/100,1) − 0.2·exp̅/10 + 0.1·bigcity. */
-  val jq06HotScore: QueryDef = sqlChecked(
-    "jq06_hot_score",
-    s"""WITH $W,
-       |sk0 AS (SELECT unnest(string_split(lower(skills), ',')) AS skill0,
+  /** The per-skill hot-score CTE chain (sk0 → sk → agg → hot) — ONE
+    * source of truth for the aggregate arithmetic, shared by jq06's
+    * oracle and mq17's frozen-GBT serving oracle (which scores exactly
+    * this frame). Yields `hot(skill, job_count, avg_salary, avg_exp,
+    * big_city_ratio, skill_hot_score)`; splice after the `$W` fixture. */
+  private[queries] val skillHotSql: String =
+    s"""sk0 AS (SELECT unnest(string_split(lower(skills), ',')) AS skill0,
        |          salary_avg, exp_avg_year, city_clean FROM etl),
        |sk AS (SELECT trim(skill0) AS skill, salary_avg, exp_avg_year,
        |         CASE WHEN regexp_matches(lower(city_clean), 'hồ chí minh|hà nội|hcm|ha noi') THEN 1.0 ELSE 0.0 END AS is_big_city
@@ -162,11 +163,21 @@ object JobEtlQueries {
        |    ${sqlDavg("salary_avg")} AS avg_salary,
        |    ${sqlDavg("exp_avg_year")} AS avg_exp,
        |    ${sqlDavg("is_big_city")} AS big_city_ratio
-       |  FROM sk GROUP BY skill HAVING COUNT(*) >= 10)
-       |SELECT skill, job_count, avg_salary, avg_exp, big_city_ratio,
-       |  (avg_salary / 100.0) * 0.4 + least(job_count / 100.0, 1.0) * 0.3
-       |    - (avg_exp / 10.0) * 0.2 + big_city_ratio * 0.1 AS skill_hot_score
-       |FROM agg
+       |  FROM sk GROUP BY skill HAVING COUNT(*) >= 10),
+       |hot AS (
+       |  SELECT skill, job_count, avg_salary, avg_exp, big_city_ratio,
+       |    (avg_salary / 100.0) * 0.4 + least(job_count / 100.0, 1.0) * 0.3
+       |      - (avg_exp / 10.0) * 0.2 + big_city_ratio * 0.1 AS skill_hot_score
+       |  FROM agg)""".stripMargin
+
+  /** Hot-score formula over the per-skill aggregate (train_gbt.py:95-116):
+    * 0.4·salary̅/100 + 0.3·min(count/100,1) − 0.2·exp̅/10 + 0.1·bigcity. */
+  val jq06HotScore: QueryDef = sqlChecked(
+    "jq06_hot_score",
+    s"""WITH $W,
+       |$skillHotSql
+       |SELECT skill, job_count, avg_salary, avg_exp, big_city_ratio, skill_hot_score
+       |FROM hot
        |ORDER BY skill_hot_score DESC, skill LIMIT 20""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     JobFeatures.skillHotScores(JobFeatures.explodeSkills(cleanJobs(spark, dir)))

@@ -643,10 +643,58 @@ object MlQueries {
         $"top"("w").as("top_weight"))
   }
 
+  /** FROZEN-GBT SERVING, hash-checked (r16 verdict #5): the fifth and
+    * last frozen-serving row — the reference's OTHER persisted tree
+    * model, the hot-score gradient-boosted ensemble mq04 trains
+    * (train_gbt.py:147-175; maxIter=50, maxDepth=5, seed=42) — with
+    * the trained trees AND boosting weights frozen as published
+    * constants ([[graft.ml.FrozenSkillGbt]], provenance + exact
+    * replay-vs-transform validation in [[graft.ml.FreezeGbt]]). mq13's
+    * forest AVERAGE becomes a boosting-WEIGHTED left-associated sum —
+    * still pure comparisons and IEEE adds/multiplies, so the oracle
+    * replays the whole ensemble as CASE arithmetic over the per-skill
+    * aggregate (itself hash-green — jq06's own CTE chain, spliced from
+    * the same [[JobEtlQueries.skillHotSql]] one-source-of-truth).
+    *
+    * 100 TB: per-row projection over a grouped aggregate — the CASE
+    * nest is one codegen'd expression; the only shuffle is the skill
+    * groupBy the input already pays. */
+  /** The per-skill hot-score frame mq04 trains on and mq17 serves
+    * over — one public accessor so [[graft.ml.FreezeGbt]]'s training
+    * frame is mq17's serving input by construction. */
+  def skillHotFrame(spark: SparkSession, dir: String): DataFrame =
+    JobFeatures.skillHotScores(JobFeatures.explodeSkills(
+      JobEtlQueries.cleanJobs(spark, dir)))
+
+  val mq17FrozenGbtScoring: QueryDef = QueryDef.sqlChecked(
+    "mq17_frozen_gbt_scoring", {
+      import graft.ml.FrozenSkillGbt
+      val featSql: Int => String = i => FrozenSkillGbt.featureNames(i) match {
+        case "job_count" => "CAST(job_count AS DOUBLE)"
+        case other => other
+      }
+      s"""WITH ${graft.etl.JobsFixture.duckParsedSql},
+         |${JobEtlQueries.skillHotSql}
+         |SELECT skill, skill_hot_score,
+         |  ${FrozenSkillGbt.scoreSql(featSql)} AS gbt_score
+         |FROM hot""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    import graft.ml.FrozenSkillGbt
+    val featCol: Int => org.apache.spark.sql.Column =
+      i => FrozenSkillGbt.featureNames(i) match {
+        case "job_count" => $"job_count".cast("double")
+        case other => col(other)
+      }
+    skillHotFrame(spark, dir)
+      .select($"skill", $"skill_hot_score",
+        FrozenSkillGbt.scoreCol(featCol).as("gbt_score"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     mq01KmeansEmbeddings, mq02KmeansJobs, mq03RfSalary, mq04GbtHotScore,
     mq05LogisticAttractiveness, mq06TfidfDocs, mq07Word2vecSynonyms,
     mq08LdaTopics, mq09AttractivenessLrV1, mq10QualityFilterLr, mq11SemDedup,
     mq12CvTuning, mq13FrozenRfInference, mq14FrozenLrServing,
-    mq15FrozenKmeansAssign, mq16FrozenTfidfScoring)
+    mq15FrozenKmeansAssign, mq16FrozenTfidfScoring, mq17FrozenGbtScoring)
 }
