@@ -630,7 +630,8 @@ object KnnGraph {
   def searchCandidates(vecs: DataFrame, graph: DataFrame, k: Int,
       beamRounds: Int, entries: Option[DataFrame] = None,
       querySlices: Int = 0, corpusCount: Long = -1L,
-      subset: Option[DataFrame] = None): DataFrame = {
+      subset: Option[DataFrame] = None,
+      graphIsSymmetric: Boolean = false): DataFrame = {
     import vecs.sparkSession.implicits._
     // `subset` (a qid frame) restricts candidate generation to those
     // nodes — the incremental-reprune scope ([[repruneStoredIncremental]]):
@@ -645,8 +646,19 @@ object KnnGraph {
         .localCheckpoint(true)
       case None => vecs.select($"vec_id".as("qid"), $"v")
     }
-    val und = graph.select($"src", $"nbr")
-      .union(graph.select($"nbr".as("src"), $"src".as("nbr"))).distinct()
+    // `graphIsSymmetric` skips the undirected-closure shuffle when the
+    // caller's graph ALREADY holds both directions — the clustered
+    // store's writer contract ([[writeStoreClustered]] unions, the
+    // ingest writes both edge directions, the incremental publish
+    // splices symmetrized rows), so the maintenance rungs were paying
+    // an index-sized union+distinct to re-derive what they read (r16
+    // verdict #3). Replayed streamed appends may leave duplicate
+    // physical rows; that is safe here — expand() distincts each
+    // frontier and the final candidate union distincts edges — dups
+    // cost join width, never answers.
+    val und = (if (graphIsSymmetric) graph.select($"src", $"nbr")
+      else graph.select($"src", $"nbr")
+        .union(graph.select($"nbr".as("src"), $"src".as("nbr"))).distinct())
       .localCheckpoint(true)
     def expand(frontier: DataFrame): DataFrame =
       frontier.join(und, frontier("node") === und("src"))
@@ -752,7 +764,8 @@ object KnnGraph {
     val pruned = robustPrune(vecs,
         searchCandidates(vecs, graph, k, beamRounds,
           entries = Some(slotEntries(spark, vecPath,
-            vecs.select($"vec_id".as("qid"))))),
+            vecs.select($"vec_id".as("qid")))),
+          graphIsSymmetric = true),
         degree, alpha, pruneWorkDir)
       .select($"src", $"nbr")
     writeStoreClustered(pruned, vecs, outPath, cents)
@@ -766,11 +779,13 @@ object KnnGraph {
     * nodes for a 4-insert/4-erase cycle — 206–775 s at 200k). The
     * re-prune scope is
     *
-    *   S = members of churn-touched cells (arrival cells via the
-    *       store's centroids, erased victims' cells via `extraCells` —
-    *       a victim has no vector left to route by)
-    *     ∪ the 1-hop graph fringe of `churnedIds` still in the store
-    *       (the nodes whose neighborhoods the insert back-edges
+    *   S = members of churn-touched cells (arrival cells read from the
+    *       STORE's `bucket` partition column — the assignment already
+    *       exists as the layout, so no corpus-wide `clusterOf`
+    *       recompute (r16 verdict #3); erased victims' cells via
+    *       `extraCells` — a victim has no rows left to read)
+    *     ∪ the 1-hop graph fringe of the churned ids still in the
+    *       store (the nodes whose neighborhoods the insert back-edges
     *       perturbed),
     *
     * candidates are regenerated by searches FOR S's vectors over the
@@ -791,14 +806,17 @@ object KnnGraph {
     * 100 TB: candidate walks are |S|-bounded, the prune is r passes
     * over an |S|·L candidate list, the publish rewrites only touched
     * partitions (link = a metadata operation; on an object store the
-    * same move is a manifest splice, Iceberg-style), and the one
-    * corpus-shaped cost left is the scope derivation's assignment scan
-    * (map-only, no shuffle) — cycle cost follows accumulated churn,
-    * with the full [[repruneStored]] as the occasional
-    * deep-consolidate. */
+    * same move is a manifest splice, Iceberg-style), and the only
+    * corpus-sized touches left are EDGE-COLUMN SCANS (the fringe
+    * semi-joins and the walk's expansion) — every assignment is read
+    * from the store's `bucket` column, churn arrives as a frame (so a
+    * production-sized churn batch is a join, never a driver-side
+    * literal list — r16 verdict #4), and cycle cost follows
+    * accumulated churn, with the full [[repruneStored]] as the
+    * occasional deep-consolidate. */
   def repruneStoredIncremental(spark: SparkSession, graphPath: String,
       vecPath: String, outPath: String, degree: Int, alpha: Double,
-      k: Int, beamRounds: Int, churnedIds: Seq[Long],
+      k: Int, beamRounds: Int, churn: DataFrame,
       extraCells: Seq[Int] = Nil,
       pruneWorkDir: Option[String] = None): Long = {
     import spark.implicits._
@@ -807,24 +825,43 @@ object KnnGraph {
     val stored = spark.read.parquet(graphPath)
       .select($"src", $"nbr", $"nbr_bucket", $"bucket")
     val cents = centroidsOf(spark, graphPath)
-    val assign = vecs.select($"vec_id", clusterOf($"v", cents).as("c"))
-      .localCheckpoint(true)
-    // cells touched by churn: arrivals still present route by their
-    // vector; erased victims' cells arrive via extraCells (recorded by
-    // the maintainer at erase time, when the vector still existed)
-    val churnCells =
-      ((if (churnedIds.nonEmpty)
-        assign.filter($"vec_id".isin(churnedIds: _*))
-          .select($"c").distinct().as[Int].collect().toSeq
-      else Nil) ++ extraCells).distinct
+    val churnB = churn.select($"vec_id").distinct().localCheckpoint(true)
+    val nChurn = churnB.count()
+    // cells touched by churn, READ FROM THE STORE's bucket partition
+    // column (the writer routed every node's own edges there by
+    // centroid — recomputing clusterOf over the full vector store was
+    // the r16 verdict-#3 corpus-shaped stage). Erased victims' cells
+    // arrive via extraCells (recorded by the maintainer at erase time,
+    // when the rows still existed); a churned id with a vector but no
+    // adjacency rows (outside the entry-published-ingest contract)
+    // falls back to centroid routing rather than silently dropping its
+    // cell — churn-bounded, normally empty.
+    val wiredCells = if (nChurn > 0)
+        stored.join(churnB.select($"vec_id".as("src")), Seq("src"), "left_semi")
+          .select($"bucket").distinct().as[Int].collect().toSeq
+      else Nil
+    val unwiredCells = if (nChurn > 0)
+        vecs.join(churnB, Seq("vec_id"), "left_semi")
+          .join(stored.select($"src".as("vec_id")), Seq("vec_id"), "left_anti")
+          .select(clusterOf($"v", cents).as("c"))
+          .distinct().as[Int].collect().toSeq
+      else Nil
+    val churnCells = (wiredCells ++ unwiredCells ++ extraCells).distinct
+    // cell membership is the store's own layout: distinct sources of a
+    // cell's partition ARE its members (every node's own edge rows live
+    // in its cell — writer contract), and the isin on the partition
+    // column prunes the scan to exactly the churn cells
     val cellMembers =
       if (churnCells.nonEmpty)
-        assign.filter($"c".isin(churnCells: _*)).select($"vec_id")
+        stored.filter($"bucket".isin(churnCells: _*))
+          .select($"src".as("vec_id")).distinct()
       else spark.emptyDataset[Long].toDF("vec_id")
     val fringe =
-      if (churnedIds.nonEmpty)
-        stored.filter($"nbr".isin(churnedIds: _*)).select($"src".as("vec_id"))
-          .union(stored.filter($"src".isin(churnedIds: _*))
+      if (nChurn > 0)
+        stored.join(churnB.select($"vec_id".as("nbr")), Seq("nbr"), "left_semi")
+          .select($"src".as("vec_id"))
+          .union(stored
+            .join(churnB.select($"vec_id".as("src")), Seq("src"), "left_semi")
             .select($"nbr".as("vec_id")))
       else spark.emptyDataset[Long].toDF("vec_id")
     val scope = cellMembers.union(fringe).distinct()
@@ -845,13 +882,29 @@ object KnnGraph {
     val prunedScope = robustPrune(vecs,
         searchCandidates(vecs, stored.select($"src", $"nbr"), k, beamRounds,
           entries = Some(slotEntries(spark, vecPath, scope)),
-          corpusCount = nScope, subset = Some(scope)),
+          corpusCount = nScope, subset = Some(scope),
+          // the stored adjacency is symmetric by writer contract — no
+          // index-sized union+distinct to re-derive the closure
+          graphIsSymmetric = true),
         degree, alpha, pruneWorkDir)
       .select($"src", $"nbr")
     // S's fresh edges, symmetrized and bucket-routed like the writer's
     val sym = prunedScope
       .union(prunedScope.select($"nbr".as("src"), $"src".as("nbr")))
       .distinct()
+    // bucket routing for sym's endpoints, scope-bounded and read from
+    // the store (semi-join first, THEN distinct — the assignment frame
+    // never exceeds the repair scope ∪ its chosen neighbors); the
+    // centroid fallback covers endpoints with no stored rows
+    val needed = sym.select($"src".as("vec_id"))
+      .union(sym.select($"nbr".as("vec_id"))).distinct()
+      .localCheckpoint(true)
+    val assignStored = stored.select($"src".as("vec_id"), $"bucket".as("c"))
+      .join(needed, Seq("vec_id"), "left_semi").distinct()
+    val assignMissing = vecs.join(needed, Seq("vec_id"), "left_semi")
+      .join(assignStored.select($"vec_id"), Seq("vec_id"), "left_anti")
+      .select($"vec_id", clusterOf($"v", cents).as("c"))
+    val assign = assignStored.union(assignMissing).localCheckpoint(true)
     val newRows = sym
       .join(assign.select($"vec_id".as("nbr"), $"c".as("nbr_bucket")), Seq("nbr"))
       .join(assign.select($"vec_id".as("src"), $"c".as("bucket")), Seq("src"))
@@ -891,6 +944,21 @@ object KnnGraph {
       .select($"cid", $"node", $"cid".as("node_bucket"))
     replaceEntriesSidecar(spark, outPath, keepE.unionByName(newE))
     nScope
+  }
+
+  /** Seq sugar over the frame-shaped rung — for probe-sized churn
+    * lists. A PRODUCTION consolidate's churn batch (millions of ids
+    * from a stream's replay log) must use the DataFrame overload: a
+    * driver-side literal list does not survive that scale (r16
+    * verdict #4). */
+  def repruneStoredIncremental(spark: SparkSession, graphPath: String,
+      vecPath: String, outPath: String, degree: Int, alpha: Double,
+      k: Int, beamRounds: Int, churnedIds: Seq[Long],
+      extraCells: Seq[Int], pruneWorkDir: Option[String]): Long = {
+    import spark.implicits._
+    repruneStoredIncremental(spark, graphPath, vecPath, outPath, degree,
+      alpha, k, beamRounds, churnedIds.toDF("vec_id"), extraCells,
+      pruneWorkDir)
   }
 
   /** Hard-link every `bucket=N` partition of `srcDir` into `dstDir`

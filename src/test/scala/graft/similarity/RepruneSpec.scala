@@ -98,7 +98,6 @@ class RepruneSpec extends AnyFunSuite {
       .localCheckpoint(true)
     graft.streaming.StreamingGraphIngest.insertClusteredBatch(
       arrivals, s"$root/g", s"$root/vec", K, beamRounds = 3)
-    val churn = Seq(5000L, 5001L)
     val vicCells = arrivals.filter($"vec_id" === 5001L)
       .select(KnnGraph.clusterOf($"v", cents).as("c"))
       .as[Int].collect().toSeq
@@ -106,9 +105,16 @@ class RepruneSpec extends AnyFunSuite {
       vecPath = s"$root/vec", eraseVectors = true)
     val v1 = spark.read.parquet(s"$root/g")
       .select($"src", $"nbr").localCheckpoint(true)
+    // churn arrives as a 10,000-row FRAME (r16 verdict #4): the rung
+    // must take production-shaped churn through joins, never a
+    // driver-side literal list. Only two of the ids exist (the
+    // arrivals — one since erased); the other 9,998 are ids the store
+    // never held, which the frame path must shrug off exactly like the
+    // erased one (no stored rows → no cells, no fringe)
+    val churnFrame = spark.range(5000L, 15000L).toDF("vec_id")
     val nScope = KnnGraph.repruneStoredIncremental(spark, s"$root/g",
       s"$root/vec", s"$root/g2", degree = K, alpha = 1.25, k = K,
-      beamRounds = 3, churnedIds = churn, extraCells = vicCells)
+      beamRounds = 3, churn = churnFrame, extraCells = vicCells)
     // churn-scoped: the repair set is a strict subset of the corpus
     // (cells are 16-way over 256 nodes, churn touches a couple)
     assert(nScope > 0 && nScope < 200,
@@ -144,7 +150,8 @@ class RepruneSpec extends AnyFunSuite {
     // empty churn publishes the old adjacency verbatim
     val zero = KnnGraph.repruneStoredIncremental(spark, s"$root/g2",
       s"$root/vec", s"$root/g3", degree = K, alpha = 1.25, k = K,
-      beamRounds = 3, churnedIds = Nil)
+      beamRounds = 3, churnedIds = Nil, extraCells = Nil,
+      pruneWorkDir = None)
     assert(zero == 0L)
     val v3 = spark.read.parquet(s"$root/g3").select($"src", $"nbr")
     assert(v2.except(v3).isEmpty && v3.except(v2).isEmpty,
