@@ -2458,12 +2458,27 @@ object SimilarityQueries {
     val cbq = graft.similarity.Pq.trainSubspaces(sample, 8, 8, 16)
     KnnGraph.writeCodes(
       graft.similarity.Pq.pqEncode(vecs, cbq, 8), s"$root/codes")
+    val bfSet = bf.as[(Long, Long)].collect().toSet
+    // serve-budget policy for the quantized head (r16 verdict #2):
+    // target = the exact stored head's recall on the same store —
+    // storeServed's, measured above — so the quantized serve runs at
+    // the cheapest (L, W) within eps of what the graph delivers
+    val storeRecall = storeServed
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .count(bfSet.contains).toDouble / (nq * k)
+    val ((pqL, pqW), _, _) = KnnGraph.servePolicyCached(
+      vecs, dir, k,
+      (l, w) => KnnGraph.serveFromStoresPq(spark, s"$root/g",
+        s"$root/codes", s"$root/vec", qv, cbq, k, beamRounds,
+        rerankWidth = w, beamWidth = l),
+      bf, nq, targetRecall = storeRecall, eps = 0.05,
+      tag = s"hashpq_b$beamRounds")
     val tPq0 = System.nanoTime()
     val pqServed = KnnGraph.serveFromStoresPq(spark, s"$root/g",
-        s"$root/codes", s"$root/vec", qv, cbq, k, beamRounds)
+        s"$root/codes", s"$root/vec", qv, cbq, k, beamRounds,
+        rerankWidth = pqW, beamWidth = pqL)
       .as[(Long, Long)].collect()
     val pqMs = (System.nanoTime() - tPq0) / 1e6 / nq
-    val bfSet = bf.as[(Long, Long)].collect().toSet
     val pqRecall = pqServed.count(bfSet.contains).toDouble / (nq * k)
     val warmTrace = KnnGraph.serveStoredTrace(
       spark, s"$root/g", vecs, qv, k, beamRounds,
@@ -2481,12 +2496,13 @@ object SimilarityQueries {
         math.max(math.max(ringServed.length, storeServed.length),
           coordServed.length).toLong,
         ringRecalls.last._2, toHalf(ringRecalls),
-        warmRecalls.last._2, toHalf(warmRecalls), pqRecall))
+        warmRecalls.last._2, toHalf(warmRecalls), pqRecall,
+        pqL.toLong, pqW.toLong))
       .toDF("n_queries", "build_s", "store_write_s", "serve_ms_per_query",
         "serve_ms_store_only", "serve_ms_coordinated", "serve_ms_pq_store",
         "rows_served",
         "recall_ring_final", "rounds_to_half_ring", "recall_warm_final",
-        "rounds_to_half_warm", "recall_pq_final")
+        "rounds_to_half_warm", "recall_pq_final", "pq_l", "pq_w")
   }
 
   /** Incremental graph maintenance measured — the cost/quality frame
@@ -3405,10 +3421,32 @@ object SimilarityQueries {
         Window.partitionBy($"qid").orderBy(cosine($"qv", $"cv").desc, $"node")))
       .filter($"rn" <= k).select($"qid", $"node").cache()
     bf.count()
+    // SERVE-BUDGET POLICY (r16 verdict #2): build depth already
+    // self-tunes (buildToServedRecall above); the quantized head's
+    // (L, W) was the remaining hand-pinned knob, and the r16 ADC sweep
+    // proved L is the binding recall lever. Target = the EXACT head's
+    // measured recall on this store and probe set — the policy then
+    // guarantees the quantization layer costs at most eps of whatever
+    // quality the graph delivers. Process-shared + durable like the
+    // depth decision (servePolicyCached).
+    val tPol0 = System.nanoTime()
+    val exactAns = KnnGraph.serveFromStoresClusteredWarm(spark, pinned(),
+      s"$root/vec", qv, k, beamRounds).localCheckpoint(true)
+    val exactRecall = exactAns.join(bf, Seq("qid", "node"), "left_semi")
+      .count().toDouble / (nq * k)
+    val ((servL, servW), polRecall, polTrace) = KnnGraph.servePolicyCached(
+      vecs, dir, k,
+      (l, w) => KnnGraph.serveFromStoresClusteredPqWarm(spark, pinned(),
+        s"$root/codes", s"$root/vec", qv, cb, k, beamRounds,
+        rerankWidth = w, beamWidth = l),
+      bf, nq, targetRecall = exactRecall, eps = 0.05,
+      tag = s"pq_b${beamRounds}_${KnnGraph.entriesTagOf(cents)}")
+    val polS = (System.nanoTime() - tPol0) / 1e9
     def serveRecall(graphPath: String): (Double, Double, Long, Set[(Long, Long)]) = {
       val t0 = System.nanoTime()
       val ans = KnnGraph.serveFromStoresClusteredPqWarm(spark, graphPath,
-        s"$root/codes", s"$root/vec", qv, cb, k, beamRounds)
+        s"$root/codes", s"$root/vec", qv, cb, k, beamRounds,
+        rerankWidth = servW, beamWidth = servL)
         .localCheckpoint(true)
       val nAns = ans.count()
       val ms = (System.nanoTime() - t0) / 1e6 / nq
@@ -3444,7 +3482,7 @@ object SimilarityQueries {
       .select(($"vec_id" + 4000000L).as("qid"), $"v")
     val foundIns = KnnGraph.serveFromStoresClusteredPqWarm(spark,
         pinned(), s"$root/codes", s"$root/vec", probes, cb, k,
-        beamRounds)
+        beamRounds, rerankWidth = servW, beamWidth = servL)
       .filter($"node" === $"qid" - 4000000L).count()
     // erase the arrivals again — vectors, codes, entries, both edge
     // directions (erase must run BEFORE the vector rows vanish)
@@ -3456,7 +3494,8 @@ object SimilarityQueries {
     val eraseS = (System.nanoTime() - tE0) / 1e9
     val (recallPost, serveMsPost, nAnsPost, ansPost) = serveRecall(pinned())
     val victimsServed = KnnGraph.serveFromStoresClusteredPqWarm(spark,
-        pinned(), s"$root/codes", s"$root/vec", probes, cb, k, beamRounds)
+        pinned(), s"$root/codes", s"$root/vec", probes, cb, k, beamRounds,
+        rerankWidth = servW, beamWidth = servL)
       .filter($"node".isin(victims: _*)).count()
     // RE-PRUNE rung (r14): the pruned SERVING store's maintenance —
     // search candidates regenerated over the CURRENT store, re-α-pruned
@@ -3496,13 +3535,20 @@ object SimilarityQueries {
       (1L, "policy_trace", 0.0, Some(r3(recallTrace.map(_._2).max)),
         recallTrace.size.toLong),
       (2L, "write_store", r2(storeS), None, n),
-      (3L, "serve_pq_warm", r2(serveMs0 / 1000 * nq), Some(r3(recall0)), nAns0),
-      (4L, "insert_with_codes", r2(insertS), Some(foundIns / 4.0), 4L),
-      (5L, "erase_full", r2(eraseS), Some(victimsServed.toDouble), victims.size.toLong),
-      (6L, "serve_post_erase", r2(serveMsPost / 1000 * nq), Some(r3(recallPost)), nAnsPost),
-      (7L, "reprune_v2", r2(refineS), None, n),
-      (8L, "serve_v2", r2(serveMsV2 / 1000 * nq), Some(r3(recallV2)), nAnsV2),
-      (9L, "rollback_serve_v1", r2(rollbackS), Some(rollbackOk), nAnsBack))
+      // the serve-budget decision IN-ROW (r16 verdict #2): the chosen
+      // point rides the phase name, its recall the metric, the exact
+      // head's target recall the companion row — every quantized serve
+      // below runs at this (L, W)
+      (3L, s"serve_budget_L${servL}_W$servW", r2(polS),
+        Some(r3(polRecall)), polTrace.size.toLong),
+      (4L, "serve_exact_target", 0.0, Some(r3(exactRecall)), nq),
+      (5L, "serve_pq_warm", r2(serveMs0 / 1000 * nq), Some(r3(recall0)), nAns0),
+      (6L, "insert_with_codes", r2(insertS), Some(foundIns / 4.0), 4L),
+      (7L, "erase_full", r2(eraseS), Some(victimsServed.toDouble), victims.size.toLong),
+      (8L, "serve_post_erase", r2(serveMsPost / 1000 * nq), Some(r3(recallPost)), nAnsPost),
+      (9L, "reprune_v2", r2(refineS), None, n),
+      (10L, "serve_v2", r2(serveMsV2 / 1000 * nq), Some(r3(recallV2)), nAnsV2),
+      (11L, "rollback_serve_v1", r2(rollbackS), Some(rollbackOk), nAnsBack))
       .toDF("phase_id", "phase", "wall_s", "metric", "n_rows")
       .orderBy($"phase_id")
   }

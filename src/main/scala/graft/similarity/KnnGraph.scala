@@ -551,6 +551,134 @@ object KnnGraph {
   def entriesTagOf(cents: Seq[Seq[Double]]): String =
     f"c${cents.length}_${scala.util.hashing.MurmurHash3.seqHash(cents.map(_.hashCode)) & 0x7fffffff}%08x"
 
+  /** SERVE-BUDGET POLICY (r16 verdict #2): the quantized head has two
+    * serving knobs — beam width L (per-round ADC keep, the walk's pool
+    * ceiling) and rerank width W (the exact re-rank's shortlist) — and
+    * the r16 ADC sweep proved L is the binding recall lever (x1 ADC
+    * 0.336 → 0.680 as L grew k → 8k at ~1.3× latency) while BUILD
+    * depth already self-tunes via [[buildToServedRecall]]. This closes
+    * the calibration asymmetry: ladder over candidate (L, W) points in
+    * ascending cost order (L outer — it drives the walk's work; W
+    * inner — it only widens one final fetch), measure the quantized
+    * head's served recall on the caller's probe set, and stop at the
+    * FIRST point whose recall reaches `targetRecall − eps`, where
+    * `targetRecall` is the EXACT head's measured recall on the same
+    * store and probes — the quantization layer then provably costs at
+    * most eps of whatever quality the graph delivers. If no candidate
+    * reaches it, the best-recall point wins (the curve's ceiling is
+    * the graph's, not the budget's) — and because a budget-starved
+    * curve PLATEAUS well below an unreachable target (near-orthogonal
+    * synthetic embeddings: the ADC ceiling is code resolution, not
+    * width), the ladder also stops after two consecutive evaluations
+    * that improve the best seen by < eps/2 — the build policy's stale
+    * rule, so an unreachable target costs ~3 evals, not the whole
+    * grid. The default W ladder is the single point 4k: the r16 ADC
+    * sweep measured W saturating at the walk's pool while L moved
+    * recall 0.336 → 0.680, and a wider final fetch is the cheap knob —
+    * callers sweeping W pass `candidatesW` explicitly. Returns
+    * ((L, W), recall at the pick, the evaluated (L, W, recall) trace).
+    *
+    * Like the build-depth decision, the pick is a DURABLE ARTIFACT:
+    * with `workDir` given it persists under
+    * `_graft_policy_serve_<tag>` and any later run over the same
+    * workDir + budgets replays it without serving a single eval
+    * (truncated file → delete + re-ladder). The caller's `tag` must
+    * carry every serve-determining budget outside (k, eps, candidate
+    * lists) — beam rounds, codebook/entry discipline — the same
+    * contract as [[buildToServedRecall]]'s entriesTag.
+    *
+    * 100 TB: each evaluation is one |Q|-bounded quantized serve —
+    * request-shaped, corpus-size-free — bought once per (store,
+    * budget); the alternative is a hand-pinned default that was
+    * measured quality-poor on hard corpora (x1 ADC 0.336). */
+  def serveBudgetPolicy(spark: SparkSession,
+      serve: (Int, Int) => DataFrame, truth: DataFrame, nq: Long, k: Int,
+      targetRecall: Double, eps: Double = 0.05,
+      candidatesL: Seq[Int] = Nil, candidatesW: Seq[Int] = Nil,
+      workDir: Option[String] = None, tag: String = ""):
+      ((Int, Int), Double, Seq[(Int, Int, Double)]) = {
+    require(nq > 0 && k > 0, "probe set and k must be non-empty")
+    val ls = if (candidatesL.nonEmpty) candidatesL
+      else Seq(k, 2 * k, 4 * k, 8 * k)
+    val ws = if (candidatesW.nonEmpty) candidatesW else Seq(4 * k)
+    val budgetTag = s"k${k}_e${eps}_L${ls.mkString("-")}" +
+      s"_W${ws.mkString("-")}" + (if (tag.nonEmpty) s"_$tag" else "")
+    val decisionPath = workDir.map(wd =>
+      new org.apache.hadoop.fs.Path(wd, s"_graft_policy_serve_$budgetTag"))
+    val hfs = decisionPath.map(_.getFileSystem(
+      spark.sparkContext.hadoopConfiguration))
+    for (p <- decisionPath; fs <- hfs if fs.exists(p)) {
+      val parsed = scala.util.Try {
+        val in = fs.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.split("\n") finally in.close()
+        val l = lines(0).stripPrefix("l=").toInt
+        val w = lines(1).stripPrefix("w=").toInt
+        val r = lines(2).stripPrefix("recall=").toDouble
+        val t = lines(3).stripPrefix("trace=").split(",")
+          .filter(_.nonEmpty).map { e =>
+            val Array(el, ew, er) = e.split(":")
+            (el.toInt, ew.toInt, er.toDouble)
+          }.toSeq
+        ((l, w), r, t)
+      }
+      parsed match {
+        case scala.util.Success(d) => return d
+        case scala.util.Failure(_) => fs.delete(p, false): Unit
+      }
+    }
+    def recallOf(ans: DataFrame): Double =
+      ans.join(truth, Seq("qid", "node"), "left_semi").count()
+        .toDouble / (nq * k)
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    var pick: Option[((Int, Int), Double)] = None
+    var best = 0.0
+    var stale = 0
+    val it = for (l <- ls.iterator; w <- ws.iterator) yield (l, w)
+    while (pick.isEmpty && stale < 2 && it.hasNext) {
+      val (l, w) = it.next()
+      val r = recallOf(serve(l, w))
+      trace += ((l, w, r))
+      if (r >= targetRecall - eps) pick = Some(((l, w), r))
+      if (trace.size == 1 || r >= best + eps / 2) stale = 0 else stale += 1
+      if (r > best) best = r
+    }
+    val ((cl, cw), cr) = pick.getOrElse {
+      val best = trace.maxBy(_._3)
+      ((best._1, best._2), best._3)
+    }
+    for (p <- decisionPath; fs <- hfs) {
+      val body = s"l=$cl\nw=$cw\nrecall=$cr\n" +
+        s"trace=${trace.map { case (l, w, r) => s"$l:$w:$r" }.mkString(",")}"
+      val out = fs.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    ((cl, cw), cr, trace.toSeq)
+  }
+
+  /** PROCESS-SHARED serve-budget policy — [[buildPolicyCached]]'s
+    * caching discipline applied to [[serveBudgetPolicy]]: the decision
+    * persists in the corpus-digest-named shared workDir, so the
+    * per-round bench replays a pick an earlier process laddered, and a
+    * regenerated corpus misses the digest and re-ladders. Honors
+    * `graft.noBuildCache` (probes that MEASURE the ladder must pay
+    * it). */
+  def servePolicyCached(vecs: DataFrame, corpusKey: String, k: Int,
+      serve: (Int, Int) => DataFrame, truth: DataFrame, nq: Long,
+      targetRecall: Double, eps: Double = 0.05,
+      candidatesL: Seq[Int] = Nil, candidatesW: Seq[Int] = Nil,
+      tag: String = ""): ((Int, Int), Double, Seq[(Int, Int, Double)]) = {
+    val spark = vecs.sparkSession
+    if (sys.props.get("graft.noBuildCache").contains("1"))
+      return serveBudgetPolicy(spark, serve, truth, nq, k, targetRecall,
+        eps, candidatesL, candidatesW, None, tag)
+    val key = (corpusKey, k)
+    sharedBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      serveBudgetPolicy(spark, serve, truth, nq, k, targetRecall, eps,
+        candidatesL, candidatesW, Some(sharedWorkDir(vecs, key)), tag)
+    }
+  }
+
   // pruneCached (a process-shared durable prune keyed by caller-named
   // candidate lineage) lived here through r14; sq28 — its only caller —
   // now gets durable, process-shared prunes from [[buildPolicyCached]]'s
@@ -2390,11 +2518,12 @@ object KnnGraph {
   def serveFromStoresPq(spark: SparkSession, graphPath: String,
       codesPath: String, vecPath: String, queries: DataFrame,
       cb: Seq[Seq[Seq[Double]]], k: Int, beamRounds: Int,
-      entries: Option[DataFrame] = None, rerankWidth: Int = 0): DataFrame =
+      entries: Option[DataFrame] = None, rerankWidth: Int = 0,
+      beamWidth: Int = 0): DataFrame =
     pqServeHead(spark, codesPath, vecPath, queries, cb, k, beamRounds,
       entries.getOrElse(ringEntries(spark.read.parquet(codesPath), queries)),
       expandStored(spark, graphPath, _), carry = Nil,
-      rerankWidth = rerankWidth)
+      rerankWidth = rerankWidth, beamWidth = beamWidth)
 
   /** THE quantized serving walk both PQ heads share — [[beamTrace]]'s
     * skeleton with the ADC scorer ([[serveFromStoresPq]] on the hash
