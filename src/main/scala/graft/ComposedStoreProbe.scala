@@ -171,14 +171,17 @@ object ComposedStoreProbe {
           Window.partitionBy($"qid").orderBy(cosine($"qv", $"cv").desc, $"node")))
         .filter($"rn" <= k).select($"qid", $"node").cache()
       bf.count()
-      def serve(graphPath: String, phase: String): Unit = {
+      def serve(graphPath: String, phase: String,
+          l: Int = 0, w: Int = 0): (Double, Double) = {
         // warm once (codegen + listings), then time — the steady-state
         // per-query number is the serving claim
         KnnGraph.serveFromStoresClusteredPqWarm(spark, graphPath,
-          s"$root/codes", s"$root/vec", qv, cb, k, beamRounds).count(): Unit
+          s"$root/codes", s"$root/vec", qv, cb, k, beamRounds,
+          rerankWidth = w, beamWidth = l).count(): Unit
         val t0 = System.nanoTime()
         val ans = KnnGraph.serveFromStoresClusteredPqWarm(spark, graphPath,
-          s"$root/codes", s"$root/vec", qv, cb, k, beamRounds)
+          s"$root/codes", s"$root/vec", qv, cb, k, beamRounds,
+          rerankWidth = w, beamWidth = l)
           .localCheckpoint(true)
         ans.count()
         val ms = (System.nanoTime() - t0) / 1e6 / nq
@@ -198,8 +201,29 @@ object ComposedStoreProbe {
         val recallX = ansX.join(bf, Seq("qid", "node"), "left_semi").count()
           .toDouble / (nq * k)
         println(f"""{"probe":"composed_store","corpus":"$label","build_rounds":$depth,"beam_rounds":$beamRounds,"phase":"$phase","ms_per_q":$ms%.1f,"recall":$recall%.3f,"exact_ms_per_q":$msX%.1f,"exact_recall":$recallX%.3f,"n_q":$nq}""")
+        (recall, recallX)
       }
-      serve(s"$root/g", "serve")
+      val (_, exactRecall0) = serve(s"$root/g", "serve")
+      // SERVE-BUDGET POLICY (r16 verdict #2) measured per scale arm:
+      // ladder (L, W) against the exact head's recall just measured,
+      // emit the chosen point, then serve the store AT that budget —
+      // the battery's "ADC at the policy-chosen budget" row. The
+      // decision persists under the probe's own work root (probes
+      // disable the process cache, so the workDir is explicit).
+      val tSp0 = System.nanoTime()
+      val ((spL, spW), spRecall, spTrace) = KnnGraph.serveBudgetPolicy(
+        spark,
+        (l, w) => KnnGraph.serveFromStoresClusteredPqWarm(spark,
+          s"$root/g", s"$root/codes", s"$root/vec", qv, cb, k, beamRounds,
+          rerankWidth = w, beamWidth = l),
+        bf, nq, k, targetRecall = exactRecall0, eps = 0.05,
+        workDir = Some(s"$workRoot/$label/b"),
+        tag = s"pq_b${beamRounds}_${KnnGraph.entriesTagOf(cents)}")
+      val spS = (System.nanoTime() - tSp0) / 1e9
+      val spTj = spTrace.map { case (l, w, r) => f"[$l,$w,$r%.3f]" }
+        .mkString("[", ",", "]")
+      println(f"""{"probe":"composed_store","corpus":"$label","beam_rounds":$beamRounds,"phase":"serve_budget_policy","wall_s":$spS%.2f,"chosen_l":$spL,"chosen_w":$spW,"recall":$spRecall%.3f,"target":$exactRecall0%.3f,"trace":$spTj}""")
+      serve(s"$root/g", "serve_at_policy", l = spL, w = spW): Unit
       // ADC CEILING SWEEP (r15 verdict #5): the standard two-stage
       // recipe's knobs measured on THIS store — rerank width W (exact
       // re-rank of the ADC top-W; sweeps shortlist saturation at the
@@ -275,7 +299,7 @@ object ComposedStoreProbe {
           s"$root/g", s"$root/codes", s"$root/vec", probes, cb, k, beamRounds)
         .filter($"node".isin(victims: _*)).count()
       emit("erase_full", eraseS, victimsServed.toDouble, 4)
-      serve(s"$root/g", "serve_post_erase")
+      serve(s"$root/g", "serve_post_erase"): Unit
       // SPARK_GRAFT_CYCLES=N (r14 verdict #4): maintenance as a CYCLE,
       // not a step — N consecutive insert → erase → RE-PRUNE → serve
       // rounds on the same store, recall + wall per cycle. The
@@ -360,7 +384,7 @@ object ComposedStoreProbe {
             .filter($"node".isin(allVictims.toSeq: _*)).count()
           emit(s"cycle${c}_victims_served", 0.0, vicServed.toDouble,
             allVictims.size.toLong)
-          serve(cur, s"serve_cycle$c")
+          serve(cur, s"serve_cycle$c"): Unit
         }
       } else {
         // SPARK_GRAFT_V2 picks the maintenance rung that publishes v2:
@@ -384,7 +408,7 @@ object ComposedStoreProbe {
             KnnGraph.writeEntries(vecs, s"$root/g2")
         }
         emit(s"${v2Mode}_v2", (System.nanoTime() - tR0) / 1e9, 0, n)
-        serve(s"$root/g2", "serve_v2")
+        serve(s"$root/g2", "serve_v2"): Unit
       }
       vecs.unpersist(); qv.unpersist(); bf.unpersist()
     }

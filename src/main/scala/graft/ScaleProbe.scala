@@ -78,6 +78,23 @@ object ScaleProbe {
       // run killed mid-write leaves a partial dir that must be rebuilt
       if (new java.io.File(s"$path/_SUCCESS").exists()) return
       val df = sources.Tables.load(spark, base, name)
+      // SPARK_GRAFT_EMB_MODE=fresh (r16 verdict #1): the embeddings
+      // scale corpus is FRESH-SAMPLED from the base generator's fitted
+      // per-label mixture instead of replicated — no perturbation
+      // families, so no probe's truth set is its own replica family
+      // and the battery's recall numbers transfer to arbitrary
+      // embeddings with this cluster structure. Point SCALE_DIR at a
+      // separate root (e.g. /tmp/graft_scale100f) so the replica
+      // series stays cached. Deterministic + prefix-stable
+      // (FreshEmbeddingsSpec), so x1 ⊂ x10 ⊂ x100 like the replicas.
+      if (name == "embeddings" &&
+          sys.env.get("SPARK_GRAFT_EMB_MODE").contains("fresh")) {
+        val nBase = df.count()
+        graft.similarity.FreshEmbeddings.sample(spark, df, nBase * n)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(path)
+        return
+      }
       val shift = keyCols.map(k =>
         k -> (df.agg(max(col(k)).cast("long")).head().getLong(0) + 1L)).toMap
       // the largest replica key is shift*n - 1; assert it fits the
