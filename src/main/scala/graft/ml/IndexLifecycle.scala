@@ -55,4 +55,72 @@ object IndexLifecycle {
   def pinnedPath(spark: SparkSession, registryPath: String,
       name: String): Option[String] =
     ModelRegistry.pinned(spark, registryPath, name).map(_.model_path)
+
+  // ------------------------------------------------------ retention/GC
+
+  /** RETENTION POLICY (r16 verdict #6): copy-on-write maintenance
+    * hard-links unchanged partitions across versions, so repeated
+    * cycles accumulate version DAGs with shared inodes — disk grows
+    * with the number of RETAINED versions' unique bytes, and somebody
+    * must decide which dirs may go. A version of `name` is REAPABLE
+    * iff it is none of:
+    *   (a) the PINNED version — what serving reads;
+    *   (b) the ROLLBACK TARGET — the pointer-log entry one step back,
+    *       exactly what [[rollback]] would restore (a reap must never
+    *       turn the bad-promote escape hatch into a dangling path);
+    *   (c) the NEWEST registered version — an unpromoted fresh build
+    *       awaiting its promote, or the parent an in-flight
+    *       incremental publish is still hard-linking from.
+    * Already-reaped versions (the sibling `.reaped` log) are excluded.
+    * Deleting a reapable dir is safe at the FILE level by the
+    * hard-link property: every file a surviving version links stays
+    * alive under that version's own directory entry — the inode dies
+    * only when its LAST version goes (StoreGcSpec proves a pinned
+    * version serves identically after its link-parent is reaped). */
+  def reapable(spark: SparkSession, registryPath: String,
+      name: String): Seq[ModelRegistry.Entry] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val entries = ModelRegistry.all(spark, registryPath)
+      .filter(col("model_name") === name)
+      .as[ModelRegistry.Entry].collect().toSeq
+    if (entries.isEmpty) return Seq.empty
+    val history = ModelRegistry.pinHistory(spark, registryPath, name)
+    val keepIds = Set.newBuilder[String]
+    history.lastOption.foreach(keepIds += _)
+    if (history.length >= 2) keepIds += history(history.length - 2)
+    keepIds += entries.maxBy(_.version).model_id
+    val keep = keepIds.result()
+    val reaped = reapedIds(spark, registryPath)
+    entries.filterNot(e => keep(e.model_id) || reaped(e.model_id))
+      .sortBy(_.version)
+  }
+
+  /** Reap every [[reapable]] version of `name`: delete its directory,
+    * record it in the `.reaped` log (append-only, like everything
+    * else), return the reclaimed paths. Idempotent — a re-run reaps
+    * nothing new. */
+  def reap(spark: SparkSession, registryPath: String,
+      name: String): Seq[String] = {
+    import spark.implicits._
+    val victims = reapable(spark, registryPath, name)
+    if (victims.isEmpty) return Seq.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (v <- victims) {
+      val p = new org.apache.hadoop.fs.Path(v.model_path)
+      p.getFileSystem(conf).delete(p, true): Unit
+    }
+    victims.map(v => (v.model_id, v.model_path)).toDF("model_id", "path")
+      .write.mode("append").parquet(registryPath + ".reaped")
+    victims.map(_.model_path)
+  }
+
+  private def reapedIds(spark: SparkSession,
+      registryPath: String): Set[String] = {
+    import spark.implicits._
+    val p = registryPath + ".reaped"
+    if (!new java.io.File(p).exists()) Set.empty
+    else spark.read.parquet(p).select($"model_id").as[String]
+      .collect().toSet
+  }
 }

@@ -116,6 +116,13 @@ object ModelRegistry {
     }
   }
 
+  /** The pointer log's model_id sequence for a name (ascending seq) —
+    * the retention reader: the LAST id is the pin, the one before it
+    * is what [[rollback]] would restore, and a reap must keep both. */
+  def pinHistory(spark: SparkSession, registryPath: String,
+      modelName: String): Seq[String] =
+    pointerLog(spark, registryPath, modelName).map(_.model_id)
+
   /** The currently pinned entry for a name (None = never promoted). */
   def pinned(spark: SparkSession, registryPath: String,
       modelName: String): Option[Entry] = {
