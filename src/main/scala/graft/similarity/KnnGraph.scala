@@ -601,8 +601,15 @@ object KnnGraph {
     val ls = if (candidatesL.nonEmpty) candidatesL
       else Seq(k, 2 * k, 4 * k, 8 * k)
     val ws = if (candidatesW.nonEmpty) candidatesW else Seq(4 * k)
-    val budgetTag = s"k${k}_e${eps}_L${ls.mkString("-")}" +
-      s"_W${ws.mkString("-")}" + (if (tag.nonEmpty) s"_$tag" else "")
+    // the TARGET is part of the file key: it is a measured property of
+    // the exact head on this store, so a workDir that outlives a
+    // corpus regeneration (a probe work root) almost surely measures a
+    // different target and must miss the stale decision rather than
+    // replay it (the digest-named shared dirs never hit this; explicit
+    // probe workDirs can)
+    val budgetTag = f"k${k}_e${eps}_t$targetRecall%.4f" +
+      s"_L${ls.mkString("-")}_W${ws.mkString("-")}" +
+      (if (tag.nonEmpty) s"_$tag" else "")
     val decisionPath = workDir.map(wd =>
       new org.apache.hadoop.fs.Path(wd, s"_graft_policy_serve_$budgetTag"))
     val hfs = decisionPath.map(_.getFileSystem(
