@@ -74,25 +74,38 @@ object ScaleProbe {
       * and cacheable. */
     def replicate(name: String, keyCols: Seq[String], n: Int, dir: String): Unit = {
       val path = s"$dir/$name.parquet"
-      // cache-validity = the _SUCCESS marker, not bare existence: a prior
-      // run killed mid-write leaves a partial dir that must be rebuilt
-      if (new java.io.File(s"$path/_SUCCESS").exists()) return
-      val df = sources.Tables.load(spark, base, name)
       // SPARK_GRAFT_EMB_MODE=fresh (r16 verdict #1): the embeddings
       // scale corpus is FRESH-SAMPLED from the base generator's fitted
       // per-label mixture instead of replicated — no perturbation
       // families, so no probe's truth set is its own replica family
       // and the battery's recall numbers transfer to arbitrary
-      // embeddings with this cluster structure. Point SCALE_DIR at a
-      // separate root (e.g. /tmp/graft_scale100f) so the replica
-      // series stays cached. Deterministic + prefix-stable
-      // (FreshEmbeddingsSpec), so x1 ⊂ x10 ⊂ x100 like the replicas.
-      if (name == "embeddings" &&
-          sys.env.get("SPARK_GRAFT_EMB_MODE").contains("fresh")) {
+      // embeddings with this cluster structure. Deterministic +
+      // prefix-stable (FreshEmbeddingsSpec), so x1 ⊂ x10 ⊂ x100 like
+      // the replicas.
+      val embMode =
+        if (sys.env.get("SPARK_GRAFT_EMB_MODE").contains("fresh")) "fresh"
+        else "replica"
+      // cache-validity = the _SUCCESS marker (a prior run killed
+      // mid-write leaves a partial dir that must be rebuilt) AND, for
+      // embeddings, the generation-mode marker: a cached replica
+      // corpus must never be silently served to a fresh-mode battery
+      // or vice versa (a missing marker reads as "replica" — the
+      // pre-marker dirs are all replicas)
+      val modeMarker = new java.io.File(s"$path/_graft_emb_mode")
+      def cachedMode: String =
+        if (!modeMarker.exists()) "replica"
+        else new String(java.nio.file.Files.readAllBytes(
+          modeMarker.toPath), "UTF-8").trim
+      if (new java.io.File(s"$path/_SUCCESS").exists() &&
+          (name != "embeddings" || cachedMode == embMode)) return
+      val df = sources.Tables.load(spark, base, name)
+      if (name == "embeddings" && embMode == "fresh") {
         val nBase = df.count()
         graft.similarity.FreshEmbeddings.sample(spark, df, nBase * n)
           .repartition(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(path)
+        java.nio.file.Files.write(modeMarker.toPath,
+          embMode.getBytes("UTF-8")): Unit
         return
       }
       val shift = keyCols.map(k =>

@@ -63,10 +63,18 @@ object FrozenSalaryRf {
       when(feat(f) <= lit(t), treeCol(lo, feat)).otherwise(treeCol(hi, feat))
   }
 
+  /** Literals through CAST('…' AS DOUBLE) — DuckDB types bare numeric
+    * literals DECIMAL and its DECIMAL→DOUBLE conversion can land 1 ulp
+    * off strtod (measured on mq17's leaves, same pattern); the string
+    * cast round-trips Double.toString bit-exactly, making the replay's
+    * bit-identity claim true rather than merely below the gate's
+    * 9-significant-digit render. */
+  private def sqlD(v: Double): String = s"CAST('$v' AS DOUBLE)"
+
   private def treeSql(n: Node, feat: Int => String): String = n match {
-    case L(v) => v.toString
+    case L(v) => sqlD(v)
     case S(f, t, lo, hi) =>
-      s"CASE WHEN ${feat(f)} <= $t THEN ${treeSql(lo, feat)} " +
+      s"CASE WHEN ${feat(f)} <= ${sqlD(t)} THEN ${treeSql(lo, feat)} " +
         s"ELSE ${treeSql(hi, feat)} END"
   }
 

@@ -118,9 +118,14 @@ object IndexLifecycle {
   private def reapedIds(spark: SparkSession,
       registryPath: String): Set[String] = {
     import spark.implicits._
-    val p = registryPath + ".reaped"
-    if (!new java.io.File(p).exists()) Set.empty
-    else spark.read.parquet(p).select($"model_id").as[String]
+    // existence through the Hadoop filesystem that reap() deletes and
+    // appends with — a java.io.File check is wrong for any non-local
+    // registryPath (file: URI, hdfs) and would break reap idempotence
+    // (r17 review)
+    val p = new org.apache.hadoop.fs.Path(registryPath + ".reaped")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.parquet(p.toString).select($"model_id").as[String]
       .collect().toSet
   }
 }

@@ -32,9 +32,13 @@ import org.apache.spark.sql.functions._
 object FreshEmbeddings {
 
   /** Per-label diagonal-Gaussian stats of the base corpus:
-    * (weights, means, stds), label-indexed in ascending label order. */
+    * (labels, weights, means, stds), positionally aligned in ascending
+    * label order — the label VALUES come along so [[sample]] can emit
+    * the base vocabulary, not positional indexes (a base with labels
+    * {1, 3, 7} must not produce a corpus labeled {0, 1, 2} — r17
+    * review). */
   def fitStats(base: DataFrame):
-      (Seq[Double], Seq[Seq[Double]], Seq[Seq[Double]]) = {
+      (Seq[Int], Seq[Double], Seq[Seq[Double]], Seq[Seq[Double]]) = {
     import base.sparkSession.implicits._
     val rows = base
       .select($"label", posexplode($"embedding").as(Seq("d", "x")))
@@ -53,7 +57,7 @@ object FreshEmbeddings {
       byLabel(l).sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq }
     val stds = labels.map { l =>
       byLabel(l).sortBy(_.getInt(1)).map(_.getDouble(4)).toSeq }
-    (counts.map(_ / total).toSeq, means.toSeq, stds.toSeq)
+    (labels.toSeq, counts.map(_ / total).toSeq, means.toSeq, stds.toSeq)
   }
 
   /** A 53-bit hash → uniform in (0, 1): shift keeps the top bits,
@@ -69,28 +73,32 @@ object FreshEmbeddings {
   def sample(spark: SparkSession, base: DataFrame, n: Long,
       salt: Long = 42L): DataFrame = {
     import spark.implicits._
-    val (weights, means, stds) = fitStats(base)
+    val (labels, weights, means, stds) = fitStats(base)
     val dim = means.head.length
     val cum = weights.scanLeft(0.0)(_ + _).tail
     val ids = spark.range(n).select($"id".as("vec_id"))
     val uC = unif(xxhash64($"vec_id", lit(salt)))
-    val labelCol = cum.init.zipWithIndex
+    // `ci` is the POSITIONAL component index (what means/stds key by);
+    // the emitted `label` maps it back through the base vocabulary
+    val compCol = cum.init.zipWithIndex
       .foldRight(lit(cum.length - 1): org.apache.spark.sql.Column) {
         case ((c, i), els) => when(uC < lit(c), lit(i)).otherwise(els)
       }
     val meansLit = typedlit(means)
     val stdsLit = typedlit(stds)
-    ids.withColumn("label", labelCol.cast("int"))
+    ids.withColumn("ci", compCol.cast("int"))
       .withColumn("embedding",
         transform(sequence(lit(0), lit(dim - 1)), d => {
           val u1 = unif(xxhash64($"vec_id", d, lit(salt + 1)))
           val u2 = unif(xxhash64($"vec_id", d, lit(salt + 2)))
           val z = sqrt(lit(-2.0) * log(u1)) *
             cos(lit(2.0 * math.Pi) * u2)
-          (element_at(element_at(meansLit, $"label" + 1), d + 1) +
-            element_at(element_at(stdsLit, $"label" + 1), d + 1) * z)
+          (element_at(element_at(meansLit, $"ci" + 1), d + 1) +
+            element_at(element_at(stdsLit, $"ci" + 1), d + 1) * z)
             .cast("float")
         }))
+      .withColumn("label",
+        element_at(typedlit(labels), $"ci" + 1).cast("int"))
       .select($"vec_id", $"embedding", $"label")
   }
 }

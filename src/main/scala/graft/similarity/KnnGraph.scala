@@ -641,14 +641,26 @@ object KnnGraph {
     var pick: Option[((Int, Int), Double)] = None
     var best = 0.0
     var stale = 0
-    val it = for (l <- ls.iterator; w <- ws.iterator) yield (l, w)
-    while (pick.isEmpty && stale < 2 && it.hasNext) {
-      val (l, w) = it.next()
-      val r = recallOf(serve(l, w))
-      trace += ((l, w, r))
-      if (r >= targetRecall - eps) pick = Some(((l, w), r))
-      if (trace.size == 1 || r >= best + eps / 2) stale = 0 else stale += 1
-      if (r > best) best = r
+    // staleness is judged per L STEP (the best recall across that L's
+    // W ladder), never per grid cell: with a multi-point candidatesW a
+    // W-plateau at the smallest L would otherwise burn both stale
+    // slots before L — the binding lever — ever moved (r17 review)
+    val lIt = ls.iterator
+    var firstStep = true
+    while (pick.isEmpty && stale < 2 && lIt.hasNext) {
+      val l = lIt.next()
+      var lBest = 0.0
+      val wIt = ws.iterator
+      while (pick.isEmpty && wIt.hasNext) {
+        val w = wIt.next()
+        val r = recallOf(serve(l, w))
+        trace += ((l, w, r))
+        if (r > lBest) lBest = r
+        if (r >= targetRecall - eps) pick = Some(((l, w), r))
+      }
+      if (firstStep || lBest >= best + eps / 2) stale = 0 else stale += 1
+      firstStep = false
+      if (lBest > best) best = lBest
     }
     val ((cl, cw), cr) = pick.getOrElse {
       val best = trace.maxBy(_._3)
@@ -975,22 +987,28 @@ object KnnGraph {
         stored.join(churnB.select($"vec_id".as("src")), Seq("src"), "left_semi")
           .select($"bucket").distinct().as[Int].collect().toSeq
       else Nil
-    val unwiredCells = if (nChurn > 0)
+    // churn-bounded frame, normally empty: an unwired node is not a
+    // src anywhere, so cellMembers (distinct stored srcs) would miss
+    // it — its IDS must join the repair scope directly (the scoped
+    // searches are what wire it in), not just its cells (r17 review)
+    val unwired = (if (nChurn > 0)
         vecs.join(churnB, Seq("vec_id"), "left_semi")
           .join(stored.select($"src".as("vec_id")), Seq("vec_id"), "left_anti")
-          .select(clusterOf($"v", cents).as("c"))
-          .distinct().as[Int].collect().toSeq
-      else Nil
+          .select($"vec_id", clusterOf($"v", cents).as("c"))
+      else spark.emptyDataset[(Long, Int)].toDF("vec_id", "c"))
+      .localCheckpoint(true)
+    val unwiredCells = unwired.select($"c").distinct().as[Int].collect().toSeq
     val churnCells = (wiredCells ++ unwiredCells ++ extraCells).distinct
     // cell membership is the store's own layout: distinct sources of a
     // cell's partition ARE its members (every node's own edge rows live
     // in its cell — writer contract), and the isin on the partition
     // column prunes the scan to exactly the churn cells
     val cellMembers =
-      if (churnCells.nonEmpty)
+      (if (churnCells.nonEmpty)
         stored.filter($"bucket".isin(churnCells: _*))
           .select($"src".as("vec_id")).distinct()
-      else spark.emptyDataset[Long].toDF("vec_id")
+      else spark.emptyDataset[Long].toDF("vec_id"))
+        .union(unwired.select($"vec_id")).distinct()
     val fringe =
       if (nChurn > 0)
         stored.join(churnB.select($"vec_id".as("nbr")), Seq("nbr"), "left_semi")
