@@ -43,8 +43,15 @@ object ComposedStoreProbe {
     import graft.similarity.{KnnGraph, Pq, VectorOps}
     import VectorOps.cosine
 
-    val k = 8; val degree = 8; val alpha = 1.25
+    val k = 8; val alpha = 1.25
     val m = 8; val sub = 8
+    // SPARK_GRAFT_DEGREE: the pruned graph's out-degree R (DiskANN's
+    // R). 8 is the historical battery budget; the r17 family-free
+    // table motivated wider arms — on hard (noise-like) neighborhoods
+    // the walk's ceiling can be STRUCTURAL (too few edges to navigate)
+    // rather than budget-bound, and degree is the build-side lever the
+    // serve-side L ladder can't substitute for.
+    val degree = sys.env.getOrElse("SPARK_GRAFT_DEGREE", "8").toInt
     // knob arms: the default (build 2 / beam 4) shares the erase/serve
     // probes' cheap graph and measures PHASE-COST ratios; the deep arm
     // (SPARK_GRAFT_BUILD_ROUNDS=4 SPARK_GRAFT_BEAM_ROUNDS=8) is the
@@ -79,7 +86,13 @@ object ComposedStoreProbe {
       // (KnnGraph.searchCandidates — the arm that must RECOVER the
       // navigability a converged 2-hop pool starves)
       val poolMode = sys.env.getOrElse("SPARK_GRAFT_POOL", "twohop")
-      val poolSuffix = if (poolMode == "search") "_s" else ""
+      // degree participates in every durable prune/reprune dir name:
+      // two arms at different R must never reload each other's pruned
+      // artifact (the policy path's dirs already carry degree in their
+      // fingerprint tags; these probe-named dirs must too). Empty at
+      // the historical default so existing cached dirs stay valid.
+      val degTag = if (degree == 8) "" else s"_d$degree"
+      val poolSuffix = (if (poolMode == "search") "_s" else "") + degTag
       // SPARK_GRAFT_POLICY=recall switches build AND prune to the
       // served-recall stop policy (KnnGraph.buildToServedRecall — r14
       // verdict #1): NO depth is given, BUILD_ROUNDS only caps the
@@ -170,7 +183,15 @@ object ComposedStoreProbe {
         .withColumn("rn", row_number().over(
           Window.partitionBy($"qid").orderBy(cosine($"qv", $"cv").desc, $"node")))
         .filter($"rn" <= k).select($"qid", $"node").cache()
+      // the brute-force control is TIMED: it is the recall-1.0 anchor
+      // every ladder point is judged against, and its wall is the
+      // honest caveat on toy-scale graph serving (at n ≤ 200k a 32-core
+      // scan wins on wall; the graph's claim is the FOOTPRINT — a walk
+      // touches ≤ rounds·L·R vectors per query vs the scan's n — which
+      // is what flips the comparison at corpus scale)
+      val tBf0 = System.nanoTime()
       bf.count()
+      println(f"""{"probe":"composed_store","corpus":"$label","phase":"brute_force_truth","ms_per_q":${(System.nanoTime() - tBf0) / 1e6 / nq}%.1f,"recall":1.000,"vec_touch_per_q":$n,"n_q":$nq}""")
       def serve(graphPath: String, phase: String,
           l: Int = 0, w: Int = 0): (Double, Double) = {
         // warm once (codegen + listings), then time — the steady-state
@@ -218,7 +239,11 @@ object ComposedStoreProbe {
           rerankWidth = w, beamWidth = l),
         bf, nq, k, targetRecall = exactRecall0, eps = 0.05,
         workDir = Some(s"$workRoot/$label/b"),
-        tag = s"pq_b${beamRounds}_${KnnGraph.entriesTagOf(cents)}")
+        // degree is a serve-determining budget here: the decision was
+        // measured on a store pruned at THIS R, and the workDir is
+        // shared across arms — a degree-16 run must never replay a
+        // degree-8 pick (the entriesTag contract)
+        tag = s"pq_b${beamRounds}_d${degree}_${KnnGraph.entriesTagOf(cents)}")
       val spS = (System.nanoTime() - tSp0) / 1e9
       val spTj = spTrace.map { case (l, w, r) => f"[$l,$w,$r%.3f]" }
         .mkString("[", ",", "]")
@@ -248,6 +273,61 @@ object ComposedStoreProbe {
       }
       adcWidths.foreach(w => sweepPoint(k, w))
       adcBeams.foreach(l => sweepPoint(l, 2 * l))
+      // EXACT-HEAD CEILING LADDER (r17 continuation): the family-free
+      // table's exact-recall column (0.867 → 0.250 → 0.156 at the
+      // fixed k-keep) raised the question the quantized sweep answered
+      // for ADC — is the number the BUDGET's or the GRAPH's? Sweep the
+      // exact walk's search-list L (KnnGraph.serveFromStoresClusteredWarm
+      // beamWidth) against brute-force truth, one JSON line per point
+      // with the walk's analytic vector-touch bound in-row; the
+      // brute_force_truth line above is the recall-1.0 / n-touch
+      // anchor. Where the curve saturates below 1.0, the remaining gap
+      // is the graph's (degree/build), not the beam's — the number the
+      // SPARK_GRAFT_DEGREE arms then move.
+      val exactBeams = sys.env.getOrElse("SPARK_GRAFT_EXACT_BEAMS", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+      def exactPoint(l: Int): Unit = {
+        val t0 = System.nanoTime()
+        val ans = KnnGraph.serveFromStoresClusteredWarm(spark, s"$root/g",
+            s"$root/vec", qv, k, beamRounds, beamWidth = l)
+          .localCheckpoint(true)
+        ans.count()
+        val ms = (System.nanoTime() - t0) / 1e6 / nq
+        val recall = ans.join(bf, Seq("qid", "node"), "left_semi").count()
+          .toDouble / (nq * k)
+        println(f"""{"probe":"composed_store","corpus":"$label","phase":"exact_sweep","beam_width":$l,"ms_per_q":$ms%.1f,"recall":$recall%.3f,"vec_touch_bound":${beamRounds.toLong * l * degree},"n_q":$nq}""")
+      }
+      exactBeams.foreach(exactPoint)
+      // EXACT-HEAD BUDGET POLICY: the quantized head's (L, W) policy
+      // targets the exact head's measured recall; the exact head's own
+      // ladder targets TRUE top-k (the brute-force frame) at a
+      // caller-set floor — the same stop rule, one level up. W is
+      // meaningless for the exact walk, so the W ladder is the single
+      // dummy 0 and the serve closure ignores it.
+      for (target <- sys.env.get("SPARK_GRAFT_EXACT_TARGET").map(_.toDouble)) {
+        val tEp0 = System.nanoTime()
+        val ((epL, _), epRecall, epTrace) = KnnGraph.serveBudgetPolicy(
+          spark,
+          (l, _) => KnnGraph.serveFromStoresClusteredWarm(spark, s"$root/g",
+            s"$root/vec", qv, k, beamRounds, beamWidth = l),
+          bf, nq, k, targetRecall = target, eps = 0.05,
+          candidatesL = if (exactBeams.nonEmpty) exactBeams else Nil,
+          candidatesW = Seq(0),
+          workDir = Some(s"$workRoot/$label/b"),
+          tag = s"exact_b${beamRounds}_d$degree" +
+            s"_${KnnGraph.entriesTagOf(cents)}")
+        val epS = (System.nanoTime() - tEp0) / 1e9
+        val epTj = epTrace.map { case (l, _, r) => f"[$l,$r%.3f]" }
+          .mkString("[", ",", "]")
+        println(f"""{"probe":"composed_store","corpus":"$label","beam_rounds":$beamRounds,"phase":"exact_budget_policy","wall_s":$epS%.2f,"chosen_l":$epL,"recall":$epRecall%.3f,"target":$target%.3f,"trace":$epTj}""")
+      }
+      // SPARK_GRAFT_SERVE_ONLY=1 ends the arm after the serving
+      // ladders — the ceiling battery's shape (build once, sweep
+      // serves); the maintenance phases have their own measured tables
+      // and would dominate a sweep run's wall
+      if (sys.env.get("SPARK_GRAFT_SERVE_ONLY").contains("1")) {
+        vecs.unpersist(); qv.unpersist(); bf.unpersist()
+      } else {
       // arrivals are PERTURBED clones (first coordinate moved), not
       // exact copies: the key-shifted replica holds `factor` exact
       // duplicates of every base vector, so a clone's true top-k under
@@ -411,6 +491,7 @@ object ComposedStoreProbe {
         serve(s"$root/g2", "serve_v2"): Unit
       }
       vecs.unpersist(); qv.unpersist(); bf.unpersist()
+      } // !SERVE_ONLY
     }
     spark.stop()
   }

@@ -1870,19 +1870,22 @@ object KnnGraph {
     * store's recorded centroids — entries always carry vectors. */
   def serveFromStoresClustered(spark: SparkSession, graphPath: String,
       vecPath: String, queries: DataFrame, k: Int, beamRounds: Int,
-      entryVecs: DataFrame): DataFrame = {
+      entryVecs: DataFrame, beamWidth: Int = 0): DataFrame = {
     import spark.implicits._
     val cents = centroidsOf(spark, graphPath)
     serveClusteredFrom(spark, graphPath, vecPath, queries, k, beamRounds,
-      entryVecs.select($"qid", $"node", clusterOf($"v", cents).as("node_bucket")))
+      entryVecs.select($"qid", $"node", clusterOf($"v", cents).as("node_bucket")),
+      beamWidth)
   }
 
   /** The clustered walk with EXPLICIT (qid, node, node_bucket) entries
-    * — what [[storedEntries]] feeds. */
+    * — what [[storedEntries]] feeds. `beamWidth` is the exact walk's
+    * search-list L (see [[serveFromStores]]); 0 = k. */
   private def serveClusteredFrom(spark: SparkSession, graphPath: String,
       vecPath: String, queries: DataFrame, k: Int, beamRounds: Int,
-      entries: DataFrame): DataFrame = {
+      entries: DataFrame, beamWidth: Int = 0): DataFrame = {
     import spark.implicits._
+    val l = if (beamWidth > 0) beamWidth else k
     def scoreKeep(cand: DataFrame, keep: Int) = cand
       .join(broadcast(queries), Seq("qid"))
       .join(fetchVectors(spark, vecPath, cand)
@@ -1893,7 +1896,7 @@ object KnnGraph {
       .select($"qid", $"node", $"node_bucket")
     val pool = beamTrace(entries,
       expandClustered(spark, graphPath, _),
-      fresh => scoreKeep(fresh.localCheckpoint(true), k),
+      fresh => scoreKeep(fresh.localCheckpoint(true), l),
       beamRounds).last._2
     scoreKeep(pool.filter($"node" =!= $"qid").localCheckpoint(true), k)
       .select($"qid", $"node")
@@ -2028,9 +2031,9 @@ object KnnGraph {
     * broadcast-sized sidecar. */
   def serveFromStoresClusteredWarm(spark: SparkSession, graphPath: String,
       vecPath: String, queries: DataFrame, k: Int,
-      beamRounds: Int): DataFrame =
+      beamRounds: Int, beamWidth: Int = 0): DataFrame =
     serveClusteredFrom(spark, graphPath, vecPath, queries, k, beamRounds,
-      storedEntries(spark, graphPath, queries))
+      storedEntries(spark, graphPath, queries), beamWidth)
 
   /** One frontier expansion from the stored adjacency: reads ONLY the
     * frontier nodes' buckets (≤ NumBuckets values, driver-bounded) and
@@ -2459,8 +2462,14 @@ object KnnGraph {
     * asserts equality and the pruned plans). */
   def serveFromStores(spark: SparkSession, graphPath: String,
       vecPath: String, queries: DataFrame, k: Int, beamRounds: Int,
-      entries: Option[DataFrame] = None): DataFrame = {
+      entries: Option[DataFrame] = None, beamWidth: Int = 0): DataFrame = {
     import spark.implicits._
+    // beamWidth is DiskANN's search-list L applied to the EXACT walk —
+    // the per-round keep that sets the pool's ceiling (the quantized
+    // head has carried the same knob since r16). 0 = k, the historical
+    // budget, so every oracle-pinned walk hash is untouched; the final
+    // answer is always top-k regardless of L.
+    val l = if (beamWidth > 0) beamWidth else k
     def scoreKeep(cand: DataFrame, keep: Int) = cand
       .join(broadcast(queries), Seq("qid"))
       .join(fetchVectors(spark, vecPath, cand)
@@ -2475,7 +2484,7 @@ object KnnGraph {
       // input twice (the driver-side id collect for the pruned fetch,
       // then the scoring join) — without this the pruned store scan
       // and anti-join would re-run per evaluation
-      fresh => scoreKeep(fresh.localCheckpoint(true), k),
+      fresh => scoreKeep(fresh.localCheckpoint(true), l),
       beamRounds).last._2
     scoreKeep(pool.filter($"node" =!= $"qid").localCheckpoint(true), k)
   }

@@ -137,6 +137,61 @@ class StoredClusteredSpec extends AnyFunSuite {
     after.unpersist(); vecs.unpersist()
   }
 
+  test("exact beam width L: 0 ≡ k bit-exact, layouts agree at any L, answers stay top-k-shaped") {
+    import spark.implicits._
+    import graft.similarity.VectorOps.toDouble
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val graph = KnnGraph.build(vecs, K, rounds = 2).last
+    val root = java.nio.file.Files.createTempDirectory("graft-clusl").toString
+    val sample = vecs.select($"v").as[Seq[Double]].collect()
+      .map(_.toArray).toIndexedSeq
+    val cents = Pq.trainCodebook(sample, Cells).map(_.toSeq).toSeq
+    KnnGraph.writeStore(graph, s"$root/hash")
+    KnnGraph.writeStoreClustered(graph, vecs, s"$root/clus", cents)
+    KnnGraph.writeVectors(vecs, s"$root/vec")
+    val queries = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
+    val ring = KnnGraph.ringEntries(vecs, queries)
+    val entryVecs = ring
+      .join(vecs.select($"vec_id".as("node"), $"v"), Seq("node"))
+      .select($"qid", $"node", $"v")
+    def hashAt(l: Int) = KnnGraph.serveFromStores(spark, s"$root/hash",
+        s"$root/vec", queries, K, beamRounds = 3, entries = Some(ring),
+        beamWidth = l).as[(Long, Long)].collect().toSet
+    def clusAt(l: Int) = KnnGraph.serveFromStoresClustered(spark,
+        s"$root/clus", s"$root/vec", queries, K, beamRounds = 3,
+        entryVecs = entryVecs, beamWidth = l)
+      .as[(Long, Long)].collect().toSet
+    // default (0) IS L = k — the oracle-pinned historical walk
+    assert(hashAt(0) == hashAt(K), "hash head: L=k diverged from default")
+    assert(clusAt(0) == clusAt(K), "clustered head: L=k diverged from default")
+    // the two layouts keep answering identically at a WIDER L (one
+    // walk skeleton, one keep rule — the width is layout-independent)
+    val wideHash = hashAt(4 * K)
+    val wideClus = clusAt(4 * K)
+    assert(wideClus == wideHash, "layouts diverged at L = 4k")
+    // answers stay top-k-SHAPED at any L: exactly k rows per query
+    // (the final keep is k regardless of the walk's width)
+    val perQ = wideHash.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQ.values.forall(_ == K),
+      s"some query served != $K answers at L=4k: $perQ")
+    // fixture pin (not a theorem): on this corpus the wider walk's
+    // recall vs brute-force truth is no worse than the default's
+    val bf = broadcast(queries.select($"qid", $"v".as("qv")))
+      .join(vecs.select($"vec_id".as("node"), $"v".as("cv")),
+        $"qid" =!= $"node")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy(VectorOps.cosine($"qv", $"cv").desc, $"node")))
+      .filter($"rn" <= K).select($"qid", $"node")
+      .as[(Long, Long)].collect().toSet
+    val rDefault = (hashAt(0) & bf).size
+    val rWide = (wideHash & bf).size
+    assert(rWide >= rDefault,
+      s"fixture pin moved: recall at L=4k ($rWide) < default ($rDefault)")
+    vecs.unpersist()
+  }
+
   test("stored entry points: per-cell nearest members, zero corpus scan at serve, erase-aware") {
     import spark.implicits._
     import graft.similarity.VectorOps.toDouble
