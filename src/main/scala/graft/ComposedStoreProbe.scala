@@ -286,18 +286,32 @@ object ComposedStoreProbe {
       // SPARK_GRAFT_DEGREE arms then move.
       val exactBeams = sys.env.getOrElse("SPARK_GRAFT_EXACT_BEAMS", "")
         .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
-      def exactPoint(l: Int): Unit = {
+      def exactPoint(l: Int, probes: Int = 1): Unit = {
         val t0 = System.nanoTime()
         val ans = KnnGraph.serveFromStoresClusteredWarm(spark, s"$root/g",
-            s"$root/vec", qv, k, beamRounds, beamWidth = l)
+            s"$root/vec", qv, k, beamRounds, beamWidth = l,
+            entryProbes = probes)
           .localCheckpoint(true)
         ans.count()
         val ms = (System.nanoTime() - t0) / 1e6 / nq
         val recall = ans.join(bf, Seq("qid", "node"), "left_semi").count()
           .toDouble / (nq * k)
-        println(f"""{"probe":"composed_store","corpus":"$label","phase":"exact_sweep","beam_width":$l,"ms_per_q":$ms%.1f,"recall":$recall%.3f,"vec_touch_bound":${beamRounds.toLong * l * degree},"n_q":$nq}""")
+        println(f"""{"probe":"composed_store","corpus":"$label","phase":"exact_sweep","beam_width":$l,"entry_probes":$probes,"ms_per_q":$ms%.1f,"recall":$recall%.3f,"vec_touch_bound":${beamRounds.toLong * l * degree},"n_q":$nq}""")
       }
-      exactBeams.foreach(exactPoint)
+      exactBeams.foreach(exactPoint(_))
+      // ENTRY-PROBE SWEEP (multi-probe routing, the lever ORTHOGONAL
+      // to beam L and degree R): route each query to its P nearest
+      // cells instead of 1 (KnnGraph.nearestCells) and start the walk
+      // from all P cells' stored entry members. On noise-like corpora
+      // a query's true neighbors spread across near-tied cells, so
+      // entry DIVERSITY can lift the ceiling that L (pool budget) and
+      // R (graph navigability) sweeps saturate below. Each point runs
+      // the EXACT head at the fixed L named in the env pair "L:P".
+      val entryProbeArms = sys.env.getOrElse("SPARK_GRAFT_ENTRY_PROBES", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).map { s =>
+          val Array(l, p) = s.split(":"); (l.toInt, p.toInt)
+        }.toSeq
+      entryProbeArms.foreach { case (l, p) => exactPoint(l, p) }
       // EXACT-HEAD BUDGET POLICY: the quantized head's (L, W) policy
       // targets the exact head's measured recall; the exact head's own
       // ladder targets TRUE top-k (the brute-force frame) at a

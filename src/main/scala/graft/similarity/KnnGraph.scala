@@ -1981,7 +1981,7 @@ object KnnGraph {
     * per policy run; each resolution touches the ≤cells·per-row
     * broadcast and the queries frame — no corpus scan. */
   def plannedEntries(vecs: DataFrame, cents: Seq[Seq[Double]],
-      perCell: Int = AutoSlots): DataFrame => DataFrame = {
+      perCell: Int = AutoSlots, probes: Int = 1): DataFrame => DataFrame = {
     import vecs.sparkSession.implicits._
     val members = entryMembers(vecs, cents,
       resolvePerCell(vecs, cents.length, perCell)).localCheckpoint(true)
@@ -1989,11 +1989,22 @@ object KnnGraph {
       .as[Int].collect().sorted.toSeq
     require(present.nonEmpty, "no cell has a member — empty corpus?")
     val presentCents = present.map(cents(_))
-    (queries: DataFrame) => queries
-      .select($"qid", clusterOf($"v", presentCents).as("pidx"))
-      .withColumn("cid", element_at(typedlit(present), $"pidx" + 1))
-      .join(broadcast(members), Seq("cid"))
-      .select($"qid", $"node")
+    if (probes <= 1)
+      (queries: DataFrame) => queries
+        .select($"qid", clusterOf($"v", presentCents).as("pidx"))
+        .withColumn("cid", element_at(typedlit(present), $"pidx" + 1))
+        .join(broadcast(members), Seq("cid"))
+        .select($"qid", $"node")
+    else
+      // multi-probe parity with storedEntries(probes): a policy that
+      // will SERVE at P cells must evaluate (and prune) at P cells
+      (queries: DataFrame) => queries
+        .select($"qid",
+          posexplode(nearestCells($"v", presentCents, probes)))
+        .withColumn("cid", element_at(typedlit(present), $"col" + 1))
+        .join(broadcast(members), Seq("cid"))
+        .select($"qid", $"node")
+        .distinct()
   }
 
   /** Serve-time entry resolution from the [[writeEntries]] sidecar:
@@ -2004,7 +2015,7 @@ object KnnGraph {
     * bucket). Touches the ≤cells·perCell-row sidecar and the broadcast
     * centroid list — NO corpus scan. */
   def storedEntries(spark: SparkSession, path: String,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, probes: Int = 1): DataFrame = {
     import spark.implicits._
     val cents = centroidsOf(spark, path)
     val entries = spark.read.parquet(s"$path/_graft_entries")
@@ -2017,11 +2028,43 @@ object KnnGraph {
     require(present.nonEmpty,
       s"$path/_graft_entries is empty — rerun writeEntries before serving")
     val presentCents = present.map(cents(_))
-    queries
-      .select($"qid", clusterOf($"v", presentCents).as("pidx"))
-      .withColumn("cid", element_at(typedlit(present), $"pidx" + 1))
-      .join(broadcast(entries), Seq("cid"))
-      .select($"qid", $"node", $"node_bucket")
+    if (probes <= 1)
+      queries
+        .select($"qid", clusterOf($"v", presentCents).as("pidx"))
+        .withColumn("cid", element_at(typedlit(present), $"pidx" + 1))
+        .join(broadcast(entries), Seq("cid"))
+        .select($"qid", $"node", $"node_bucket")
+    else
+      queries
+        .select($"qid",
+          posexplode(nearestCells($"v", presentCents, probes)))
+        .withColumn("cid", element_at(typedlit(present), $"col" + 1))
+        .join(broadcast(entries), Seq("cid"))
+        .select($"qid", $"node", $"node_bucket")
+        .distinct()
+  }
+
+  /** IVF-style MULTI-PROBE routing: the indices (into `centroids`) of
+    * the `probes` nearest centroids, ascending by distance (ties →
+    * smaller index, matching [[clusterOf]]'s array_position rule at
+    * P=1). One distance array per row — the same arithmetic
+    * [[clusterOf]] evaluates, sliced deeper instead of recomputed.
+    * Why it exists: on corpora whose neighborhoods are noise-like
+    * (the r17 family-free battery), a query's true neighbors spread
+    * over several near-tied cells, and a single-cell entry start
+    * caps recall no matter how wide the walk's beam is — entry
+    * DIVERSITY is the lever orthogonal to L and R. Cost model: P×
+    * the sidecar rows per query and ≤P first-round buckets — still
+    * nothing corpus-sized. */
+  def nearestCells(v: org.apache.spark.sql.Column,
+      centroids: Seq[Seq[Double]], probes: Int): org.apache.spark.sql.Column = {
+    val d = transform(typedlit(centroids), c =>
+      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+    // rank by (distance, index): zip each distance with its index,
+    // sort the struct array (distance first), take the top-P indices
+    val idx = transform(d, (dist, i) => struct(dist.as("d"), i.as("i")))
+    slice(transform(array_sort(idx), s => s.getField("i")), 1,
+      math.min(probes, centroids.length))
   }
 
   /** Clustered serving warm-started from the stored per-cell entries —
@@ -2031,9 +2074,9 @@ object KnnGraph {
     * broadcast-sized sidecar. */
   def serveFromStoresClusteredWarm(spark: SparkSession, graphPath: String,
       vecPath: String, queries: DataFrame, k: Int,
-      beamRounds: Int, beamWidth: Int = 0): DataFrame =
+      beamRounds: Int, beamWidth: Int = 0, entryProbes: Int = 1): DataFrame =
     serveClusteredFrom(spark, graphPath, vecPath, queries, k, beamRounds,
-      storedEntries(spark, graphPath, queries), beamWidth)
+      storedEntries(spark, graphPath, queries, entryProbes), beamWidth)
 
   /** One frontier expansion from the stored adjacency: reads ONLY the
     * frontier nodes' buckets (≤ NumBuckets values, driver-bounded) and
@@ -2653,9 +2696,9 @@ object KnnGraph {
   def serveFromStoresClusteredPqWarm(spark: SparkSession, graphPath: String,
       codesPath: String, vecPath: String, queries: DataFrame,
       cb: Seq[Seq[Seq[Double]]], k: Int, beamRounds: Int,
-      rerankWidth: Int = 0, beamWidth: Int = 0): DataFrame =
+      rerankWidth: Int = 0, beamWidth: Int = 0, entryProbes: Int = 1): DataFrame =
     pqServeHead(spark, codesPath, vecPath, queries, cb, k, beamRounds,
-      storedEntries(spark, graphPath, queries),
+      storedEntries(spark, graphPath, queries, entryProbes),
       expandClustered(spark, graphPath, _), carry = Seq("node_bucket"),
       rerankWidth = rerankWidth, beamWidth = beamWidth)
 

@@ -192,6 +192,62 @@ class StoredClusteredSpec extends AnyFunSuite {
     vecs.unpersist()
   }
 
+  test("multi-probe entries: P=1 ≡ single-cell routing, P>1 supersets per query, recall pin") {
+    import spark.implicits._
+    import graft.similarity.VectorOps.toDouble
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", toDouble($"embedding").as("v")).cache()
+    val graph = KnnGraph.build(vecs, K, rounds = 2).last
+    val root = java.nio.file.Files.createTempDirectory("graft-clusp").toString
+    val sample = vecs.select($"v").as[Seq[Double]].collect()
+      .map(_.toArray).toIndexedSeq
+    val cents = Pq.trainCodebook(sample, Cells).map(_.toSeq).toSeq
+    KnnGraph.writeStoreClustered(graph, vecs, s"$root/clus", cents)
+    KnnGraph.writeEntries(vecs, s"$root/clus")
+    KnnGraph.writeVectors(vecs, s"$root/vec")
+    val queries = vecs.filter($"vec_id" < 16).select($"vec_id".as("qid"), $"v")
+    // routing parity: nearestCells' top-1 IS clusterOf's pick on every
+    // corpus row (same distance arithmetic, same tie rule)
+    val parity = vecs.select(
+        KnnGraph.clusterOf($"v", cents).as("one"),
+        org.apache.spark.sql.functions.element_at(
+          KnnGraph.nearestCells($"v", cents, 1), 1).as("top"))
+      .filter($"one" =!= $"top").count()
+    assert(parity == 0, s"nearestCells top-1 diverged from clusterOf on $parity rows")
+    // P=1 goes through the historical single-cell path bit-exactly
+    def entriesAt(p: Int) = KnnGraph.storedEntries(spark, s"$root/clus",
+        queries, probes = p)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(entriesAt(1) == KnnGraph.storedEntries(spark, s"$root/clus", queries)
+      .as[(Long, Long, Int)].collect().toSet, "P=1 diverged from the default path")
+    // P>1 strictly widens per query: every P=1 entry row survives, the
+    // extra rows come from other cells, and per-query cells ≤ P
+    val e1 = entriesAt(1); val e4 = entriesAt(4)
+    assert(e1.subsetOf(e4), "P=4 dropped a P=1 entry row")
+    val cellsPerQ = e4.groupBy(_._1).view.mapValues(_.map(_._3).size).toMap
+    assert(cellsPerQ.values.forall(_ <= 4),
+      s"some query entered more than P=4 distinct cells: $cellsPerQ")
+    // serving at P keeps the top-k answer shape, and on this fixture
+    // entry diversity never hurts recall (pin, not a theorem)
+    def serveAt(p: Int) = KnnGraph.serveFromStoresClusteredWarm(spark,
+        s"$root/clus", s"$root/vec", queries, K, beamRounds = 3,
+        entryProbes = p).as[(Long, Long)].collect().toSet
+    val a1 = serveAt(1); val a4 = serveAt(4)
+    assert(a4.groupBy(_._1).values.forall(_.size == K),
+      "P=4 serve broke the k-per-query shape")
+    val bf = broadcast(queries.select($"qid", $"v".as("qv")))
+      .join(vecs.select($"vec_id".as("node"), $"v".as("cv")),
+        $"qid" =!= $"node")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy(VectorOps.cosine($"qv", $"cv").desc, $"node")))
+      .filter($"rn" <= K).select($"qid", $"node")
+      .as[(Long, Long)].collect().toSet
+    assert((a4 & bf).size >= (a1 & bf).size,
+      s"fixture pin moved: recall at P=4 (${(a4 & bf).size}) < P=1 (${(a1 & bf).size})")
+    vecs.unpersist()
+  }
+
   test("stored entry points: per-cell nearest members, zero corpus scan at serve, erase-aware") {
     import spark.implicits._
     import graft.similarity.VectorOps.toDouble
