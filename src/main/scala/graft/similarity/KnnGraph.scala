@@ -1299,18 +1299,28 @@ object KnnGraph {
     * what a cold-entry beam needs to cross the corpus (sq26 measures
     * it against the plain graph at the same degree budget).
     *
-    * Pure relational algebra, deterministic, ORACLE-REPLAYABLE: r
-    * unrolled rounds of [pick the (cos DESC, nbr) top-1 remaining per
-    * src] → [anti-prune the remainder through the pick's α-cover
-    * test]. Rounds are r (the degree bound), never data-sized; each
-    * round's frames are candidate-bounded (≤ |cand| rows, shrinking).
+    * Deterministic and ORACLE-REPLAYABLE. Per-src greedy sequences are
+    * INDEPENDENT (the α-cover test only ever compares a src's own pick
+    * against its own remaining candidates), so the r logical rounds of
+    * [pick the (cos DESC, nbr) top-1 remaining per src] → [anti-prune
+    * the remainder through the pick's α-cover test] execute as ONE
+    * shuffle: group the vector-attached candidates by src and replay
+    * the greedy locally per node with [[cosineLocal]] — the arithmetic
+    * twin of the `cosine` native expression (GraphPruneSpec proves the
+    * driver-side replay's edge set EQUALS the relational unrolling's,
+    * bit for bit; sq26's DuckDB oracle replays the same rounds in SQL).
+    * The r17 rewrite collapsed the former r-round distributed loop
+    * (r windows + r α-cover joins + 2r+1 parquet round-trips on the
+    * durable path) into that single grouped pass — same edges, one
+    * shuffle, one write (guide §2.4: remove shuffles outright).
     * `cand` should be BOUNDED per node — Vamana's search-list
     * parameter L plays exactly this role (sq26 uses the top-24 scored
     * 2-hop candidates ∪ the ring init's spread edges ≈ L = 32); an
     * unbounded 2-hop pool at 100× corpus scale is a k²·n-row frame
     * with vectors attached, which is what the L bound exists to
-    * prevent. At 100 TB the cost is r passes over the L·n-row
-    * candidate list — the same shape as one NN-Descent round. */
+    * prevent. The per-group state is L candidate rows — request-sized,
+    * never corpus-sized. At 100 TB the cost is ONE pass over the
+    * L·n-row candidate list — cheaper than one NN-Descent round. */
   def robustPrune(vecs: DataFrame, cand0: => DataFrame, r: Int,
       alpha: Double, workDir: Option[String] = None,
       knownFingerprint: Option[String] = None): DataFrame = {
@@ -1364,42 +1374,71 @@ object KnnGraph {
         }
         def done(name: String) = hfs.exists(
           new org.apache.hadoop.fs.Path(s"$wd/$name", "_SUCCESS"))
-        def persist(name: String, df: => DataFrame): DataFrame = {
-          if (!done(name)) df.write.mode("overwrite").parquet(s"$wd/$name")
-          spark.read.parquet(s"$wd/$name")
-        }
-        var remaining = persist("m_0", attached)
-        var kept: DataFrame = null
-        for (i <- 1 to r) {
-          if (done(s"k_$i") && done(s"m_$i")) {
-            kept = spark.read.parquet(s"$wd/k_$i")
-            remaining = spark.read.parquet(s"$wd/m_$i")
-          } else {
-            val (pickEdges, next) = pruneRound(remaining, alpha)
-            // k_i holds the CUMULATIVE kept set so a resume needs only
-            // the latest complete round; if a crash landed between the
-            // two writes, the k_i recompute from m_{i-1} is
-            // deterministic and persist() skips the already-done write
-            kept = persist(s"k_$i",
-              if (kept == null) pickEdges else kept.union(pickEdges))
-            remaining = persist(s"m_$i", next)
-          }
-        }
-        kept
+        // `k_$r` is the layout the former r-round loop left behind as
+        // its cumulative final round — keeping the name means every
+        // prune persisted by earlier builds (and every decision-replay
+        // path that reloads through knownFingerprint) resumes unchanged,
+        // and a partially-written legacy dir (some m_i/k_i rounds, no
+        // complete k_r) simply recomputes the one-pass greedy, which is
+        // bit-identical to finishing the rounds (GraphPruneSpec's
+        // partial-resume case)
+        if (!done(s"k_$r"))
+          greedyPrune(attached, r, alpha)
+            .write.mode("overwrite").parquet(s"$wd/k_$r")
+        spark.read.parquet(s"$wd/k_$r")
       case None =>
         // ephemeral path (in-memory prunes over query-sized or
-        // fixture-sized candidate frames): localCheckpoint is the right
-        // round barrier — executor-local blocks, no workDir to clean up;
-        // an index-build prune should pass a workDir instead
-        var remaining = attached.localCheckpoint(true)
-        var kept: DataFrame = null
-        for (_ <- 1 to r) {
-          val (pickEdges, next) = pruneRound(remaining, alpha)
-          kept = if (kept == null) pickEdges else kept.union(pickEdges)
-          remaining = next.localCheckpoint(true)
-        }
-        kept
+        // fixture-sized candidate frames): one grouped pass; checkpoint
+        // the RESULT (k·n rows, vectors detached) so the caller's
+        // candidate lineage — often a scored 2-hop frame — evaluates
+        // exactly once however many times the pruned edges are consumed
+        greedyPrune(attached, r, alpha).localCheckpoint(true)
     }
+  }
+
+  /** The one-pass grouped greedy both [[robustPrune]] paths run: shuffle
+    * the vector-attached candidate rows once by src, then replay
+    * Vamana's sequential pick-and-cover locally per node. Sort order
+    * ((cos DESC via Double.compare — NaN greatest, matching Spark's
+    * DESC rule), then nbr ASC) and the α-cover arithmetic
+    * ([[cosineLocal]], the native expression's bit-exact twin) are
+    * EXACTLY the relational rounds' — GraphPruneSpec pins edge-set
+    * equality against the driver-side reference replay. */
+  private def greedyPrune(attached: DataFrame, r: Int,
+      alpha: Double): DataFrame = {
+    val spark = attached.sparkSession
+    import spark.implicits._
+    attached.select(col("src"), col("nbr"), col("cos"), col("cv"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (src, it) =>
+        val sorted = it.map { case (_, nbr, cos, cv) =>
+          (nbr, cos, cv.toArray) }.toArray
+          .sortWith { case ((na, ca, _), (nb, cb, _)) =>
+            val c = java.lang.Double.compare(cb, ca)
+            c < 0 || (c == 0 && na < nb)
+          }
+        val kept = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Double, Array[Double])]
+        var i = 0
+        while (i < sorted.length && kept.size < r) {
+          val (nbr, cos, cv) = sorted(i)
+          var covered = false
+          var j = 0
+          while (j < kept.size && !covered) {
+            // the pick covers c when α·(1−cos(pick, c)) ≤ (1−cos(src, c));
+            // NaN comparisons are false, so NaN-scored candidates survive
+            // the cover test — the relational filter's semantics
+            if (alpha * (1.0 - cosineLocal(kept(j)._3, cv)) <= (1.0 - cos))
+              covered = true
+            j += 1
+          }
+          if (!covered) kept += ((nbr, cos, cv))
+          i += 1
+        }
+        kept.iterator.map { case (nbr, cos, _) => (src, nbr, cos) }
+      }
+      .toDF("src", "nbr", "cos")
   }
 
   /** The prune's loud-resume fingerprint — covers EVERYTHING the prune
@@ -1411,26 +1450,6 @@ object KnnGraph {
     s"r=$r,alpha=$alpha," +
       s"cand=${frameDigest(cand, col("src"), col("nbr"), col("cos"))}," +
       s"vecs=${frameDigest(vecs, col("vec_id"), col("v"))}"
-
-  /** One α-prune greedy round over the vector-attached remainder frame
-    * (src, nbr, cos, cv): the (cos DESC, nbr) top-1 pick per src, and
-    * the remainder surviving the pick's α-cover test — the step both
-    * [[robustPrune]] paths share. */
-  private def pruneRound(remaining: DataFrame,
-      alpha: Double): (DataFrame, DataFrame) = {
-    import remaining.sparkSession.implicits._
-    val pick = remaining.withColumn("rn", row_number().over(
-        Window.partitionBy($"src").orderBy($"cos".desc, $"nbr")))
-      .filter($"rn" === 1).drop("rn").localCheckpoint(true)
-    val pickV = pick.select($"src", $"nbr".as("pnbr"), $"cv".as("pv"))
-    val next = remaining
-      .join(pickV, Seq("src"))
-      .filter($"nbr" =!= $"pnbr")
-      .filter(!(lit(alpha) * (lit(1.0) - cosine($"pv", $"cv")) <=
-        (lit(1.0) - $"cos")))
-      .select($"src", $"nbr", $"cos", $"cv")
-    (pick.select($"src", $"nbr", $"cos"), next)
-  }
 
   /** The bucket count is a property OF THE STORE, not of the code: the
     * writer records it in `_graft_buckets` and every reader derives it
