@@ -1771,12 +1771,32 @@ object KnnGraph {
     (array_position(d, array_min(d)) - 1).cast("int")
   }
 
+  /** JVM-wide centroid sidecar cache keyed by (path, sidecar mtime) —
+    * a serving process holds its index metadata in memory rather than
+    * re-running a collect job per request batch (r17: one sq28 pass
+    * makes ~10 centroidsOf calls against the same store; each was a
+    * full plan+job round-trip for an 8 KB read). The mtime key
+    * self-invalidates on rewrite, and store paths are per-run tempdirs
+    * or versioned lifecycle dirs, so entries never alias across
+    * corpora. Values are cells×dim doubles — KBs. */
+  private val centroidsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[Seq[Double]]]()
+
   /** The centroids a [[writeStoreClustered]] store was routed by. */
   def centroidsOf(spark: SparkSession, path: String): Seq[Seq[Double]] = {
     import spark.implicits._
-    spark.read.parquet(s"$path/_graft_centroids")
-      .orderBy($"cid").select($"centroid")
-      .as[Seq[Double]].collect().toSeq
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_graft_centroids")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // missing sidecar must stay a loud error, same as the uncached read;
+    // the key carries the part-file names (each write mints fresh
+    // UUID-named parts) so a same-path rewrite can never serve stale
+    // centroids even within one mtime tick
+    val stamp = fs.listStatus(dir)
+      .map(s => s"${s.getPath.getName}:${s.getLen}").sorted.mkString(",")
+    centroidsCache.computeIfAbsent((dir.toString, stamp), _ =>
+      spark.read.parquet(s"$path/_graft_centroids")
+        .orderBy($"cid").select($"centroid")
+        .as[Seq[Double]].collect().toSeq)
   }
 
   /** Erase victim nodes from a CLUSTERED adjacency store — the
@@ -1917,7 +1937,9 @@ object KnnGraph {
       expandClustered(spark, graphPath, _),
       fresh => scoreKeep(fresh.localCheckpoint(true), l),
       beamRounds).last._2
-    scoreKeep(pool.filter($"node" =!= $"qid").localCheckpoint(true), k)
+    // lazy pool union of checkpointed frontiers: cheaper to evaluate
+    // twice than to checkpoint once (see pqServeHead's shortlist)
+    scoreKeep(pool.filter($"node" =!= $"qid"), k)
       .select($"qid", $"node")
   }
 
@@ -2037,9 +2059,17 @@ object KnnGraph {
       queries: DataFrame, probes: Int = 1): DataFrame = {
     import spark.implicits._
     val cents = centroidsOf(spark, path)
-    val entries = spark.read.parquet(s"$path/_graft_entries")
-    val present = entries.select($"cid").distinct()
-      .as[Int].collect().sorted.toSeq
+    // ONE collect reads the whole sidecar (≤ cells·slots rows — the
+    // broadcast-sized contract the join below already assumes): both
+    // the present-cell set and the entry rows derive from it, where a
+    // separate distinct-collect plus a scan-backed broadcast paid two
+    // plan+job round-trips per serve (r17)
+    val entryRows = spark.read.parquet(s"$path/_graft_entries")
+      .select($"cid", $"node", $"node_bucket")
+      .as[(Int, Long, Int)].collect()
+    val entries = spark.createDataset(entryRows.toSeq)
+      .toDF("cid", "node", "node_bucket")
+    val present = entryRows.map(_._1).distinct.sorted.toSeq
     // an empty sidecar (every cell entry erased before a writeEntries
     // refresh) must be a loud error: silently returning an empty entry
     // frame would answer every query with zero rows, and an empty
@@ -2548,7 +2578,9 @@ object KnnGraph {
       // and anti-join would re-run per evaluation
       fresh => scoreKeep(fresh.localCheckpoint(true), l),
       beamRounds).last._2
-    scoreKeep(pool.filter($"node" =!= $"qid").localCheckpoint(true), k)
+    // lazy pool union of checkpointed frontiers: cheaper to evaluate
+    // twice than to checkpoint once (see pqServeHead's shortlist)
+    scoreKeep(pool.filter($"node" =!= $"qid"), k)
   }
 
   /** Persist flat-PQ CODES bucket-partitioned by `vec_id` — the
@@ -2677,8 +2709,13 @@ object KnnGraph {
     // entries are ≤slots-per-cell rows per query, already resolved,
     // and the exact re-rank is the authority — unioning them costs a
     // few extra vector fetches and makes the guarantee head-invariant.
+    // the pool is a lazy union of already-checkpointed frontiers, so
+    // the two evaluations adcKeep makes of it (the code-fetch id
+    // collect, then the scoring join) each cost a scan of a handful of
+    // local blocks — cheaper than the eager checkpoint job+plan this
+    // used to pay per serve (r17)
     val shortlist = adcKeep(
-        pool.filter($"node" =!= $"qid").localCheckpoint(true),
+        pool.filter($"node" =!= $"qid"),
         if (rerankWidth > 0) rerankWidth else 2 * k)
       .select($"qid", $"node")
       .union(entries.select($"qid", $"node").filter($"node" =!= $"qid"))
