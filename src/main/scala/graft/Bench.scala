@@ -23,6 +23,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // parity with Sessions.local (r17): shuffle files free only when
+      // their RDDs are GC'd — over a 250-query pass dead shuffle state
+      // otherwise accumulates on the one local disk and the tail
+      // queries pay it; same config protects shuffle dirs on a cluster
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warm-up outside the timed region: without this the first
