@@ -392,4 +392,26 @@ class StoredClusteredSpec extends AnyFunSuite {
       "warm clustered serving did not find the streamed insert")
     adj.unpersist(); all.unpersist()
   }
+
+  test("centroidsOf caches per sidecar content: a same-path rewrite is never served stale") {
+    import spark.implicits._
+    // r17: centroidsOf memoizes the immutable sidecar per (path,
+    // part-file listing) so a serve pays no collect job per call — this
+    // pins the invalidation side: rewriting _graft_centroids at the SAME
+    // path (fresh UUID-named parts) must miss the cache and return the
+    // new centroids, and a repeat read must return the same object
+    val root = java.nio.file.Files.createTempDirectory("graft-centcache").toString
+    def writeCents(cents: Seq[Seq[Double]]): Unit =
+      cents.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cid", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/_graft_centroids")
+    val c1 = Seq(Seq(0.0, 1.0), Seq(2.0, 3.0))
+    val c2 = Seq(Seq(9.0, 8.0), Seq(7.0, 6.0))
+    writeCents(c1)
+    assert(KnnGraph.centroidsOf(spark, root) == c1, "first read wrong")
+    assert(KnnGraph.centroidsOf(spark, root) == c1, "cached re-read wrong")
+    writeCents(c2)
+    assert(KnnGraph.centroidsOf(spark, root) == c2,
+      "same-path rewrite served STALE centroids — cache key failed to miss")
+  }
 }
